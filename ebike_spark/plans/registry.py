@@ -1,0 +1,65 @@
+"""Central query registry.
+
+Every implemented operator registers a named ``QuerySpec`` pairing a
+Spark DataFrame builder with (where SQL-expressible) an ANSI-SQL oracle
+string DuckDB can run on the same parquet tables. The driver (and our
+own tests) execute both sides and compare row-count + schema +
+order-insensitive value hash. Column names are aliased identically on
+both sides — the compare sorts columns by name.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None  # ANSI SQL for DuckDB; None => rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    import ebike_spark.plans.tpch  # noqa: F401
+    import ebike_spark.plans.analytics  # noqa: F401
+    import ebike_spark.operators.dedup  # noqa: F401
+    import ebike_spark.operators.similarity  # noqa: F401
+    import ebike_spark.operators.text  # noqa: F401
+    import ebike_spark.operators.multimodal  # noqa: F401
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

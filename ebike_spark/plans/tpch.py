@@ -1,0 +1,355 @@
+"""SURVEY §2.C declared query set — the relational surface the reference
+reaches through DataFusion 6.0 (/root/reference/src/execute_impl/select.rs:41-81),
+re-expressed as Catalyst logical plans via the DataFrame API.
+
+Per-query scale notes are in each docstring: these plans are written so
+that at 100 TB the scan prunes columns + pushes filters, small dims are
+broadcast, and aggregates run partial/final (map-side combine) — all of
+which Catalyst does when the plan is declared this way.
+
+FP determinism: double aggregates are ROUNDed identically on the Spark
+and oracle sides (sum→2dp, avg/stat→4dp) so the value-hash compare is
+insensitive to summation order across partitions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ebike_spark.plans.registry import register
+from ebike_spark.sources.registry import load_table
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return load_table(spark, sf, name)
+
+
+@register(
+    "q01_scan_filter_topk",
+    oracle="""
+    SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem
+    WHERE l_quantity > 30 ORDER BY l_orderkey, l_linenumber LIMIT 100
+    """,
+    tags=("scan", "filter", "sort", "limit"),
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    """Scan+project+filter+top-k. Filter and 4-column projection reach the
+    parquet scan (PushedFilters / ReadSchema); ORDER BY+LIMIT compiles to
+    TakeOrderedAndProject — per-partition top-k, no global sort, which is
+    the plan that survives 100 TB."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_quantity") > 30)
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "q02_group_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           MIN(l_discount) AS min_disc, MAX(l_tax) AS max_tax
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregate",),
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q1-style hash aggregate. Low-cardinality grouping keys →
+    two-phase partial/final aggregation; the shuffle moves only ~6 groups
+    per partition regardless of input size."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_tax").alias("max_tax"),
+    )
+
+
+@register(
+    "q03_join_agg",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "aggregate"),
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    """Inner equi-join + agg. customer is the smaller side; at bench scale
+    it broadcasts (no shuffle of orders). At 100 TB customer stops fitting
+    → AQE falls back to sort-merge with both sides hashed on custkey."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q04_left_join_agg",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey ORDER BY n DESC, c.c_custkey LIMIT 50
+    """,
+    tags=("join", "outer", "aggregate", "limit"),
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join with a null-producing side; COUNT(col) ignores
+    nulls. Equivalent scale plan: pre-aggregate orders by custkey before
+    the join so the outer join moves one row per customer, not one per
+    order — done here explicitly (partial-agg-below-join), which is the
+    100 TB-safe shape."""
+    c = _t(spark, sf, "customer")
+    per_cust = _t(spark, sf, "orders").groupBy("o_custkey").agg(F.count("o_orderkey").alias("_n"))
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select("c_custkey", F.coalesce("_n", F.lit(0)).alias("n"))
+        .orderBy(F.desc("n"), "c_custkey")
+        .limit(50)
+    )
+
+
+@register(
+    "q05_join_chain",
+    oracle="""
+    SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("join", "aggregate"),
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    """3-way join chain + agg (TPC-H Q5 skeleton). nation is constant-size
+    → always broadcast; customer⋈orders then ⋈lineitem shuffle on their
+    join keys; revenue aggregates partial-side before the final shuffle."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q06_selective_sum",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS rev FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      AND l_linestatus IN ('F', 'O')
+    """,
+    tags=("filter", "aggregate"),
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q6-style selective scan: every predicate is parquet-pushable
+    (min/max row-group skipping at scale); grand total = partial sums, one
+    row shuffled per partition."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(
+            F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+            & F.col("l_linestatus").isin("F", "O")
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("rev"))
+    )
+
+
+@register(
+    "q07_count_distinct",
+    oracle="SELECT COUNT(DISTINCT o_custkey) AS u FROM orders",
+    tags=("aggregate", "distinct"),
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact COUNT(DISTINCT): Catalyst expands to a two-stage partial
+    dedup (the DataFusion single-distinct rewrite the reference inherits,
+    SURVEY §4.2, is the same idea)."""
+    return _t(spark, sf, "orders").agg(F.count_distinct("o_custkey").alias("u"))
+
+
+@register(
+    "q08a_intersect",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def q08a(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT → Catalyst rewrites to distinct + left-semi hash join."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s)
+
+
+@register(
+    "q08b_except",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def q08b(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT → distinct + left-anti hash join."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.subtract(s)
+
+
+@register(
+    "q08c_union_all",
+    oracle="""
+    SELECT c_custkey AS k FROM customer WHERE c_custkey < 10
+    UNION ALL SELECT o_custkey FROM orders WHERE o_custkey < 10
+    """,
+    tags=("setop",),
+)
+def q08c(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION ALL is a no-shuffle concatenation of partition lists."""
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 10).select(F.col("c_custkey").alias("k"))
+    o = _t(spark, sf, "orders").where(F.col("o_custkey") < 10).select(F.col("o_custkey").alias("k"))
+    return c.unionAll(o)
+
+
+@register(
+    "q09_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk,
+           LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+    FROM orders WHERE o_custkey < 100
+    """,
+    tags=("window",),
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking + analytic window functions. One shuffle on the PARTITION
+    BY key serves all three functions (Catalyst collapses same-spec
+    windows); at scale the filter prunes before the shuffle."""
+    o = _t(spark, sf, "orders").where(F.col("o_custkey") < 100)
+    w_rank = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    w_rk = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    w_lag = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w_rank).alias("rn"),
+        F.rank().over(w_rk).alias("rk"),
+        F.lag("o_totalprice").over(w_lag).alias("prev"),
+    )
+
+
+@register(
+    "q10_case_scalar_funcs",
+    oracle="""
+    SELECT upper(n_name) AS nm, length(n_name) AS ln,
+           CASE WHEN n_regionkey < 2 THEN 'west' ELSE 'east' END AS side,
+           round(sqrt(abs(n_nationkey)), 3) AS r
+    FROM nation
+    """,
+    tags=("scalar", "case"),
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    """CASE + string/math scalar functions — all JVM-side builtins inside
+    whole-stage codegen; no Python in the hot path."""
+    n = _t(spark, sf, "nation")
+    return n.select(
+        F.upper("n_name").alias("nm"),
+        F.length("n_name").cast("int").alias("ln"),
+        F.when(F.col("n_regionkey") < 2, "west").otherwise("east").alias("side"),
+        F.round(F.sqrt(F.abs("n_nationkey")), 3).alias("r"),
+    )
+
+
+@register(
+    "q11_cte_having",
+    oracle="""
+    WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS q FROM lineitem
+                 GROUP BY l_orderkey)
+    SELECT q, COUNT(*) AS n FROM big WHERE q > 250 GROUP BY q
+    ORDER BY q LIMIT 20
+    """,
+    tags=("cte", "aggregate"),
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    """Derived-table/CTE + re-aggregation (TPC-H Q18 skeleton).
+    l_quantity is integer-valued so SUM is exact in double → grouping by
+    the computed q is deterministic."""
+    li = _t(spark, sf, "lineitem")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    return (
+        big.where(F.col("q") > 250)
+        .groupBy("q")
+        .agg(F.count("*").alias("n"))
+        .orderBy("q")
+        .limit(20)
+    )
+
+
+@register(
+    "q12_cross_theta",
+    oracle="""
+    SELECT r1.r_regionkey AS k1, r2.r_regionkey AS k2 FROM region r1, region r2
+    WHERE r1.r_regionkey < r2.r_regionkey
+    """,
+    tags=("join", "cross"),
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta join as broadcast-nested-loop over a constant-size table.
+    (Cross joins are only ever sane when one side is tiny — as here.)"""
+    r1 = _t(spark, sf, "region").select(F.col("r_regionkey").alias("k1"))
+    r2 = _t(spark, sf, "region").select(F.col("r_regionkey").alias("k2"))
+    return r1.join(F.broadcast(r2), r1.k1 < r2.k2, "inner")
+
+
+@register(
+    "q13_stat_aggs",
+    oracle="""
+    SELECT ROUND(stddev_pop(l_quantity), 4) AS sd,
+           ROUND(var_pop(l_quantity), 4) AS vp,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS co
+    FROM lineitem
+    """,
+    tags=("aggregate", "stats"),
+)
+def q13_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates (DF6 parity: VAR/STDDEV/CORR). Spark's
+    implementations are single-pass, partial-mergeable (Welford) —
+    distribution-safe."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.stddev_pop("l_quantity"), 4).alias("sd"),
+        F.round(F.var_pop("l_quantity"), 4).alias("vp"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("co"),
+    )
+
+
+@register(
+    "q13_approx_distinct",
+    oracle=None,  # HLL estimates differ across engines by design → rows-only check
+    tags=("aggregate", "approx"),
+)
+def q13_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HLL++). Sketches merge associatively →
+    constant memory per partition at any scale; estimate is engine-
+    specific so no value oracle."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))

@@ -1,0 +1,71 @@
+"""SparkSession construction tuned for this engine.
+
+The reference engine hardcodes single-partition scans and batch size 1024
+(/root/reference/src/datafusion_impl/physical_plan/sled.rs:87-89,
+/root/reference/src/store/engine/sled.rs:41-44). We instead let Spark
+parallelize scans and size shuffles, and enable AQE so plans re-shape at
+runtime (skew joins, partition coalescing) — the settings below are the
+ones that matter at 100 TB, not just on the local test box:
+
+- AQE on (+ skew join): at cluster scale, runtime stats beat static
+  planning; skewed group/join keys get split automatically.
+- ``spark.sql.shuffle.partitions``: sized to cores locally; on a real
+  cluster AQE coalesces from an intentionally high initial number.
+- UTC session timezone: parquet timestamps compare bit-identically with
+  external oracles (DuckDB is UTC-naive).
+- Arrow enabled: every pandas_udf / mapInPandas boundary is columnar.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 8)
+    except ValueError:
+        return os.cpu_count() or 8
+
+
+def build_conf(builder: SparkSession.Builder, cpus: int | None = None) -> SparkSession.Builder:
+    """Apply this engine's configuration to any SparkSession builder."""
+    n = cpus or _cpus()
+    return (
+        builder.config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # ANSI off: the reference's MySQL dialect is permissive (invalid
+        # casts yield NULL, no overflow errors); Spark 4 defaults ANSI on.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+
+
+def get_spark(app_name: str = "ebike_spark", cpus: int | None = None) -> SparkSession:
+    """Return (creating if needed) the tuned local SparkSession.
+
+    Local mode is ``local[N]``; on a real cluster the same conf applies —
+    only ``master`` changes (spark-submit provides it).
+    """
+    n = cpus or _cpus()
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    builder = SparkSession.builder.appName(app_name).master(f"local[{n}]")
+    return build_conf(builder, n).getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

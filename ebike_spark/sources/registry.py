@@ -1,0 +1,71 @@
+"""Parquet table registry for the driver's test tables.
+
+The reference's leaf scan is a single-partition KV prefix scan
+(/root/reference/src/datafusion_impl/physical_plan/sled.rs:39-146).
+Here the leaf is Spark's vectorized parquet reader: splittable into
+many partitions, with predicate pushdown, column pruning, and row-group
+min/max skipping — the scale-path equivalent of the reference's
+index-range seek (/root/reference/src/store/reader/reader_util.rs:102-415),
+obtained declaratively instead of hand-built.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# factor (TPC-H region/nation are constant-size; supplier/part/customer
+# grow but stay broadcastable in the driver's generator up to sf0.1).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table. Plain columnar scan; Catalyst prunes/pushes.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; we read nanos as long (runtime legacy conf) and
+    truncate to a microsecond timestamp — the same truncation DuckDB
+    applies when reading TIMESTAMP_NS, so both engines see identical
+    values. ``ts div 1000`` is integer division (no double round-trip:
+    nanos exceed 2^53).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` sees the same
+    names DuckDB's oracle uses."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
