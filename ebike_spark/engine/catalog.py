@@ -1,0 +1,223 @@
+"""Catalog layer: managed parquet tables with the reference's type
+surface and constraint metadata.
+
+Reference model (SURVEY §1): three-level ``def.schema.table`` namespace
+with table metadata persisted as rows of information_schema tables and
+re-read into a cache. Spark already owns a catalog (databases, tables,
+schemas), so the only custom state is what Spark can't represent:
+PRIMARY KEY / UNIQUE constraints and declared nullability — stored as
+table properties (TBLPROPERTIES), the catalog-native key-value channel,
+instead of a side metadata store.
+
+Type whitelist mirrors /root/reference/src/meta/meta_util.rs:548-562:
+INT → bigint, FLOAT → double, CHAR → string; everything else rejected.
+No hidden rowid column: the reference's rowid
+(/root/reference/src/meta/meta_def.rs:385-398) is an artifact of
+cell-per-key KV storage (rows must be addressable for point updates);
+rewrite-based DML on columnar parquet needs no row identity, so we drop
+it rather than emulate storage internals.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+from ebike_spark.engine.errors import EbikeError, table_not_exists, unknown_database
+from ebike_spark.engine.parser import CreateTable
+
+# meta_util.rs:548-562 — the storable types; DDL with anything else errors.
+TYPE_MAP = {"INT": "BIGINT", "INTEGER": "BIGINT", "FLOAT": "DOUBLE", "CHAR": "STRING"}
+# reverse map for SHOW CREATE TABLE / SHOW COLUMNS output
+SQL_TYPE_NAME = {"bigint": "int", "double": "float", "string": "char"}
+
+PROP_PK = "ebike.primary_key"
+PROP_UNIQUE_PREFIX = "ebike.unique."
+PROP_NOT_NULL = "ebike.not_null"
+
+
+def bq(qualified: str) -> str:
+    """Backtick-quote a db.table name for SQL text (table names like
+    ``user`` collide with Spark built-in functions otherwise)."""
+    db, _, t = qualified.rpartition(".")
+    return f"`{db}`.`{t}`" if db else f"`{t}`"
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # ------------------------------------------------------------ helpers
+
+    def qualify(self, table: str, current_db: str) -> str:
+        if "." in table:
+            db, _, t = table.partition(".")
+            return f"{db}.{t}"
+        return f"{current_db}.{table}"
+
+    def database_exists(self, db: str) -> bool:
+        return self.spark.catalog.databaseExists(db)
+
+    def table_exists(self, qualified: str) -> bool:
+        return self.spark.catalog.tableExists(qualified)
+
+    def require_table(self, qualified: str) -> None:
+        if not self.table_exists(qualified):
+            raise table_not_exists(qualified)
+
+    def _ensure_fresh_location(self, qualified: str) -> None:
+        """Remove a stale managed-table directory left by a previous
+        process (the in-memory catalog forgot the table but its location
+        survived — CREATE would fail with LOCATION_ALREADY_EXISTS)."""
+        if self.table_exists(qualified):
+            return
+        import os
+        import shutil
+
+        base = re.sub("^file:", "", str(self.spark.conf.get("spark.sql.warehouse.dir")))
+        db, _, t = qualified.rpartition(".")
+        loc = os.path.join(base if db in ("", "default") else os.path.join(base, f"{db}.db"), t)
+        if os.path.exists(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+
+    # ------------------------------------------------------------ DDL
+
+    def create_database(self, name: str, if_not_exists: bool) -> None:
+        ine = "IF NOT EXISTS " if if_not_exists else ""
+        self.spark.sql(f"CREATE DATABASE {ine}`{name}`")
+
+    def drop_database(self, name: str, if_exists: bool) -> None:
+        if not if_exists and not self.database_exists(name):
+            raise unknown_database(name)
+        self.spark.sql(f"DROP DATABASE IF EXISTS `{name}` CASCADE")
+
+    def create_table(self, ct: CreateTable, current_db: str) -> None:
+        qualified = self.qualify(ct.table, current_db)
+        cols = []
+        not_null = []
+        for c in ct.columns:
+            if c.sql_type not in TYPE_MAP:
+                raise EbikeError(1064, f"unsupported column type {c.sql_type} (only INT/FLOAT/CHAR)")
+            cols.append(f"`{c.name}` {TYPE_MAP[c.sql_type]}")
+            if not c.nullable:
+                not_null.append(c.name)
+        for col in ct.primary_key:
+            if col not in not_null:
+                not_null.append(col)
+        props = [f"'{PROP_NOT_NULL}' = '{','.join(not_null)}'"]
+        if ct.primary_key:
+            props.append(f"'{PROP_PK}' = '{','.join(ct.primary_key)}'")
+        for uname, ucols in ct.uniques:
+            props.append(f"'{PROP_UNIQUE_PREFIX}{uname}' = '{','.join(ucols)}'")
+        ine = "IF NOT EXISTS " if ct.if_not_exists else ""
+        self._ensure_fresh_location(qualified)
+        self.spark.sql(
+            f"CREATE TABLE {ine}{bq(qualified)} ({', '.join(cols)}) USING parquet"
+            f" TBLPROPERTIES ({', '.join(props)})"
+        )
+
+    def drop_table(self, qualified: str, if_exists: bool) -> None:
+        if not if_exists:
+            self.require_table(qualified)
+        self.spark.sql(f"DROP TABLE IF EXISTS {bq(qualified)}")
+
+    # ------------------------------------------------------------ metadata
+
+    def properties(self, qualified: str) -> dict[str, str]:
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {bq(qualified)}").collect()
+        return {r["key"]: r["value"] for r in rows}
+
+    def primary_key(self, qualified: str) -> list[str]:
+        pk = self.properties(qualified).get(PROP_PK, "")
+        return [c for c in pk.split(",") if c]
+
+    def unique_keys(self, qualified: str) -> list[tuple[str, list[str]]]:
+        out = []
+        for k, v in self.properties(qualified).items():
+            if k.startswith(PROP_UNIQUE_PREFIX):
+                out.append((k[len(PROP_UNIQUE_PREFIX):], [c for c in v.split(",") if c]))
+        return sorted(out)
+
+    def not_null_cols(self, qualified: str) -> list[str]:
+        nn = self.properties(qualified).get(PROP_NOT_NULL, "")
+        return [c for c in nn.split(",") if c]
+
+    def column_types(self, qualified: str) -> list[tuple[str, str]]:
+        """[(name, spark_type_simple)] in table order."""
+        return [(f.name, f.dataType.simpleString()) for f in self.spark.table(qualified).schema.fields]
+
+    # ------------------------------------------------------------ info schema
+
+    def show_create_table(self, qualified: str) -> str:
+        self.require_table(qualified)
+        _, _, tname = qualified.rpartition(".")
+        lines = []
+        nn = set(self.not_null_cols(qualified))
+        for name, typ in self.column_types(qualified):
+            sql_t = SQL_TYPE_NAME.get(typ, typ)
+            null = " NOT NULL" if name in nn else ""
+            lines.append(f"  `{name}` {sql_t}{null}")
+        pk = self.primary_key(qualified)
+        if pk:
+            lines.append("  PRIMARY KEY (" + ", ".join(f"`{c}`" for c in pk) + ")")
+        for uname, ucols in self.unique_keys(qualified):
+            lines.append(f"  UNIQUE KEY `{uname}` (" + ", ".join(f"`{c}`" for c in ucols) + ")")
+        body = ",\n".join(lines)
+        return f"CREATE TABLE `{tname}` (\n{body}\n) ENGINE=parquet DEFAULT CHARSET=utf8mb4"
+
+    def alter_add_column(self, qualified: str, col: str, sql_type: str) -> None:
+        if sql_type not in TYPE_MAP:
+            raise EbikeError(1064, f"unsupported column type {sql_type} (only INT/FLOAT/CHAR)")
+        self.require_table(qualified)
+        self.spark.sql(f"ALTER TABLE {bq(qualified)} ADD COLUMNS (`{col}` {TYPE_MAP[sql_type]})")
+
+    def refresh_information_schema(self) -> None:
+        """Materialize information_schema.{schemata,tables,columns} as
+        real tables (the reference persists these as sled rows,
+        /root/reference/src/meta/initial.rs:682-1111; here they're tiny
+        overwrite-on-demand parquet tables rebuilt lazily after DDL)."""
+        spark = self.spark
+        spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
+        dbs = [d.name for d in spark.catalog.listDatabases()]
+        schemata = [(  # information_schema.rs:11-35 column shape
+            "def", d, "utf8mb4", "utf8mb4_0900_ai_ci") for d in dbs]
+        tables_rows = []
+        columns_rows = []
+        for db in dbs:
+            if db == "information_schema":
+                continue
+            for t in spark.catalog.listTables(db):
+                if t.tableType == "TEMPORARY" or re.match(r"__ebike_stage", t.name):
+                    continue
+                qualified = f"{db}.{t.name}"
+                tables_rows.append(("def", db, t.name, "BASE TABLE", "parquet"))
+                try:
+                    nn = set(self.not_null_cols(qualified))
+                    pk = self.primary_key(qualified)
+                except Exception:
+                    nn, pk = set(), []
+                for pos, (cname, ctyp) in enumerate(self.column_types(qualified), start=1):
+                    columns_rows.append(
+                        (
+                            "def", db, t.name, cname, pos,
+                            "NO" if cname in nn else "YES",
+                            SQL_TYPE_NAME.get(ctyp, ctyp),
+                            "PRI" if cname in pk else "",
+                        )
+                    )
+        for t in ("schemata", "tables", "columns"):
+            self._ensure_fresh_location(f"information_schema.{t}")
+        spark.createDataFrame(
+            schemata,
+            "catalog_name string, schema_name string, default_character_set_name string, default_collation_name string",
+        ).write.mode("overwrite").saveAsTable("information_schema.schemata")
+        spark.createDataFrame(
+            tables_rows or [("def", "", "", "", "")],
+            "table_catalog string, table_schema string, table_name string, table_type string, engine string",
+        ).write.mode("overwrite").saveAsTable("information_schema.tables")
+        spark.createDataFrame(
+            columns_rows or [("def", "", "", "", 0, "", "", "")],
+            "table_catalog string, table_schema string, table_name string, column_name string, "
+            "ordinal_position long, is_nullable string, data_type string, column_key string",
+        ).write.mode("overwrite").saveAsTable("information_schema.columns")

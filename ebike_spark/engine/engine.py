@@ -1,0 +1,420 @@
+"""The Engine: ebike's logical surface over Spark.
+
+One object = one client session (the reference's per-connection state:
+current schema, variables, prepared-statement cache —
+/root/reference/src/core/session_context.rs:7-12,
+/root/reference/src/core/execution.rs:790-880). ``execute(sql)``
+plays the role of COM_QUERY dispatch
+(/root/reference/src/core/execution.rs:894-1279): statements the engine
+owns (DDL/DML/SHOW/USE/SET) are implemented here; SELECT/EXPLAIN/CTE/
+VALUES pass through to Spark SQL exactly as the reference hands them to
+DataFusion. No wire protocol — that's transport, not semantics.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ebike_spark.engine import dml, show
+from ebike_spark.engine.catalog import Catalog
+from ebike_spark.engine.errors import EbikeError, parse_error, unsupported
+from ebike_spark.engine.parser import (
+    parse_create_table,
+    parse_delete,
+    parse_insert,
+    parse_update,
+    strip_comments,
+    substitute_vars,
+    unquote_ident,
+)
+
+DEFAULT_SYS_VARS: dict[str, object] = {
+    # mirrors the global-variables table the reference serves
+    # (/root/reference/src/meta/def/performance_schema.rs, initial.rs:1113)
+    "version": "8.0.26-ebike-spark-0.1",
+    "version_comment": "ebike_spark (PySpark-native)",
+    "autocommit": "ON",
+    "sql_mode": "ONLY_FULL_GROUP_BY",
+    "character_set_client": "utf8mb4",
+    "character_set_connection": "utf8mb4",
+    "character_set_results": "utf8mb4",
+    "collation_connection": "utf8mb4_0900_ai_ci",
+    "max_allowed_packet": 67108864,
+    "lower_case_table_names": 1,
+    "transaction_isolation": "REPEATABLE-READ",
+    "wait_timeout": 28800,
+    "interactive_timeout": 28800,
+}
+
+
+@dataclass
+class EngineResult:
+    kind: str  # 'rows' | 'count' | 'ok'
+    df: DataFrame | None = None
+    affected: int = 0
+
+    def rows(self):
+        return self.df.collect() if self.df is not None else []
+
+
+@dataclass
+class _Prepared:
+    sql: str
+    n_params: int
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, default_db: str = "default"):
+        self.spark = spark
+        self.catalog = Catalog(spark)
+        self.current_db = default_db
+        self.sys_vars = dict(DEFAULT_SYS_VARS)
+        self.user_vars: dict[str, object] = {}
+        self._stmts: dict[int, _Prepared] = {}
+        self._next_stmt_id = 1
+        self._info_schema_dirty = True
+
+    # ------------------------------------------------------------ dispatch
+
+    def execute(self, sql: str) -> EngineResult:
+        sql = strip_comments(sql).strip().rstrip(";").strip()
+        if not sql:
+            return EngineResult("ok")
+        head = sql.split(None, 2)
+        kw = head[0].upper()
+        kw2 = head[1].upper() if len(head) > 1 else ""
+
+        if kw in ("SELECT", "WITH", "VALUES", "TABLE", "EXPLAIN"):
+            return self._select(sql)
+        if kw == "USE":
+            return self._use(head[1])
+        if kw == "SHOW":
+            return self._show(sql)
+        if kw == "SET":
+            return self._set(sql)
+        if kw == "CREATE" and kw2 in ("DATABASE", "SCHEMA"):
+            return self._create_db(sql)
+        if kw == "DROP" and kw2 in ("DATABASE", "SCHEMA"):
+            return self._drop_db(sql)
+        if kw == "CREATE" and kw2 == "TABLE":
+            return self._create_table(sql)
+        if kw == "DROP" and kw2 == "TABLE":
+            return self._drop_table(sql)
+        if kw == "ALTER" and kw2 == "TABLE":
+            return self._alter_table(sql)
+        if kw == "INSERT":
+            return self._insert(sql)
+        if kw == "UPDATE":
+            return self._update(sql)
+        if kw == "DELETE":
+            return self._delete(sql)
+        if kw == "COMMIT":
+            # autocommit semantics: accepted no-op (execution.rs:1265-1267)
+            return EngineResult("ok")
+        # GRANT / ROLLBACK / CREATE INDEX / ... → MySQL 1105, like the
+        # reference's dispatcher fallthrough.
+        raise unsupported(sql.split(None, 1)[0])
+
+    # ------------------------------------------------------------ SELECT
+
+    def _fix_select(self, sql: str) -> str:
+        sql = substitute_vars(sql, self.sys_vars, self.user_vars)
+        # MySQL's database() → Spark's current_database()
+        sql = re.sub(r"\bdatabase\s*\(\s*\)", "current_database()", sql, flags=re.I)
+        # `FROM dual` → no-FROM (Spark supports SELECT without FROM natively;
+        # the reference injects a 1-row dual MemTable, core_util.rs:463-479)
+        sql = re.sub(r"\bFROM\s+dual\b", "", sql, flags=re.I)
+        return sql
+
+    def _select(self, sql: str) -> EngineResult:
+        if self._info_schema_dirty and re.search(r"\binformation_schema\b", sql, re.I):
+            self.catalog.refresh_information_schema()
+            self._info_schema_dirty = False
+        self.spark.catalog.setCurrentDatabase(self.current_db)
+        try:
+            return EngineResult("rows", df=self.spark.sql(self._fix_select(sql)))
+        except Exception as ex:  # map missing relations to MySQL 1146
+            # (the reference's table-existence check, core_util.rs:143-221)
+            if "TABLE_OR_VIEW_NOT_FOUND" in str(ex):
+                m = re.search(r"`([\w.]+)`", str(ex))
+                from ebike_spark.engine.errors import table_not_exists
+
+                raise table_not_exists(m.group(1) if m else "?") from ex
+            raise
+
+    # ------------------------------------------------------------ session
+
+    def _use(self, db: str) -> EngineResult:
+        name = unquote_ident(db.rstrip(";"))
+        if not self.catalog.database_exists(name):
+            from ebike_spark.engine.errors import unknown_database
+
+            raise unknown_database(name)
+        self.current_db = name
+        self.spark.catalog.setCurrentDatabase(name)
+        return EngineResult("ok")
+
+    def _set(self, sql: str) -> EngineResult:
+        body = sql.split(None, 1)[1].strip()
+        if re.match(r"NAMES\b", body, re.I):
+            return EngineResult("ok")  # execution.rs:884-886: acknowledged
+        for assign in re.split(r",(?![^(]*\))", body):
+            m = re.match(
+                r"\s*(?:(@@?)(?:(?:GLOBAL|SESSION)\.)?)?([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*)$",
+                assign.strip(),
+                re.I | re.S,
+            )
+            if not m:
+                raise parse_error(f"near SET: {assign!r}")
+            sigil, name, raw = m.group(1) or "", m.group(2).lower(), m.group(3).strip()
+            value = self._eval_scalar(raw)
+            if sigil == "@":
+                self.user_vars[name] = value
+            else:  # @@var or bare var → system variable
+                self.sys_vars[name] = value
+        return EngineResult("ok")
+
+    def _eval_scalar(self, raw: str):
+        raw = raw.strip()
+        if re.match(r"^-?\d+$", raw):
+            return int(raw)
+        if re.match(r"^-?\d*\.\d+$", raw):
+            return float(raw)
+        m = re.match(r"^'(.*)'$|^\"(.*)\"$", raw, re.S)
+        if m:
+            return (m.group(1) if m.group(1) is not None else m.group(2)).replace("''", "'")
+        if raw.upper() in ("ON", "OFF", "TRUE", "FALSE"):
+            return raw.upper()
+        # expression (e.g. SET @x = 1 + 2): evaluate via Spark
+        row = self.spark.sql(
+            f"SELECT ({substitute_vars(raw, self.sys_vars, self.user_vars)}) AS v"
+        ).first()
+        return row["v"]
+
+    # ------------------------------------------------------------ SHOW
+
+    def _show(self, sql: str) -> EngineResult:
+        body = sql.split(None, 1)[1].strip()
+        up = body.upper()
+        spark = self.spark
+
+        def rows(df: DataFrame) -> EngineResult:
+            return EngineResult("rows", df=df)
+
+        if up.startswith("DATABASES") or up.startswith("SCHEMAS"):
+            return rows(show.show_databases(spark))
+        m = re.match(r"(?:FULL\s+)?TABLES(?:\s+(?:FROM|IN)\s+([\w`\"]+))?\s*$", body, re.I)
+        if m:
+            db = unquote_ident(m.group(1)) if m.group(1) else self.current_db
+            return rows(show.show_tables(spark, db))
+        m = re.match(r"(?:FULL\s+)?(?:COLUMNS|FIELDS)\s+(?:FROM|IN)\s+([\w.`\"]+)(?:\s+(?:FROM|IN)\s+([\w`\"]+))?\s*$", body, re.I)
+        if m:
+            t = unquote_ident(m.group(1))
+            if m.group(2):
+                t = f"{unquote_ident(m.group(2))}.{t}"
+            return rows(show.show_columns(spark, self.catalog, self.catalog.qualify(t, self.current_db)))
+        m = re.match(r"CREATE\s+TABLE\s+([\w.`\"]+)\s*$", body, re.I)
+        if m:
+            q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
+            return rows(show.show_create_table(spark, self.catalog, q))
+        m = re.match(r"(?:GLOBAL\s+|SESSION\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)')?\s*$", body, re.I)
+        if m:
+            return rows(show.show_variables(spark, self.sys_vars, m.group(1)))
+        if up.startswith("ENGINES"):
+            return rows(show.show_engines(spark))
+        if up.startswith("CHARACTER SET") or up.startswith("CHARSET"):
+            return rows(show.show_charset(spark))
+        if up.startswith("COLLATION"):
+            return rows(show.show_collation(spark))
+        m = re.match(r"TABLE\s+STATUS(?:\s+(?:FROM|IN)\s+([\w`\"]+))?\s*$", body, re.I)
+        if m:
+            db = unquote_ident(m.group(1)) if m.group(1) else self.current_db
+            return rows(show.show_table_status(spark, self.catalog, db))
+        if up.startswith("GRANTS"):
+            return rows(show.show_grants(spark))
+        if up.startswith("PRIVILEGES"):
+            return rows(show.show_privileges(spark))
+        raise unsupported(f"SHOW {body}")
+
+    # ------------------------------------------------------------ DDL
+
+    def _create_db(self, sql: str) -> EngineResult:
+        m = re.match(r"CREATE\s+(?:DATABASE|SCHEMA)\s+(IF\s+NOT\s+EXISTS\s+)?([\w`\"]+)\s*$", sql, re.I)
+        if not m:
+            raise parse_error("near CREATE DATABASE")
+        self.catalog.create_database(unquote_ident(m.group(2)), bool(m.group(1)))
+        self._info_schema_dirty = True
+        return EngineResult("count", affected=1)
+
+    def _drop_db(self, sql: str) -> EngineResult:
+        m = re.match(r"DROP\s+(?:DATABASE|SCHEMA)\s+(IF\s+EXISTS\s+)?([\w`\"]+)\s*$", sql, re.I)
+        if not m:
+            raise parse_error("near DROP DATABASE")
+        self.catalog.drop_database(unquote_ident(m.group(2)), bool(m.group(1)))
+        self._info_schema_dirty = True
+        return EngineResult("count", affected=0)
+
+    def _create_table(self, sql: str) -> EngineResult:
+        try:
+            ct = parse_create_table(sql)
+        except ValueError as e:
+            raise parse_error(str(e)) from e
+        self.catalog.create_table(ct, self.current_db)
+        self._info_schema_dirty = True
+        return EngineResult("count", affected=0)
+
+    def _drop_table(self, sql: str) -> EngineResult:
+        m = re.match(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.`\"]+)\s*$", sql, re.I)
+        if not m:
+            raise parse_error("near DROP TABLE")
+        q = self.catalog.qualify(unquote_ident(m.group(2)), self.current_db)
+        self.catalog.drop_table(q, bool(m.group(1)))
+        self._info_schema_dirty = True
+        return EngineResult("count", affected=0)
+
+    def _alter_table(self, sql: str) -> EngineResult:
+        m = re.match(
+            r"ALTER\s+TABLE\s+([\w.`\"]+)\s+ADD\s+(?:COLUMN\s+)?([\w`\"]+)\s+(\w+)\s*$", sql, re.I
+        )
+        if m:
+            q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
+            self.catalog.alter_add_column(q, unquote_ident(m.group(2)), m.group(3).upper())
+            self._info_schema_dirty = True
+            return EngineResult("count", affected=0)
+        m = re.match(r"ALTER\s+TABLE\s+([\w.`\"]+)\s+DROP\s+(?:COLUMN\s+)?([\w`\"]+)\s*$", sql, re.I)
+        if m:
+            return self._drop_column(
+                self.catalog.qualify(unquote_ident(m.group(1)), self.current_db),
+                unquote_ident(m.group(2)),
+            )
+        raise parse_error("near ALTER TABLE (only ADD/DROP COLUMN)")
+
+    def _drop_column(self, qualified: str, col: str) -> EngineResult:
+        """Parquet v1 tables can't ALTER DROP COLUMN in place → recreate
+        (schema-evolved rewrite, the ALTER path the reference implements
+        as meta-table surgery, /root/reference/src/execute_impl/drop_column.rs:37-131)."""
+        self.catalog.require_table(qualified)
+        t = self.spark.table(qualified)
+        if col not in t.columns:
+            raise EbikeError(1091, f"Can't DROP '{col}'; check that column/key exists")
+        kept = t.drop(col)
+        props = self.catalog.properties(qualified)
+        db, _, name = qualified.rpartition(".")
+        import uuid as _uuid
+
+        stage = f"{db}.__ebike_stage_{_uuid.uuid4().hex[:12]}"
+        kept.write.saveAsTable(stage)
+        try:
+            self.spark.sql(f"DROP TABLE {qualified}")
+            cols_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in kept.schema.fields)
+            keep_props = {
+                k: ",".join(c for c in v.split(",") if c != col)
+                for k, v in props.items()
+                if k.startswith("ebike.")
+            }
+            props_ddl = ", ".join(f"'{k}' = '{v}'" for k, v in keep_props.items()) or "'ebike.not_null' = ''"
+            self.spark.sql(
+                f"CREATE TABLE {qualified} ({cols_ddl}) USING parquet TBLPROPERTIES ({props_ddl})"
+            )
+            self.spark.table(stage).write.insertInto(qualified, overwrite=True)
+        finally:
+            self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        self._info_schema_dirty = True
+        return EngineResult("count", affected=0)
+
+    # ------------------------------------------------------------ DML
+
+    def _insert(self, sql: str) -> EngineResult:
+        fixed = substitute_vars(sql, self.sys_vars, self.user_vars)
+        if not re.search(r"\bVALUES\b", fixed, re.I):
+            # INSERT INTO ... SELECT: hand to Spark (beyond-reference;
+            # constraint checks apply only to the VALUES path, as in the
+            # reference which only implements VALUES, insert.rs:48-224)
+            self.spark.catalog.setCurrentDatabase(self.current_db)
+            self.spark.sql(fixed)
+            return EngineResult("count", affected=-1)
+        try:
+            ins = parse_insert(fixed)
+        except ValueError as e:
+            raise parse_error(str(e)) from e
+        n = dml.insert(self.spark, self.catalog, ins, self.current_db)
+        return EngineResult("count", affected=n)
+
+    def _update(self, sql: str) -> EngineResult:
+        try:
+            upd = parse_update(substitute_vars(sql, self.sys_vars, self.user_vars))
+        except ValueError as e:
+            raise parse_error(str(e)) from e
+        n = dml.update(self.spark, self.catalog, upd, self.current_db)
+        return EngineResult("count", affected=n)
+
+    def _delete(self, sql: str) -> EngineResult:
+        try:
+            dele = parse_delete(substitute_vars(sql, self.sys_vars, self.user_vars))
+        except ValueError as e:
+            raise parse_error(str(e)) from e
+        n = dml.delete(self.spark, self.catalog, dele, self.current_db)
+        return EngineResult("count", affected=n)
+
+    # ------------------------------------------------------------ prepared
+
+    def prepare(self, sql: str) -> int:
+        """COM_STMT_PREPARE analogue (execution.rs:866-880): parse-count
+        '?' placeholders outside quotes, cache, return handle."""
+        clean = strip_comments(sql)
+        n = 0
+        i = 0
+        while i < len(clean):
+            if clean[i] in "'\"`":
+                from ebike_spark.engine.parser import _skip_quoted
+
+                i = _skip_quoted(clean, i)
+                continue
+            if clean[i] == "?":
+                n += 1
+            i += 1
+        sid = self._next_stmt_id
+        self._next_stmt_id += 1
+        self._stmts[sid] = _Prepared(sql=clean, n_params=n)
+        return sid
+
+    def execute_prepared(self, stmt_id: int, params: list[object] | None = None) -> EngineResult:
+        """COM_STMT_EXECUTE analogue: splice literal params into the
+        cached text (the reference splices decoded binary params into the
+        cached AST, core_util.rs:32-107) and run the normal dispatch."""
+        st = self._stmts.get(stmt_id)
+        if st is None:
+            raise EbikeError(1243, f"Unknown prepared statement handler ({stmt_id})")
+        params = params or []
+        if len(params) != st.n_params:
+            raise EbikeError(1210, "Incorrect arguments to EXECUTE")
+        out: list[str] = []
+        it = iter(params)
+        i = 0
+        sql = st.sql
+        while i < len(sql):
+            if sql[i] in "'\"`":
+                from ebike_spark.engine.parser import _skip_quoted
+
+                j = _skip_quoted(sql, i)
+                out.append(sql[i:j])
+                i = j
+                continue
+            if sql[i] == "?":
+                v = next(it)
+                if v is None:
+                    out.append("NULL")
+                elif isinstance(v, (int, float)):
+                    out.append(str(v))
+                else:
+                    out.append("'" + str(v).replace("'", "''") + "'")
+            else:
+                out.append(sql[i])
+            i += 1
+        return self.execute("".join(out))
+
+    def close_prepared(self, stmt_id: int) -> None:
+        self._stmts.pop(stmt_id, None)  # COM_STMT_CLOSE (execution.rs:790-795)

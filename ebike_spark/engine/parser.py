@@ -1,0 +1,257 @@
+"""Lightweight statement front-end.
+
+Architecture mirrors the reference: its own code only *classifies* and
+implements DDL/DML/SHOW/session statements, while every SELECT is handed
+wholesale to the query engine (ebike → DataFusion,
+/root/reference/src/execute_impl/select.rs:41-81; here → Spark SQL,
+which parses/plans it natively). So this parser only understands the
+statement shapes ebike itself implements
+(/root/reference/src/core/execution.rs:894-1279) — not full SQL.
+
+The "fix pass" (/root/reference/src/core/execution.rs:157-333) maps to:
+identifier lowercasing (Spark is case-insensitive by default), dual/
+no-FROM selects (Spark supports SELECT without FROM natively), and
+variable substitution (``@@x`` / ``@x`` replaced with literals before
+Spark sees the text — Spark has no MySQL variable syntax;
+reference: /root/reference/src/variable/system.rs:40-67).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+def strip_comments(sql: str) -> str:
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"`":
+            j = _skip_quoted(sql, i)
+            out.append(sql[i:j])
+            i = j
+        elif sql.startswith("--", i):
+            while i < n and sql[i] != "\n":
+                i += 1
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _skip_quoted(s: str, i: int) -> int:
+    q = s[i]
+    j = i + 1
+    while j < len(s):
+        if s[j] == "\\" and q != "`":
+            j += 2
+            continue
+        if s[j] == q:
+            return j + 1
+        j += 1
+    return len(s)
+
+
+def split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on sep outside quotes/parens (for VALUES rows, column defs)."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch in "'\"`":
+            j = _skip_quoted(s, i)
+            cur.append(s[i:j])
+            i = j
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def substitute_vars(sql: str, sys_vars: dict[str, object], user_vars: dict[str, object]) -> str:
+    """Replace @@sys and @user variables with literals, outside quotes."""
+
+    def lit(v: object) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, (int, float)):
+            return str(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"`":
+            j = _skip_quoted(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = re.match(r"@@(?:(?:global|session)\.)?([A-Za-z_][A-Za-z0-9_]*)", sql[i:], re.I)
+        if m:
+            out.append(lit(sys_vars.get(m.group(1).lower())))
+            i += m.end()
+            continue
+        m = re.match(r"@([A-Za-z_][A-Za-z0-9_]*)", sql[i:])
+        if m:
+            out.append(lit(user_vars.get(m.group(1).lower())))
+            i += m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def unquote_ident(ident: str) -> str:
+    ident = ident.strip()
+    if ident[:1] in "`\"" and ident[-1:] == ident[:1]:
+        ident = ident[1:-1]
+    return ident.lower()  # MySQL case-insensitivity (execution.rs:509-520)
+
+
+# ---------------------------------------------------------------- DDL shapes
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    sql_type: str  # INT | FLOAT | CHAR (upper)
+    nullable: bool
+
+
+@dataclass
+class CreateTable:
+    table: str  # possibly db-qualified
+    columns: list[ColumnDef]
+    primary_key: list[str] = field(default_factory=list)
+    uniques: list[tuple[str, list[str]]] = field(default_factory=list)  # (name, cols)
+    if_not_exists: bool = False
+
+
+@dataclass
+class Insert:
+    table: str
+    columns: list[str]  # empty = all
+    rows: list[list[str]]  # raw expression strings
+
+
+@dataclass
+class Update:
+    table: str
+    assignments: list[tuple[str, str]]  # (col, raw expr)
+    where: str | None
+
+
+@dataclass
+class Delete:
+    table: str
+    where: str | None
+
+
+_TYPE_RE = r"(INT|INTEGER|FLOAT|CHAR|VARCHAR|DOUBLE|BIGINT|TEXT|DATE|TIMESTAMP|BOOLEAN|DECIMAL)"
+
+
+def parse_create_table(sql: str) -> CreateTable:
+    m = re.match(
+        r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`\"]+)\s*\((.*)\)\s*;?\s*$",
+        sql,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError("malformed CREATE TABLE")
+    ine, name, body = bool(m.group(1)), unquote_ident(m.group(2)), m.group(3)
+    ct = CreateTable(table=name, if_not_exists=ine, columns=[])
+    for item in split_top_level(body):
+        pk = re.match(r"PRIMARY\s+KEY\s*\((.*)\)\s*$", item, re.I | re.S)
+        if pk:
+            ct.primary_key = [unquote_ident(c) for c in split_top_level(pk.group(1))]
+            continue
+        uq = re.match(r"(?:CONSTRAINT\s+([\w`\"]+)\s+)?UNIQUE(?:\s+KEY|\s+INDEX)?\s*(?:([\w`\"]+)\s*)?\((.*)\)\s*$", item, re.I | re.S)
+        if uq:
+            cols = [unquote_ident(c) for c in split_top_level(uq.group(3))]
+            uname = unquote_ident(uq.group(1) or uq.group(2) or "_".join(cols))
+            ct.uniques.append((uname, cols))
+            continue
+        cm = re.match(
+            rf"([\w`\"]+)\s+{_TYPE_RE}(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(.*)$",
+            item,
+            re.I | re.S,
+        )
+        if not cm:
+            raise ValueError(f"malformed column definition: {item!r}")
+        cname = unquote_ident(cm.group(1))
+        ctype = cm.group(2).upper()
+        rest = cm.group(3) or ""
+        # Reference quirk: nullable only with explicit NULL option
+        # (/root/reference/src/meta/meta_def.rs:391-393); we use the
+        # saner NOT NULL ⇒ required, otherwise nullable.
+        nullable = not re.search(r"NOT\s+NULL", rest, re.I)
+        if re.search(r"PRIMARY\s+KEY", rest, re.I):
+            ct.primary_key = [cname]
+            nullable = False
+        ct.columns.append(ColumnDef(cname, ctype, nullable))
+    return ct
+
+
+def parse_insert(sql: str) -> Insert:
+    m = re.match(
+        r"\s*INSERT\s+INTO\s+([\w.`\"]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.*?);?\s*$",
+        sql,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError("malformed INSERT (only INSERT ... VALUES supported here)")
+    table = unquote_ident(m.group(1))
+    cols = [unquote_ident(c) for c in split_top_level(m.group(3))] if m.group(3) else []
+    rows = []
+    for row in split_top_level(m.group(4)):
+        rm = re.match(r"\s*\((.*)\)\s*$", row, re.S)
+        if not rm:
+            raise ValueError(f"malformed VALUES row: {row!r}")
+        rows.append([e.strip() for e in split_top_level(rm.group(1))])
+    return Insert(table=table, columns=cols, rows=rows)
+
+
+def parse_update(sql: str) -> Update:
+    m = re.match(
+        r"\s*UPDATE\s+([\w.`\"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?;?\s*$",
+        sql,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError("malformed UPDATE")
+    assignments = []
+    for a in split_top_level(m.group(2)):
+        am = re.match(r"([\w`\"]+)\s*=\s*(.*)$", a, re.S)
+        if not am:
+            raise ValueError(f"malformed assignment: {a!r}")
+        assignments.append((unquote_ident(am.group(1)), am.group(2).strip()))
+    return Update(table=unquote_ident(m.group(1)), assignments=assignments, where=m.group(3))
+
+
+def parse_delete(sql: str) -> Delete:
+    m = re.match(
+        r"\s*DELETE\s+FROM\s+([\w.`\"]+)(?:\s+WHERE\s+(.*?))?;?\s*$",
+        sql,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError("malformed DELETE")
+    return Delete(table=unquote_ident(m.group(1)), where=m.group(2))

@@ -1,0 +1,118 @@
+"""SHOW-command emulation (MySQL-shaped result sets).
+
+The reference implements eleven SHOW statements as SELECTs against its
+persisted information_schema or synthesized constant batches
+(/root/reference/src/core/execution.rs:1098-1264,
+/root/reference/src/execute_impl/show_*.rs). Here each one is a small
+DataFrame constructor reading Spark's catalog — driver-side metadata,
+no cluster work.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ebike_spark.engine.catalog import SQL_TYPE_NAME, Catalog
+
+
+def _like_to_regex(pat: str) -> str:
+    return "^" + re.escape(pat).replace("%", ".*").replace("_", ".") + "$"
+
+
+def show_databases(spark: SparkSession) -> DataFrame:
+    dbs = sorted(d.name for d in spark.catalog.listDatabases())
+    return spark.createDataFrame([(d,) for d in dbs], "Database string")
+
+
+def show_tables(spark: SparkSession, db: str) -> DataFrame:
+    names = sorted(
+        t.name
+        for t in spark.catalog.listTables(db)
+        if t.tableType != "TEMPORARY" and not t.name.startswith("__ebike_stage")
+    )
+    return spark.createDataFrame([(n,) for n in names], f"`Tables_in_{db}` string")
+
+
+def show_columns(spark: SparkSession, catalog: Catalog, qualified: str) -> DataFrame:
+    catalog.require_table(qualified)
+    nn = set(catalog.not_null_cols(qualified))
+    pk = set(catalog.primary_key(qualified))
+    uniq = {c for _, cols in catalog.unique_keys(qualified) for c in cols}
+    rows = []
+    for name, typ in catalog.column_types(qualified):
+        key = "PRI" if name in pk else ("UNI" if name in uniq else "")
+        rows.append((name, SQL_TYPE_NAME.get(typ, typ), "NO" if name in nn else "YES", key, None, ""))
+    return spark.createDataFrame(
+        rows, "Field string, Type string, Null string, Key string, Default string, Extra string"
+    )
+
+
+def show_create_table(spark: SparkSession, catalog: Catalog, qualified: str) -> DataFrame:
+    ddl = catalog.show_create_table(qualified)
+    _, _, name = qualified.rpartition(".")
+    return spark.createDataFrame([(name, ddl)], "Table string, `Create Table` string")
+
+
+def show_variables(spark: SparkSession, sys_vars: dict[str, object], like: str | None) -> DataFrame:
+    items = sorted(sys_vars.items())
+    if like:
+        rx = re.compile(_like_to_regex(like), re.I)
+        items = [(k, v) for k, v in items if rx.match(k)]
+    return spark.createDataFrame(
+        [(k, str(v)) for k, v in items] or [("", "")],
+        "Variable_name string, Value string",
+    )
+
+
+def show_engines(spark: SparkSession) -> DataFrame:
+    rows = [("parquet", "DEFAULT", "Columnar parquet tables planned by Catalyst", "NO", "NO", "NO")]
+    return spark.createDataFrame(
+        rows,
+        "Engine string, Support string, Comment string, Transactions string, XA string, Savepoints string",
+    )
+
+
+def show_charset(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [("utf8mb4", "UTF-8 Unicode", "utf8mb4_0900_ai_ci", 4)],
+        "Charset string, Description string, `Default collation` string, Maxlen long",
+    )
+
+
+def show_collation(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [("utf8mb4_0900_ai_ci", "utf8mb4", 255, "Yes", "Yes", 0)],
+        "Collation string, Charset string, Id long, Default string, Compiled string, Sortlen long",
+    )
+
+
+def show_table_status(spark: SparkSession, catalog: Catalog, db: str) -> DataFrame:
+    rows = []
+    for t in spark.catalog.listTables(db):
+        if t.tableType == "TEMPORARY" or t.name.startswith("__ebike_stage"):
+            continue
+        n = spark.table(f"{db}.{t.name}").count()
+        rows.append((t.name, "parquet", n, "utf8mb4_0900_ai_ci"))
+    return spark.createDataFrame(
+        rows or [("", "", 0, "")],
+        "Name string, Engine string, Rows long, Collation string",
+    )
+
+
+def show_grants(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [("GRANT ALL PRIVILEGES ON *.* TO 'root'@'%'",)],
+        "`Grants for root@%` string",
+    )
+
+
+def show_privileges(spark: SparkSession) -> DataFrame:
+    rows = [("Select", "Tables", "To retrieve rows from table"),
+            ("Insert", "Tables", "To insert data into tables"),
+            ("Update", "Tables", "To update existing rows"),
+            ("Delete", "Tables", "To delete existing rows"),
+            ("Create", "Databases,Tables", "To create new databases and tables"),
+            ("Drop", "Databases,Tables", "To drop databases and tables")]
+    return spark.createDataFrame(rows, "Privilege string, Context string, Comment string")

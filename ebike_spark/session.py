@@ -48,6 +48,14 @@ def build_conf(builder: SparkSession.Builder, cpus: int | None = None) -> SparkS
         # casts yield NULL, no overflow errors); Spark 4 defaults ANSI on.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Managed-table warehouse. The catalog is in-memory (no Hive
+        # metastore), so table *metadata* dies with the session while
+        # *data* directories persist — engine.catalog cleans stale
+        # locations before re-creating a table of the same name.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("EBIKE_WAREHOUSE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".warehouse")),
+        )
     )
 
 
