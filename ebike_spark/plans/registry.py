@@ -53,6 +53,7 @@ def _load_all() -> None:
     import ebike_spark.operators.similarity  # noqa: F401
     import ebike_spark.operators.text  # noqa: F401
     import ebike_spark.operators.multimodal  # noqa: F401
+    import ebike_spark.streaming.events  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,184 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming surface whatsoever (SURVEY §2.B:
+"streaming: none anywhere") — this module is the Spark-native extension:
+the *same logical plans* as plans/analytics.py run over ``readStream``,
+which is exactly how Spark is meant to unify batch and streaming.
+
+Local smoke strategy (no Kafka in this container): stage the events
+table as N time-ordered parquet files in a scratch directory, stream
+them with ``maxFilesPerTrigger=1`` so the query processes N micro-
+batches, and drain synchronously with ``processAllAvailable`` into a
+memory sink. At production scale the source line changes to
+``readStream.format("kafka")`` — every transformation below is
+unchanged, watermarks bound state, and the memory sink becomes a
+parquet/Delta sink with checkpointing for exactly-once.
+
+The streamed results are verified against the SAME DuckDB oracles as
+their batch twins — streaming correctness is part of the driver's
+correctness gate, not a side demo.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ebike_spark.plans.analytics import SESSION_GAP_SEC
+from ebike_spark.plans.registry import REGISTRY, register
+from ebike_spark.sources.registry import load_table
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stage_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Materialize events as n time-ordered parquet files in a scratch
+    dir — the 'topic' our file stream replays micro-batch by micro-batch
+    (micros timestamps, so the streaming reader needs no legacy conf)."""
+    out = os.path.join(tempfile.gettempdir(), f"ebike_stream_{uuid.uuid4().hex[:10]}")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartitionByRange(n_files, "ts").write.parquet(out)
+    return out
+
+
+def read_event_stream(spark: SparkSession, staged_dir: str, files_per_trigger: int = 1) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(staged_dir)
+    )
+
+
+def run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming query to completion into a memory sink and
+    return the sink as a batch DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+# ------------------------------------------------------------ transforms
+# (identical plan shapes to plans/analytics.py, applied to a stream)
+
+
+def tumbling_agg(ev: DataFrame, with_watermark: bool = True) -> DataFrame:
+    src = ev.withWatermark("ts", "2 hours") if with_watermark else ev
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").cast("long").alias("win_start"), "event_type", "n", "total")
+    )
+
+
+def session_window_agg(ev: DataFrame) -> DataFrame:
+    """Native gap-based session windows (the streaming twin of the
+    batch lag-gap-cumsum sessionizer)."""
+    return (
+        ev.groupBy(F.session_window("ts", f"{SESSION_GAP_SEC} seconds").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("sw.start").cast("long").alias("s_start"), "n_events")
+    )
+
+
+def make_running_counter():
+    """Custom stateful operator: per-user running event count + sum via
+    applyInPandasWithState. Closure-built so executors don't need this
+    package on PYTHONPATH. State is one (count, total) pair per user —
+    constant memory per key, merge-on-batch: the applyInPandasWithState
+    pattern that scales to arbitrary custom streaming state."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            cnt, tot = state.get
+        else:
+            cnt, tot = 0, 0.0
+        for pdf in pdfs:
+            cnt += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((cnt, tot))
+        yield pd.DataFrame({"user_id": [user_id], "n": [cnt], "total": [round(tot, 2)]})
+
+    return fn
+
+
+RUNNING_OUT_SCHEMA = "user_id long, n long, total double"
+RUNNING_STATE_SCHEMA = "cnt long, tot double"
+
+
+def running_counts_stream(ev: DataFrame) -> DataFrame:
+    return ev.groupBy("user_id").applyInPandasWithState(
+        make_running_counter(),
+        RUNNING_OUT_SCHEMA,
+        RUNNING_STATE_SCHEMA,
+        "update",
+        "NoTimeout",
+    )
+
+
+# ------------------------------------------------------------ registered
+# streaming queries: full stream runs whose final results must match the
+# batch oracles.
+
+
+@register(
+    "stream_tumbling_window",
+    oracle=REGISTRY["ev_tumbling_window"].oracle,
+    tags=("streaming", "window-agg"),
+)
+def stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """readStream → tumbling window agg → memory sink, drained over 4
+    micro-batches. Complete mode: the final table must equal the batch
+    answer (same oracle as ev_tumbling_window)."""
+    staged = stage_stream_dir(spark, sf)
+    out = run_to_table(tumbling_agg(read_event_stream(spark, staged), with_watermark=False), "complete")
+    return out
+
+
+@register(
+    "stream_sessionize",
+    oracle=REGISTRY["ev_sessionize"].oracle,
+    tags=("streaming", "session-window"),
+)
+def stream_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """readStream → session_window agg → memory sink, then a batch
+    rollup to sessions-per-user. Must equal the batch lag-gap
+    sessionizer (same oracle). Session merge uses a strict `< gap`
+    bound vs the batch `> gap` new-session rule — identical except for
+    gaps of exactly 30:00.000000, absent in real-valued data."""
+    staged = stage_stream_dir(spark, sf)
+    sessions = run_to_table(session_window_agg(read_event_stream(spark, staged)), "complete")
+    return sessions.groupBy("user_id").agg(F.count("*").cast("long").alias("n_sessions"))

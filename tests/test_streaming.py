@@ -1,0 +1,72 @@
+"""Structured Streaming semantics tests (the registered stream_* queries
+are oracle-checked by test_correctness; here we test streaming-only
+behaviors: watermark+append, custom state, foreachBatch sinks)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+
+from ebike_spark.sources.registry import load_table
+from ebike_spark.streaming.events import (
+    read_event_stream,
+    run_to_table,
+    running_counts_stream,
+    stage_stream_dir,
+    tumbling_agg,
+)
+from tests.conftest import SF_DIR
+
+
+def test_watermark_append_emits_closed_windows(spark):
+    staged = stage_stream_dir(spark, SF_DIR, n_files=4)
+    appended = run_to_table(tumbling_agg(read_event_stream(spark, staged)), "append")
+    complete = run_to_table(
+        tumbling_agg(read_event_stream(spark, staged), with_watermark=False), "complete"
+    )
+    app = {tuple(r) for r in appended.collect()}
+    comp = {tuple(r) for r in complete.collect()}
+    # append emits only watermark-closed windows → a subset of the full
+    # answer, and every emitted row is final (exactly matches complete)
+    assert app <= comp
+    assert len(app) > 0
+
+
+def test_stateful_running_counts(spark):
+    staged = stage_stream_dir(spark, SF_DIR, n_files=3)
+    sink = run_to_table(running_counts_stream(read_event_stream(spark, staged)), "update")
+    # update mode appends one row per (user, batch); the max n per user
+    # is the final state and must equal the batch per-user count
+    final = sink.groupBy("user_id").agg(F.max("n").alias("n"))
+    batch = load_table(spark, SF_DIR, "events").groupBy("user_id").agg(F.count("*").alias("n"))
+    got = {r["user_id"]: r["n"] for r in final.collect()}
+    want = {r["user_id"]: r["n"] for r in batch.collect()}
+    assert got == want
+
+
+def test_foreach_batch_sink(spark):
+    staged = stage_stream_dir(spark, SF_DIR, n_files=3)
+    out_dir = os.path.join(tempfile.gettempdir(), f"ebike_fb_{uuid.uuid4().hex[:8]}")
+
+    def write_batch(df, epoch_id):
+        df.write.mode("append").parquet(out_dir)
+
+    q = (
+        read_event_stream(spark, staged)
+        .writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_out = spark.read.parquet(out_dir).count()
+    n_in = load_table(spark, SF_DIR, "events").count()
+    assert n_out == n_in
+    # and it really arrived over multiple micro-batches
+    assert len(glob.glob(os.path.join(staged, "*.parquet"))) >= 3
