@@ -54,6 +54,15 @@ SIMHASH_BAND_BITS = 7  # 8 bands × 7 bits: pigeonhole-exact for hamming ≤ 7
 SIMHASH_MAX_HAMMING = 7
 
 
+def _tune_wide_codegen(spark: SparkSession) -> None:
+    """Keep wide aggregates (96 minhash mins / 56 simhash votes) inside
+    whole-stage codegen — the 100-field default silently falls back to
+    interpreted evaluation, measured ~3× slower at sf0.1. Runtime-set so
+    it also applies when running under a caller-provided session."""
+    if int(spark.conf.get("spark.sql.codegen.maxFields", "100")) < 400:
+        spark.conf.set("spark.sql.codegen.maxFields", "400")
+
+
 # ---------------------------------------------------------------- shared
 
 _SHINGLE_CTE = f"""
@@ -150,7 +159,7 @@ def dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (threshold 0.8). This is the
     ground-truth operator the approximate pipelines are verified
     against."""
-    return jaccard_pairs(shingle_set(spark, sf), JACCARD_THRESHOLD)
+    return jaccard_pairs(shingle_set(spark, sf).persist(), JACCARD_THRESHOLD)
 
 
 # ---------------------------------------------------------------- minhash
@@ -158,10 +167,15 @@ def dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """96 minhash values per doc: h_i(s) = (A_i·x + B_i) mod P over the
-    doc's shingle set, x = 31-bit md5 fold of the shingle. One explode +
-    one groupBy — the agg is 96 mins, all JVM-side, partial-merged
-    map-side so the shuffle carries one 96-wide row per doc."""
-    x = (md5_long(F.col("s")) % (2**31)).alias("x")
+    doc's shingle set. One explode + one groupBy — the agg is 96 mins,
+    all JVM-side, partial-merged map-side so the shuffle carries one
+    96-wide row per doc.
+
+    x uses xxhash64 (fast JVM hash), NOT the oracle-parity md5: the
+    signature only steers candidate *recall*; the output is produced by
+    exact verification, so the hash function is a free implementation
+    choice — take the ~3× cheaper one."""
+    x = (F.abs(F.xxhash64(F.col("s"))) % (2**31)).alias("x")
     hashed = sh.select("doc_id", x)
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("x") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(f"h{i}")
@@ -213,7 +227,12 @@ def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     equals the ground truth. At 100 TB only the signature (96 longs/doc)
     and candidate pairs shuffle — never full text.
     """
-    sh = shingle_set(spark, sf)
+    # The shingle set is referenced 4× in this DAG (signatures, sizes,
+    # both sides of the verify join) — persist it so the explode +
+    # distinct runs once. MEMORY_AND_DISK: at cluster scale the set is
+    # large but spills instead of recomputing.
+    _tune_wide_codegen(spark)
+    sh = shingle_set(spark, sf).persist()
     cand = lsh_candidates(minhash_signatures(sh))
     # verify candidates exactly: restrict the shingle join to candidate pairs
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -287,7 +306,8 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     hamming distance. The oracle brute-forces all pairs; this pipeline
     must produce identical output.
     """
-    sig = simhash_signatures(shingle_set(spark, sf))
+    _tune_wide_codegen(spark)
+    sig = simhash_signatures(shingle_set(spark, sf).persist())
     n_bands = (SIMHASH_BITS + SIMHASH_BAND_BITS - 1) // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
     chunks = F.explode(

@@ -47,6 +47,10 @@ def build_conf(builder: SparkSession.Builder, cpus: int | None = None) -> SparkS
         # ANSI off: the reference's MySQL dialect is permissive (invalid
         # casts yield NULL, no overflow errors); Spark 4 defaults ANSI on.
         .config("spark.sql.ansi.enabled", "false")
+        # Wide plans (96-column minhash agg, 56-column simhash votes)
+        # must stay inside whole-stage codegen; the 100-field default
+        # silently drops them to interpreted mode (~3× slower).
+        .config("spark.sql.codegen.maxFields", "400")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # Managed-table warehouse. The catalog is in-memory (no Hive
         # metastore), so table *metadata* dies with the session while
