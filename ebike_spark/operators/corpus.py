@@ -1,0 +1,210 @@
+"""Corpus-preparation operators: near-dup clustering, TF-IDF, chunking,
+deterministic sampling — the steps between raw documents and a training
+set. All absent from the reference (SURVEY §2: no text pipeline at all);
+designed Spark-first.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ebike_spark.functions.textfns import md5_long, md5_long_sql, tokens
+from ebike_spark.operators.dedup import (
+    _JACCARD_PAIRS_SQL,
+    JACCARD_THRESHOLD,
+    _tune_wide_codegen,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signatures,
+    shingle_set,
+)
+from ebike_spark.plans.registry import register
+from ebike_spark.sources.registry import load_table
+
+# ------------------------------------------------------- dup clustering
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE
+pairs AS ({_JACCARD_PAIRS_SQL}),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+)
+SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Min-label propagation until fixpoint: cluster id = smallest doc_id
+    reachable. Each iteration is one shuffle join; iterations needed =
+    graph diameter (near-dup graphs are shallow — dup clusters are
+    quasi-cliques, so typically 2-4 rounds). The iterative-algorithm
+    pattern the reference cannot express at all; the oracle is a DuckDB
+    recursive CTE over the same edges."""
+    sym = (
+        edges.selectExpr("d1 AS u", "d2 AS v")
+        .unionAll(edges.selectExpr("d2 AS u", "d1 AS v"))
+        .persist()
+    )
+    labels = sym.selectExpr("u AS id").distinct().selectExpr("id", "id AS label").persist()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+            .selectExpr("u AS nid", "nlabel")
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["nid"], "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        old = labels.selectExpr("id AS oid", "label AS olabel")
+        changed = (
+            new_labels.join(old, new_labels["id"] == old["oid"])
+            .where(F.col("label") != F.col("olabel"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.selectExpr("id AS doc_id", "label AS cluster_id")
+
+
+@register(
+    "dedup_cluster",
+    oracle=_CLUSTER_ORACLE,
+    tags=("dedup", "clustering", "iterative"),
+)
+def dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate clusters: minhash-LSH candidate pairs → exact
+    verification → connected components (min-label propagation). The
+    keep-one-per-cluster training-set filter is `cluster_id == doc_id`.
+    """
+    _tune_wide_codegen(spark)
+    sh = shingle_set(spark, sf).persist()
+    cand = lsh_candidates(minhash_signatures(sh))
+    verified = jaccard_pairs(sh, JACCARD_THRESHOLD).join(
+        cand, ["d1", "d2"], "inner"
+    )  # LSH prune ∩ exact ≥ threshold
+    return connected_components(verified.select("d1", "d2"))
+
+
+# ------------------------------------------------------- TF-IDF
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(n.n * 1.0 / df.df), 6) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * ln(n.n * 1.0 / df.df) DESC, tf.term) AS rn
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tfidf FROM scored WHERE rn <= {TFIDF_TOP_K}
+    """,
+    tags=("text", "tfidf"),
+)
+def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} TF-IDF terms per document. Three aggregates
+    (tf per doc-term, df per term, N) + a ranking window. df is tiny
+    (vocab-sized) → broadcast into the scoring join; the window
+    shuffles on doc_id once."""
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.count()  # single scalar, driver-side (metadata-cheap count)
+    score = F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_s"), "term")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select("doc_id", "term", score.alias("_s"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "term", F.round("_s", 6).alias("tfidf"))
+    )
+
+
+# ------------------------------------------------------- chunking
+
+CHUNK_SIZE, CHUNK_STRIDE = 40, 30
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+      SELECT doc_id, unnest(generate_series(1, greatest(len(w) - {CHUNK_SIZE - 1}, 1), {CHUNK_STRIDE})) AS start,
+             w FROM t)
+    SELECT doc_id, CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           least({CHUNK_SIZE}, len(w) - start + 1) AS n_tokens,
+           {md5_long_sql(f"array_to_string(w[start:start+{CHUNK_SIZE - 1}], ' ')")} AS chunk_hash
+    FROM c
+    """,
+    tags=("text", "chunking"),
+)
+def text_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping fixed-size token windows ({CHUNK_SIZE} tokens, stride
+    {CHUNK_STRIDE}) — the doc→training-sample expansion step. Pure
+    higher-order expressions: sequence → transform → explode, no
+    shuffle at all; output hash identifies each chunk."""
+    docs = load_table(spark, sf, "documents")
+    w = tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w) - (CHUNK_SIZE - 1), F.lit(1)), F.lit(CHUNK_STRIDE))
+    chunks = docs.select("doc_id", w.alias("w"), F.explode(starts).alias("start"))
+    chunk_text = F.concat_ws(" ", F.slice(F.col("w"), F.col("start"), CHUNK_SIZE))
+    return chunks.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.least(F.lit(CHUNK_SIZE), F.size("w") - F.col("start") + 1).alias("n_tokens"),
+        md5_long(chunk_text).alias("chunk_hash"),
+    )
+
+
+# ------------------------------------------------------- sampling
+
+SAMPLE_BUCKETS, SAMPLE_KEEP = 100, 10
+
+
+@register(
+    "sample_deterministic",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents
+    WHERE {md5_long_sql("text")} % {SAMPLE_BUCKETS} < {SAMPLE_KEEP}
+    GROUP BY source
+    """,
+    tags=("sampling",),
+)
+def sample_deterministic(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-hash bucket sampling (~{SAMPLE_KEEP}%): reproducible
+    across engines/runs/machines (unlike rand()-based sampling), stable
+    under re-partitioning, and stratifiable by any grouping. The filter
+    is a pure expression → runs at scan speed."""
+    docs = load_table(spark, sf, "documents")
+    keep = md5_long(F.col("text")) % SAMPLE_BUCKETS < SAMPLE_KEEP
+    return docs.where(keep).groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -360,6 +360,37 @@ def q21_cube(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "fn_agg_extras",
+    oracle="""
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 4)  AS v_covar_pop,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS v_covar_samp,
+           ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS v_median,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS v_p90,
+           CAST(COUNT(*) FILTER (l_discount > 0.05) AS BIGINT) AS v_count_if
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "extras"),
+)
+def fn_agg_extras(spark: SparkSession, sf: str) -> DataFrame:
+    """Remaining [DF6] aggregate rows (SURVEY §2.B): array_agg (as a
+    sorted string for hash-stable compare), COVAR, exact percentile
+    (interpolated — DF6's approx_percentile_cont upgraded to exact),
+    count-if. Exact percentiles require a per-group sort — fine for
+    low-cardinality groups; use approx_percentile at high cardinality."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("v_covar_pop"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("v_covar_samp"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("v_median"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("v_p90"),
+        F.count_if(F.col("l_discount") > 0.05).alias("v_count_if"),
+    )
+
+
+@register(
     "q22_values_inline",
     oracle="""
     SELECT CAST(t.a AS BIGINT) AS a, t.b AS b, upper(t.b) AS ub

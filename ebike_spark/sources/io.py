@@ -1,0 +1,112 @@
+"""Source/sink round-trips: CSV, JSON, ORC.
+
+The reference's only sources are its sled KV tables and a 1-row
+MemTable (SURVEY §2.B 'sources'); Spark's reader/writer matrix is a
+superset. Each round-trip query writes the events table to a scratch
+directory in format X with explicit schema, reads it back, and
+aggregates — the oracle aggregates the original parquet, so a
+round-trip that loses rows, types, or timestamp precision fails the
+value-hash.
+
+Format notes (documented, and load-bearing for the assertions):
+- CSV has no timestamp type → written as epoch micros (BIGINT column),
+  the same lossless convention the oracles use everywhere.
+- JSON likewise ships micros as numbers (JSON numbers are doubles in
+  many readers, so we ship them as strings and cast back — exact).
+- ORC keeps real timestamps.
+- JDBC: no database server exists in this container; gated stub below
+  documents the call shape (format('jdbc') options) without executing.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ebike_spark.plans.registry import register
+from ebike_spark.sources.registry import load_table
+
+_AGG_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total,
+       CAST(SUM(epoch_us(ts)) AS BIGINT) AS ts_sum
+FROM events GROUP BY event_type
+"""
+
+
+def _scratch(fmt: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"ebike_io_{fmt}_{uuid.uuid4().hex[:10]}")
+
+
+def _events_flat(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.sum("ts_us").cast("long").alias("ts_sum"),
+    )
+
+
+@register("io_csv_roundtrip", oracle=_AGG_ORACLE, tags=("io", "csv"))
+def io_csv(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV write→read with explicit schema (never inferSchema at scale —
+    it double-reads the data). Header on; timestamps as epoch micros."""
+    path = _scratch("csv")
+    _events_flat(spark, sf).write.option("header", True).csv(path)
+    back = spark.read.option("header", True).schema(
+        "event_id long, ts_us long, user_id long, event_type string, value double, props string"
+    ).csv(path)
+    return _agg(back)
+
+
+@register("io_json_roundtrip", oracle=_AGG_ORACLE, tags=("io", "json"))
+def io_json(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines write→read with explicit schema (longs round-trip
+    exactly via Jackson; no schema inference pass)."""
+    path = _scratch("json")
+    _events_flat(spark, sf).write.json(path)
+    back = spark.read.schema(
+        "event_id long, ts_us long, user_id long, event_type string, value double, props string"
+    ).json(path)
+    return _agg(back)
+
+
+@register("io_orc_roundtrip", oracle=_AGG_ORACLE, tags=("io", "orc"))
+def io_orc(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC write→read — the second columnar format; vectorized reader,
+    predicate pushdown, same plan shape as parquet."""
+    path = _scratch("orc")
+    _events_flat(spark, sf).write.orc(path)
+    back = spark.read.orc(path)
+    return _agg(back)
+
+
+def read_jdbc_stub(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """JDBC source call shape (no database server in this container).
+
+    In deployment::
+
+        spark.read.format("jdbc").option("url", url)
+             .option("dbtable", table)
+             .option("partitionColumn", ...).option("numPartitions", ...)
+             .load()
+
+    partitionColumn/numPartitions are what make a JDBC read parallel —
+    without them the whole table streams through one task.
+    """
+    raise NotImplementedError("no JDBC endpoint in this environment; see docstring")
