@@ -184,6 +184,9 @@ class Catalog:
             "def", d, "utf8mb4", "utf8mb4_0900_ai_ci") for d in dbs]
         tables_rows = []
         columns_rows = []
+        constraint_rows = []
+        kcu_rows = []
+        stat_rows = []
         for db in dbs:
             if db == "information_schema":
                 continue
@@ -195,8 +198,9 @@ class Catalog:
                 try:
                     nn = set(self.not_null_cols(qualified))
                     pk = self.primary_key(qualified)
+                    uniques = self.unique_keys(qualified)
                 except Exception:
-                    nn, pk = set(), []
+                    nn, pk, uniques = set(), [], []
                 for pos, (cname, ctyp) in enumerate(self.column_types(qualified), start=1):
                     columns_rows.append(
                         (
@@ -206,7 +210,18 @@ class Catalog:
                             "PRI" if cname in pk else "",
                         )
                     )
-        for t in ("schemata", "tables", "columns"):
+                # table_constraints / key_column_usage / statistics —
+                # the reference persists these per declared PRIMARY/
+                # UNIQUE key (information_schema.rs:36-158)
+                all_keys = ([("PRIMARY", pk, "PRIMARY KEY")] if pk else []) + [
+                    (uname, ucols, "UNIQUE") for uname, ucols in uniques
+                ]
+                for kname, kcols, ktype in all_keys:
+                    constraint_rows.append(("def", db, kname, db, t.name, ktype))
+                    for seq, c in enumerate(kcols, start=1):
+                        kcu_rows.append(("def", db, kname, "def", db, t.name, c, seq))
+                        stat_rows.append(("def", db, t.name, 0, db, kname, seq, c))
+        for t in ("schemata", "tables", "columns", "table_constraints", "key_column_usage", "statistics"):
             self._ensure_fresh_location(f"information_schema.{t}")
         spark.createDataFrame(
             schemata,
@@ -221,3 +236,19 @@ class Catalog:
             "table_catalog string, table_schema string, table_name string, column_name string, "
             "ordinal_position long, is_nullable string, data_type string, column_key string",
         ).write.mode("overwrite").saveAsTable("information_schema.columns")
+        spark.createDataFrame(
+            constraint_rows or [("def", "", "", "", "", "")],
+            "constraint_catalog string, constraint_schema string, constraint_name string, "
+            "table_schema string, table_name string, constraint_type string",
+        ).write.mode("overwrite").saveAsTable("information_schema.table_constraints")
+        spark.createDataFrame(
+            kcu_rows or [("def", "", "", "def", "", "", "", 0)],
+            "constraint_catalog string, constraint_schema string, constraint_name string, "
+            "table_catalog string, table_schema string, table_name string, "
+            "column_name string, ordinal_position long",
+        ).write.mode("overwrite").saveAsTable("information_schema.key_column_usage")
+        spark.createDataFrame(
+            stat_rows or [("def", "", "", 0, "", "", 0, "")],
+            "table_catalog string, table_schema string, table_name string, non_unique long, "
+            "index_schema string, index_name string, seq_in_index long, column_name string",
+        ).write.mode("overwrite").saveAsTable("information_schema.statistics")

@@ -129,7 +129,23 @@ def update(spark: SparkSession, catalog: Catalog, upd: Update, current_db: str) 
             cols.append(F.when(cond, new_val).otherwise(F.col(name)).alias(name))
         else:
             cols.append(F.col(name))
-    _rewrite(spark, qualified, t.select(*cols))
+    new_df = t.select(*cols)
+    # Re-check key constraints when an assignment touches a key column —
+    # the reference silently corrupts its indexes here (SURVEY §3.3);
+    # we validate the post-image before swapping it in.
+    keys = []
+    pk = catalog.primary_key(qualified)
+    if pk:
+        keys.append(("PRIMARY", pk))
+    keys.extend(catalog.unique_keys(qualified))
+    for key_name, kcols in keys:
+        if not set(kcols) & set(assigned):
+            continue
+        dup = new_df.groupBy(*kcols).count().where(F.col("count") > 1).limit(1).collect()
+        if dup:
+            val = "-".join(str(dup[0][c]) for c in kcols)
+            raise duplicate_entry(val, key_name)
+    _rewrite(spark, qualified, new_df)
     return affected
 
 

@@ -127,6 +127,10 @@ class Engine:
         # `FROM dual` → no-FROM (Spark supports SELECT without FROM natively;
         # the reference injects a 1-row dual MemTable, core_util.rs:463-479)
         sql = re.sub(r"\bFROM\s+dual\b", "", sql, flags=re.I)
+        # EXPLAIN dialect mapping (reference: explain.rs:41-101 supports
+        # VERBOSE/ANALYZE via DataFusion; Spark spells these differently)
+        sql = re.sub(r"^\s*EXPLAIN\s+VERBOSE\b", "EXPLAIN EXTENDED", sql, flags=re.I)
+        sql = re.sub(r"^\s*EXPLAIN\s+ANALYZE\b", "EXPLAIN COST", sql, flags=re.I)
         return sql
 
     def _select(self, sql: str) -> EngineResult:

@@ -169,8 +169,14 @@ _TYPE_RE = r"(INT|INTEGER|FLOAT|CHAR|VARCHAR|DOUBLE|BIGINT|TEXT|DATE|TIMESTAMP|B
 
 
 def parse_create_table(sql: str) -> CreateTable:
+    # trailing MySQL table options (ENGINE=..., DEFAULT CHARSET=...) are
+    # accepted and ignored — the reference resolves only engine=sled
+    # (/root/reference/src/store/engine/engine_util.rs:48-60); here the
+    # engine is always parquet.
     m = re.match(
-        r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`\"]+)\s*\((.*)\)\s*;?\s*$",
+        r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`\"]+)\s*\((.*)\)"
+        r"(?:\s+(?:ENGINE\s*=\s*\w+|DEFAULT\s+CHARSET\s*=\s*\w+|COLLATE\s*=\s*\w+|COMMENT\s*=\s*'[^']*'))*"
+        r"\s*;?\s*$",
         sql,
         re.I | re.S,
     )

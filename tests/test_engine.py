@@ -228,6 +228,52 @@ def test_explain_passthrough(eng):
     assert rows and "user" in str(rows)
 
 
+def test_update_key_violation_rejected(eng):
+    """Beyond-reference fix: the reference corrupts its indexes on
+    key-touching UPDATEs (SURVEY §3.3); we validate the post-image."""
+    eng.execute("CREATE TABLE t (a INT NOT NULL, b CHAR, PRIMARY KEY (a))")
+    eng.execute("INSERT INTO t VALUES (1, 'x'), (2, 'y')")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("UPDATE t SET a = 1 WHERE a = 2")
+    assert ei.value.code == 1062
+    # table unchanged after the rejected update
+    assert sorted(r["a"] for r in eng.execute("SELECT a FROM t").rows()) == [1, 2]
+    eng.execute("UPDATE t SET a = 3 WHERE a = 2")  # non-conflicting OK
+    assert sorted(r["a"] for r in eng.execute("SELECT a FROM t").rows()) == [1, 3]
+
+
+def test_create_table_with_engine_option(eng):
+    # README.md:37-39 style DDL with trailing options parses
+    eng.execute("CREATE TABLE t (id INT NOT NULL, name CHAR) ENGINE=sled DEFAULT CHARSET=utf8mb4")
+    eng.execute("INSERT INTO t VALUES (1, 'a')")
+    assert eng.execute("SELECT COUNT(*) AS c FROM t").rows()[0]["c"] == 1
+
+
+def test_explain_variants(eng):
+    eng.execute("CREATE TABLE t (a INT)")
+    assert eng.execute("EXPLAIN VERBOSE SELECT a FROM t").rows()
+    assert eng.execute("EXPLAIN ANALYZE SELECT a FROM t").rows()
+
+
+def test_information_schema_constraints(eng):
+    eng.execute(USER_DDL)
+    tc = eng.execute(
+        "SELECT constraint_name, constraint_type FROM information_schema.table_constraints "
+        f"WHERE table_schema = '{eng.current_db}' AND table_name = 'user'"
+    ).rows()
+    assert [(r[0], r[1]) for r in tc] == [("PRIMARY", "PRIMARY KEY")]
+    kcu = eng.execute(
+        "SELECT column_name, ordinal_position FROM information_schema.key_column_usage "
+        f"WHERE table_schema = '{eng.current_db}' AND table_name = 'user' ORDER BY ordinal_position"
+    ).rows()
+    assert [(r[0], r[1]) for r in kcu] == [("id", 1), ("name", 2)]
+    st = eng.execute(
+        "SELECT index_name, seq_in_index, column_name FROM information_schema.statistics "
+        f"WHERE table_schema = '{eng.current_db}' AND table_name = 'user' ORDER BY seq_in_index"
+    ).rows()
+    assert [(r[0], r[2]) for r in st] == [("PRIMARY", "id"), ("PRIMARY", "name")]
+
+
 def test_select_joins_through_engine(eng):
     """The full SELECT surface is Spark's — verify a join+agg round-trips
     through the engine dispatch (ebike's select.rs:41-81 equivalence)."""

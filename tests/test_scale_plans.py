@@ -1,0 +1,102 @@
+"""Plan-shape assertions — the physical properties SCALE.md claims.
+
+These tests read optimized/physical plans rather than results: filters
+reach the parquet scan, payload columns are pruned, small dims
+broadcast, and bucketed tables co-locate joins without an exchange.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+import pytest
+
+from ebike_spark.plans.registry import REGISTRY, _load_all
+from ebike_spark.sources.registry import load_table
+from tests.conftest import SF_DIR
+
+_load_all()
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = REGISTRY["q01_scan_filter_topk"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity,30.0)" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+
+def test_column_pruning_projects_scan(spark):
+    df = REGISTRY["q01_scan_filter_topk"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    # only the 4 needed columns are read, out of 11 in lineitem
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert all(c in read for c in ("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+    assert "l_shipdate" not in read and "l_comment" not in read
+
+
+def test_metadata_query_never_reads_payload(spark):
+    df = REGISTRY["mm_metadata_only"].fn(spark, SF_DIR)
+    read = [ln for ln in _physical(df).splitlines() if "ReadSchema" in ln][0]
+    assert "payload" not in read and "text" not in read
+
+
+def test_small_dim_broadcasts(spark):
+    df = REGISTRY["q05_join_chain"].fn(spark, SF_DIR)
+    assert "BroadcastHashJoin" in _physical(df)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Bucketing both sides on the join key co-locates the join: the
+    physical plan must contain no Exchange (shuffle) — the mechanism
+    that turns the reference's single-partition scans into shuffle-free
+    distributed joins at 100 TB (SCALE.md 'Configuration posture')."""
+    db = f"bk_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        orders = load_table(spark, SF_DIR, "orders")
+        cust = load_table(spark, SF_DIR, "customer")
+        orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(f"{db}.orders_b")
+        cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(f"{db}.cust_b")
+        o, c = spark.table(f"{db}.orders_b"), spark.table(f"{db}.cust_b")
+        # disable auto-broadcast so the join would otherwise shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").count()
+            plan = _physical(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan.split("SortMergeJoin")[1], plan
+            # sanity: same join over unbucketed parquet DOES shuffle
+            plain = (
+                orders.join(cust, orders.o_custkey == cust.c_custkey)
+                .groupBy("c_mktsegment")
+                .count()
+            )
+            assert "Exchange" in _physical(plain)
+            assert joined.count() == plain.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Partition-column filters prune directories before any IO — the
+    Spark-native equivalent of the reference's index-range seek
+    (SURVEY §2.A 'Index-range seek')."""
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.write.partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = _physical(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    n_click = df.count()
+    assert n_click == ev.where("event_type = 'click'").count()
