@@ -43,6 +43,14 @@ BENCH_QUERIES = [
     "text_quality",
     "text_fingerprint",
     "mm_feature_extract",
+    "dedup_cluster",
+    "text_tfidf_top_terms",
+    "text_chunk_windows",
+    "sample_deterministic",
+    "asof_generic_events_orders",
+    "q20_window_frames",
+    "q21_cube",
+    "fn_agg_extras",
 ]
 
 

@@ -12,12 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ebike_spark.functions.textfns import md5_long, md5_long_sql, tokens
 from ebike_spark.operators.dedup import (
     _JACCARD_PAIRS_SQL,
-    JACCARD_THRESHOLD,
-    _tune_wide_codegen,
-    jaccard_pairs,
-    lsh_candidates,
-    minhash_signatures,
-    shingle_set,
+    minhash_verified_pairs,
 )
 from ebike_spark.plans.registry import register
 from ebike_spark.sources.registry import load_table
@@ -79,6 +74,46 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     return labels.selectExpr("id AS doc_id", "label AS cluster_id")
 
 
+# Below this many edges the graph fits trivially on the driver and a
+# local union-find beats the per-iteration job-scheduling latency of the
+# distributed loop by ~10×. Above it, label propagation scales out.
+DRIVER_UNION_FIND_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(pairs: list[tuple[int, int]]):
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(x, find(x)) for x in parent]
+
+
+def components(edges, max_iter: int = 50):
+    """Connected components with a size-adaptive strategy: the dup-pair
+    graph is orders of magnitude smaller than the corpus (it holds only
+    near-duplicates), so it usually fits on the driver — union-find
+    there costs milliseconds where each distributed iteration costs a
+    scheduler round-trip. Past the threshold, distributed min-label
+    propagation (diameter-bounded iterations of shuffle joins)."""
+    n_edges = edges.limit(DRIVER_UNION_FIND_MAX_EDGES + 1).count()
+    if n_edges <= DRIVER_UNION_FIND_MAX_EDGES:
+        pairs = [(r["d1"], r["d2"]) for r in edges.collect()]
+        rows = sorted(_driver_union_find(pairs))
+        spark = edges.sparkSession
+        return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    return connected_components(edges, max_iter)
+
+
 @register(
     "dedup_cluster",
     oracle=_CLUSTER_ORACLE,
@@ -86,16 +121,11 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 )
 def dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
     """Near-duplicate clusters: minhash-LSH candidate pairs → exact
-    verification → connected components (min-label propagation). The
-    keep-one-per-cluster training-set filter is `cluster_id == doc_id`.
+    verification → connected components. The keep-one-per-cluster
+    training-set filter is `cluster_id == doc_id`.
     """
-    _tune_wide_codegen(spark)
-    sh = shingle_set(spark, sf).persist()
-    cand = lsh_candidates(minhash_signatures(sh))
-    verified = jaccard_pairs(sh, JACCARD_THRESHOLD).join(
-        cand, ["d1", "d2"], "inner"
-    )  # LSH prune ∩ exact ≥ threshold
-    return connected_components(verified.select("d1", "d2"))
+    edges = minhash_verified_pairs(spark, sf).select("d1", "d2")
+    return components(edges)
 
 
 # ------------------------------------------------------- TF-IDF

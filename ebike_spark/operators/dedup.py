@@ -213,20 +213,10 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=_JACCARD_PAIRS_SQL,  # verified pipeline must recover exact ground truth
-    tags=("dedup", "minhash", "lsh"),
-)
-def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash → LSH bucket join → exact-Jaccard verification ≥ 0.8.
-
-    The oracle is the exact all-pairs result: with 32×3 banding the
-    candidate set contains every j ≥ 0.9 pair with probability
-    ≈ 1-2e-5, and verification removes false positives, so the output
-    equals the ground truth. At 100 TB only the signature (96 longs/doc)
-    and candidate pairs shuffle — never full text.
-    """
+def minhash_verified_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash → LSH bucket join → exact-Jaccard verification ≥ 0.8:
+    the scale-path near-dup pair pipeline, shared by dedup_minhash_lsh
+    and dedup_cluster."""
     # The shingle set is referenced 4× in this DAG (signatures, sizes,
     # both sides of the verify join) — persist it so the explode +
     # distinct runs once. MEMORY_AND_DISK: at cluster scale the set is
@@ -250,6 +240,23 @@ def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
         .where(j >= JACCARD_THRESHOLD)
         .select("d1", "d2", F.round(j, 4).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_JACCARD_PAIRS_SQL,  # verified pipeline must recover exact ground truth
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash → LSH bucket join → exact-Jaccard verification ≥ 0.8.
+
+    The oracle is the exact all-pairs result: with 32×3 banding the
+    candidate set contains every j ≥ 0.9 pair with probability
+    ≈ 1-2e-5, and verification removes false positives, so the output
+    equals the ground truth. At 100 TB only the signature (96 longs/doc)
+    and candidate pairs shuffle — never full text.
+    """
+    return minhash_verified_pairs(spark, sf)
 
 
 # ---------------------------------------------------------------- simhash

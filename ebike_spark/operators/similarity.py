@@ -25,6 +25,13 @@ from ebike_spark.sources.registry import load_table
 TOP_K = 10
 QUERY_VEC_ID = 0
 LSH_PLANES = 12  # 2^12 buckets
+# Multi-probe radius. Probability a true neighbor at angle θ flips one
+# sign bit is θ/π; this corpus' nearest neighbors sit near cos≈0.5
+# (θ≈60°, p≈1/3), so E[flips]≈4 of 12 — probing hamming ≤ 4 yields
+# ~0.7 expected recall while touching Σ C(12,0..4)/4096 ≈ 19% of
+# buckets. Tighter-clustered corpora (cos ≥ 0.9 dups) would use radius
+# 1-2 and probe <1%.
+LSH_PROBE_HAMMING = 4
 _DIM = 64
 
 
@@ -93,9 +100,10 @@ def lsh_bucket(vec_col, planes: np.ndarray):
 )
 def ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """ANN via random-hyperplane LSH: score only vectors whose bucket is
-    within hamming ≤ 2 of the query's bucket, then exact-rerank. At scale
-    the bucket filter is a pushable integer predicate over a column that
-    would be precomputed/partitioned-on in the stored corpus."""
+    within hamming ≤ LSH_PROBE_HAMMING of the query's bucket, then
+    exact-rerank. At scale the bucket filter is a pushable integer
+    predicate over a column that would be precomputed/partitioned-on in
+    the stored corpus."""
     planes = hyperplanes()
     qv_list = _query_vec(spark, sf)
     q_bucket = int(
@@ -104,7 +112,7 @@ def ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings").where(F.col("vec_id") != QUERY_VEC_ID)
     v = F.col("embedding").cast("array<double>")
     with_bucket = e.select("vec_id", v.alias("v"), lsh_bucket(v, planes).alias("bucket"))
-    near = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= 2
+    near = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= LSH_PROBE_HAMMING
     qv = F.lit(qv_list).cast("array<double>")
     cos = cosine_sim(F.col("v"), qv)
     return (

@@ -49,6 +49,36 @@ def ev_tumbling(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "ev_sliding_window",
+    oracle="""
+    WITH assigned AS (
+      SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)) - k.k * 1800000000 AS win_start_us,
+             event_type, value
+      FROM events, (VALUES (0), (1)) k(k))
+    SELECT CAST(win_start_us / 1000000 AS BIGINT) AS win_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM assigned GROUP BY 1, 2
+    """,
+    tags=("events", "window-agg", "sliding", "time"),
+)
+def ev_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute slide: each event lands in
+    window/slide = 2 buckets. F.window emits the assignments map-side;
+    the oracle reproduces them with an explicit 2-offset expansion."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
     "ev_sessionize",
     oracle=f"""
     WITH g AS (

@@ -169,6 +169,24 @@ def stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_window",
+    oracle=REGISTRY["ev_sliding_window"].oracle,
+    tags=("streaming", "window-agg", "sliding"),
+)
+def stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """readStream → sliding (1h / 30m) window agg → memory sink; final
+    complete-mode table must equal the batch sliding-window answer."""
+    staged = stage_stream_dir(spark, sf)
+    ev = read_event_stream(spark, staged)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").cast("long").alias("win_start"), "event_type", "n", "total")
+    )
+    return run_to_table(agg, "complete")
+
+
+@register(
     "stream_sessionize",
     oracle=REGISTRY["ev_sessionize"].oracle,
     tags=("streaming", "session-window"),

@@ -1,0 +1,109 @@
+"""Unit tests for operator internals not covered by the oracle gate:
+the distributed components loop vs driver union-find, asof directions,
+salted-join parity, LSH recall, multimodal stubs."""
+
+from __future__ import annotations
+
+import pytest
+
+from ebike_spark.operators.corpus import _driver_union_find, connected_components
+from ebike_spark.operators.joins import asof_join, salted_join
+from ebike_spark.operators.multimodal import decode_image
+from ebike_spark.sources.io import read_jdbc_stub
+from tests.conftest import SF_DIR
+
+
+def test_distributed_components_equal_union_find(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21), (3, 20)]
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    dist = {(r["doc_id"], r["cluster_id"]) for r in connected_components(df).collect()}
+    local = set(_driver_union_find(edges))
+    assert dist == local
+    # {1,2,3,20,21} → 1 ; {10,11,12} → 10
+    assert dict(local)[21] == 1 and dict(local)[12] == 10
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame([(1, 100, 10), (1, 200, 20)], "g long, t long, lv long")
+    right = spark.createDataFrame(
+        [(1, 150, 5.0), (1, 200, 7.0), (1, 300, 9.0)], "g long, t long, rv double"
+    )
+    out = asof_join(left, right, on="t", by="g", right_cols=["t", "rv"], direction="forward")
+    got = {r["t"]: (r["asof_t"], r["asof_rv"]) for r in out.collect()}
+    # t=100 → next right at-or-after is 150; t=200 → exact tie matches 200
+    assert got == {100: (150, 5.0), 200: (200, 7.0)}
+
+
+def test_asof_backward_no_match_is_null(spark):
+    left = spark.createDataFrame([(1, 50, 1)], "g long, t long, lv long")
+    right = spark.createDataFrame([(1, 100, 2.0)], "g long, t long, rv double")
+    out = asof_join(left, right, on="t", by="g", right_cols=["rv"]).collect()
+    assert out[0]["asof_rv"] is None
+
+
+def test_asof_rejects_bad_direction(spark):
+    left = spark.createDataFrame([(1, 1, 1)], "g long, t long, lv long")
+    with pytest.raises(ValueError):
+        asof_join(left, left, on="t", by="g", right_cols=["lv"], direction="sideways")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from ebike_spark.sources.registry import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    plain = o.join(c, o.o_custkey == c.c_custkey).count()
+    salted = salted_join(o, c, "o_custkey", "c_custkey", salt=4).count()
+    assert plain == salted
+
+
+def test_lsh_ann_recall_beats_random(spark):
+    """LSH ANN recall property: in this corpus the true neighbors sit at
+    cos≈0.5 — barely above background — the hardest regime for
+    sign-LSH (measured: radius-4 multi-probe touches ~19% of vectors for
+    ~0.3 recall). The honest invariant is that the probed bucket set is
+    *enriched* in true neighbors: recall must clearly exceed the probed
+    fraction (random sampling's expected recall), and be nonzero."""
+    import pyspark.sql.functions as F
+
+    from ebike_spark.operators.similarity import (
+        LSH_PROBE_HAMMING,
+        QUERY_VEC_ID,
+        _query_vec,
+        hyperplanes,
+        lsh_bucket,
+    )
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+    from ebike_spark.sources.registry import load_table
+
+    _load_all()
+    exact = [r["vec_id"] for r in REGISTRY["ann_cosine_topk"].fn(spark, SF_DIR).collect()]
+    approx = [r["vec_id"] for r in REGISTRY["ann_lsh_topk"].fn(spark, SF_DIR).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+
+    import numpy as np
+
+    planes = hyperplanes()
+    qv = _query_vec(spark, SF_DIR)
+    q_bucket = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, p)) > 0))
+    e = load_table(spark, SF_DIR, "embeddings").where(F.col("vec_id") != QUERY_VEC_ID)
+    v = F.col("embedding").cast("array<double>")
+    bucketed = e.select(lsh_bucket(v, planes).alias("bucket"))
+    probed = bucketed.where(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= LSH_PROBE_HAMMING
+    ).count()
+    total = bucketed.count()
+    probed_fraction = probed / total
+    assert probed_fraction < 0.5, "probing most of the corpus isn't ANN"
+    assert recall > probed_fraction, (recall, probed_fraction)
+    assert recall > 0
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_jdbc_stub_documents_shape(spark):
+    with pytest.raises(NotImplementedError):
+        read_jdbc_stub(spark, "jdbc:mysql://host/db", "t")
