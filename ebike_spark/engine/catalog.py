@@ -172,6 +172,24 @@ class Catalog:
         self.require_table(qualified)
         self.spark.sql(f"ALTER TABLE {bq(qualified)} ADD COLUMNS (`{col}` {TYPE_MAP[sql_type]})")
 
+    def refresh_system_schemas(self, sys_vars: dict[str, object] | None = None) -> None:
+        """Materialize the reference's other system schemas
+        (/root/reference/src/meta/initial.rs:1113,1161,1401):
+        mysql.users and performance_schema.global_variables."""
+        spark = self.spark
+        spark.sql("CREATE DATABASE IF NOT EXISTS mysql")
+        spark.sql("CREATE DATABASE IF NOT EXISTS performance_schema")
+        for t in ("mysql.users", "performance_schema.global_variables"):
+            self._ensure_fresh_location(t)
+        spark.createDataFrame(
+            [("%", "root", "mysql_native_password", "Y")],
+            "host string, user string, plugin string, super_priv string",
+        ).write.mode("overwrite").saveAsTable("mysql.users")
+        gv = sorted((k, str(v)) for k, v in (sys_vars or {}).items()) or [("", "")]
+        spark.createDataFrame(
+            gv, "variable_name string, variable_value string"
+        ).write.mode("overwrite").saveAsTable("performance_schema.global_variables")
+
     def refresh_information_schema(self) -> None:
         """Materialize information_schema.{schemata,tables,columns} as
         real tables (the reference persists these as sled rows,
@@ -252,3 +270,14 @@ class Catalog:
             "table_catalog string, table_schema string, table_name string, non_unique long, "
             "index_schema string, index_name string, seq_in_index long, column_name string",
         ).write.mode("overwrite").saveAsTable("information_schema.statistics")
+        # check_constraints / referential_constraints exist but are
+        # always empty — the reference consumes only PRIMARY/UNIQUE
+        # (/root/reference/src/store/reader/reader_util.rs:331-376)
+        for t, schema in (
+            ("check_constraints", "constraint_catalog string, constraint_schema string, constraint_name string, check_clause string"),
+            ("referential_constraints", "constraint_catalog string, constraint_schema string, constraint_name string, unique_constraint_name string, table_name string, referenced_table_name string"),
+        ):
+            self._ensure_fresh_location(f"information_schema.{t}")
+            spark.createDataFrame([], schema).write.mode("overwrite").saveAsTable(
+                f"information_schema.{t}"
+            )

@@ -134,8 +134,11 @@ class Engine:
         return sql
 
     def _select(self, sql: str) -> EngineResult:
-        if self._info_schema_dirty and re.search(r"\binformation_schema\b", sql, re.I):
+        if self._info_schema_dirty and re.search(
+            r"\b(information_schema|performance_schema|mysql)\s*\.", sql, re.I
+        ):
             self.catalog.refresh_information_schema()
+            self.catalog.refresh_system_schemas(self.sys_vars)
             self._info_schema_dirty = False
         self.spark.catalog.setCurrentDatabase(self.current_db)
         try:
@@ -179,6 +182,7 @@ class Engine:
                 self.user_vars[name] = value
             else:  # @@var or bare var → system variable
                 self.sys_vars[name] = value
+                self._info_schema_dirty = True  # global_variables view
         return EngineResult("ok")
 
     def _eval_scalar(self, raw: str):

@@ -105,6 +105,7 @@ def components(edges, max_iter: int = 50):
     there costs milliseconds where each distributed iteration costs a
     scheduler round-trip. Past the threshold, distributed min-label
     propagation (diameter-bounded iterations of shuffle joins)."""
+    edges = edges.persist()  # consumed by the size probe AND the chosen path
     n_edges = edges.limit(DRIVER_UNION_FIND_MAX_EDGES + 1).count()
     if n_edges <= DRIVER_UNION_FIND_MAX_EDGES:
         pairs = [(r["d1"], r["d2"]) for r in edges.collect()]

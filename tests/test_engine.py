@@ -274,6 +274,20 @@ def test_information_schema_constraints(eng):
     assert [(r[0], r[2]) for r in st] == [("PRIMARY", "id"), ("PRIMARY", "name")]
 
 
+def test_system_schemas(eng):
+    # mysql.users + performance_schema.global_variables (initial.rs:1113,1161)
+    users = eng.execute("SELECT user, host FROM mysql.users").rows()
+    assert [(r[0], r[1]) for r in users] == [("root", "%")]
+    eng.execute("SET @@my_custom_var = 'hello'")
+    gv = eng.execute(
+        "SELECT variable_value FROM performance_schema.global_variables "
+        "WHERE variable_name = 'my_custom_var'"
+    ).rows()
+    assert [r[0] for r in gv] == ["hello"]
+    assert eng.execute("SELECT COUNT(*) AS c FROM information_schema.check_constraints").rows()[0]["c"] == 0
+    assert eng.execute("SELECT COUNT(*) AS c FROM information_schema.referential_constraints").rows()[0]["c"] == 0
+
+
 def test_select_joins_through_engine(eng):
     """The full SELECT surface is Spark's — verify a join+agg round-trips
     through the engine dispatch (ebike's select.rs:41-81 equivalence)."""
