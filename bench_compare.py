@@ -1,0 +1,66 @@
+"""Comparative context bench: run every oracled query's DuckDB SQL twin
+single-node and the Spark plan side by side at the same scale factor.
+
+Not part of the driver protocol (bench.py is); this exists because the
+reference publishes no numbers (BASELINE.md) — DuckDB on the same
+queries/data is the strongest available single-node anchor. Output:
+markdown table to stdout; redirect into BENCH_NOTES.md.
+
+Usage: python bench_compare.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import duckdb  # noqa: E402
+
+from ebike_spark.plans.registry import REGISTRY, _load_all  # noqa: E402
+from ebike_spark.session import get_spark  # noqa: E402
+from ebike_spark.sources.registry import TABLES  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    _load_all()
+    spark = get_spark("bench_compare")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    # streaming/io queries time their harness, not the plan — exclude
+    skip = {n for n in REGISTRY if n.startswith(("stream_", "io_"))}
+    rows = []
+    for name, spec in sorted(REGISTRY.items()):
+        if spec.oracle is None or name in skip:
+            continue
+        t0 = time.perf_counter()
+        con.execute(spec.oracle).fetchall()
+        t_duck_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        con.execute(spec.oracle).fetchall()
+        t_duck = min(t_duck_cold, time.perf_counter() - t0)
+
+        spec.fn(spark, sf_dir).count()  # warm
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        t_spark = time.perf_counter() - t0
+        rows.append((name, t_spark, t_duck))
+        print(f"| {name} | {t_spark:.3f} | {t_duck:.3f} | {t_spark / max(t_duck, 1e-9):.1f}× |", flush=True)
+
+    ts = sum(r[1] for r in rows)
+    td = sum(r[2] for r in rows)
+    print(f"| **total ({len(rows)} queries)** | **{ts:.2f}** | **{td:.2f}** | **{ts / td:.1f}×** |")
+
+
+if __name__ == "__main__":
+    main()

@@ -118,6 +118,19 @@ class Engine:
         # reference's dispatcher fallthrough.
         raise unsupported(sql.split(None, 1)[0])
 
+    def execute_script(self, script: str) -> list[EngineResult]:
+        """Execute a ;-separated statement script (client-session parity:
+        the wire protocol delivers one statement per COM_QUERY, but every
+        MySQL client tool batches scripts this way). Statements run in
+        order; the first error aborts the rest."""
+        from ebike_spark.engine.parser import split_top_level
+
+        results = []
+        for stmt in split_top_level(strip_comments(script), ";"):
+            if stmt.strip():
+                results.append(self.execute(stmt))
+        return results
+
     # ------------------------------------------------------------ SELECT
 
     def _fix_select(self, sql: str) -> str:
@@ -168,7 +181,9 @@ class Engine:
         body = sql.split(None, 1)[1].strip()
         if re.match(r"NAMES\b", body, re.I):
             return EngineResult("ok")  # execution.rs:884-886: acknowledged
-        for assign in re.split(r",(?![^(]*\))", body):
+        from ebike_spark.engine.parser import split_top_level
+
+        for assign in split_top_level(body, ","):
             m = re.match(
                 r"\s*(?:(@@?)(?:(?:GLOBAL|SESSION)\.)?)?([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*)$",
                 assign.strip(),

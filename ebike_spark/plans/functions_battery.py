@@ -288,6 +288,35 @@ def q19_subqueries(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q19b_correlated_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 40000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    """,
+    tags=("subquery", "correlated", "beyond-reference"),
+)
+def q19b_correlated(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — unsupported in DF6 (SURVEY §2.B);
+    Catalyst decorrelates to left-semi + left-anti joins (visible in the
+    optimized plan), so the 'per-row subquery' costs two hash joins."""
+    from ebike_spark.sources.registry import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 40000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        """
+    )
+
+
+@register(
     "q20_window_frames",
     oracle="""
     SELECT o_orderkey AS k,

@@ -63,6 +63,29 @@ def build_conf(builder: SparkSession.Builder, cpus: int | None = None) -> SparkS
     )
 
 
+def tune_runtime(spark: SparkSession) -> None:
+    """Apply the runtime-settable subset of this engine's configuration
+    to a caller-provided session (the driver constructs its own).
+
+    - UTC session timezone is a *correctness* requirement: date-part
+      extraction must agree with the UTC-naive DuckDB oracles.
+    - AQE + codegen width are performance posture (see SCALE.md).
+    """
+    conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "UTC")
+    # MySQL-permissive semantics (the reference never errors on casts or
+    # overflow); Spark 4 defaults ANSI on, which turns e.g. a long
+    # overflow into a query-killing exception.
+    conf.set("spark.sql.ansi.enabled", "false")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    if int(conf.get("spark.sql.codegen.maxFields", "100")) < 400:
+        conf.set("spark.sql.codegen.maxFields", "400")
+    if conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        conf.set("spark.sql.shuffle.partitions", str(_cpus()))
+
+
 def get_spark(app_name: str = "ebike_spark", cpus: int | None = None) -> SparkSession:
     """Return (creating if needed) the tuned local SparkSession.
 

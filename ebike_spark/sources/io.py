@@ -30,10 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 from ebike_spark.plans.registry import register
 from ebike_spark.sources.registry import load_table
 
+# ts checksum is a MODULAR sum: epoch-micros values are ~1.7e15, so a
+# plain SUM overflows int64 once a group exceeds ~5k rows (found at
+# sf0.1 — and an ANSI-on session turns the wrap into a hard error).
 _AGG_ORACLE = """
 SELECT event_type, COUNT(*) AS n,
        ROUND(SUM(value), 2) AS total,
-       CAST(SUM(epoch_us(ts)) AS BIGINT) AS ts_sum
+       CAST(SUM(epoch_us(ts) % 1000000007) AS BIGINT) AS ts_check
 FROM events GROUP BY event_type
 """
 
@@ -58,7 +61,7 @@ def _agg(df: DataFrame) -> DataFrame:
     return df.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("total"),
-        F.sum("ts_us").cast("long").alias("ts_sum"),
+        F.sum(F.col("ts_us") % 1_000_000_007).cast("long").alias("ts_check"),
     )
 
 

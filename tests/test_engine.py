@@ -163,6 +163,10 @@ def test_variables(eng):
     assert "version" in names and "version_comment" in names
     eng.execute("SET @@sql_mode = ''")
     assert eng.execute("SELECT @@sql_mode AS v").rows()[0]["v"] == ""
+    # commas inside quoted values must not split the assignment list
+    eng.execute("SET @@sql_mode = 'ONLY_FULL_GROUP_BY,NO_ZERO_DATE', @y = 7")
+    assert eng.execute("SELECT @@sql_mode AS v").rows()[0]["v"] == "ONLY_FULL_GROUP_BY,NO_ZERO_DATE"
+    assert eng.execute("SELECT @y AS v").rows()[0]["v"] == 7
 
 
 def test_select_no_from_and_dual(eng):
@@ -272,6 +276,27 @@ def test_information_schema_constraints(eng):
         f"WHERE table_schema = '{eng.current_db}' AND table_name = 'user' ORDER BY seq_in_index"
     ).rows()
     assert [(r[0], r[2]) for r in st] == [("PRIMARY", "id"), ("PRIMARY", "name")]
+
+
+def test_execute_script(eng):
+    results = eng.execute_script(
+        """
+        CREATE TABLE s (a INT, b CHAR);  -- comment survives stripping
+        INSERT INTO s VALUES (1, 'x;y'), (2, 'z');
+        SELECT COUNT(*) AS c FROM s;
+        """
+    )
+    assert [r.kind for r in results] == ["count", "count", "rows"]
+    assert results[-1].rows()[0]["c"] == 2
+    # the ';' inside the string literal didn't split the statement
+    assert eng.execute("SELECT b FROM s WHERE a = 1").rows()[0]["b"] == "x;y"
+
+
+def test_unknown_column_error(eng):
+    eng.execute("CREATE TABLE t (a INT)")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO t (nope) VALUES (1)")
+    assert ei.value.code == 1054
 
 
 def test_system_schemas(eng):
