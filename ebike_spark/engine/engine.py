@@ -144,6 +144,13 @@ class Engine:
         # VERBOSE/ANALYZE via DataFusion; Spark spells these differently)
         sql = re.sub(r"^\s*EXPLAIN\s+VERBOSE\b", "EXPLAIN EXTENDED", sql, flags=re.I)
         sql = re.sub(r"^\s*EXPLAIN\s+ANALYZE\b", "EXPLAIN COST", sql, flags=re.I)
+        # MySQL `LIMIT offset, count` → Spark `LIMIT count OFFSET offset`
+        sql = re.sub(
+            r"\bLIMIT\s+(\d+)\s*,\s*(\d+)(\s*)$",
+            r"LIMIT \2 OFFSET \1\3",
+            sql,
+            flags=re.I,
+        )
         return sql
 
     def _select(self, sql: str) -> EngineResult:

@@ -229,6 +229,39 @@ def q08c(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q08d_intersect_all",
+    oracle="""
+    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45
+    INTERSECT ALL SELECT l_suppkey FROM lineitem WHERE l_discount > 0.08
+    """,
+    tags=("setop", "multiset"),
+)
+def q08d(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics ([DF6] set-op row): kept
+    multiplicity = min(count_left, count_right) per value."""
+    li = _t(spark, sf, "lineitem")
+    a = li.where(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("k"))
+    b = li.where(F.col("l_discount") > 0.08).select(F.col("l_suppkey").alias("k"))
+    return a.intersectAll(b)
+
+
+@register(
+    "q08e_except_all",
+    oracle="""
+    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45
+    EXCEPT ALL SELECT l_suppkey FROM lineitem WHERE l_discount > 0.08
+    """,
+    tags=("setop", "multiset"),
+)
+def q08e(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT ALL — kept multiplicity = count_left - count_right."""
+    li = _t(spark, sf, "lineitem")
+    a = li.where(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("k"))
+    b = li.where(F.col("l_discount") > 0.08).select(F.col("l_suppkey").alias("k"))
+    return a.exceptAll(b)
+
+
+@register(
     "q09_window_rank",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice,

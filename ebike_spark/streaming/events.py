@@ -149,6 +149,35 @@ def running_counts_stream(ev: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_interval_join(ev: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's view events within the preceding hour. Both sides carry
+    watermarks and the join predicate bounds event time on both sides —
+    that pair of constraints is what lets Spark expire join state
+    (otherwise a stream-stream join buffers forever)."""
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_event"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("p_event", F.unix_micros("p_ts").alias("p_ts_us"), F.unix_micros("v_ts").alias("v_ts_us"))
+
+
 # ------------------------------------------------------------ registered
 # streaming queries: full stream runs whose final results must match the
 # batch oracles.

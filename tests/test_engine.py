@@ -278,6 +278,13 @@ def test_information_schema_constraints(eng):
     assert [(r[0], r[2]) for r in st] == [("PRIMARY", "id"), ("PRIMARY", "name")]
 
 
+def test_mysql_limit_offset(eng):
+    eng.execute("CREATE TABLE t (a INT)")
+    eng.execute("INSERT INTO t VALUES (1), (2), (3), (4), (5)")
+    rows = eng.execute("SELECT a FROM t ORDER BY a LIMIT 1, 2").rows()
+    assert [r["a"] for r in rows] == [2, 3]
+
+
 def test_execute_script(eng):
     results = eng.execute_script(
         """

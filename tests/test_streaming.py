@@ -48,6 +48,34 @@ def test_stateful_running_counts(spark):
     assert got == want
 
 
+def test_stream_stream_interval_join_matches_batch(spark):
+    from ebike_spark.streaming.events import stream_stream_interval_join
+
+    staged = stage_stream_dir(spark, SF_DIR, n_files=3)
+    streamed = run_to_table(
+        stream_stream_interval_join(read_event_stream(spark, staged)), "append"
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.where("event_type = 'purchase'").selectExpr(
+        "event_id AS p_event", "user_id AS u", "ts AS p_ts"
+    )
+    v = ev.where("event_type = 'view'").selectExpr("user_id AS vu", "ts AS v_ts")
+    batch = (
+        p.join(
+            v,
+            (F.col("u") == F.col("vu"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .selectExpr("p_event", "unix_micros(p_ts) AS p_ts_us", "unix_micros(v_ts) AS v_ts_us")
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    # append-mode emits matches once their watermark window closes; with
+    # finite input everything closes → exact equality with batch
+    assert got == want and len(want) > 0
+
+
 def test_foreach_batch_sink(spark):
     staged = stage_stream_dir(spark, SF_DIR, n_files=3)
     out_dir = os.path.join(tempfile.gettempdir(), f"ebike_fb_{uuid.uuid4().hex[:8]}")
