@@ -354,6 +354,43 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 EMBED_COS_THRESHOLD = 0.5
 
 
+EMBED_BLOCK = 1024
+
+
+def _make_block_cosine(threshold: float):
+    """Closure: score one (block_a, block_b) pair with a numpy GEMM.
+
+    Per-pair Catalyst expressions (zip_with/aggregate) are interpreted,
+    not codegen'd — a nested-loop join scoring 2M pairs one dot product
+    at a time measured 85s at sf0.1. One BLAS matrix multiply per block
+    pair does the same work in milliseconds (~100× on the same data).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        out1, out2, outc = [], [], []
+        for _, row in pdf.iterrows():
+            ids_a = np.asarray(row["ids_a"], dtype=np.int64)
+            ids_b = np.asarray(row["ids_b"], dtype=np.int64)
+            va = np.asarray([list(v) for v in row["vecs_a"]], dtype=np.float64)
+            vb = np.asarray([list(v) for v in row["vecs_b"]], dtype=np.float64)
+            va /= np.linalg.norm(va, axis=1, keepdims=True)
+            vb /= np.linalg.norm(vb, axis=1, keepdims=True)
+            sims = va @ vb.T
+            ii, jj = np.where(sims >= threshold)
+            # keep the strict upper triangle of the global pair matrix
+            keep = ids_a[ii] < ids_b[jj]
+            out1.extend(ids_a[ii][keep])
+            out2.extend(ids_b[jj][keep])
+            outc.extend(np.round(sims[ii, jj][keep], 4))
+        return pd.DataFrame({"v1": pd.Series(out1, dtype="int64"),
+                             "v2": pd.Series(out2, dtype="int64"),
+                             "cos": pd.Series(outc, dtype="float64")})
+
+    return score
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -367,25 +404,27 @@ EMBED_COS_THRESHOLD = 0.5
     tags=("dedup", "embedding", "cosine"),
 )
 def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding cosine near-dup pairs (exact all-pairs at test scale).
+    """Embedding cosine near-dup pairs via block-pair GEMM: vectors are
+    grouped into blocks of {EMBED_BLOCK}, block pairs (i ≤ j) fan out as
+    rows carrying both blocks' matrices, and each pair is scored with
+    one BLAS multiply inside an Arrow-batched pandas stage.
 
-    At 100 TB the all-pairs join is replaced by the LSH bucketing in
-    operators/similarity.py (random-hyperplane signatures → candidate
-    buckets → this exact cosine as the verify step).
+    Exact over all pairs (this corpus); at 100 TB exhaustive all-pairs
+    is infeasible for ANY constant — the LSH bucketing in
+    operators/similarity.py prefilters candidate blocks and this GEMM
+    stage becomes the verify step, unchanged.
     """
-    from ebike_spark.functions.textfns import cosine_sim
-
     e = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = cosine_sim(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .where(cos >= EMBED_COS_THRESHOLD)
-        .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            F.round(cos, 4).alias("cos"),
-        )
+    blocks = (
+        e.groupBy((F.col("vec_id") / EMBED_BLOCK).cast("int").alias("blk"))
+        .agg(F.collect_list("vec_id").alias("ids"), F.collect_list("v").alias("vecs"))
+    )
+    a = blocks.select(F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a"))
+    b = blocks.select(F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b"))
+    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    return pairs.select("ids_a", "vecs_a", "ids_b", "vecs_b").mapInPandas(
+        lambda it: map(_make_block_cosine(EMBED_COS_THRESHOLD), it),
+        "v1 long, v2 long, cos double",
     )
