@@ -38,6 +38,12 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (session-id, sf_dir, table) → DataFrame. A DataFrame is just a plan —
+# caching it skips the per-call file listing + footer schema read
+# (~50-100ms each) without pinning any data in memory.
+_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. Plain columnar scan; Catalyst prunes/pushes.
 
@@ -53,14 +59,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from ebike_spark.session import tune_runtime
 
     tune_runtime(spark)  # idempotent; the driver's session isn't ours
+    key = (id(spark), sf_dir, name)
+    cached = _df_cache.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(path)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(path)
+    _df_cache[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

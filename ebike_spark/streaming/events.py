@@ -61,6 +61,18 @@ def stage_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     out = os.path.join(tempfile.gettempdir(), f"ebike_stream_{uuid.uuid4().hex[:10]}")
     ev = load_table(spark, sf_dir, "events")
     ev.repartitionByRange(n_files, "ts").write.parquet(out)
+    # FileStreamSource replays files oldest-mtime-first; the parallel
+    # write gives all parts the same mtime, so replay order would be
+    # arbitrary — a late-range file processed first advances the
+    # watermark and silently DROPS the earlier ranges. Stamp strictly
+    # increasing mtimes in range order (part-00000 = lowest ts range).
+    import time as _time
+
+    base = _time.time()
+    for i, fname in enumerate(sorted(os.listdir(out))):
+        if fname.endswith(".parquet"):
+            p = os.path.join(out, fname)
+            os.utime(p, (base + i, base + i))
     return out
 
 
