@@ -424,7 +424,11 @@ def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     a = blocks.select(F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a"))
     b = blocks.select(F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b"))
     pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    # bind the nested closure BEFORE the lambda: a lambda that names the
+    # module-level factory would pickle by module reference and fail on
+    # executors without ebike_spark on PYTHONPATH
+    score = _make_block_cosine(EMBED_COS_THRESHOLD)
     return pairs.select("ids_a", "vecs_a", "ids_b", "vecs_b").mapInPandas(
-        lambda it: map(_make_block_cosine(EMBED_COS_THRESHOLD), it),
+        lambda it: map(score, it),
         "v1 long, v2 long, cos double",
     )

@@ -49,6 +49,7 @@ def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import ebike_spark.plans.tpch  # noqa: F401
     import ebike_spark.plans.analytics  # noqa: F401
+    import ebike_spark.plans.arrays  # noqa: F401
     import ebike_spark.plans.functions_battery  # noqa: F401
     import ebike_spark.operators.dedup  # noqa: F401
     import ebike_spark.operators.similarity  # noqa: F401
