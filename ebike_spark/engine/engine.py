@@ -114,6 +114,14 @@ class Engine:
         if kw == "COMMIT":
             # autocommit semantics: accepted no-op (execution.rs:1265-1267)
             return EngineResult("ok")
+        if kw in ("ANALYZE", "CACHE", "UNCACHE", "REFRESH"):
+            # Spark-native admin statements (beyond the reference's
+            # surface): ANALYZE TABLE feeds CBO statistics — the stats
+            # the reference's scan never provides (SURVEY §4.1
+            # 'Statistics::default()'); CACHE pins hot tables columnar.
+            self.spark.catalog.setCurrentDatabase(self.current_db)
+            self.spark.sql(sql)
+            return EngineResult("ok")
         # GRANT / ROLLBACK / CREATE INDEX / ... → MySQL 1105, like the
         # reference's dispatcher fallthrough.
         raise unsupported(sql.split(None, 1)[0])

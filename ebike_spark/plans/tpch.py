@@ -386,3 +386,19 @@ def q13_approx(spark: SparkSession, sf: str) -> DataFrame:
     specific so no value oracle."""
     li = _t(spark, sf, "lineitem")
     return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+
+
+@register(
+    "q13b_approx_percentile",
+    oracle=None,  # sketch quantiles are engine-specific → rows-only;
+    # exact percentiles are oracle-checked in fn_agg_extras
+    tags=("aggregate", "approx"),
+)
+def q13b_approx_pct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_percentile (DF6 parity: approx_percentile_cont) — the
+    mergeable-sketch quantile for high-cardinality groups where the
+    exact per-group sort (fn_agg_extras) stops being affordable."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+    ).select("l_returnflag", F.col("pcts")[0].alias("p50"), F.col("pcts")[1].alias("p90"), F.col("pcts")[2].alias("p99"))

@@ -278,6 +278,15 @@ def test_information_schema_constraints(eng):
     assert [(r[0], r[2]) for r in st] == [("PRIMARY", "id"), ("PRIMARY", "name")]
 
 
+def test_analyze_and_cache(eng):
+    eng.execute("CREATE TABLE t (a INT)")
+    eng.execute("INSERT INTO t VALUES (1), (2)")
+    assert eng.execute("ANALYZE TABLE t COMPUTE STATISTICS").kind == "ok"
+    assert eng.execute("CACHE TABLE t").kind == "ok"
+    assert eng.execute("SELECT COUNT(*) AS c FROM t").rows()[0]["c"] == 2
+    assert eng.execute("UNCACHE TABLE t").kind == "ok"
+
+
 def test_mysql_limit_offset(eng):
     eng.execute("CREATE TABLE t (a INT)")
     eng.execute("INSERT INTO t VALUES (1), (2), (3), (4), (5)")
