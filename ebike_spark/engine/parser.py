@@ -150,6 +150,9 @@ class Insert:
     table: str
     columns: list[str]  # empty = all
     rows: list[list[str]]  # raw expression strings
+    # MySQL upsert clause: [(col, raw expr)] — exprs may reference the
+    # existing row's columns and VALUES(col) for the incoming value
+    on_dup_update: list[tuple[str, str]] | None = None
 
 
 @dataclass
@@ -218,7 +221,8 @@ def parse_create_table(sql: str) -> CreateTable:
 
 def parse_insert(sql: str) -> Insert:
     m = re.match(
-        r"\s*INSERT\s+INTO\s+([\w.`\"]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.*?);?\s*$",
+        r"\s*INSERT\s+INTO\s+([\w.`\"]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.*?)"
+        r"(?:\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*?))?;?\s*$",
         sql,
         re.I | re.S,
     )
@@ -232,7 +236,15 @@ def parse_insert(sql: str) -> Insert:
         if not rm:
             raise ValueError(f"malformed VALUES row: {row!r}")
         rows.append([e.strip() for e in split_top_level(rm.group(1))])
-    return Insert(table=table, columns=cols, rows=rows)
+    on_dup = None
+    if m.group(5):
+        on_dup = []
+        for a in split_top_level(m.group(5)):
+            am = re.match(r"([\w`\"]+)\s*=\s*(.*)$", a, re.S)
+            if not am:
+                raise ValueError(f"malformed ON DUPLICATE KEY UPDATE assignment: {a!r}")
+            on_dup.append((unquote_ident(am.group(1)), am.group(2).strip()))
+    return Insert(table=table, columns=cols, rows=rows, on_dup_update=on_dup)
 
 
 def parse_update(sql: str) -> Update:

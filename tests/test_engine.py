@@ -278,6 +278,27 @@ def test_information_schema_constraints(eng):
     assert [(r[0], r[2]) for r in st] == [("PRIMARY", "id"), ("PRIMARY", "name")]
 
 
+def test_insert_on_duplicate_key_update(eng):
+    """MySQL upsert — the reference 1105s this; we implement it as the
+    anti-join+union rewrite (MERGE emulation)."""
+    eng.execute("CREATE TABLE kv (k INT NOT NULL, v CHAR, n INT, PRIMARY KEY (k))")
+    r = eng.execute("INSERT INTO kv VALUES (1, 'a', 1), (2, 'b', 1)")
+    assert r.affected == 2
+    # 1 update (affected 2, MySQL convention) + 1 insert (affected 1)
+    r = eng.execute(
+        "INSERT INTO kv VALUES (1, 'a2', 9), (3, 'c', 1) "
+        "ON DUPLICATE KEY UPDATE v = VALUES(v), n = n + VALUES(n)"
+    )
+    assert r.affected == 3
+    rows = {x["k"]: (x["v"], x["n"]) for x in eng.execute("SELECT * FROM kv").rows()}
+    assert rows == {1: ("a2", 10), 2: ("b", 1), 3: ("c", 1)}
+    # no PK → 1105
+    eng.execute("CREATE TABLE nopk (a INT)")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO nopk VALUES (1) ON DUPLICATE KEY UPDATE a = 2")
+    assert ei.value.code == 1105
+
+
 def test_analyze_and_cache(eng):
     eng.execute("CREATE TABLE t (a INT)")
     eng.execute("INSERT INTO t VALUES (1), (2)")
