@@ -91,13 +91,26 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 def shingle_set(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, s): distinct word-{SHINGLE_N}-gram shingles per document.
 
-    explode() is linear and pipeline-parallel; the DISTINCT is a single
-    shuffle on (doc_id, s) — at scale, pre-aggregate per partition
-    (partial distinct) happens automatically.
+    Built as posexplode(tokens) + lead() windows rather than the
+    transform/sequence/slice array expression: higher-order functions
+    evaluate interpreted (outside codegen) and measured 3× slower at
+    sf0.1 (1.9s vs 0.67s including the window shuffle). The window
+    shuffles on doc_id; the DISTINCT shuffles on (doc_id, s) with
+    map-side partial dedup — both linear.
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf, "documents")
-    sh = shingles(tokens(F.col("text")), SHINGLE_N)
-    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("s"))
+    tok = docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "w"))
+    win = Window.partitionBy("doc_id").orderBy("i")
+    parts = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, SHINGLE_N)]
+    tail = F.lead("w", SHINGLE_N - 1).over(win)
+    return (
+        tok.select("doc_id", F.concat_ws(" ", *parts).alias("s"), tail.alias("_t"))
+        .where(F.col("_t").isNotNull())
+        .drop("_t")
+        .distinct()
+    )
 
 
 def jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
