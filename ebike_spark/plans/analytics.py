@@ -222,6 +222,37 @@ def ev_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "json_map_explode",
+    oracle="""
+    WITH ks AS (
+      SELECT event_id, user_id, unnest(json_keys(props)) AS k,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS v
+      FROM events)
+    SELECT k, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS total,
+           COUNT(DISTINCT user_id) AS users
+    FROM ks GROUP BY k
+    """,
+    tags=("events", "json", "map", "semi-structured"),
+)
+def ev_json_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured → MapType: from_json into map<string,bigint>,
+    explode entries, aggregate per key. The parse + explode are
+    JVM-side (Jackson); MapType is another Spark type family the
+    reference's 3-type system cannot represent."""
+    ev = load_table(spark, sf, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select("event_id", "user_id", F.explode(m).alias("k", "v"))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("long").alias("total"),
+            F.count_distinct("user_id").alias("users"),
+        )
+    )
+
+
+@register(
     "json_extract_props",
     oracle="""
     SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
