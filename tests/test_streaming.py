@@ -76,6 +76,75 @@ def test_stream_stream_interval_join_matches_batch(spark):
     assert got == want and len(want) > 0
 
 
+def test_streaming_dedup_with_watermark(spark):
+    """dropDuplicatesWithinWatermark: replay the same files TWICE into
+    one stream — every event arrives twice; the streaming dedup must
+    emit each exactly once (state bounded by the watermark)."""
+    import shutil
+
+    staged = stage_stream_dir(spark, SF_DIR, n_files=2)
+    # duplicate every file (same rows, later mtimes → replayed again)
+    for f in sorted(os.listdir(staged)):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(staged, f), os.path.join(staged, "dup_" + f))
+    ev = read_event_stream(spark, staged)
+    deduped = ev.withWatermark("ts", "30 days").dropDuplicatesWithinWatermark(["event_id"])
+    out = run_to_table(deduped.select("event_id"), "append")
+    n_in = load_table(spark, SF_DIR, "events").count()
+    assert out.distinct().count() == out.count()  # no event emitted twice
+    assert out.count() == n_in
+
+
+def test_checkpoint_restart_exactly_once(spark):
+    """Exactly-once via checkpointing: process part of the input, stop,
+    add more files, restart from the SAME checkpoint — the sink must
+    hold every input row exactly once (no loss, no replay)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    staged = stage_stream_dir(spark, SF_DIR, n_files=4)
+    parts = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    held_back = os.path.join(tempfile.gettempdir(), f"held_{_uuid.uuid4().hex[:8]}")
+    os.makedirs(held_back)
+    for f in parts[2:]:  # hold back the last two files
+        shutil.move(os.path.join(staged, f), os.path.join(held_back, f))
+
+    sink = os.path.join(tempfile.gettempdir(), f"ckpt_sink_{_uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{_uuid.uuid4().hex[:8]}")
+
+    def start():
+        return (
+            read_event_stream(spark, staged)
+            .select("event_id")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first > 0
+
+    for f in parts[2:]:  # deliver the held-back files, restart same ckpt
+        shutil.move(os.path.join(held_back, f), os.path.join(staged, f))
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    out = spark.read.parquet(sink)
+    n_in = load_table(spark, SF_DIR, "events").count()
+    assert out.count() == n_in  # nothing lost
+    assert out.distinct().count() == n_in  # nothing replayed
+
+
 def test_foreach_batch_sink(spark):
     staged = stage_stream_dir(spark, SF_DIR, n_files=3)
     out_dir = os.path.join(tempfile.gettempdir(), f"ebike_fb_{uuid.uuid4().hex[:8]}")
