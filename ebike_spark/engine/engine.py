@@ -101,6 +101,13 @@ class Engine:
             return self._drop_db(sql)
         if kw == "CREATE" and kw2 == "TABLE":
             return self._create_table(sql)
+        if (kw, kw2) in (("CREATE", "VIEW"), ("CREATE", "OR"), ("DROP", "VIEW")):
+            # views — beyond the reference (its dispatcher 1105s them,
+            # execution.rs:894-1279); Spark-native passthrough
+            self.spark.catalog.setCurrentDatabase(self.current_db)
+            self.spark.sql(sql)
+            self._info_schema_dirty = True
+            return EngineResult("count", affected=0)
         if kw == "DROP" and kw2 == "TABLE":
             return self._drop_table(sql)
         if kw == "ALTER" and kw2 == "TABLE":
@@ -396,6 +403,17 @@ class Engine:
             raise parse_error(str(e)) from e
         n = dml.delete(self.spark, self.catalog, dele, self.current_db)
         return EngineResult("count", affected=n)
+
+    # ------------------------------------------------------------ UDFs
+
+    def register_function(self, name: str, fn, return_type: str = "string") -> None:
+        """Register a scalar Python UDF callable from this session's SQL
+        (the reference registers exactly one UDF this way — database(),
+        /root/reference/src/core/execution.rs:133-155; this exposes the
+        same create_udf-style surface to users). Row-at-a-time Python:
+        fine for scalar helpers, never for the hot path — use
+        mapInPandas/pandas_udf there (see operators/multimodal.py)."""
+        self.spark.udf.register(name, fn, return_type)
 
     # ------------------------------------------------------------ prepared
 

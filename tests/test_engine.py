@@ -278,6 +278,26 @@ def test_information_schema_constraints(eng):
     assert [(r[0], r[2]) for r in st] == [("PRIMARY", "id"), ("PRIMARY", "name")]
 
 
+def test_views(eng):
+    eng.execute("CREATE TABLE t (a INT, b CHAR)")
+    eng.execute("INSERT INTO t VALUES (1, 'x'), (2, 'y'), (3, 'x')")
+    eng.execute("CREATE VIEW vx AS SELECT b, COUNT(*) AS n FROM t GROUP BY b")
+    rows = {r["b"]: r["n"] for r in eng.execute("SELECT * FROM vx").rows()}
+    assert rows == {"x": 2, "y": 1}
+    eng.execute("CREATE OR REPLACE VIEW vx AS SELECT COUNT(*) AS n FROM t")
+    assert eng.execute("SELECT n FROM vx").rows()[0]["n"] == 3
+    eng.execute("DROP VIEW vx")
+    with pytest.raises(EbikeError):
+        eng.execute("SELECT * FROM vx")
+
+
+def test_register_function(eng):
+    eng.register_function("shout", lambda s: (s or "") + "!", "string")
+    eng.execute("CREATE TABLE t (a CHAR)")
+    eng.execute("INSERT INTO t VALUES ('hi')")
+    assert eng.execute("SELECT shout(a) AS v FROM t").rows()[0]["v"] == "hi!"
+
+
 def test_insert_on_duplicate_key_update(eng):
     """MySQL upsert — the reference 1105s this; we implement it as the
     anti-join+union rewrite (MERGE emulation)."""
