@@ -151,6 +151,75 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_K = 20
+
+
+@register(
+    "text_vocab_encode",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    flat AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    counts AS (SELECT term, count(*) AS c FROM flat GROUP BY term),
+    vocab AS (
+      SELECT term, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS id
+      FROM counts ORDER BY c DESC, term LIMIT {VOCAB_TOP_K}),
+    pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM tok),
+    pos2 AS (SELECT doc_id, i, w[i] AS term FROM pos),
+    enc AS (SELECT p.doc_id, p.i, COALESCE(v.id, 0) AS id
+            FROM pos2 p LEFT JOIN vocab v USING (term))
+    SELECT doc_id,
+           string_agg(CAST(id AS VARCHAR), ',' ORDER BY i) AS ids
+    FROM enc GROUP BY doc_id
+    """,
+    tags=("text", "vocabulary", "encode"),
+)
+def text_vocab_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenize-to-ids: build a frequency-ranked vocabulary (top
+    {VOCAB_TOP_K}, deterministic tie-break), broadcast it, and encode
+    every document as an id sequence (0 = OOV) — the corpus→training-
+    tensors encoding step. The vocab is a broadcast map lookup inside a
+    transform(); documents never shuffle."""
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    counts = tok.groupBy("term").agg(F.count("*").alias("c"))
+    vocab_rows = counts.orderBy(F.desc("c"), "term").limit(VOCAB_TOP_K).collect()
+    mapping = {r["term"]: i + 1 for i, r in enumerate(vocab_rows)}  # tiny: broadcast as literal map
+    map_expr = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    ids = F.transform(
+        tokens(F.col("text")),
+        lambda w: F.coalesce(F.element_at(map_expr, w), F.lit(0)).cast("string"),
+    )
+    return docs.select("doc_id", F.array_join(ids, ",").alias("ids"))
+
+
+@register(
+    "text_redact_pii",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+             '[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}', '<PHONE>', 'g') AS redacted,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+    FROM documents
+    """,
+    tags=("text", "redaction", "pii"),
+)
+def text_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing: pattern-based redaction (emails, phone shapes) +
+    a digit-density signal — standard pre-training hygiene, pure
+    regexp_replace (JVM-side, one scan pass). The word-soup corpus
+    contains no PII, so this exercises the mechanism; patterns are the
+    operator's parameter surface."""
+    docs = load_table(spark, sf, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", "[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
+        "[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}",
+        "<PHONE>",
+    )
+    n_digits = F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    return docs.select("doc_id", redacted.alias("redacted"), n_digits.alias("n_digits"))
+
+
 @register(
     "text_fingerprint",
     oracle=f"""
