@@ -93,6 +93,9 @@ class Engine:
             return self._use(head[1])
         if kw == "SHOW":
             return self._show(sql)
+        if kw in ("DESCRIBE", "DESC") and kw2 not in ("SELECT", "TABLE", "QUERY", "EXTENDED"):
+            # MySQL `DESCRIBE t` ≡ SHOW COLUMNS FROM t
+            return self._show(f"SHOW COLUMNS FROM {head[1]}")
         if kw == "SET":
             return self._set(sql)
         if kw == "CREATE" and kw2 in ("DATABASE", "SCHEMA"):
@@ -265,6 +268,10 @@ class Engine:
         if m:
             q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
             return rows(show.show_create_table(spark, self.catalog, q))
+        m = re.match(r"(?:INDEX|INDEXES|KEYS)\s+(?:FROM|IN)\s+([\w.`\"]+)\s*$", body, re.I)
+        if m:
+            q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
+            return rows(show.show_index(spark, self.catalog, q))
         m = re.match(r"(?:GLOBAL\s+|SESSION\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)')?\s*$", body, re.I)
         if m:
             return rows(show.show_variables(spark, self.sys_vars, m.group(1)))

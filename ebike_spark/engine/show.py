@@ -101,6 +101,28 @@ def show_table_status(spark: SparkSession, catalog: Catalog, db: str) -> DataFra
     )
 
 
+def show_index(spark: SparkSession, catalog: Catalog, qualified: str) -> DataFrame:
+    """SHOW INDEX FROM t — MySQL-shaped rows over the declared
+    PRIMARY/UNIQUE keys (the reference serves these from its persisted
+    information_schema.statistics)."""
+    catalog.require_table(qualified)
+    _, _, tname = qualified.rpartition(".")
+    rows = []
+    keys = []
+    pk = catalog.primary_key(qualified)
+    if pk:
+        keys.append(("PRIMARY", pk))
+    keys.extend(catalog.unique_keys(qualified))
+    for kname, cols in keys:
+        for seq, c in enumerate(cols, start=1):
+            rows.append((tname, 0, kname, seq, c, "BTREE"))
+    return spark.createDataFrame(
+        rows or [("", 0, "", 0, "", "")],
+        "Table string, Non_unique long, Key_name string, Seq_in_index long, "
+        "Column_name string, Index_type string",
+    )
+
+
 def show_grants(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [("GRANT ALL PRIVILEGES ON *.* TO 'root'@'%'",)],

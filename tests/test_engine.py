@@ -278,6 +278,18 @@ def test_information_schema_constraints(eng):
     assert [(r[0], r[2]) for r in st] == [("PRIMARY", "id"), ("PRIMARY", "name")]
 
 
+def test_describe_and_show_index(eng):
+    eng.execute(USER_DDL)
+    desc = eng.execute("DESCRIBE user").rows()
+    assert [r["Field"] for r in desc] == ["id", "name", "stature"]
+    assert eng.execute("DESC user").rows() == desc
+    idx = eng.execute("SHOW INDEX FROM user").rows()
+    assert [(r["Key_name"], r["Seq_in_index"], r["Column_name"]) for r in idx] == [
+        ("PRIMARY", 1, "id"),
+        ("PRIMARY", 2, "name"),
+    ]
+
+
 def test_views(eng):
     eng.execute("CREATE TABLE t (a INT, b CHAR)")
     eng.execute("INSERT INTO t VALUES (1, 'x'), (2, 'y'), (3, 'x')")
