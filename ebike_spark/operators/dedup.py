@@ -32,7 +32,7 @@ import random
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ebike_spark.functions.textfns import MD5_HEX_DIGITS, md5_long, md5_long_sql, shingles, tokens
+from ebike_spark.functions.textfns import MD5_HEX_DIGITS, md5_long, md5_long_sql, tokens
 from ebike_spark.plans.registry import register
 from ebike_spark.sources.registry import load_table
 
