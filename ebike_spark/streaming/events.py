@@ -228,6 +228,45 @@ def stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup: the staged files are replayed TWICE (every
+    event arrives two times); dropDuplicatesWithinWatermark must emit
+    each exactly once, so per-type counts equal the plain batch counts.
+    State = one key per event inside the watermark horizon."""
+    import shutil
+
+    staged = stage_stream_dir(spark, sf, n_files=2)
+    for f in sorted(os.listdir(staged)):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(staged, f), os.path.join(staged, "dup_" + f))
+    ev = read_event_stream(spark, staged)
+    deduped = ev.withWatermark("ts", "30 days").dropDuplicatesWithinWatermark(["event_id"])
+    out = run_to_table(deduped.select("event_id", "event_type"), "append")
+    return out.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "stream_stateful_running_counts",
+    oracle=None,  # custom stateful operator — not SQL-expressible; final
+    # state is asserted against batch counts in tests/test_streaming.py
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def stream_stateful(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals across micro-batches; returns the final
+    per-user state (max n per user over all updates)."""
+    staged = stage_stream_dir(spark, sf, n_files=3)
+    sink = run_to_table(running_counts_stream(read_event_stream(spark, staged)), "update")
+    return sink.groupBy("user_id").agg(F.max("n").alias("n"), F.max("total").alias("total"))
+
+
+@register(
     "stream_sessionize",
     oracle=REGISTRY["ev_sessionize"].oracle,
     tags=("streaming", "session-window"),
