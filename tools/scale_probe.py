@@ -1,0 +1,184 @@
+"""Scale probe: replicate the sf0.1 tables ~10× (keys shifted per
+replica so join cardinalities scale linearly; document texts perturbed
+per replica so near-dup structure replicates rather than cross-links)
+and measure Spark vs DuckDB on the data-proportional query shapes.
+
+This extends BENCH_NOTES.md's crossover measurement beyond the driver's
+largest fixture: the point is how each engine's time GROWS, not the
+absolute floor. Usage: python tools/scale_probe.py [replicas]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import duckdb  # noqa: E402
+import pyspark.sql.functions as F  # noqa: E402
+
+from ebike_spark.session import get_spark  # noqa: E402
+from ebike_spark.sources.registry import load_table  # noqa: E402
+
+SF = "/root/testdata/sf0.1"
+KEY_SHIFT = 10_000_000
+
+
+def build(spark, out: str, replicas: int) -> None:
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    docs = load_table(spark, SF, "documents")
+    reps = spark.range(replicas).select(F.col("id").alias("r"))
+
+    def shifted(df, keys, extra=None):
+        x = df.crossJoin(reps)
+        for k in keys:
+            x = x.withColumn(k, F.col(k) + F.col("r") * KEY_SHIFT)
+        if extra is not None:
+            x = extra(x)
+        return x.drop("r")
+
+    shifted(li, ["l_orderkey"]).write.parquet(f"{out}/lineitem")
+    shifted(o, ["o_orderkey", "o_custkey"]).write.parquet(f"{out}/orders")
+    shifted(c, ["c_custkey"]).write.parquet(f"{out}/customer")
+    shifted(
+        docs,
+        ["doc_id"],
+        extra=lambda x: x.withColumn("text", F.concat_ws(" ", "text", F.concat(F.lit("rep"), F.col("r")))),
+    ).write.parquet(f"{out}/documents")
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = f"/tmp/ebike_scale_x{replicas}"
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    build(spark, out, replicas)
+
+    li = spark.read.parquet(f"{out}/lineitem")
+    o = spark.read.parquet(f"{out}/orders")
+    c = spark.read.parquet(f"{out}/customer")
+    docs = spark.read.parquet(f"{out}/documents")
+    n_li = li.count()
+    print(f"# scale probe: {replicas}× → lineitem {n_li/1e6:.1f}M rows")
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{out}/{t}/*.parquet'")
+
+    def spark_time(df) -> float:
+        df.count()
+        t0 = time.perf_counter()
+        df.count()
+        return time.perf_counter() - t0
+
+    def duck_time(sql: str) -> float:
+        con.execute(sql).fetchall()
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        return time.perf_counter() - t0
+
+    cases = []
+    cases.append((
+        "agg (Q1 shape)",
+        spark_time(li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count("*"), F.sum("l_quantity"), F.avg("l_extendedprice"))),
+        duck_time("SELECT l_returnflag,l_linestatus,count(*),sum(l_quantity),avg(l_extendedprice) "
+                  "FROM lineitem GROUP BY 1,2"),
+    ))
+    cases.append((
+        "join chain + agg (Q5 shape)",
+        spark_time(
+            c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, li.l_orderkey == o.o_orderkey)
+            .groupBy("c_mktsegment")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        ),
+        duck_time("SELECT c_mktsegment, SUM(l_extendedprice*(1-l_discount)) FROM customer c "
+                  "JOIN orders o ON c.c_custkey=o.o_custkey "
+                  "JOIN lineitem l ON l.l_orderkey=o.o_orderkey GROUP BY 1"),
+    ))
+    cases.append((
+        "window rank per key",
+        spark_time(_window_rank(o)),
+        duck_time("SELECT count(*) FROM (SELECT o_orderkey, ROW_NUMBER() OVER "
+                  "(PARTITION BY o_custkey ORDER BY o_totalprice DESC) rn FROM orders) WHERE rn <= 3"),
+    ))
+    cases.append((
+        "distinct count",
+        spark_time(o.agg(F.count_distinct("o_custkey"))),
+        duck_time("SELECT count(DISTINCT o_custkey) FROM orders"),
+    ))
+    cases.append((
+        "shingle dedup ground truth",
+        spark_time(_dedup(spark, docs)),
+        duck_time(_DEDUP_SQL),
+    ))
+    print("| shape | Spark s | DuckDB s | ratio |")
+    print("|---|---|---|---|")
+    for name, ts, td in cases:
+        print(f"| {name} | {ts:.2f} | {td:.2f} | {ts/td:.2f}× |")
+
+
+def _window_rank(o):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return o.select("o_orderkey", F.row_number().over(w).alias("rn")).where(F.col("rn") <= 3).groupBy().count()
+
+
+_DEDUP_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks WHERE len(w) >= 3),
+sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM idx),
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c FROM sh a JOIN sh b
+          ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2)
+SELECT count(*) FROM inter JOIN sizes sa ON sa.doc_id=d1 JOIN sizes sb ON sb.doc_id=d2
+WHERE c*1.0/(sa.n+sb.n-c) >= 0.8
+"""
+
+
+def _dedup(spark, docs):
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("i", "w"))
+    win = Window.partitionBy("doc_id").orderBy("i")
+    sh = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias("s"),
+            F.lead("w", 2).over(win).alias("_t"),
+        )
+        .where(F.col("_t").isNotNull())
+        .drop("_t")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("c"))
+    )
+    j = F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("d1") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("d2") == F.col("sb.doc_id"))
+        .where(j >= 0.8)
+        .groupBy()
+        .count()
+    )
+
+
+if __name__ == "__main__":
+    main()
