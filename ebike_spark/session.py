@@ -84,6 +84,10 @@ def tune_runtime(spark: SparkSession) -> None:
         conf.set("spark.sql.codegen.maxFields", "400")
     if conf.get("spark.sql.shuffle.partitions", "200") == "200":
         conf.set("spark.sql.shuffle.partitions", str(_cpus()))
+    # default 10MB is too conservative for dimension tables on a box
+    # with 128 GiB; matches the builder conf
+    if conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b") in ("10485760b", "10485760"):
+        conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
 def get_spark(app_name: str = "ebike_spark", cpus: int | None = None) -> SparkSession:
