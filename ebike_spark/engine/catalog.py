@@ -212,7 +212,10 @@ class Catalog:
                 if t.tableType == "TEMPORARY" or re.match(r"__ebike_stage", t.name):
                     continue
                 qualified = f"{db}.{t.name}"
-                tables_rows.append(("def", db, t.name, "BASE TABLE", "parquet"))
+                ttype = "VIEW" if t.tableType == "VIEW" else "BASE TABLE"
+                tables_rows.append(("def", db, t.name, ttype, "parquet" if ttype == "BASE TABLE" else ""))
+                if ttype == "VIEW":
+                    continue  # views have no stored columns/constraints here
                 try:
                     nn = set(self.not_null_cols(qualified))
                     pk = self.primary_key(qualified)

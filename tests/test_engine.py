@@ -303,6 +303,16 @@ def test_views(eng):
         eng.execute("SELECT * FROM vx")
 
 
+def test_information_schema_view_type(eng):
+    eng.execute("CREATE TABLE t (a INT)")
+    eng.execute("CREATE VIEW v AS SELECT a FROM t")
+    rows = eng.execute(
+        "SELECT table_name, table_type FROM information_schema.tables "
+        f"WHERE table_schema = '{eng.current_db}' ORDER BY table_name"
+    ).rows()
+    assert [(r[0], r[1]) for r in rows] == [("t", "BASE TABLE"), ("v", "VIEW")]
+
+
 def test_register_function(eng):
     eng.register_function("shout", lambda s: (s or "") + "!", "string")
     eng.execute("CREATE TABLE t (a CHAR)")

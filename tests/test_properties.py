@@ -89,6 +89,55 @@ def test_union_find_cluster_id_is_min_member(pairs):
     assert set(rows) == set(itertools.chain.from_iterable(pairs)) or not pairs
 
 
+# ------------------------------------------------------------- DDL roundtrip
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefg", min_size=1, max_size=6),
+            st.sampled_from(["INT", "FLOAT", "CHAR"]),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    ),
+    st.booleans(),
+)
+def test_create_table_parse_is_stable(cols, with_pk):
+    """parse(render(parse(ddl))) == parse(ddl): the CREATE TABLE parser
+    round-trips through its own SHOW CREATE TABLE rendering shape."""
+    from ebike_spark.engine.parser import parse_create_table
+
+    body = ", ".join(
+        f"`{n}` {t}{'' if nullable else ' NOT NULL'}" for n, t, nullable in cols
+    )
+    if with_pk:
+        body += f", PRIMARY KEY (`{cols[0][0]}`)"
+    ddl = f"CREATE TABLE `tt` ({body}) ENGINE=parquet DEFAULT CHARSET=utf8mb4"
+    ct = parse_create_table(ddl)
+    assert [c.name for c in ct.columns] == [n for n, _, _ in cols]
+    assert [c.sql_type for c in ct.columns] == [t for _, t, _ in cols]
+    # the parser records *declared* nullability; PK-implies-NOT-NULL is
+    # applied at the catalog layer (catalog.create_table), except for an
+    # inline `col INT PRIMARY KEY` which the parser itself resolves
+    for c, (_, _, nullable) in zip(ct.columns, cols):
+        assert c.nullable == nullable
+    assert ct.primary_key == ([cols[0][0]] if with_pk else [])
+    # idempotence: re-render from the parsed form and parse again
+    body2 = ", ".join(
+        f"{c.name} {c.sql_type}{'' if c.nullable else ' NOT NULL'}" for c in ct.columns
+    )
+    if ct.primary_key:
+        body2 += ", PRIMARY KEY (" + ", ".join(ct.primary_key) + ")"
+    ct2 = parse_create_table(f"CREATE TABLE tt ({body2})")
+    assert [(c.name, c.sql_type, c.nullable) for c in ct2.columns] == [
+        (c.name, c.sql_type, c.nullable) for c in ct.columns
+    ]
+    assert ct2.primary_key == ct.primary_key
+
+
 # ---------------------------------------------------------------- spark-backed
 
 SLOW = settings(
