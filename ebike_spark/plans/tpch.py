@@ -82,13 +82,17 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
     tags=("join", "aggregate"),
 )
 def q03(spark: SparkSession, sf: str) -> DataFrame:
-    """Inner equi-join + agg. customer is the smaller side; at bench scale
-    it broadcasts (no shuffle of orders). At 100 TB customer stops fitting
-    → AQE falls back to sort-merge with both sides hashed on custkey."""
+    """Inner equi-join + agg. customer is the smaller side; at bench
+    scale AQE broadcasts it (no shuffle of orders). Deliberately NOT an
+    explicit broadcast() hint: hints are unconditional and AQE cannot
+    override them — measured at 10× data, force-broadcasting the grown
+    customer side was 1.6× SLOWER than the sort-merge join AQE picks
+    (BENCH_NOTES '10× probe'). Hint only constant-size tables (nation,
+    region); let runtime stats govern everything that grows."""
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n"))
     )
