@@ -93,6 +93,56 @@ def lsh_bucket(vec_col, planes: np.ndarray):
     return bucket
 
 
+IVF_CLUSTERS = 16
+IVF_PROBES = 4
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by design → rows-only; recall vs exact unit-tested
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (pyspark.ml KMeans, seeded) →
+    assign every vector to its nearest centroid → probe the query's
+    {IVF_PROBES} nearest cells → exact cosine rerank.
+
+    Learned centroids adapt to the data distribution, which sign-LSH
+    cannot (see ann_lsh_topk's docstring math for why this corpus is
+    the hard regime). At scale: train on a sample, store the cell id as
+    a partition/cluster column, probe reads ~{IVF_PROBES}/{IVF_CLUSTERS}
+    of the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    feat = e.select("vec_id", "v", array_to_vector("v").alias("features"))
+    km = KMeans(k=IVF_CLUSTERS, seed=42, maxIter=10, featuresCol="features", predictionCol="cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select("vec_id", "v", "cell")
+
+    qv_list = _query_vec(spark, sf)
+    import numpy as np
+
+    centers = model.clusterCenters()
+    q = np.asarray(qv_list)
+    dists = [float(np.linalg.norm(q - np.asarray(c))) for c in centers]
+    probe_cells = [int(i) for i in np.argsort(dists)[:IVF_PROBES]]
+
+    qv = F.lit(qv_list).cast("array<double>")
+    cos = cosine_sim(F.col("v"), qv)
+    return (
+        assigned.where(F.col("cell").isin(probe_cells) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", cos.alias("_c"))
+        .orderBy(F.desc("_c"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", F.round("_c", 4).alias("cos"))
+    )
+
+
 @register(
     "ann_lsh_topk",
     oracle=None,  # approximate by design → rows-only check; recall vs exact is unit-tested

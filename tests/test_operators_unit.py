@@ -99,6 +99,23 @@ def test_lsh_ann_recall_beats_random(spark):
     assert recall > 0
 
 
+def test_ivf_ann_recall_beats_lsh(spark):
+    """IVF with learned centroids must beat sign-LSH in this corpus'
+    near-background-similarity regime, and probe a bounded fraction."""
+    from ebike_spark.operators.similarity import IVF_CLUSTERS, IVF_PROBES
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    exact = [r["vec_id"] for r in REGISTRY["ann_cosine_topk"].fn(spark, SF_DIR).collect()]
+    ivf = [r["vec_id"] for r in REGISTRY["ann_ivf_topk"].fn(spark, SF_DIR).collect()]
+    lsh = [r["vec_id"] for r in REGISTRY["ann_lsh_topk"].fn(spark, SF_DIR).collect()]
+    r_ivf = len(set(exact) & set(ivf)) / len(exact)
+    r_lsh = len(set(exact) & set(lsh)) / len(exact)
+    assert r_ivf >= r_lsh, (r_ivf, r_lsh)
+    assert r_ivf >= 0.4, (r_ivf, ivf, exact)
+    assert IVF_PROBES / IVF_CLUSTERS <= 0.5
+
+
 def test_multimodal_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
