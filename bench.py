@@ -66,7 +66,7 @@ def main() -> None:
     # Per-query: one untimed warm run (plan compilation, code gen, JIT),
     # then the timed steady-state run — the throughput a resident engine
     # delivers. Set EBIKE_BENCH_RUNS=1 for cold timings.
-    runs = max(1, int(os.environ.get("EBIKE_BENCH_RUNS", "2")))
+    runs = max(1, int(os.environ.get("EBIKE_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry[name]
