@@ -420,6 +420,56 @@ def fn_agg_extras(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "fn_agg_moments",
+    oracle="""
+    -- Spark reports POPULATION moments (g1, excess g2); DuckDB reports
+    -- sample-corrected (G1, G2). Convert DuckDB's to Spark's using n:
+    --   g1 = G1 * (n-2) / sqrt(n*(n-1))
+    --   g2 = (G2 * (n-2)*(n-3) / (n-1) - 6) / (n+1)
+    SELECT l_returnflag,
+           ROUND(skewness(l_extendedprice)
+                 * (COUNT(*) - 2) / sqrt(COUNT(*) * (COUNT(*) - 1.0)), 4) AS skew,
+           ROUND((kurtosis(l_extendedprice)
+                  * (COUNT(*) - 2.0) * (COUNT(*) - 3) / (COUNT(*) - 1) - 6)
+                 / (COUNT(*) + 1), 4) AS kurt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "moments"),
+)
+def fn_agg_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Skewness/kurtosis ([DF6] stat-agg family): single-pass
+    partial-mergeable moment sketches; population convention (the
+    oracle converts DuckDB's sample-corrected values)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_extendedprice"), 4).alias("skew"),
+        F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt"),
+    )
+
+
+@register(
+    "q21b_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "cube", "grouping"),
+)
+def q21b_grouping(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING() indicator columns — disambiguate real NULL keys from
+    roll-up rows in grouping-set output."""
+    li = load_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "q22_values_inline",
     oracle="""
     SELECT CAST(t.a AS BIGINT) AS a, t.b AS b, upper(t.b) AS ub
