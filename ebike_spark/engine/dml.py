@@ -24,6 +24,8 @@ reference's bug of not maintaining index entries on update/delete
 from __future__ import annotations
 
 import uuid
+from functools import reduce
+from operator import and_, or_
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -72,8 +74,14 @@ def _check_constraints(
         return
     existing = spark.table(qualified)
     for key_name, cols in keys:
-        # intra-batch duplicates
-        dup = new_rows.groupBy(*cols).count().where(F.col("count") > 1).limit(1).collect()
+        # intra-batch duplicates. MySQL allows any number of NULLs in a
+        # UNIQUE index (NULL != NULL for uniqueness), so rows with a
+        # NULL key column are exempt from non-PK duplicate checks —
+        # matching the semi-join below, where NULLs never equi-match.
+        cand = new_rows
+        if key_name != "PRIMARY":
+            cand = cand.where(reduce(and_, [F.col(c).isNotNull() for c in cols]))
+        dup = cand.groupBy(*cols).count().where(F.col("count") > 1).limit(1).collect()
         if dup:
             val = "-".join(str(dup[0][c]) for c in cols)
             raise duplicate_entry(val, key_name)
@@ -105,27 +113,62 @@ def _upsert(spark: SparkSession, catalog: Catalog, qualified: str, new_df, ins: 
     1105s it; this is the anti-join + union + rewrite emulation of
     MERGE, the idiomatic parquet upsert without a Delta dependency).
 
-    Conflict pairing is on the PRIMARY KEY; assignments may reference
-    the existing row's columns and ``VALUES(col)`` for the incoming
-    value. Affected-rows follows MySQL: 1 per inserted, 2 per updated.
+    Conflict pairing follows MySQL: a row conflicts if it matches an
+    existing row on the PRIMARY KEY *or any UNIQUE index*. Assignments
+    may reference the existing row's columns and ``VALUES(col)`` for
+    the incoming value. Affected-rows follows MySQL: 1 per inserted,
+    2 per updated-and-changed, 0 per matched-but-unchanged. Batches
+    where one new row matches several existing rows (or vice versa)
+    through *different* keys are order-dependent in MySQL; this
+    set-oriented implementation rejects them as 1105 rather than pick
+    an arbitrary order.
     """
     import re as _re
 
     pk = catalog.primary_key(qualified)
-    if not pk:
-        raise EbikeError(1105, "ON DUPLICATE KEY UPDATE requires a PRIMARY KEY")
-    # intra-batch duplicates are ambiguous upserts → reject like plain inserts
-    dup = new_df.groupBy(*pk).count().where(F.col("count") > 1).limit(1).collect()
-    if dup:
-        raise duplicate_entry("-".join(str(dup[0][c]) for c in pk), "PRIMARY")
+    keys = ([("PRIMARY", pk)] if pk else []) + list(catalog.unique_keys(qualified))
+    if not keys:
+        # MySQL: with no unique index the ON DUPLICATE clause never fires
+        _check_constraints(spark, catalog, qualified, new_df)
+        new_df.write.insertInto(qualified, overwrite=False)
+        return len(ins.rows)
+    # intra-batch duplicates on any key are ambiguous upserts → 1062,
+    # like plain inserts (non-PK keys exempt NULLs: MySQL allows
+    # repeated NULLs in a UNIQUE index)
+    for key_name, cols in keys:
+        cand = new_df
+        if key_name != "PRIMARY":
+            cand = cand.where(reduce(and_, [F.col(c).isNotNull() for c in cols]))
+        dup = cand.groupBy(*cols).count().where(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise duplicate_entry("-".join(str(dup[0][c]) for c in cols), key_name)
+
     existing = spark.table(qualified)
-    batch = new_df.select(*[F.col(c).alias(f"__new_{c}") for c in new_df.columns])
-    cond = [F.col(c) == F.col(f"__new_{c}") for c in pk]
-    joined = existing.join(batch, cond, "left")
-    matched = F.col(f"__new_{pk[0]}").isNotNull()
+    batch = new_df.select(
+        F.lit(1).alias("__new_mark"), *[F.col(c).alias(f"__new_{c}") for c in new_df.columns]
+    )
+    # match on ANY key: OR over per-key AND equi-conditions (NULL keys
+    # never equi-match, which is exactly the unique-index semantics)
+    any_key = reduce(
+        or_,
+        [reduce(and_, [F.col(c) == F.col(f"__new_{c}") for c in cols]) for _, cols in keys],
+    )
+    pairs = existing.join(batch, any_key, "inner").count()
+    matched_new = batch.join(existing, any_key, "left_semi").count()
+    matched_old = existing.join(batch, any_key, "left_semi").count()
+    if pairs != matched_new or pairs != matched_old:
+        raise EbikeError(
+            1105,
+            "ambiguous ON DUPLICATE KEY UPDATE: a row matches multiple rows "
+            "through different unique keys (order-dependent in MySQL)",
+        )
+
+    joined = existing.join(batch, any_key, "left")
+    matched = F.col("__new_mark").isNotNull()
     types = dict(catalog.column_types(qualified))
     assigned = dict(ins.on_dup_update or [])
     out_cols = []
+    change_terms = []  # per-assignment "value actually changed" predicates
     for name in existing.columns:
         if name in assigned:
             # VALUES(col) → the incoming row's value for col
@@ -134,21 +177,32 @@ def _upsert(spark: SparkSession, catalog: Catalog, qualified: str, new_df, ins: 
             )
             upd = F.expr(expr_sql).cast(types[name])
             out_cols.append(F.when(matched, upd).otherwise(F.col(name)).alias(name))
+            change_terms.append(~upd.eqNullSafe(F.col(name)))
         else:
             out_cols.append(F.col(name))
+    n_changed = (
+        joined.where(matched & reduce(or_, change_terms)).count() if change_terms else 0
+    )
     updated = joined.select(*out_cols)
-    to_insert = new_df.join(existing.select(*pk), on=pk, how="left_anti")
-    n_conflict = new_df.join(existing.select(*pk), on=pk, how="left_semi").count()
+    to_insert = batch.join(existing, any_key, "left_anti").select(
+        *[F.col(f"__new_{c}").alias(c) for c in new_df.columns]
+    )
     n_new = to_insert.count()
-    # non-PK unique keys: fresh rows must still not collide (MySQL would
-    # upsert via any unique index; this implementation pairs on the PK
-    # and reports other-key collisions as 1062)
-    for key_name, cols in catalog.unique_keys(qualified):
-        clash = to_insert.select(*cols).join(existing.select(*cols), on=cols).limit(1).collect()
-        if clash:
-            raise duplicate_entry("-".join(str(clash[0][c]) for c in cols), key_name)
-    _rewrite(spark, qualified, updated.unionByName(to_insert))
-    return n_new + 2 * n_conflict
+    final = updated.unionByName(to_insert)
+    # post-image integrity: an assignment that writes a key column can
+    # collide rows that didn't collide before — validate before the swap
+    # (same guard as update(); the reference corrupts its indexes here)
+    for key_name, cols in keys:
+        if not set(cols) & set(assigned):
+            continue
+        cand = final
+        if key_name != "PRIMARY":
+            cand = cand.where(reduce(and_, [F.col(c).isNotNull() for c in cols]))
+        dup = cand.groupBy(*cols).count().where(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise duplicate_entry("-".join(str(dup[0][c]) for c in cols), key_name)
+    _rewrite(spark, qualified, final)
+    return n_new + 2 * n_changed
 
 
 def _rewrite(spark: SparkSession, qualified: str, new_df: DataFrame) -> None:
@@ -170,11 +224,17 @@ def update(spark: SparkSession, catalog: Catalog, upd: Update, current_db: str) 
     catalog.require_table(qualified)
     t = spark.table(qualified)
     cond = F.expr(upd.where) if upd.where else F.lit(True)
-    affected = t.where(cond).count()
-    if affected == 0:
-        return 0
     types = dict(catalog.column_types(qualified))
     assigned = dict(upd.assignments)
+    # MySQL reports *changed* rows (WHERE true AND at least one assigned
+    # column takes a new value), not matched rows
+    change_terms = [
+        ~F.expr(expr).cast(types[name]).eqNullSafe(F.col(name))
+        for name, expr in assigned.items()
+    ]
+    affected = t.where(F.coalesce(cond, F.lit(False)) & reduce(or_, change_terms)).count()
+    if affected == 0:
+        return 0
     cols = []
     for name in t.columns:
         if name in assigned:
@@ -207,8 +267,12 @@ def delete(spark: SparkSession, catalog: Catalog, dele: Delete, current_db: str)
     catalog.require_table(qualified)
     t = spark.table(qualified)
     cond = F.expr(dele.where) if dele.where else F.lit(True)
-    affected = t.where(cond).count()
+    # MySQL deletes only rows where the predicate is TRUE; a NULL
+    # predicate (e.g. `x > 5` with x NULL) keeps the row. Plain
+    # `~cond` would silently delete NULL rows (NOT NULL → NULL → drop).
+    cond_true = F.coalesce(cond, F.lit(False))
+    affected = t.where(cond_true).count()
     if affected == 0:
         return 0
-    _rewrite(spark, qualified, t.where(~cond))
+    _rewrite(spark, qualified, t.where(~cond_true))
     return affected

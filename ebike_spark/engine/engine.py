@@ -22,10 +22,12 @@ from ebike_spark.engine import dml, show
 from ebike_spark.engine.catalog import Catalog
 from ebike_spark.engine.errors import EbikeError, parse_error, unsupported
 from ebike_spark.engine.parser import (
+    map_unquoted,
     parse_create_table,
     parse_delete,
     parse_insert,
     parse_update,
+    sql_literal,
     strip_comments,
     substitute_vars,
     unquote_ident,
@@ -49,6 +51,13 @@ DEFAULT_SYS_VARS: dict[str, object] = {
     "interactive_timeout": 28800,
 }
 
+# SET GLOBAL scope: shared across every Engine (session) on this
+# process, seeding new sessions — MySQL's global-variable semantics
+# (the reference keeps one process-wide GlobalContext the same way,
+# /root/reference/src/core/global_context.rs). SESSION scope lives on
+# each Engine's sys_vars.
+GLOBAL_VARS: dict[str, object] = {}
+
 
 @dataclass
 class EngineResult:
@@ -71,7 +80,8 @@ class Engine:
         self.spark = spark
         self.catalog = Catalog(spark)
         self.current_db = default_db
-        self.sys_vars = dict(DEFAULT_SYS_VARS)
+        # new sessions see defaults overlaid with any SET GLOBAL values
+        self.sys_vars = {**DEFAULT_SYS_VARS, **GLOBAL_VARS}
         self.user_vars: dict[str, object] = {}
         self._stmts: dict[int, _Prepared] = {}
         self._next_stmt_id = 1
@@ -152,24 +162,34 @@ class Engine:
     # ------------------------------------------------------------ SELECT
 
     def _fix_select(self, sql: str) -> str:
-        sql = substitute_vars(sql, self.sys_vars, self.user_vars)
-        # MySQL's database() → Spark's current_database()
-        sql = re.sub(r"\bdatabase\s*\(\s*\)", "current_database()", sql, flags=re.I)
-        # `FROM dual` → no-FROM (Spark supports SELECT without FROM natively;
-        # the reference injects a 1-row dual MemTable, core_util.rs:463-479)
-        sql = re.sub(r"\bFROM\s+dual\b", "", sql, flags=re.I)
-        # EXPLAIN dialect mapping (reference: explain.rs:41-101 supports
-        # VERBOSE/ANALYZE via DataFusion; Spark spells these differently)
-        sql = re.sub(r"^\s*EXPLAIN\s+VERBOSE\b", "EXPLAIN EXTENDED", sql, flags=re.I)
-        sql = re.sub(r"^\s*EXPLAIN\s+ANALYZE\b", "EXPLAIN COST", sql, flags=re.I)
-        # MySQL `LIMIT offset, count` → Spark `LIMIT count OFFSET offset`
-        sql = re.sub(
-            r"\bLIMIT\s+(\d+)\s*,\s*(\d+)(\s*)$",
-            r"LIMIT \2 OFFSET \1\3",
-            sql,
-            flags=re.I,
-        )
-        return sql
+        sql = substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS)
+
+        # All rewrites run segment-wise OUTSIDE quoted spans so a string
+        # literal containing e.g. "from dual" passes through untouched.
+        def fix(seg: str, first: bool, last: bool) -> str:
+            # MySQL's database() → Spark's current_database()
+            seg = re.sub(r"\bdatabase\s*\(\s*\)", "current_database()", seg, flags=re.I)
+            # `FROM dual` → no-FROM (Spark supports SELECT without FROM
+            # natively; the reference injects a 1-row dual MemTable,
+            # core_util.rs:463-479)
+            seg = re.sub(r"\bFROM\s+dual\b", "", seg, flags=re.I)
+            if first:
+                # EXPLAIN dialect mapping (reference: explain.rs:41-101
+                # supports VERBOSE/ANALYZE via DataFusion; Spark spells
+                # these differently)
+                seg = re.sub(r"^\s*EXPLAIN\s+VERBOSE\b", "EXPLAIN EXTENDED", seg, flags=re.I)
+                seg = re.sub(r"^\s*EXPLAIN\s+ANALYZE\b", "EXPLAIN COST", seg, flags=re.I)
+            if last:
+                # MySQL `LIMIT offset, count` → Spark `LIMIT count OFFSET offset`
+                seg = re.sub(
+                    r"\bLIMIT\s+(\d+)\s*,\s*(\d+)(\s*)$",
+                    r"LIMIT \2 OFFSET \1\3",
+                    seg,
+                    flags=re.I,
+                )
+            return seg
+
+        return map_unquoted(sql, fix)
 
     def _select(self, sql: str) -> EngineResult:
         if self._info_schema_dirty and re.search(
@@ -210,19 +230,27 @@ class Engine:
 
         for assign in split_top_level(body, ","):
             m = re.match(
-                r"\s*(?:(@@?)(?:(?:GLOBAL|SESSION)\.)?)?([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*)$",
+                r"\s*(?:(@@?)(?:(GLOBAL|SESSION)\.)?|(GLOBAL|SESSION)\s+)?"
+                r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*)$",
                 assign.strip(),
                 re.I | re.S,
             )
             if not m:
                 raise parse_error(f"near SET: {assign!r}")
-            sigil, name, raw = m.group(1) or "", m.group(2).lower(), m.group(3).strip()
+            sigil = m.group(1) or ""
+            scope = (m.group(2) or m.group(3) or "").lower()
+            name, raw = m.group(4).lower(), m.group(5).strip()
             value = self._eval_scalar(raw)
-            if sigil == "@":
+            if sigil == "@" and not scope:
                 self.user_vars[name] = value
-            else:  # @@var or bare var → system variable
-                self.sys_vars[name] = value
+            elif scope == "global":
+                # MySQL: SET GLOBAL affects NEW sessions (and @@GLOBAL.x
+                # reads), not this session's @@x
+                GLOBAL_VARS[name] = value
                 self._info_schema_dirty = True  # global_variables view
+            else:  # SESSION / bare @@var / bare var
+                self.sys_vars[name] = value
+                self._info_schema_dirty = True
         return EngineResult("ok")
 
     def _eval_scalar(self, raw: str):
@@ -238,7 +266,7 @@ class Engine:
             return raw.upper()
         # expression (e.g. SET @x = 1 + 2): evaluate via Spark
         row = self.spark.sql(
-            f"SELECT ({substitute_vars(raw, self.sys_vars, self.user_vars)}) AS v"
+            f"SELECT ({substitute_vars(raw, self.sys_vars, self.user_vars, GLOBAL_VARS)}) AS v"
         ).first()
         return row["v"]
 
@@ -272,9 +300,12 @@ class Engine:
         if m:
             q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
             return rows(show.show_index(spark, self.catalog, q))
-        m = re.match(r"(?:GLOBAL\s+|SESSION\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)')?\s*$", body, re.I)
+        m = re.match(r"(?:(GLOBAL)\s+|SESSION\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)')?\s*$", body, re.I)
         if m:
-            return rows(show.show_variables(spark, self.sys_vars, m.group(1)))
+            # GLOBAL scope = defaults overlaid with SET GLOBAL values;
+            # SESSION (default) = this session's variables
+            scope = {**DEFAULT_SYS_VARS, **GLOBAL_VARS} if m.group(1) else self.sys_vars
+            return rows(show.show_variables(spark, scope, m.group(2)))
         if up.startswith("ENGINES"):
             return rows(show.show_engines(spark))
         if up.startswith("CHARACTER SET") or up.startswith("CHARSET"):
@@ -380,7 +411,7 @@ class Engine:
     # ------------------------------------------------------------ DML
 
     def _insert(self, sql: str) -> EngineResult:
-        fixed = substitute_vars(sql, self.sys_vars, self.user_vars)
+        fixed = substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS)
         if not re.search(r"\bVALUES\b", fixed, re.I):
             # INSERT INTO ... SELECT: hand to Spark (beyond-reference;
             # constraint checks apply only to the VALUES path, as in the
@@ -397,7 +428,7 @@ class Engine:
 
     def _update(self, sql: str) -> EngineResult:
         try:
-            upd = parse_update(substitute_vars(sql, self.sys_vars, self.user_vars))
+            upd = parse_update(substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS))
         except ValueError as e:
             raise parse_error(str(e)) from e
         n = dml.update(self.spark, self.catalog, upd, self.current_db)
@@ -405,7 +436,7 @@ class Engine:
 
     def _delete(self, sql: str) -> EngineResult:
         try:
-            dele = parse_delete(substitute_vars(sql, self.sys_vars, self.user_vars))
+            dele = parse_delete(substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS))
         except ValueError as e:
             raise parse_error(str(e)) from e
         n = dml.delete(self.spark, self.catalog, dele, self.current_db)
@@ -467,13 +498,7 @@ class Engine:
                 i = j
                 continue
             if sql[i] == "?":
-                v = next(it)
-                if v is None:
-                    out.append("NULL")
-                elif isinstance(v, (int, float)):
-                    out.append(str(v))
-                else:
-                    out.append("'" + str(v).replace("'", "''") + "'")
+                out.append(sql_literal(next(it)))
             else:
                 out.append(sql[i])
             i += 1

@@ -32,6 +32,18 @@ def strip_comments(sql: str) -> str:
             out.append(sql[i:j])
             i = j
         elif sql.startswith("--", i):
+            if i + 2 >= n or sql[i + 2] in " \t\r\n":
+                while i < n and sql[i] != "\n":
+                    i += 1
+            else:
+                # MySQL requires whitespace/EOL after `--`, so `5--3` is
+                # double negation (MySQL manual §9.7). Spark's lexer
+                # comments it unconditionally — emit `- -` to keep the
+                # negation semantics through the Spark parser.
+                out.append("- ")
+                i += 1
+        elif ch == "#":
+            # MySQL `# comment` to end of line
             while i < n and sql[i] != "\n":
                 i += 1
         elif sql.startswith("/*", i):
@@ -85,16 +97,63 @@ def split_top_level(s: str, sep: str = ",") -> list[str]:
     return parts
 
 
-def substitute_vars(sql: str, sys_vars: dict[str, object], user_vars: dict[str, object]) -> str:
-    """Replace @@sys and @user variables with literals, outside quotes."""
+def sql_literal(v: object) -> str:
+    """Render a Python value as a Spark SQL literal. Spark's default
+    (non-ANSI) lexer treats backslash as an escape inside string
+    literals, so BOTH backslashes and quotes must be escaped — quote
+    doubling alone lets a value ending in a backslash break out of the
+    literal (injection through the parameter channel)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return "X'" + bytes(v).hex() + "'"
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
 
-    def lit(v: object) -> str:
-        if v is None:
-            return "NULL"
-        if isinstance(v, (int, float)):
-            return str(v)
-        return "'" + str(v).replace("'", "''") + "'"
 
+def map_unquoted(sql: str, fn) -> str:
+    """Apply ``fn(segment, is_first, is_last)`` to each maximal run of
+    text outside string/identifier quotes; quoted spans pass through
+    untouched. This is the safe substrate for regex rewrites (FROM dual,
+    LIMIT off,cnt, database()) that must never fire inside literals."""
+    pieces: list[tuple[bool, str]] = []  # (quoted?, text)
+    i, n = 0, len(sql)
+    buf: list[str] = []
+    while i < n:
+        if sql[i] in "'\"`":
+            if buf:
+                pieces.append((False, "".join(buf)))
+                buf = []
+            j = _skip_quoted(sql, i)
+            pieces.append((True, sql[i:j]))
+            i = j
+        else:
+            buf.append(sql[i])
+            i += 1
+    if buf:
+        pieces.append((False, "".join(buf)))
+    unq_idx = [k for k, (q, _) in enumerate(pieces) if not q]
+    out = []
+    for k, (q, text) in enumerate(pieces):
+        if q:
+            out.append(text)
+        else:
+            out.append(fn(text, k == (unq_idx[0] if unq_idx else -1), k == (unq_idx[-1] if unq_idx else -1)))
+    return "".join(out)
+
+
+def substitute_vars(
+    sql: str,
+    sys_vars: dict[str, object],
+    user_vars: dict[str, object],
+    global_vars: dict[str, object] | None = None,
+) -> str:
+    """Replace @@[scope.]sys and @user variables with literals, outside
+    quotes. ``@@GLOBAL.x`` reads the shared global scope when provided;
+    ``@@x`` / ``@@SESSION.x`` read the session scope (MySQL semantics)."""
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:
@@ -104,14 +163,19 @@ def substitute_vars(sql: str, sys_vars: dict[str, object], user_vars: dict[str, 
             out.append(sql[i:j])
             i = j
             continue
-        m = re.match(r"@@(?:(?:global|session)\.)?([A-Za-z_][A-Za-z0-9_]*)", sql[i:], re.I)
+        m = re.match(r"@@(?:(global|session)\.)?([A-Za-z_][A-Za-z0-9_]*)", sql[i:], re.I)
         if m:
-            out.append(lit(sys_vars.get(m.group(1).lower())))
+            scope = (m.group(1) or "session").lower()
+            name = m.group(2).lower()
+            if scope == "global" and global_vars is not None:
+                out.append(sql_literal(global_vars.get(name, sys_vars.get(name))))
+            else:
+                out.append(sql_literal(sys_vars.get(name)))
             i += m.end()
             continue
         m = re.match(r"@([A-Za-z_][A-Za-z0-9_]*)", sql[i:])
         if m:
-            out.append(lit(user_vars.get(m.group(1).lower())))
+            out.append(sql_literal(user_vars.get(m.group(1).lower())))
             i += m.end()
             continue
         out.append(ch)

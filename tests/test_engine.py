@@ -334,10 +334,36 @@ def test_insert_on_duplicate_key_update(eng):
     assert r.affected == 3
     rows = {x["k"]: (x["v"], x["n"]) for x in eng.execute("SELECT * FROM kv").rows()}
     assert rows == {1: ("a2", 10), 2: ("b", 1), 3: ("c", 1)}
-    # no PK → 1105
+    # matched but UNCHANGED rows count 0 (MySQL: 2 only when changed)
+    r = eng.execute("INSERT INTO kv VALUES (2, 'b', 1) ON DUPLICATE KEY UPDATE v = VALUES(v)")
+    assert r.affected == 0
+    # no unique key at all → MySQL: the ON DUPLICATE clause never fires
     eng.execute("CREATE TABLE nopk (a INT)")
+    r = eng.execute("INSERT INTO nopk VALUES (1) ON DUPLICATE KEY UPDATE a = 2")
+    assert r.affected == 1
+    assert eng.execute("SELECT a FROM nopk").rows()[0]["a"] == 1
+
+
+def test_upsert_via_any_unique_key(eng):
+    """MySQL pairs ON DUPLICATE KEY UPDATE on ANY unique index, not just
+    the PRIMARY KEY."""
+    eng.execute(
+        "CREATE TABLE u (id INT NOT NULL, email CHAR, n INT, "
+        "PRIMARY KEY (id), UNIQUE KEY uq_email (email))"
+    )
+    eng.execute("INSERT INTO u VALUES (1, 'a@x', 1)")
+    # new id but colliding email → updates the existing row via uq_email
+    r = eng.execute(
+        "INSERT INTO u VALUES (99, 'a@x', 5) ON DUPLICATE KEY UPDATE n = n + VALUES(n)"
+    )
+    assert r.affected == 2
+    rows = eng.execute("SELECT id, email, n FROM u").rows()
+    assert [(x["id"], x["email"], x["n"]) for x in rows] == [(1, "a@x", 6)]
+    # ambiguous batch: one new row matches DIFFERENT existing rows via
+    # different keys → rejected 1105 (order-dependent in MySQL)
+    eng.execute("INSERT INTO u VALUES (2, 'b@x', 1)")
     with pytest.raises(EbikeError) as ei:
-        eng.execute("INSERT INTO nopk VALUES (1) ON DUPLICATE KEY UPDATE a = 2")
+        eng.execute("INSERT INTO u VALUES (1, 'b@x', 7) ON DUPLICATE KEY UPDATE n = VALUES(n)")
     assert ei.value.code == 1105
 
 
@@ -390,6 +416,92 @@ def test_system_schemas(eng):
     assert [r[0] for r in gv] == ["hello"]
     assert eng.execute("SELECT COUNT(*) AS c FROM information_schema.check_constraints").rows()[0]["c"] == 0
     assert eng.execute("SELECT COUNT(*) AS c FROM information_schema.referential_constraints").rows()[0]["c"] == 0
+
+
+def test_delete_null_predicate_keeps_rows(eng):
+    """MySQL deletes only rows where WHERE is TRUE; NULL-evaluating rows
+    stay (ADVICE r1 high: plain ~cond silently deleted them)."""
+    eng.execute("CREATE TABLE t (a INT NOT NULL, x INT, PRIMARY KEY (a))")
+    eng.execute("INSERT INTO t VALUES (1, 10), (2, NULL), (3, 2)")
+    r = eng.execute("DELETE FROM t WHERE x > 5")
+    assert r.affected == 1  # only a=1; a=2 (NULL) and a=3 (FALSE) survive
+    assert sorted(x["a"] for x in eng.execute("SELECT a FROM t").rows()) == [2, 3]
+
+
+def test_update_reports_changed_not_matched(eng):
+    """MySQL affected-rows for UPDATE counts rows actually CHANGED."""
+    eng.execute("CREATE TABLE t (a INT NOT NULL, v CHAR, PRIMARY KEY (a))")
+    eng.execute("INSERT INTO t VALUES (1, 'x'), (2, 'y'), (3, 'x')")
+    r = eng.execute("UPDATE t SET v = 'x' WHERE a <= 3")  # matches 3, changes 1
+    assert r.affected == 1
+    r = eng.execute("UPDATE t SET v = 'x'")  # all already 'x'
+    assert r.affected == 0
+    # NULL-evaluating WHERE rows are not updated
+    eng.execute("CREATE TABLE n (a INT NOT NULL, x INT, v CHAR, PRIMARY KEY (a))")
+    eng.execute("INSERT INTO n VALUES (1, 10, 'old'), (2, NULL, 'old')")
+    r = eng.execute("UPDATE n SET v = 'new' WHERE x > 5")
+    assert r.affected == 1
+    rows = {x["a"]: x["v"] for x in eng.execute("SELECT a, v FROM n").rows()}
+    assert rows == {1: "new", 2: "old"}
+
+
+def test_unique_key_allows_multiple_nulls(eng):
+    """MySQL UNIQUE indexes admit any number of NULLs."""
+    eng.execute(
+        "CREATE TABLE t (a INT NOT NULL, u INT, PRIMARY KEY (a), UNIQUE KEY uq (u))"
+    )
+    eng.execute("INSERT INTO t VALUES (1, NULL), (2, NULL)")  # intra-batch NULLs OK
+    eng.execute("INSERT INTO t VALUES (3, NULL)")  # vs stored NULLs OK
+    assert eng.execute("SELECT COUNT(*) AS c FROM t").rows()[0]["c"] == 3
+    with pytest.raises(EbikeError) as ei:  # real duplicates still rejected
+        eng.execute("INSERT INTO t VALUES (4, 7), (5, 7)")
+    assert ei.value.code == 1062
+
+
+def test_comment_and_quote_edge_cases(eng):
+    # MySQL: '--' is a comment only when followed by whitespace
+    assert eng.execute("SELECT 5--3 AS v").rows()[0]["v"] == 8
+    assert eng.execute("SELECT 1 AS v -- trailing comment").rows()[0]["v"] == 1
+    assert eng.execute("SELECT 2 AS v # hash comment").rows()[0]["v"] == 2
+    # rewrite targets inside string literals must pass through untouched
+    r = eng.execute("SELECT 'select x from dual' AS a, 'database()' AS b").rows()[0]
+    assert r["a"] == "select x from dual" and r["b"] == "database()"
+
+
+def test_prepared_backslash_params(eng):
+    """Backslashes in parameters must not break out of the literal
+    (ADVICE r1 medium: injection through the parameter channel)."""
+    eng.execute("CREATE TABLE t (a INT, s CHAR)")
+    sid = eng.prepare("INSERT INTO t VALUES (?, ?)")
+    eng.execute_prepared(sid, [1, "back\\slash"])
+    eng.execute_prepared(sid, [2, "trailing\\"])
+    eng.execute_prepared(sid, [3, "quote'and\\'mix"])
+    rows = {r["a"]: r["s"] for r in eng.execute("SELECT a, s FROM t").rows()}
+    assert rows == {1: "back\\slash", 2: "trailing\\", 3: "quote'and\\'mix"}
+    # user variables take the same escaping path
+    eng.user_vars["p"] = "x\\'"
+    assert eng.execute("SELECT @p AS v").rows()[0]["v"] == "x\\'"
+
+
+def test_global_vs_session_variables(eng):
+    from ebike_spark.engine.engine import GLOBAL_VARS
+
+    try:
+        eng.execute("SET SESSION my_var = 'sess'")
+        eng.execute("SET GLOBAL my_var = 'glob'")
+        # session read is unaffected by SET GLOBAL (MySQL semantics)
+        assert eng.execute("SELECT @@my_var AS v").rows()[0]["v"] == "sess"
+        assert eng.execute("SELECT @@SESSION.my_var AS v").rows()[0]["v"] == "sess"
+        assert eng.execute("SELECT @@GLOBAL.my_var AS v").rows()[0]["v"] == "glob"
+        # a NEW session inherits the global value
+        e2 = Engine(eng.spark)
+        assert e2.execute("SELECT @@my_var AS v").rows()[0]["v"] == "glob"
+        # SHOW GLOBAL vs SESSION VARIABLES disagree accordingly
+        g = {r["Variable_name"]: r["Value"] for r in eng.execute("SHOW GLOBAL VARIABLES LIKE 'my_var'").rows()}
+        s = {r["Variable_name"]: r["Value"] for r in eng.execute("SHOW SESSION VARIABLES LIKE 'my_var'").rows()}
+        assert g == {"my_var": "glob"} and s == {"my_var": "sess"}
+    finally:
+        GLOBAL_VARS.pop("my_var", None)
 
 
 def test_select_joins_through_engine(eng):
