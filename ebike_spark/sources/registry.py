@@ -12,6 +12,7 @@ obtained declaratively instead of hand-built.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -38,10 +39,15 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# (session-id, sf_dir, table) → DataFrame. A DataFrame is just a plan —
+# session → {(sf_dir, table) → DataFrame}. A DataFrame is just a plan —
 # caching it skips the per-call file listing + footer schema read
-# (~50-100ms each) without pinning any data in memory.
-_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+# (~50-100ms each) without pinning any data in memory. Keyed WEAKLY by
+# the session object (not id(spark): a GC'd session's id can be reused
+# by a new session, which would then be served a stale plan bound to
+# the dead session).
+_df_cache: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -59,8 +65,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from ebike_spark.session import tune_runtime
 
     tune_runtime(spark)  # idempotent; the driver's session isn't ours
-    key = (id(spark), sf_dir, name)
-    cached = _df_cache.get(key)
+    try:
+        session_cache = _df_cache.setdefault(spark, {})
+    except TypeError:  # session object not weakref-able (never in practice)
+        session_cache = {}
+    key = (sf_dir, name)
+    cached = session_cache.get(key)
     if cached is not None:
         return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -72,7 +82,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(path)
-    _df_cache[key] = df
+    session_cache[key] = df
     return df
 
 

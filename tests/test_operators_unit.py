@@ -124,3 +124,73 @@ def test_multimodal_decode_is_stubbed():
 def test_jdbc_stub_documents_shape(spark):
     with pytest.raises(NotImplementedError):
         read_jdbc_stub(spark, "jdbc:mysql://host/db", "t")
+
+
+def test_jaccard_cap_keeps_pair_with_rare_shingle(spark):
+    """Constructed corpus: docs 1/2 are near-identical (share rare
+    shingles), docs 3..10 all carry one boilerplate shingle. With a cap
+    that marks the boilerplate shingle as a stop-shingle, the true pair
+    must survive (its rare shingles generate the candidate) and its
+    jaccard must be computed on the FULL sets, not the capped ones."""
+    import pyspark.sql.functions as F
+
+    from ebike_spark.operators.dedup import jaccard_pairs
+
+    rows = []
+    for s in ("alpha beta", "beta gamma", "gamma delta", "BOILER"):
+        rows.append((1, s))
+    for s in ("alpha beta", "beta gamma", "gamma delta", "epsilon zeta"):
+        rows.append((2, s))
+    for d in range(3, 11):
+        rows.append((d, "BOILER"))
+        rows.append((d, f"unique-{d}"))
+    sh = spark.createDataFrame(rows, "doc_id long, s string")
+    out = {(r["d1"], r["d2"]): r["jaccard"] for r in jaccard_pairs(sh, 0.5, df_cap=3).collect()}
+    # jaccard(1,2) = 3/5 = 0.6 over FULL sets (BOILER counts in the union)
+    assert out == {(1, 2): 0.6}
+    # sanity: uncapped finds the same pair set at this threshold
+    unc = {(r["d1"], r["d2"]): r["jaccard"] for r in jaccard_pairs(sh, 0.5).collect()}
+    assert unc == out
+
+
+def test_jaccard_cap_equivalence_on_corpus(spark):
+    """Capped and uncapped registered-path results agree on the test
+    corpus even with an aggressive cap (every true pair shares at least
+    one sub-cap shingle here)."""
+    from ebike_spark.operators.dedup import JACCARD_THRESHOLD, jaccard_pairs, shingle_set
+
+    sh = shingle_set(spark, SF_DIR).persist()
+    try:
+        unc = sorted(map(tuple, jaccard_pairs(sh, JACCARD_THRESHOLD).collect()))
+        cap = sorted(map(tuple, jaccard_pairs(sh, JACCARD_THRESHOLD, df_cap=10).collect()))
+        assert unc == cap and len(unc) > 0
+    finally:
+        sh.unpersist()
+
+
+def test_embedding_lsh_candidates_capture_all_true_pairs(spark):
+    """The seeded multi-table LSH candidate set must contain every
+    ≥-threshold pair (exact recall is what lets the registered query
+    hash-match the brute-force oracle)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from ebike_spark.operators.dedup import EMBED_COS_THRESHOLD, embedding_candidates
+    from ebike_spark.sources.registry import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rows = e.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["v"] for r in rows], dtype=np.float64)
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = U @ U.T
+    iu = np.triu_indices(len(ids), 1)
+    m = S[iu] >= EMBED_COS_THRESHOLD
+    true_pairs = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[iu[0][m]], ids[iu[1][m]])
+    }
+    cand = {(r["v1"], r["v2"]) for r in embedding_candidates(e).collect()}
+    assert true_pairs <= cand

@@ -88,6 +88,27 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+def test_embedding_dedup_plan_has_no_cross_join(spark):
+    """dedup_embedding_cosine must be equi-joins all the way down: the
+    former `blk_a <= blk_b` block fan-out compiled to a
+    BroadcastNestedLoopJoin, O(B²) in block count — at 100 TB that is
+    the difference between a shuffle and a non-starter (VERDICT r1 §1)."""
+    df = REGISTRY["dedup_embedding_cosine"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_ngram_candidate_generation_is_capped(spark):
+    """The registered ngram query's optimized plan must contain the
+    stop-shingle document-frequency filter (count <= cap) ahead of the
+    pair join (VERDICT r1 §2)."""
+    from ebike_spark.operators.dedup import JACCARD_DF_CAP
+
+    df = REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_DIR)
+    plan = _optimized(df)
+    assert f"<= {JACCARD_DF_CAP}" in plan, plan
+
+
 def test_partitioned_write_prunes_on_read(spark, tmp_path):
     """Partition-column filters prune directories before any IO — the
     Spark-native equivalent of the reference's index-range seek
