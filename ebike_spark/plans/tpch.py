@@ -135,16 +135,21 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
     tags=("join", "aggregate"),
 )
 def q05(spark: SparkSession, sf: str) -> DataFrame:
-    """3-way join chain + agg (TPC-H Q5 skeleton). nation is constant-size
-    → always broadcast; customer⋈orders then ⋈lineitem shuffle on their
-    join keys; revenue aggregates partial-side before the final shuffle."""
+    """3-way join chain + agg (TPC-H Q5 skeleton). The fact-fact join
+    (orders⋈lineitem on the orderkey) runs first, over the BUCKETED
+    managed copies — both sides pre-hashed and pre-sorted on the key, so
+    that join needs no Exchange at any scale (plan-asserted in
+    tests/test_scale_plans.py). customer joins the result on custkey
+    (AQE broadcast at bench SF, shuffle when it outgrows the threshold);
+    nation is constant-size → always broadcast; revenue aggregates
+    partial-side before the final shuffle."""
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders", bucketed=True)
+    li = load_table(spark, sf, "lineitem", bucketed=True)
     n = _t(spark, sf, "nation")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -329,8 +334,11 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
 def q11(spark: SparkSession, sf: str) -> DataFrame:
     """Derived-table/CTE + re-aggregation (TPC-H Q18 skeleton).
     l_quantity is integer-valued so SUM is exact in double → grouping by
-    the computed q is deterministic."""
-    li = _t(spark, sf, "lineitem")
+    the computed q is deterministic. Reads the lineitem copy bucketed on
+    l_orderkey: the per-order rollup's required distribution is already
+    satisfied by the scan, so the heavy first aggregate (one group per
+    order) runs with NO shuffle — only the tiny q-histogram exchanges."""
+    li = load_table(spark, sf, "lineitem", bucketed=True)
     big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
     return (
         big.where(F.col("q") > 250)

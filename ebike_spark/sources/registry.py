@@ -12,6 +12,8 @@ obtained declaratively instead of hand-built.
 from __future__ import annotations
 
 import os
+import tempfile
+import uuid
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,8 +52,66 @@ _df_cache: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFr
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Fact tables worth storing bucketed, and the key that co-locates their
+# heavyweight join/aggregation: orders⋈lineitem on the orderkey is the
+# one fact-fact join in the workload, and lineitem's per-order rollups
+# group by the same key. Bucket count is a layout constant — at 100 TB
+# you size it so bucket × sf fits an executor (thousands); here 32
+# matches the test parallelism.
+BUCKET_SPECS = {
+    "orders": ("o_orderkey", 32),
+    "lineitem": ("l_orderkey", 32),
+}
+
+# session → {sf_dir → database name}. Bucketing metadata lives in the
+# session catalog (in-memory catalog: per-session lifetime), so managed
+# copies are materialized once per (session, sf_dir) on first bucketed
+# load and reused by every later query in that session — modelling a
+# warehouse whose fact tables are STORED bucketed. The database gets an
+# explicit scratch LOCATION so no spark-warehouse dir appears in the
+# caller's cwd.
+_bucket_dbs: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _bucketed_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key, n_buckets = BUCKET_SPECS[name]
+    try:
+        dbs = _bucket_dbs.setdefault(spark, {})
+    except TypeError:  # pragma: no cover - session not weakref-able
+        dbs = {}
+    db = dbs.get(sf_dir)
+    if db is None:
+        db = f"ebike_bkt_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix=db + "_")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+        dbs[sf_dir] = db
+    tbl = f"{db}.{name}_b"
+    if not spark.catalog.tableExists(tbl):
+        (
+            load_table(spark, sf_dir, name)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    return spark.table(tbl)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, bucketed: bool = False
+) -> DataFrame:
     """Read one test table. Plain columnar scan; Catalyst prunes/pushes.
+
+    ``bucketed=True`` (supported for the tables in BUCKET_SPECS) reads a
+    managed copy bucketed+sorted on its join key instead: joins and
+    aggregations on that key then need no Exchange — the bucketed scan
+    already satisfies the required hash distribution and sort order.
+    Measured 3× faster than the AQE sort-merge plan on the 10×-scale
+    join-chain probe (BENCH_NOTES "Join-strategy"); at toy SF the same
+    layout still wins ~15% from the sorted, compacted files even while
+    AQE chooses broadcast joins.
 
     ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
     reader rejects; we read nanos as long (runtime legacy conf) and
@@ -65,6 +125,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from ebike_spark.session import tune_runtime
 
     tune_runtime(spark)  # idempotent; the driver's session isn't ours
+    if bucketed:
+        if name not in BUCKET_SPECS:
+            raise KeyError(f"no bucket layout for {name!r}; known: {sorted(BUCKET_SPECS)}")
+        return _bucketed_table(spark, sf_dir, name)
     try:
         session_cache = _df_cache.setdefault(spark, {})
     except TypeError:  # session object not weakref-able (never in practice)

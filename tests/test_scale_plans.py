@@ -88,6 +88,33 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+def test_q05_orderkey_join_is_colocated(spark):
+    """The registered q05 reads orders/lineitem from their bucketed
+    managed copies, so the fact-fact join on the orderkey must need no
+    Exchange even when broadcast joins are disabled (the 100 TB regime,
+    where neither fact side fits a broadcast) — the layout win the 10×
+    probe measured at 3× (BENCH_NOTES 'Join-strategy')."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["q05_join_chain"].fn(spark, SF_DIR)
+        plan = _physical(df)
+        assert "hashpartitioning(o_orderkey" not in plan, plan
+        assert "hashpartitioning(l_orderkey" not in plan, plan
+        assert "SortMergeJoin" in plan  # facts really do sort-merge, co-located
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_q11_per_order_rollup_needs_no_shuffle(spark):
+    """q11's heavy first aggregate (one group per order over all of
+    lineitem) must be satisfied by the bucketed scan's distribution —
+    no Exchange on l_orderkey anywhere; only the tiny q-histogram
+    re-aggregation shuffles."""
+    df = REGISTRY["q11_cte_having"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+
+
 def test_embedding_dedup_plan_has_no_cross_join(spark):
     """dedup_embedding_cosine must be equi-joins all the way down: the
     former `blk_a <= blk_b` block fan-out compiled to a
