@@ -11,11 +11,16 @@ instead of a side metadata store.
 
 Type whitelist mirrors /root/reference/src/meta/meta_util.rs:548-562:
 INT → bigint, FLOAT → double, CHAR → string; everything else rejected.
-No hidden rowid column: the reference's rowid
-(/root/reference/src/meta/meta_def.rs:385-398) is an artifact of
-cell-per-key KV storage (rows must be addressable for point updates);
-rewrite-based DML on columnar parquet needs no row identity, so we drop
-it rather than emulate storage internals.
+
+Hidden rowid: the reference prepends a UUID ``rowid`` to every table
+(/root/reference/src/meta/meta_def.rs:385-398) and surfaces it only
+when explicitly projected (/root/reference/src/core/core_util.rs:451-461).
+Here it is a real LAST column (STRING, uuid() materialized at INSERT,
+marked by the ``ebike.rowid`` table property) that every metadata
+surface (SHOW/DESCRIBE/information_schema/column_types) hides and the
+SELECT path drops from results unless the query text mentions it —
+column pruning then means the hidden column is never even read. Last
+rather than first so VALUES inserts stay positional.
 """
 
 from __future__ import annotations
@@ -35,6 +40,8 @@ SQL_TYPE_NAME = {"bigint": "int", "double": "float", "string": "char"}
 PROP_PK = "ebike.primary_key"
 PROP_UNIQUE_PREFIX = "ebike.unique."
 PROP_NOT_NULL = "ebike.not_null"
+PROP_ROWID = "ebike.rowid"
+ROWID = "rowid"
 
 
 def bq(qualified: str) -> str:
@@ -106,6 +113,10 @@ class Catalog:
             if col not in not_null:
                 not_null.append(col)
         props = [f"'{PROP_NOT_NULL}' = '{','.join(not_null)}'"]
+        # hidden rowid, unless the user claimed the name for themselves
+        if all(c.name != ROWID for c in ct.columns):
+            cols.append(f"`{ROWID}` STRING")
+            props.append(f"'{PROP_ROWID}' = '1'")
         if ct.primary_key:
             props.append(f"'{PROP_PK}' = '{','.join(ct.primary_key)}'")
         for uname, ucols in ct.uniques:
@@ -143,9 +154,17 @@ class Catalog:
         nn = self.properties(qualified).get(PROP_NOT_NULL, "")
         return [c for c in nn.split(",") if c]
 
+    def has_rowid(self, qualified: str) -> bool:
+        return self.properties(qualified).get(PROP_ROWID) == "1"
+
     def column_types(self, qualified: str) -> list[tuple[str, str]]:
-        """[(name, spark_type_simple)] in table order."""
-        return [(f.name, f.dataType.simpleString()) for f in self.spark.table(qualified).schema.fields]
+        """[(name, spark_type_simple)] in table order — the USER-VISIBLE
+        columns: the hidden rowid never appears in metadata surfaces or
+        positional DML."""
+        fields = [(f.name, f.dataType.simpleString()) for f in self.spark.table(qualified).schema.fields]
+        if self.has_rowid(qualified):
+            fields = [f for f in fields if f[0] != ROWID]
+        return fields
 
     # ------------------------------------------------------------ info schema
 

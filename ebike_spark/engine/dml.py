@@ -30,7 +30,7 @@ from operator import and_, or_
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ebike_spark.engine.catalog import Catalog
+from ebike_spark.engine.catalog import ROWID, Catalog
 from ebike_spark.engine.errors import EbikeError, duplicate_entry
 from ebike_spark.engine.parser import Delete, Insert, Update
 
@@ -104,6 +104,12 @@ def insert(spark: SparkSession, catalog: Catalog, ins: Insert, current_db: str) 
     if ins.on_dup_update is not None:
         return _upsert(spark, catalog, qualified, df, ins)
     _check_constraints(spark, catalog, qualified, df)
+    if catalog.has_rowid(qualified):
+        # row identity materializes at INSERT (reference: uuid per row,
+        # meta_def.rs:385-398) — stable for the row's lifetime. Align to
+        # the PHYSICAL column order: insertInto is positional and ALTER
+        # ADD COLUMN places later columns after rowid.
+        df = df.withColumn(ROWID, F.expr("uuid()")).select(*spark.table(qualified).columns)
     df.write.insertInto(qualified, overwrite=False)
     return len(ins.rows)
 
@@ -127,9 +133,14 @@ def _upsert(spark: SparkSession, catalog: Catalog, qualified: str, new_df, ins: 
 
     pk = catalog.primary_key(qualified)
     keys = ([("PRIMARY", pk)] if pk else []) + list(catalog.unique_keys(qualified))
+    has_rowid = catalog.has_rowid(qualified)
     if not keys:
         # MySQL: with no unique index the ON DUPLICATE clause never fires
         _check_constraints(spark, catalog, qualified, new_df)
+        if has_rowid:
+            new_df = new_df.withColumn(ROWID, F.expr("uuid()")).select(
+                *spark.table(qualified).columns
+            )
         new_df.write.insertInto(qualified, overwrite=False)
         return len(ins.rows)
     # intra-batch duplicates on any key are ambiguous upserts → 1062,
@@ -167,6 +178,9 @@ def _upsert(spark: SparkSession, catalog: Catalog, qualified: str, new_df, ins: 
     matched = F.col("__new_mark").isNotNull()
     types = dict(catalog.column_types(qualified))
     assigned = dict(ins.on_dup_update or [])
+    for name in assigned:  # hidden rowid is not assignable either
+        if name not in types:
+            raise EbikeError(1054, f"Unknown column '{name}' in 'field list'")
     out_cols = []
     change_terms = []  # per-assignment "value actually changed" predicates
     for name in existing.columns:
@@ -187,6 +201,10 @@ def _upsert(spark: SparkSession, catalog: Catalog, qualified: str, new_df, ins: 
     to_insert = batch.join(existing, any_key, "left_anti").select(
         *[F.col(f"__new_{c}").alias(c) for c in new_df.columns]
     )
+    if has_rowid:
+        # updated rows KEEP their rowid (out_cols passes it through
+        # unassigned); only genuinely new rows mint one
+        to_insert = to_insert.withColumn(ROWID, F.expr("uuid()"))
     n_new = to_insert.count()
     final = updated.unionByName(to_insert)
     # post-image integrity: an assignment that writes a key column can
@@ -226,6 +244,9 @@ def update(spark: SparkSession, catalog: Catalog, upd: Update, current_db: str) 
     cond = F.expr(upd.where) if upd.where else F.lit(True)
     types = dict(catalog.column_types(qualified))
     assigned = dict(upd.assignments)
+    for name in assigned:  # hidden rowid is not assignable either
+        if name not in types:
+            raise EbikeError(1054, f"Unknown column '{name}' in 'field list'")
     # MySQL reports *changed* rows (WHERE true AND at least one assigned
     # column takes a new value), not matched rows
     change_terms = [

@@ -191,6 +191,34 @@ class Engine:
 
         return map_unquoted(sql, fix)
 
+    @staticmethod
+    def _mentions_rowid(sql: str) -> bool:
+        """Quote-aware: does the query text name ``rowid`` outside string
+        literals? Governs whether the hidden rowid column is surfaced
+        (reference: projection-time special case, core_util.rs:451-461)."""
+        found = False
+
+        def scan(seg: str, first: bool, last: bool) -> str:
+            nonlocal found
+            if re.search(r"\browid\b", seg, re.I):
+                found = True
+            return seg
+
+        map_unquoted(sql, scan)
+        return found
+
+    def _reads_hidden_rowid_table(self, df: DataFrame) -> bool:
+        """Does the query's analyzed plan scan any table whose rowid is
+        the engine-managed hidden one (ebike.rowid property)?"""
+        plan = df._jdf.queryExecution().analyzed().toString()
+        for name in set(re.findall(r"Relation (?:spark_catalog\.)?([\w.]+)\[", plan)):
+            try:
+                if self.catalog.has_rowid(name):
+                    return True
+            except Exception:  # temp views etc. have no TBLPROPERTIES
+                continue
+        return False
+
     def _select(self, sql: str) -> EngineResult:
         if self._info_schema_dirty and re.search(
             r"\b(information_schema|performance_schema|mysql)\s*\.", sql, re.I
@@ -200,7 +228,19 @@ class Engine:
             self._info_schema_dirty = False
         self.spark.catalog.setCurrentDatabase(self.current_db)
         try:
-            return EngineResult("rows", df=self.spark.sql(self._fix_select(sql)))
+            df = self.spark.sql(self._fix_select(sql))
+            # `SELECT *` (or any projection that picked up the hidden
+            # rowid without naming it) hides row identity; dropping it
+            # here lets Catalyst prune the column out of the scan. A
+            # user-DECLARED rowid column is not hidden — only tables
+            # carrying the ebike.rowid property trigger the drop.
+            if (
+                "rowid" in df.columns
+                and not self._mentions_rowid(sql)
+                and self._reads_hidden_rowid_table(df)
+            ):
+                df = df.drop("rowid")
+            return EngineResult("rows", df=df)
         except Exception as ex:  # map missing relations to MySQL 1146
             # (the reference's table-existence check, core_util.rs:143-221)
             if "TABLE_OR_VIEW_NOT_FOUND" in str(ex):
@@ -381,7 +421,8 @@ class Engine:
         as meta-table surgery, /root/reference/src/execute_impl/drop_column.rs:37-131)."""
         self.catalog.require_table(qualified)
         t = self.spark.table(qualified)
-        if col not in t.columns:
+        if col not in t.columns or (col == "rowid" and self.catalog.has_rowid(qualified)):
+            # the hidden rowid is not a user column — not droppable
             raise EbikeError(1091, f"Can't DROP '{col}'; check that column/key exists")
         kept = t.drop(col)
         props = self.catalog.properties(qualified)
@@ -417,6 +458,27 @@ class Engine:
             # constraint checks apply only to the VALUES path, as in the
             # reference which only implements VALUES, insert.rs:48-224)
             self.spark.catalog.setCurrentDatabase(self.current_db)
+            m = re.match(r"\s*INSERT\s+INTO\s+([\w.`\"]+)\s+(SELECT\b[\s\S]*)$", fixed, re.I)
+            if m:
+                q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
+                if self.catalog.table_exists(q) and self.catalog.has_rowid(q):
+                    # the source SELECT provides the user columns
+                    # positionally; the hidden rowid is minted here
+                    import pyspark.sql.functions as F
+
+                    src = self.spark.sql(self._fix_select(m.group(2)))
+                    cols = self.catalog.column_types(q)
+                    if len(src.columns) != len(cols):
+                        raise EbikeError(1136, "Column count doesn't match value count")
+                    out = (
+                        src.select(
+                            *[src[src.columns[i]].cast(t).alias(n) for i, (n, t) in enumerate(cols)]
+                        )
+                        .withColumn("rowid", F.expr("uuid()"))
+                        .select(*self.spark.table(q).columns)  # physical order
+                    )
+                    out.write.insertInto(q, overwrite=False)
+                    return EngineResult("count", affected=-1)
             self.spark.sql(fixed)
             return EngineResult("count", affected=-1)
         try:

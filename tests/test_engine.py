@@ -516,3 +516,90 @@ def test_select_joins_through_engine(eng):
         "GROUP BY a.v ORDER BY a.v"
     ).rows()
     assert [(r["v"], r["n"], r["s"]) for r in rows] == [("x", 2, 4.0), ("y", 0, None), ("z", 1, 9.0)]
+
+
+# ------------------------------------------------------------------ rowid
+# Reference parity: a hidden UUID rowid on every managed table
+# (/root/reference/src/meta/meta_def.rs:385-398), surfaced only when the
+# query text names it (core_util.rs:451-461).
+
+
+def test_rowid_hidden_from_star_and_metadata(eng):
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'lucy', 1.70)")
+    star = eng.execute("SELECT * FROM user").rows()
+    assert list(star[0].asDict()) == ["id", "name", "stature"]
+    cols = [r["Field"] for r in eng.execute("SHOW COLUMNS FROM user").rows()]
+    assert "rowid" not in cols
+    ddl = eng.execute("SHOW CREATE TABLE user").rows()[0][1]
+    assert "rowid" not in ddl
+    desc = [r[0] for r in eng.execute("DESCRIBE user").rows()]
+    assert "rowid" not in desc
+
+
+def test_rowid_stable_uuid_when_projected(eng):
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'lucy', 1.70), (2, 'lily', 1.60)")
+    r1 = {r["id"]: r["rowid"] for r in eng.execute("SELECT id, rowid FROM user").rows()}
+    r2 = {r["id"]: r["rowid"] for r in eng.execute("SELECT id, rowid FROM user").rows()}
+    assert r1 == r2 and len(set(r1.values())) == 2
+    assert all(len(v) == 36 for v in r1.values())  # uuid text shape
+
+
+def test_rowid_survives_update_not_delete(eng):
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'lucy', 1.70), (2, 'lily', 1.60)")
+    before = {r["id"]: r["rowid"] for r in eng.execute("SELECT id, rowid FROM user").rows()}
+    eng.execute("UPDATE user SET stature = 1.80 WHERE id = 1")
+    after = {r["id"]: r["rowid"] for r in eng.execute("SELECT id, rowid FROM user").rows()}
+    assert after == before  # row identity survives value updates
+    eng.execute("DELETE FROM user WHERE id = 1")
+    left = {r["id"]: r["rowid"] for r in eng.execute("SELECT id, rowid FROM user").rows()}
+    assert left == {2: before[2]}
+
+
+def test_rowid_upsert_keeps_identity_on_update_mints_on_insert(eng):
+    eng.execute("CREATE TABLE kv (k INT NOT NULL, v CHAR, PRIMARY KEY (k))")
+    eng.execute("INSERT INTO kv VALUES (1, 'a')")
+    old = eng.execute("SELECT k, rowid FROM kv").rows()[0]["rowid"]
+    eng.execute("INSERT INTO kv VALUES (1, 'b'), (2, 'c') ON DUPLICATE KEY UPDATE v = VALUES(v)")
+    got = {r["k"]: r["rowid"] for r in eng.execute("SELECT k, rowid FROM kv").rows()}
+    assert got[1] == old and got[2] != old and got[2]
+
+
+def test_rowid_not_assignable_or_droppable(eng):
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'lucy', 1.70)")
+    with pytest.raises(EbikeError) as e:
+        eng.execute("UPDATE user SET rowid = 'x' WHERE id = 1")
+    assert e.value.code == 1054
+    with pytest.raises(EbikeError) as e:
+        eng.execute("ALTER TABLE user DROP COLUMN rowid")
+    assert e.value.code == 1091
+
+
+def test_rowid_insert_select_and_alter_order(eng):
+    # INSERT...SELECT mints rowids; ALTER ADD COLUMN then another insert
+    # must still land values in the right physical slots
+    eng.execute("CREATE TABLE src (id INT, name CHAR)")
+    eng.execute("CREATE TABLE dst (id INT, name CHAR)")
+    eng.execute("INSERT INTO src VALUES (1, 'a'), (2, 'b')")
+    eng.execute("INSERT INTO dst SELECT id, name FROM src")
+    rid = {r["id"]: r["rowid"] for r in eng.execute("SELECT id, rowid FROM dst").rows()}
+    assert len(set(rid.values())) == 2 and all(rid.values())
+    eng.execute("ALTER TABLE dst ADD COLUMN extra INT")
+    eng.execute("INSERT INTO dst VALUES (3, 'c', 30)")
+    rows = {r["id"]: (r["name"], r["extra"]) for r in eng.execute("SELECT * FROM dst").rows()}
+    assert rows[3] == ("c", 30) and rows[1] == ("a", None)
+    rid2 = {r["id"]: r["rowid"] for r in eng.execute("SELECT id, rowid FROM dst").rows()}
+    assert rid2[1] == rid[1] and len(set(rid2.values())) == 3
+
+
+def test_user_declared_rowid_column_wins(eng):
+    # a table that declares its own rowid column gets NO hidden one:
+    # SELECT * shows the user's column, untouched by the engine
+    eng.execute("CREATE TABLE t (id INT, rowid CHAR)")
+    eng.execute("INSERT INTO t VALUES (1, 'mine')")
+    rows = eng.execute("SELECT * FROM t").rows()
+    assert list(rows[0].asDict()) == ["id", "rowid"]
+    assert rows[0]["rowid"] == "mine"
