@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "dedup_cluster",
     "text_tfidf_top_terms",
     "text_chunk_windows",
+    "text_decontaminate",
+    "text_repetition",
     "sample_deterministic",
     "asof_generic_events_orders",
     "q20_window_frames",

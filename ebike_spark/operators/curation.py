@@ -1,0 +1,275 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, repetition scoring, sequence packing, stratified
+sampling, and embedding quantization audit.
+
+These extend the reference's query surface the same way the dedup/text
+families do (the reference has no corpus tooling at all — SURVEY §2.B
+stops at scalar SQL functions); each is a first-class registered query
+with a DuckDB oracle, built from Catalyst expressions / linear
+aggregations so the plan scales: no all-pairs joins, no driver
+collects, no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ebike_spark.functions.textfns import md5_long, md5_long_sql, tokens
+from ebike_spark.plans.registry import register
+from ebike_spark.sources.registry import load_table
+
+# ------------------------------------------------------------ shared
+
+DECON_N = 5  # n-gram width for decontamination. Production pipelines
+#              use 8-13 over natural text; the synthetic corpus draws
+#              from a ~31-word vocabulary, where ≥6-grams shared with
+#              the eval split vanish entirely and 4-grams are collision
+#              soup — 5 is the width at which hits are true overlap.
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 marks the held-out eval set
+
+PACK_CTX = 512  # context-window token budget for sequence packing
+
+# per-language deterministic sampling rates (percent kept)
+STRATA_RATES = {"en": 50, "fr": 30, "de": 30, "es": 20, "zh": 20}
+STRATA_DEFAULT = 10
+
+
+def _ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g): word n-grams per document, duplicates preserved.
+    posexplode + lead windows (codegen'd) rather than higher-order
+    array expressions (interpreted, measured 3× slower — see
+    dedup.shingle_set). One shuffle on doc_id."""
+    tok = docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "w"))
+    win = Window.partitionBy("doc_id").orderBy("i")
+    parts = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, n)]
+    tail = F.lead("w", n - 1).over(win)
+    return (
+        tok.select("doc_id", F.concat_ws(" ", *parts).alias("g"), tail.alias("_t"))
+        .where(F.col("_t").isNotNull())
+        .drop("_t")
+    )
+
+
+def _ngram_sql(n: int, src: str = "documents") -> str:
+    """DuckDB twin of :func:`_ngrams` (multiset n-grams)."""
+    concat = "||' '||".join(f"w[i+{k}]" if k else "w[i]" for k in range(n))
+    return f"""
+    SELECT doc_id, {concat} AS g
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-{n - 1})) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src})
+          WHERE len(w) >= {n})
+    """
+
+
+# ---------------------------------------------------- decontamination
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH ng AS ({_ngram_sql(DECON_N)}),
+    eval_g AS (SELECT DISTINCT g FROM ng WHERE doc_id % {EVAL_MOD} = 0),
+    train_g AS (SELECT DISTINCT doc_id, g FROM ng WHERE doc_id % {EVAL_MOD} <> 0)
+    SELECT t.doc_id, COUNT(*) AS n_hits
+    FROM train_g t JOIN eval_g e USING (g)
+    GROUP BY t.doc_id
+    """,
+    tags=("curation", "decontamination"),
+)
+def text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    {DECON_N}-gram with the held-out eval split (doc_id % {EVAL_MOD}
+    == 0), reporting the count of distinct overlapping n-grams.
+
+    100 TB shape: the eval split is fixed-size by construction, so its
+    distinct n-gram set is BROADCAST — the training corpus streams
+    through a broadcast hash join at scan speed and only (doc_id, hit)
+    rows reach the final aggregation. No shuffle touches full text.
+    """
+    ng = _ngrams(load_table(spark, sf, "documents"), DECON_N)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_g = ng.where(is_eval).select("g").distinct()
+    train_g = ng.where(~is_eval).select("doc_id", "g").distinct()
+    return (
+        train_g.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+# ------------------------------------------------- repetition scoring
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
+    per_tok AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    tt AS (SELECT doc_id, SUM(c) AS n_tok, MAX(c) AS top_c FROM per_tok GROUP BY 1),
+    ng AS (SELECT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS g
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+                 FROM toks WHERE len(w) >= 3)),
+    ngs AS (SELECT doc_id, COUNT(*) AS n_g, COUNT(DISTINCT g) AS n_dg FROM ng GROUP BY 1)
+    SELECT tt.doc_id,
+           ROUND(1.0 - ngs.n_dg * 1.0 / ngs.n_g, 4) AS rep3,
+           ROUND(tt.top_c * 1.0 / tt.n_tok, 4) AS top_share
+    FROM tt JOIN ngs ON tt.doc_id = ngs.doc_id
+    """,
+    tags=("curation", "quality", "repetition"),
+)
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition/boilerplate scoring (the C4/RefinedWeb-style signal):
+    duplicate word-3-gram fraction (1 − distinct/total) and top-token
+    share per document. Two linear aggregations with map-side partial
+    combine; nothing quadratic, nothing collected."""
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tt = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tok"), F.max("c").alias("top_c"))
+    )
+    ngs = (
+        _ngrams(docs, 3)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_g"), F.count_distinct("g").alias("n_dg"))
+    )
+    return tt.join(ngs, "doc_id").select(
+        "doc_id",
+        F.round(1.0 - F.col("n_dg") * 1.0 / F.col("n_g"), 4).alias("rep3"),
+        F.round(F.col("top_c") * 1.0 / F.col("n_tok"), 4).alias("top_share"),
+    )
+
+
+# --------------------------------------------------- sequence packing
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    SELECT doc_id, lang,
+           (SUM(n_tok) OVER w - n_tok) // {PACK_CTX} AS seq_id,
+           (SUM(n_tok) OVER w - n_tok) % {PACK_CTX} AS tok_offset
+    FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents)
+    WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+    """,
+    tags=("curation", "packing"),
+)
+def corpus_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing manifest: documents are laid
+    end-to-end per language stream in doc_id order, and each doc gets
+    the {PACK_CTX}-token context window (seq_id) and offset where its
+    first token lands — the assignment step of training-data packing,
+    without materializing token streams.
+
+    Scale shape: one running-sum window per stream = one shuffle on the
+    partition key and a sequential scan per stream. Packing is
+    inherently order-defined within a stream, so at 100 TB the stream
+    key is (lang, shard) with shards pre-assigned by deterministic
+    hash — same plan, bounded partition size; there is no cross-stream
+    dependency to shuffle."""
+    docs = load_table(spark, sf, "documents")
+    tc = docs.select("doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tok"))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    start = F.sum("n_tok").over(w) - F.col("n_tok")
+    return tc.select(
+        "doc_id",
+        "lang",
+        start.cast("long").alias("_s"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(f"_s div {PACK_CTX}").alias("seq_id"),
+        (F.col("_s") % PACK_CTX).alias("tok_offset"),
+    )
+
+
+# ------------------------------------------------- stratified sampling
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(STRATA_RATES.items()))
+    return f"CASE lang {whens} ELSE {STRATA_DEFAULT} END"
+
+
+def _rate_col():
+    c = None
+    for k, v in sorted(STRATA_RATES.items()):
+        c = F.when(F.col("lang") == k, v) if c is None else c.when(F.col("lang") == k, v)
+    return c.otherwise(STRATA_DEFAULT)
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents
+    WHERE {md5_long_sql("text")} % 100 < {_rate_case_sql()}
+    GROUP BY lang
+    """,
+    tags=("curation", "sampling"),
+)
+def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified deterministic sampling: each language stratum keeps
+    its own content-hash bucket rate ({STRATA_RATES}, default
+    {STRATA_DEFAULT}%). Like sample_deterministic, the predicate is a
+    pure expression — reproducible across engines/runs/partitionings,
+    and it runs at scan speed with no shuffle before the audit
+    aggregation."""
+    docs = load_table(spark, sf, "documents")
+    keep = md5_long(F.col("text")) % 100 < _rate_col()
+    return docs.where(keep).groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+# -------------------------------------------- embedding quantization
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sc, 6) AS scale,
+           ROUND(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE)/sc + 0.5) * sc))), 6) AS max_err
+    FROM (SELECT vec_id, embedding,
+                 CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE)
+                 / 127.0 AS sc
+          FROM embeddings)
+    WHERE sc > 0
+    """,
+    tags=("curation", "embedding", "quantization"),
+)
+def embed_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization audit: per-vector max-abs scale
+    (maxabs/127), round-to-nearest code floor(x/scale + 0.5), and the
+    max reconstruction error |x − code·scale| — the storage-shrink
+    audit run before shipping quantized embeddings (4× smaller than
+    float32). floor(x/s + 0.5) rather than round(): both engines share
+    IEEE semantics for /, +, floor, so results are bit-identical
+    cross-engine, which round()'s differing tie policies are not.
+
+    One scan pass of pure per-row expressions (the array lambdas are
+    interpreted, but there are 64 elements/row and no shuffle at all —
+    the plan is a single projection over the parquet scan at any
+    scale). Zero vectors (scale 0) are excluded on both sides."""
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scaled = e.select(
+        "vec_id",
+        "v",
+        (F.expr("aggregate(v, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))") / 127.0).alias("sc"),
+    ).where(F.col("sc") > 0)
+    err = F.expr("aggregate(transform(v, x -> abs(x - floor(x/sc + 0.5) * sc)), CAST(0 AS DOUBLE), (a, x) -> greatest(a, x))")
+    return scaled.select(
+        "vec_id",
+        F.round(F.col("sc"), 6).alias("scale"),
+        F.round(err, 6).alias("max_err"),
+    )

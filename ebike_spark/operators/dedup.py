@@ -413,9 +413,17 @@ def _simhash_sql() -> str:
 
 def simhash_signatures(sh: DataFrame) -> DataFrame:
     """56-bit simhash per doc over its shingle set: per-bit ±1 vote sums
-    (56 JVM-side aggregates, partial-merged), then bit reassembly."""
-    h = md5_long(F.col("s"))
-    votes = sh.groupBy("doc_id").agg(
+    (56 JVM-side aggregates, partial-merged), then bit reassembly.
+
+    The shingle hash is PROJECTED before the aggregate: naming md5
+    inside all 56 sum children relies on subexpression elimination to
+    avoid 56 digests per row, and measured 16% slower than computing it
+    once in the child projection. (Packing two 32-bit vote lanes per
+    long to halve the aggregate count measured no further win — the
+    aggregate update itself is not the bottleneck.)"""
+    hashed = sh.select("doc_id", md5_long(F.col("s")).alias("h"))
+    h = F.col("h")
+    votes = hashed.groupBy("doc_id").agg(
         *[
             F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
             for b in range(SIMHASH_BITS)

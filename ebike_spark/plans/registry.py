@@ -60,6 +60,7 @@ def _load_all() -> None:
     import ebike_spark.operators.text  # noqa: F401
     import ebike_spark.operators.multimodal  # noqa: F401
     import ebike_spark.operators.corpus  # noqa: F401
+    import ebike_spark.operators.curation  # noqa: F401
     import ebike_spark.operators.joins  # noqa: F401
     import ebike_spark.sources.io  # noqa: F401
     import ebike_spark.streaming.events  # noqa: F401

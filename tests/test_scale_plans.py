@@ -136,6 +136,29 @@ def test_ngram_candidate_generation_is_capped(spark):
     assert f"<= {JACCARD_DF_CAP}" in plan, plan
 
 
+def test_decontaminate_broadcasts_eval_set(spark):
+    """The eval split's n-gram set is fixed-size at any corpus scale —
+    it must broadcast so the training corpus never shuffles its
+    n-grams for the contamination join."""
+    df = REGISTRY["text_decontaminate"].fn(spark, SF_DIR)
+    assert "BroadcastHashJoin" in _physical(df)
+
+
+def test_embed_quantize_is_pure_scan(spark):
+    """Quantization audit is a per-row projection: no Exchange of any
+    kind may appear — the plan must be scan → project at any scale."""
+    plan = _physical(REGISTRY["embed_quantize_int8"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_single_stream_shuffle(spark):
+    """Sequence packing shuffles exactly once (on the stream key) for
+    the running-sum window; any additional exchange would mean the
+    manifest no longer scales linearly."""
+    plan = _physical(REGISTRY["corpus_pack_sequences"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_partitioned_write_prunes_on_read(spark, tmp_path):
     """Partition-column filters prune directories before any IO — the
     Spark-native equivalent of the reference's index-range seek
