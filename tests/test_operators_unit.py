@@ -194,3 +194,112 @@ def test_embedding_lsh_candidates_capture_all_true_pairs(spark):
     }
     cand = {(r["v1"], r["v2"]) for r in embedding_candidates(e).collect()}
     assert true_pairs <= cand
+
+
+# --------------------------------------------------------- curation ops
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """Constructed corpus: train doc 100 shares a 5-token run with eval
+    doc 97 (doc_id % 97 == 0); doc 5 shares nothing. Exactly the
+    planted doc is flagged, with the exact distinct-overlap count."""
+    import pyspark.sql.functions as F
+
+    from ebike_spark.operators.curation import DECON_N, _ngrams
+
+    run = "alpha beta gamma delta epsilon"  # one shared 5-gram
+    rows = [
+        (97, f"{run} zeta eta theta iota kappa"),          # eval doc
+        (100, f"noise1 noise2 {run} noise3 noise4"),        # contaminated train
+        (5, "a b c d e f g h i j"),                         # clean train
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ng = _ngrams(docs, DECON_N)
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_g = ng.where(is_eval).select("g").distinct()
+    train_g = ng.where(~is_eval).select("doc_id", "g").distinct()
+    hits = (
+        train_g.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .collect()
+    )
+    assert {(r["doc_id"], r["n_hits"]) for r in hits} == {(100, 1)}
+
+
+def test_pack_sequences_invariants(spark):
+    """Offsets live in [0, CTX); within a stream seq_id/offset encode a
+    gapless running sum in doc_id order."""
+    from ebike_spark.operators.curation import PACK_CTX, corpus_pack_sequences
+    from ebike_spark.sources.registry import load_table
+
+    import pyspark.sql.functions as F
+
+    out = {
+        (r["lang"], r["doc_id"]): (r["seq_id"], r["tok_offset"])
+        for r in corpus_pack_sequences(spark, SF_DIR).collect()
+    }
+    toks = {
+        (r["lang"], r["doc_id"]): r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("lang", "doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    assert set(out) == set(toks)
+    by_lang: dict = {}
+    for (lang, doc), v in sorted(out.items()):
+        by_lang.setdefault(lang, []).append((doc, v))
+    for lang, docs in by_lang.items():
+        cum = 0
+        for doc, (seq, off) in docs:  # sorted by doc_id
+            assert 0 <= off < PACK_CTX
+            assert (seq, off) == divmod(cum, PACK_CTX), (lang, doc)
+            cum += toks[(lang, doc)]
+
+
+def test_repetition_extremes(spark):
+    """All-identical tokens → rep3 = 1 − 1/n_g, top_share = 1; an
+    all-distinct doc → rep3 = 0, top_share = 1/n."""
+    from ebike_spark.plans.registry import REGISTRY
+
+    # build through the registered query's internals on a tiny frame
+    import pyspark.sql.functions as F
+
+    from ebike_spark.operators.curation import _ngrams
+    from ebike_spark.functions.textfns import tokens
+
+    docs = spark.createDataFrame(
+        [(1, "x x x x x x"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tt = (
+        tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.sum("c").alias("n_tok"), F.max("c").alias("top_c"))
+    )
+    ngs = (
+        _ngrams(docs, 3).groupBy("doc_id")
+        .agg(F.count("*").alias("n_g"), F.count_distinct("g").alias("n_dg"))
+    )
+    got = {
+        r["doc_id"]: (r["rep3"], r["top_share"])
+        for r in tt.join(ngs, "doc_id").select(
+            "doc_id",
+            F.round(1.0 - F.col("n_dg") * 1.0 / F.col("n_g"), 4).alias("rep3"),
+            F.round(F.col("top_c") * 1.0 / F.col("n_tok"), 4).alias("top_share"),
+        ).collect()
+    }
+    assert got[1] == (round(1 - 1 / 4, 4), 1.0)  # 4 trigrams, all equal
+    assert got[2] == (0.0, round(1 / 6, 4))
+
+
+def test_quantize_error_bounded_by_half_scale(spark):
+    """Round-to-nearest int8: every vector's max reconstruction error
+    must be ≤ scale/2 (plus the 6dp output-rounding slack: both values
+    round independently, worst case ±7.5e-7 on the comparison)."""
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["embed_quantize_int8"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["max_err"] <= r["scale"] / 2 + 1e-6, r
