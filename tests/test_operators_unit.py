@@ -303,3 +303,17 @@ def test_quantize_error_bounded_by_half_scale(spark):
     assert rows
     for r in rows:
         assert r["max_err"] <= r["scale"] / 2 + 1e-6, r
+
+
+def test_persist_scoped_reuses_identical_plan_rebuilds_on_change(spark):
+    """Same (session, tag) + same plan → the warm cache object is
+    served; a different plan under the tag → rebuild, never stale."""
+    from ebike_spark.operators.dedup import _persist_scoped
+
+    c1 = _persist_scoped(spark, "unit_test_tag", spark.range(10).selectExpr("id*2 AS x"))
+    assert c1.count() == 10
+    c2 = _persist_scoped(spark, "unit_test_tag", spark.range(10).selectExpr("id*2 AS x"))
+    assert c2 is c1
+    c3 = _persist_scoped(spark, "unit_test_tag", spark.range(11).selectExpr("id*2 AS x"))
+    assert c3 is not c1 and c3.count() == 11
+    c3.unpersist()
