@@ -273,3 +273,95 @@ def embed_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("sc"), 6).alias("scale"),
         F.round(err, 6).alias("max_err"),
     )
+
+
+# ------------------------------------------------ LM perplexity score
+
+
+@register(
+    "text_perplexity",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n FROM freq)
+    SELECT doc_id, ROUND(AVG(-ln(freq.c * 1.0 / tot.n)), 4) AS nll
+    FROM tok JOIN freq USING (t) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    tags=("curation", "quality", "perplexity"),
+)
+def text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram language-model scoring: mean negative log-likelihood per
+    document under the corpus's own unigram distribution — the
+    perplexity-filter signal (documents scoring far above the corpus
+    mean are noise; far below are boilerplate). Every token is in-vocab
+    by construction so there is no smoothing term to diverge on.
+
+    Scale shape: the unigram table is vocabulary-sized → broadcast into
+    the scoring join; one explode pass + one per-doc aggregation, both
+    with map-side partial combine. Swapping the unigram table for
+    externally-trained n-gram logprobs is a join-table change, not a
+    plan change."""
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c")).collect()[0][0]  # one scalar
+    nll = -F.log(F.col("c") * 1.0 / F.lit(float(total)))
+    return (
+        tok.join(F.broadcast(freq), "t")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(nll), 4).alias("nll"))
+    )
+
+
+# ------------------------------------------------- corpus mix weights
+
+# target language shares for the training mix (sum to 1)
+MIX_TARGETS = {"en": 0.40, "fr": 0.15, "de": 0.15, "es": 0.15, "zh": 0.15}
+
+
+def _mix_target_sql() -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_TARGETS.items()))
+    return f"CASE lang {whens} ELSE 0.0 END"
+
+
+@register(
+    "corpus_mix_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n_tokens) AS t FROM per)
+    SELECT lang, n_docs, n_tokens,
+           ROUND(n_tokens * 1.0 / tot.t, 4) AS actual_share,
+           ROUND(({_mix_target_sql()}) / (n_tokens * 1.0 / tot.t), 4) AS weight
+    FROM per CROSS JOIN tot
+    """,
+    tags=("curation", "sampling", "mixing"),
+)
+def corpus_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-mix reweighting: per-language token counts, actual
+    corpus share, and the sampling multiplier (target share / actual
+    share) that a weighted sampler applies to hit the declared mix
+    ({MIX_TARGETS}). The audit every multi-source training run does
+    before sampling; one scan + a stratum-count aggregation (5 rows),
+    nothing else shuffles."""
+    docs = load_table(spark, sf, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens")).collect()[0][0]  # one scalar
+    target = None
+    for k, v in sorted(MIX_TARGETS.items()):
+        target = F.when(F.col("lang") == k, v) if target is None else target.when(F.col("lang") == k, v)
+    target = target.otherwise(0.0)
+    share = F.col("n_tokens") * 1.0 / F.lit(float(total))
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 4).alias("actual_share"),
+        F.round(target / share, 4).alias("weight"),
+    )
