@@ -64,27 +64,48 @@ _persist_pool: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" =
 )
 
 
-def _persist_scoped(spark: SparkSession, tag: str, df: DataFrame) -> DataFrame:
-    """Cache ``df`` under (session, tag), releasing the tag's previous
-    cache — unless the previous cache computes the SAME result
-    (canonicalized-plan comparison), in which case it is reused: the
-    test tables are immutable within a session, so a re-invoked
-    pipeline hitting the warm sketch cache is the resident-engine
-    steady state, not staleness. A different sf_dir (or any plan
-    change) misses the comparison and rebuilds."""
+def _persist_scoped(spark: SparkSession, tag: str, df, key: str | None = None) -> DataFrame:
+    """Cache a DataFrame under (session, tag), releasing the tag's
+    previous cache — unless the previous cache computes the SAME
+    result, in which case it is served warm: the test tables are
+    immutable within a session, so a re-invoked pipeline hitting the
+    materialized sketches is the resident-engine steady state, not
+    staleness. A different sf_dir (or plan change) rebuilds.
+
+    Sameness is established one of two ways:
+    - ``key`` given (e.g. the sf_dir): a cached entry under the same
+      (tag, key) is served WITHOUT building the candidate plan at all —
+      pass ``df`` as a zero-arg callable and it is only invoked on a
+      miss. This matters for the wide sketch plans: constructing and
+      canonicalizing the 56-aggregate simhash plan costs ~1 s of
+      driver time per call, dwarfing the cached execution. Same trust
+      model as sources.registry's plan cache (keyed by path, files
+      immutable within a session).
+    - no ``key``: the plans are compared via canonicalized sameResult.
+    """
     pool = _persist_pool.setdefault(spark, {})
-    old = pool.get(tag)
-    if old is not None:
-        try:
-            if old._jdf.queryExecution().analyzed().sameResult(
-                df._jdf.queryExecution().analyzed()
-            ):
+    entry = pool.get(tag)  # (key, DataFrame)
+    if entry is not None:
+        old_key, old = entry
+        if key is not None:
+            if old_key == key:
                 return old
-        except Exception:
-            pass
+        else:
+            built = df() if callable(df) else df
+            try:
+                if old._jdf.queryExecution().analyzed().sameResult(
+                    built._jdf.queryExecution().analyzed()
+                ):
+                    return old
+            except Exception:
+                pass
+            old.unpersist()
+            pool[tag] = (None, built.persist())
+            return pool[tag][1]
         old.unpersist()
-    pool[tag] = df.persist()
-    return pool[tag]
+    built = df() if callable(df) else df
+    pool[tag] = (key, built.persist())
+    return pool[tag][1]
 
 
 def _tune_wide_codegen(spark: SparkSession) -> None:
@@ -294,7 +315,7 @@ def dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     the full sets — see jaccard_pairs). The pure uncapped form remains
     available as jaccard_pairs(sh, t) and is what the property tests
     compare against."""
-    sh = _persist_scoped(spark, "ngram_shingles", shingle_set(spark, sf))
+    sh = _persist_scoped(spark, "ngram_shingles", lambda: shingle_set(spark, sf), key=sf)
     return jaccard_pairs(sh, JACCARD_THRESHOLD, df_cap=JACCARD_DF_CAP)
 
 
@@ -425,7 +446,7 @@ def minhash_verified_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # unpersisted). MEMORY_AND_DISK: at cluster scale the set is large
     # but spills instead of recomputing.
     _tune_wide_codegen(spark)
-    sh = _persist_scoped(spark, "minhash_shingles", shingle_set(spark, sf))
+    sh = _persist_scoped(spark, "minhash_shingles", lambda: shingle_set(spark, sf), key=sf)
     cand = fused_lsh_candidates(sh)
     return verify_jaccard(sh, cand, JACCARD_THRESHOLD)
 
@@ -517,7 +538,10 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     sig = _persist_scoped(
         spark,
         "simhash_sig",
-        simhash_signatures(_persist_scoped(spark, "simhash_shingles", shingle_set(spark, sf))),
+        lambda: simhash_signatures(
+            _persist_scoped(spark, "simhash_shingles", lambda: shingle_set(spark, sf), key=sf)
+        ),
+        key=sf,
     )
     n_bands = (SIMHASH_BITS + SIMHASH_BAND_BITS - 1) // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
