@@ -119,9 +119,14 @@ def main() -> None:
         duck_time("SELECT count(DISTINCT o_custkey) FROM orders"),
     ))
     cases.append((
-        "shingle dedup ground truth",
+        "shingle dedup ground truth (capped exact path)",
         spark_time(_dedup(spark, docs)),
         duck_time(_DEDUP_SQL),
+    ))
+    cases.append((
+        "minhash-LSH dedup, same ground truth",
+        spark_time(_dedup_lsh(spark, docs)),
+        float("nan"),
     ))
     print("| shape | Spark s | DuckDB s | ratio |")
     print("|---|---|---|---|")
@@ -148,12 +153,14 @@ WHERE c*1.0/(sa.n+sb.n-c) >= 0.8
 """
 
 
-def _dedup(spark, docs):
+def _probe_shingles(spark, docs):
+    """Distinct 3-gram shingles of the probe corpus (registered-path
+    shape, but over the probe's raw parquet rather than the registry)."""
     from pyspark.sql import Window
 
     tok = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("i", "w"))
     win = Window.partitionBy("doc_id").orderBy("i")
-    sh = (
+    return (
         tok.select(
             "doc_id",
             F.concat_ws(" ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias("s"),
@@ -163,21 +170,22 @@ def _dedup(spark, docs):
         .drop("_t")
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("c"))
-    )
-    j = F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
-    return (
-        inter.join(sizes.alias("sa"), F.col("d1") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("d2") == F.col("sb.doc_id"))
-        .where(j >= 0.8)
-        .groupBy()
-        .count()
-    )
+
+
+def _dedup(spark, docs):
+    """The registered exact path: stop-shingle-capped jaccard_pairs."""
+    from ebike_spark.operators.dedup import JACCARD_DF_CAP, jaccard_pairs
+
+    sh = _probe_shingles(spark, docs).persist()
+    return jaccard_pairs(sh, 0.8, df_cap=JACCARD_DF_CAP).groupBy().count()
+
+
+def _dedup_lsh(spark, docs):
+    """The registered scale path: fused minhash banding + exact verify."""
+    from ebike_spark.operators.dedup import fused_lsh_candidates, verify_jaccard
+
+    sh = _probe_shingles(spark, docs).persist()
+    return verify_jaccard(sh, fused_lsh_candidates(sh), 0.8).groupBy().count()
 
 
 if __name__ == "__main__":
