@@ -135,3 +135,76 @@ def mm_metadata(spark: SparkSession, sf: str) -> DataFrame:
     column at the scan; verified in tests via the optimized plan)."""
     media = ingest_media(spark, sf)
     return media.groupBy("width").agg(F.count("*").alias("n"))
+
+
+FRAME_BYTES = 64  # fixed-size byte window = one "frame" of the fake codec
+FRAME_STRIDE = 4  # sample every 4th frame
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_hash", LongType(), True),
+    ]
+)
+
+
+def make_frame_sampler(frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE,
+                       n_hex: int = MD5_HEX_DIGITS):
+    """Arrow-batched frame sampler (closure — executors never import this
+    package): split each payload into fixed-size byte frames, keep every
+    ``stride``-th frame, emit (doc_id, frame_idx, frame_hash) rows. The
+    decode step is the deterministic fake (byte windows) — swapping in a
+    real codec changes only the inner slicing, not the Spark plumbing,
+    batch shape, or fan-out schema."""
+
+    def sample(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    chunk = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    hashes.append(int(hashlib.md5(chunk).hexdigest()[:n_hex], 16))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "frame_idx": _pd.Series(idxs, dtype="int64"),
+                    "frame_hash": _pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return sample
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, text, strlen(text) AS L FROM documents),
+    idx AS (SELECT doc_id, text,
+                   unnest(generate_series(0, CAST(ceil(L * 1.0 / {FRAME_BYTES}) AS BIGINT) - 1,
+                                          {FRAME_STRIDE})) AS frame_idx
+            FROM f WHERE L > 0)
+    SELECT doc_id, frame_idx,
+           {md5_long_sql(f"substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES})")} AS frame_hash
+    FROM idx
+    """,
+    tags=("multimodal", "video", "frame-sample", "pandas-udf"),
+)
+def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling over binary media payloads: every {FRAME_STRIDE}th
+    {FRAME_BYTES}-byte frame of each payload is hashed — the
+    video-keyframe-extraction plumbing (decode is the deterministic fake;
+    the container has no codec). Fan-out mapInPandas: one input row yields
+    many frame rows inside the same Arrow batch, no shuffle until the
+    caller aggregates. The oracle re-slices the text the payload encodes
+    (ASCII corpus → byte and char windows coincide)."""
+    media = ingest_media(spark, sf).select("doc_id", "payload")
+    return media.mapInPandas(make_frame_sampler(), FRAME_SCHEMA)

@@ -27,6 +27,7 @@ import uuid
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ebike_spark.functions.textfns import md5_long, md5_long_sql
 from ebike_spark.plans.registry import register
 from ebike_spark.sources.registry import load_table
 
@@ -113,3 +114,27 @@ def read_jdbc_stub(spark: SparkSession, url: str, table: str, **options) -> Data
     without them the whole table streams through one task.
     """
     raise NotImplementedError("no JDBC endpoint in this environment; see docstring")
+
+
+_TEXT_ORACLE = f"""
+SELECT COUNT(*) AS n_lines,
+       SUM({md5_long_sql("text")} % 1000000007) AS content_check
+FROM documents
+"""
+
+
+@register("io_text_roundtrip", oracle=_TEXT_ORACLE, tags=("io", "text"))
+def io_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Plain-text write→read (one document per line — the raw-corpus
+    interchange format). Line order is partition-dependent, so the check
+    aggregates order-insensitively: line count + modular digest sum. The
+    corpus has no embedded newlines; a real pipeline would escape or
+    length-prefix them."""
+    path = _scratch("text")
+    docs = load_table(spark, sf, "documents")
+    docs.select("text").write.text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(md5_long(F.col("value")) % 1_000_000_007).alias("content_check"),
+    )
