@@ -87,10 +87,13 @@ def text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     through a broadcast hash join at scan speed and only (doc_id, hit)
     rows reach the final aggregation. No shuffle touches full text.
     """
-    ng = _ngrams(load_table(spark, sf, "documents"), DECON_N)
+    docs = load_table(spark, sf, "documents")
     is_eval = F.col("doc_id") % EVAL_MOD == 0
-    eval_g = ng.where(is_eval).select("g").distinct()
-    train_g = ng.where(~is_eval).select("doc_id", "g").distinct()
+    # split BEFORE n-gram extraction: the eval predicate pushes into the
+    # scan, so the (tiny) eval pass shingles ~1% of the corpus instead
+    # of filtering after a full-corpus explode
+    eval_g = _ngrams(docs.where(is_eval), DECON_N).select("g").distinct()
+    train_g = _ngrams(docs.where(~is_eval), DECON_N).select("doc_id", "g").distinct()
     return (
         train_g.join(F.broadcast(eval_g), "g")
         .groupBy("doc_id")
