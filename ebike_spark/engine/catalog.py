@@ -224,6 +224,7 @@ class Catalog:
         constraint_rows = []
         kcu_rows = []
         stat_rows = []
+        views_rows = []
         for db in dbs:
             if db == "information_schema":
                 continue
@@ -234,7 +235,17 @@ class Catalog:
                 ttype = "VIEW" if t.tableType == "VIEW" else "BASE TABLE"
                 tables_rows.append(("def", db, t.name, ttype, "parquet" if ttype == "BASE TABLE" else ""))
                 if ttype == "VIEW":
-                    continue  # views have no stored columns/constraints here
+                    # views carry their definition (MySQL
+                    # information_schema.views shape) but no stored
+                    # columns/constraints here
+                    try:
+                        ddl = spark.sql(f"SHOW CREATE TABLE {bq(qualified)}").collect()[0][0]
+                        m = re.search(r"\bAS\s+(.*)\Z", ddl, re.S | re.I)
+                        definition = (m.group(1).strip() if m else "")
+                    except Exception:
+                        definition = ""
+                    views_rows.append(("def", db, t.name, definition, "NONE", "YES", "root@%"))
+                    continue
                 try:
                     nn = set(self.not_null_cols(qualified))
                     pk = self.primary_key(qualified)
@@ -261,8 +272,13 @@ class Catalog:
                     for seq, c in enumerate(kcols, start=1):
                         kcu_rows.append(("def", db, kname, "def", db, t.name, c, seq))
                         stat_rows.append(("def", db, t.name, 0, db, kname, seq, c))
-        for t in ("schemata", "tables", "columns", "table_constraints", "key_column_usage", "statistics"):
+        for t in ("schemata", "tables", "columns", "table_constraints", "key_column_usage", "statistics", "views"):
             self._ensure_fresh_location(f"information_schema.{t}")
+        spark.createDataFrame(
+            views_rows or [("def", "", "", "", "", "", "")],
+            "table_catalog string, table_schema string, table_name string, "
+            "view_definition string, check_option string, is_updatable string, definer string",
+        ).write.mode("overwrite").saveAsTable("information_schema.views")
         spark.createDataFrame(
             schemata,
             "catalog_name string, schema_name string, default_character_set_name string, default_collation_name string",

@@ -368,3 +368,58 @@ def corpus_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
         F.round(share, 4).alias("actual_share"),
         F.round(target / share, 4).alias("weight"),
     )
+
+
+# -------------------------------------------- duplicated-span scoring
+
+SPAN_N = 5  # span width (words); production substring dedup uses 40-60
+#             token windows — the plan is identical, only the constant
+SPAN_MIN_DF = 2  # a span is "duplicated" once any OTHER doc contains it
+
+
+@register(
+    "text_dup_spans",
+    oracle=f"""
+    WITH ng AS ({_ngram_sql(SPAN_N)}),
+    dist AS (SELECT DISTINCT doc_id, g FROM ng),
+    df AS (SELECT g, COUNT(*) AS df FROM dist GROUP BY 1),
+    per AS (SELECT ng.doc_id,
+                   COUNT(*) AS n_spans,
+                   COUNT(*) FILTER (df.df >= {SPAN_MIN_DF}) AS n_dup
+            FROM ng JOIN df USING (g) GROUP BY 1)
+    SELECT doc_id, n_spans, n_dup,
+           ROUND(n_dup * 1.0 / n_spans, 4) AS dup_frac
+    FROM per WHERE n_dup > 0
+    """,
+    tags=("curation", "dedup", "substring"),
+)
+def text_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplicated-span scoring — the exact-substring-dedup
+    signal (Dolma/RefinedWeb style): for every document, how many of its
+    word-{SPAN_N}-gram spans also occur in at least {SPAN_MIN_DF - 1}
+    other document(s), and what fraction of the document that covers.
+    A removal pass drops or trims documents above a dup_frac threshold.
+
+    Scale shape: span document-frequency is one distinct + one count
+    aggregation (map-side combined); scoring joins the corpus span
+    stream to the df table on the span value — a linear shuffle join
+    (the df table outgrows broadcast at corpus scale, and that is
+    fine). Nothing pairwise, nothing collected."""
+    docs = load_table(spark, sf, "documents")
+    ng = _ngrams(docs, SPAN_N)
+    df = ng.select("doc_id", "g").distinct().groupBy("g").agg(F.count("*").alias("df"))
+    return (
+        ng.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("df") >= SPAN_MIN_DF).cast("long")).alias("n_dup"),
+        )
+        .where(F.col("n_dup") > 0)
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup",
+            F.round(F.col("n_dup") * 1.0 / F.col("n_spans"), 4).alias("dup_frac"),
+        )
+    )

@@ -603,3 +603,21 @@ def test_user_declared_rowid_column_wins(eng):
     rows = eng.execute("SELECT * FROM t").rows()
     assert list(rows[0].asDict()) == ["id", "rowid"]
     assert rows[0]["rowid"] == "mine"
+
+
+def test_information_schema_views(eng):
+    eng.execute("CREATE TABLE base (id INT, name CHAR)")
+    eng.execute("INSERT INTO base VALUES (1, 'x')")
+    eng.execute("CREATE VIEW v_names AS SELECT name FROM base")
+    rows = eng.execute(
+        "SELECT table_schema, table_name, view_definition FROM information_schema.views"
+    ).rows()
+    mine = [r for r in rows if r["table_name"] == "v_names"]
+    assert len(mine) == 1
+    assert mine[0]["table_schema"] == eng.current_db
+    assert "name" in mine[0]["view_definition"].lower()
+    # and the tables table still marks it as a VIEW
+    t = eng.execute(
+        f"SELECT table_type FROM information_schema.tables WHERE table_name = 'v_names'"
+    ).rows()
+    assert t and t[0][0] == "VIEW"
