@@ -16,6 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ebike_spark.functions.textfns import md5_long, md5_long_sql, tokens
+from ebike_spark.operators.text import STOPWORDS
 from ebike_spark.plans.registry import register
 from ebike_spark.sources.registry import load_table
 
@@ -422,4 +423,136 @@ def text_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
             "n_dup",
             F.round(F.col("n_dup") * 1.0 / F.col("n_spans"), 4).alias("dup_frac"),
         )
+    )
+
+
+# ------------------------------------------------- per-domain capping
+
+DOMAIN_CAP = 15  # max documents kept per source/domain
+_CAP_MOD = 99991  # modular checksum base (avoids BIGINT-vs-HUGEINT sum
+#                   divergence and int64 overflow at large SF)
+
+
+@register(
+    "corpus_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {md5_long_sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN doc_id % {_CAP_MOD} ELSE 0 END) AS BIGINT)
+             AS kept_checksum
+    FROM ranked GROUP BY source
+    """,
+    tags=("corpus", "curation", "domain-cap"),
+)
+def corpus_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document cap (CommonCrawl-style over-represented-host
+    control): keep at most {DOMAIN_CAP} documents per source, chosen by
+    deterministic hash order (md5 of doc_id) so the survivor set is
+    stable across runs and engines — never first-N in file order, which
+    would bias toward crawl position.
+
+    Scale shape: one hash-partition shuffle on source, then a window
+    rank within each domain. Hot domains (the reason this operator
+    exists) make that partition-skewed; the cap itself bounds the
+    *output* per domain, and for truly pathological hosts the rank can
+    be pre-thinned map-side by filtering on the hash value below
+    ~cap/domain_count quantile before the shuffle. The checksum of the
+    kept set is modular so it never overflows at any SF."""
+    docs = load_table(spark, sf, "documents")
+    h = md5_long(F.col("doc_id").cast("string"))
+    rn = F.row_number().over(Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc()))
+    kept = F.col("rn") <= DOMAIN_CAP
+    return (
+        docs.select("source", "doc_id").withColumn("rn", rn)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("doc_id") % _CAP_MOD).otherwise(0)).cast("long").alias("kept_checksum"),
+        )
+    )
+
+
+# ------------------------------------------- heuristic quality rules
+
+RULE_MIN_TOKENS = 20  # Gopher: drop docs under a token floor
+RULE_MAX_MEAN_WLEN = 5.0  # Gopher: drop docs with abnormally long words
+RULE_MIN_DISTINCT_RATIO = 0.5  # C4/Gopher: drop low-lexical-diversity docs
+
+
+@register(
+    "text_heuristic_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_tok,
+             length(replace(text, ' ', '')) * 1.0
+               / len(string_split(text, ' ')) AS mean_wlen,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS distinct_ratio,
+             len(list_filter(string_split(text, ' '),
+                 w -> w IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS n_stop
+      FROM documents),
+    r AS (
+      SELECT lang,
+             CASE WHEN n_tok < {RULE_MIN_TOKENS} THEN 1 ELSE 0 END AS r_short,
+             CASE WHEN mean_wlen > {RULE_MAX_MEAN_WLEN} THEN 1 ELSE 0 END AS r_longword,
+             CASE WHEN distinct_ratio < {RULE_MIN_DISTINCT_RATIO} THEN 1 ELSE 0 END AS r_lowdiv,
+             CASE WHEN n_stop = 0 THEN 1 ELSE 0 END AS r_nostop
+      FROM t)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(r_short) AS BIGINT) AS n_short,
+           CAST(SUM(r_longword) AS BIGINT) AS n_longword,
+           CAST(SUM(r_lowdiv) AS BIGINT) AS n_lowdiv,
+           CAST(SUM(r_nostop) AS BIGINT) AS n_nostop,
+           CAST(SUM(CASE WHEN r_short + r_longword + r_lowdiv + r_nostop = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM r GROUP BY lang
+    """,
+    tags=("text", "curation", "quality-rules"),
+)
+def text_heuristic_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Rule-based document filter (C4/Gopher-style): hard per-document
+    rules — token floor, mean-word-length ceiling, lexical-diversity
+    floor, must-contain-a-stopword — with a per-language audit of how
+    many documents each rule fires on and how many survive all of them.
+    (This complements text_quality, which produces *soft scores*; these
+    are the *hard gates* a pipeline applies before scoring.)
+
+    All four rules are pure Catalyst expressions over one scan; the
+    groupBy ships 5 aggregate rows per language, not documents. Exact
+    across engines: every ratio is an integer/integer double division,
+    bit-identical in Spark and DuckDB."""
+    docs = load_table(spark, sf, "documents")
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok)
+    mean_wlen = F.length(F.regexp_replace("text", " ", "")) * F.lit(1.0) / n_tok
+    distinct_ratio = F.size(F.array_distinct(tok)) * F.lit(1.0) / n_tok
+    n_stop = F.size(F.filter(tok, lambda w: w.isin(*STOPWORDS)))
+    r_short = (n_tok < RULE_MIN_TOKENS).cast("long")
+    r_longword = (mean_wlen > RULE_MAX_MEAN_WLEN).cast("long")
+    r_lowdiv = (distinct_ratio < RULE_MIN_DISTINCT_RATIO).cast("long")
+    r_nostop = (n_stop == 0).cast("long")
+    t = docs.select(
+        "lang",
+        r_short.alias("r_short"),
+        r_longword.alias("r_longword"),
+        r_lowdiv.alias("r_lowdiv"),
+        r_nostop.alias("r_nostop"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("r_short").cast("long").alias("n_short"),
+        F.sum("r_longword").cast("long").alias("n_longword"),
+        F.sum("r_lowdiv").cast("long").alias("n_lowdiv"),
+        F.sum("r_nostop").cast("long").alias("n_nostop"),
+        F.sum(
+            ((F.col("r_short") + F.col("r_longword") + F.col("r_lowdiv") + F.col("r_nostop")) == 0).cast("long")
+        ).cast("long").alias("n_kept"),
     )

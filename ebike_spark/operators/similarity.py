@@ -143,6 +143,41 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+RANGE_TAU = 0.3
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS cos
+    FROM embeddings, q
+    WHERE vec_id != {QUERY_VEC_ID}
+      AND list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) >= {RANGE_TAU}
+    """,
+    tags=("similarity", "ann", "range"),
+)
+def ann_range_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Range query: ALL vectors within cosine ≥ {RANGE_TAU} of the query
+    — the radius-based retrieval mode (top-k's dual) used for
+    near-duplicate harvesting around a probe point. Same single
+    codegen'd scan as ann_cosine_topk but with a filter instead of
+    TakeOrderedAndProject: the predicate evaluates map-side and only
+    matches leave the executors, so the result (not the corpus) bounds
+    the transfer. With a stored LSH-bucket/IVF-cell column the same
+    predicate composes with bucket pruning (see ann_lsh_topk)."""
+    qv = F.lit(_query_vec(spark, sf)).cast("array<double>")
+    e = load_table(spark, sf, "embeddings").where(F.col("vec_id") != QUERY_VEC_ID)
+    cos = cosine_sim(F.col("embedding").cast("array<double>"), qv)
+    return (
+        e.select("vec_id", cos.alias("_c"))
+        .where(F.col("_c") >= RANGE_TAU)
+        .select("vec_id", F.round("_c", 4).alias("cos"))
+    )
+
+
 @register(
     "ann_lsh_topk",
     oracle=None,  # approximate by design → rows-only check; recall vs exact is unit-tested

@@ -57,6 +57,7 @@ def _load_all() -> None:
     prefix-bounded external check reports."""
     import ebike_spark.operators.dedup  # noqa: F401
     import ebike_spark.operators.similarity  # noqa: F401
+    import ebike_spark.operators.clustering  # noqa: F401
     import ebike_spark.operators.text  # noqa: F401
     import ebike_spark.operators.multimodal  # noqa: F401
     import ebike_spark.operators.corpus  # noqa: F401
@@ -64,6 +65,7 @@ def _load_all() -> None:
     import ebike_spark.operators.joins  # noqa: F401
     import ebike_spark.sources.io  # noqa: F401
     import ebike_spark.streaming.events  # noqa: F401
+    import ebike_spark.plans.analytics_late  # noqa: F401
     import ebike_spark.plans.tpch  # noqa: F401
     import ebike_spark.plans.analytics  # noqa: F401
     import ebike_spark.plans.arrays  # noqa: F401

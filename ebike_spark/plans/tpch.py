@@ -414,3 +414,123 @@ def q13b_approx_pct(spark: SparkSession, sf: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
     ).select("l_returnflag", F.col("pcts")[0].alias("p50"), F.col("pcts")[1].alias("p90"), F.col("pcts")[2].alias("p99"))
+
+
+Q23_BRAND = "Brand#4"
+
+
+@register(
+    "q23_scalar_corr_avg",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey, 0.5 * AVG(l_quantity) AS qty_lim
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = '{Q23_BRAND}')
+      GROUP BY l_partkey)
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < pa.qty_lim
+    """,
+    tags=("tpch", "subquery", "decorrelated"),
+)
+def q23_scalar_corr_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: small-order revenue for one brand, where "small"
+    is a correlated scalar subquery (half the part's average quantity).
+
+    Expressed pre-decorrelated — the plan you want at 100 TB instead of
+    a per-row rerun of the subquery: (1) the brand filter reduces part
+    to a broadcastable key set, so only that brand's lineitems survive
+    the first join; (2) the per-part averages aggregate that reduced
+    set (partial/final, one shuffle on l_partkey); (3) the threshold
+    join reuses the same l_partkey partitioning, so AQE plans it
+    without an extra exchange. The exact-match trick: l_quantity is
+    integer-valued and doubles sum exactly below 2^53, so AVG and the
+    0.5× threshold are bit-identical across engines.
+    """
+    li = _t(spark, sf, "lineitem")
+    brand_keys = (
+        _t(spark, sf, "part").where(F.col("p_brand") == Q23_BRAND).select("p_partkey")
+    )
+    branded = li.join(
+        F.broadcast(brand_keys), li["l_partkey"] == brand_keys["p_partkey"]
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    pa = branded.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_lim")
+    )
+    joined = branded.join(pa, "l_partkey").where(F.col("l_quantity") < F.col("qty_lim"))
+    return joined.agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+
+
+Q24_TOP_N = 10
+
+
+@register(
+    "q24_multi_exists",
+    oracle=f"""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT {Q24_TOP_N}
+    """,
+    tags=("tpch", "subquery", "exists", "anti-join"),
+)
+def q24_multi_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers-who-kept-orders-waiting): lineitems in
+    finished multi-supplier orders where THIS supplier is the only one
+    whose item came back flagged 'R' — an EXISTS plus a NOT EXISTS over
+    the same fact table.
+
+    Spark-first: both subqueries become one-pass join operators instead
+    of per-row probes — EXISTS → left-semi, NOT EXISTS → left-anti,
+    each on (equi l_orderkey, non-equi l_suppkey <>) conditions. All
+    three lineitem-vs-lineitem legs hash-partition on l_orderkey, so
+    AQE stacks them on one exchange of the fact table; supplier is a
+    broadcast dim; the final ORDER BY+LIMIT is TakeOrderedAndProject.
+    With load_table(bucketed=True) fact copies the orderkey exchanges
+    drop out entirely (see q05/q11).
+    """
+    li = _t(spark, sf, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_returnflag").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.select("l_orderkey", "l_suppkey", "l_returnflag").alias("l3")
+    orders_f = (
+        _t(spark, sf, "orders").where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    )
+    sup = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+
+    base = (
+        l1.where(F.col("l1.l_returnflag") == "R")
+        .join(orders_f, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+        .select("l1.l_orderkey", "l1.l_suppkey")
+    )
+    has_other = base.alias("b").join(
+        l2,
+        (F.col("b.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("b.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole_r = has_other.alias("b").join(
+        l3,
+        (F.col("b.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("b.l_suppkey") != F.col("l3.l_suppkey"))
+        & (F.col("l3.l_returnflag") == "R"),
+        "left_anti",
+    )
+    return (
+        sole_r.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(Q24_TOP_N)
+    )

@@ -219,3 +219,38 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
     n_click = df.count()
     assert n_click == ev.where("event_type = 'click'").count()
+
+
+def test_cluster_assign_single_exchange(spark):
+    """Centroid assignment is map-side (centroids are plan literals):
+    the only shuffle is the final K-row aggregate exchange."""
+    df = REGISTRY["embed_cluster_assign"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert plan.count("Exchange") == 1
+    # and the assignment itself never joins (no corpus×centroid join)
+    assert "Join" not in plan
+
+
+def test_range_search_has_no_shuffle(spark):
+    """Radius retrieval is a pure scan+filter — matches leave the
+    executors, the corpus never moves."""
+    df = REGISTRY["ann_range_search"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_domain_cap_single_exchange(spark):
+    """Per-domain capping shuffles once on source; the rank and the
+    audit aggregate reuse that partitioning."""
+    df = REGISTRY["corpus_domain_cap"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert plan.count("Exchange") == 1
+
+
+def test_q24_exists_legs_are_semi_and_anti(spark):
+    """EXISTS/NOT EXISTS compile to one-pass semi/anti joins, not
+    per-row subquery probes."""
+    df = REGISTRY["q24_multi_exists"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
