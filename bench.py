@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "q20_window_frames",
     "q21_cube",
     "fn_agg_extras",
+    "embed_cluster_assign",
+    "ann_range_search",
+    "corpus_domain_cap",
+    "text_heuristic_filter",
+    "q23_scalar_corr_avg",
+    "q24_multi_exists",
 ]
 
 
