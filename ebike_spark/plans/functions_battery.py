@@ -484,3 +484,37 @@ def q22_values(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT CAST(a AS BIGINT) AS a, b, upper(b) AS ub "
         "FROM VALUES (1, 'x'), (2, 'y'), (3, 'z') AS t(a, b)"
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT)        AS b_and,
+           CAST(o_orderkey | 4096 AS BIGINT)       AS b_or,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS b_xor,
+           CAST(~o_orderkey AS BIGINT)             AS b_not,
+           CAST(o_orderkey << 3 AS BIGINT)         AS b_shl,
+           CAST(o_orderkey >> 2 AS BIGINT)         AS b_shr,
+           CAST(bit_count(o_orderkey) AS BIGINT)   AS b_pop
+    FROM orders WHERE o_orderkey < 200
+    """,
+    tags=("functions", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise expression battery: AND/OR/XOR/NOT, shifts, popcount —
+    the integer-manipulation surface (hash mixing, flag packing,
+    hamming distances — simhash and sign-LSH build on exactly these).
+    All JVM-side codegen'd expressions over a pushed-down key filter."""
+    o = load_table(spark, sf, "orders").where(F.col("o_orderkey") < 200)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("long").alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).cast("long").alias("b_or"),
+        k.bitwiseXOR(F.col("o_custkey")).cast("long").alias("b_xor"),
+        F.bitwise_not(k).cast("long").alias("b_not"),
+        F.shiftleft(k, 3).cast("long").alias("b_shl"),
+        F.shiftright(k, 2).cast("long").alias("b_shr"),
+        F.bit_count(k).cast("long").alias("b_pop"),
+    )

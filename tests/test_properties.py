@@ -245,3 +245,71 @@ def test_md5_long_matches_python(spark, texts):
     got = [r["h"] for r in df.select(md5_long(F.col("s")).alias("h")).collect()]
     want = [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:MD5_HEX_DIGITS], 16) for t in texts]
     assert got == want
+
+
+# ------------------------------------- engine DDL roundtrip (end-to-end)
+
+_ddl_cols = st.lists(
+    st.tuples(
+        st.text(alphabet="abcdefg", min_size=1, max_size=6),
+        st.sampled_from(["INT", "FLOAT", "CHAR"]),
+        st.booleans(),  # nullable
+    ),
+    min_size=1,
+    max_size=4,
+    unique_by=lambda t: t[0],
+)
+
+
+@SLOW
+@given(_ddl_cols, st.integers(0, 2))
+def test_engine_show_create_roundtrip(spark, cols, key_kind):
+    """CREATE TABLE → SHOW CREATE TABLE → parse → CREATE a second table
+    from the emitted DDL → its SHOW CREATE TABLE is byte-identical
+    (modulo the table name): the catalog's emission is a fixed point of
+    its own parser — the full-engine version of
+    test_create_table_parse_is_stable. key_kind: 0 = no key, 1 =
+    PRIMARY KEY on first column, 2 = named UNIQUE KEY on last column."""
+    import uuid as _uuid
+
+    from ebike_spark.engine import Engine
+    from ebike_spark.engine.parser import parse_create_table
+
+    eng = Engine(spark)
+    db = f"pp_{_uuid.uuid4().hex[:8]}"
+    eng.execute(f"CREATE DATABASE {db}")
+    try:
+        eng.execute(f"USE {db}")
+        t1, t2 = "rt_a", "rt_b"
+        body = ", ".join(
+            f"`{n}` {t}{'' if nullable else ' NOT NULL'}" for n, t, nullable in cols
+        )
+        if key_kind == 1:
+            body += f", PRIMARY KEY (`{cols[0][0]}`)"
+        elif key_kind == 2:
+            body += f", UNIQUE KEY uk_x (`{cols[-1][0]}`)"
+        eng.execute(f"CREATE TABLE {t1} ({body})")
+
+        ddl1 = eng.execute(f"SHOW CREATE TABLE {t1}").rows()[0]["Create Table"]
+        ct = parse_create_table(ddl1)
+        assert [c.name for c in ct.columns] == [n for n, _, _ in cols]
+        assert [c.sql_type for c in ct.columns] == [t for _, t, _ in cols]
+        if key_kind == 1:
+            # PK columns are forced NOT NULL by the catalog
+            assert ct.primary_key == [cols[0][0]]
+            assert not ct.columns[0].nullable
+        elif key_kind == 2:
+            assert ct.uniques and ct.uniques[0][1] == [cols[-1][0]]
+
+        # declared nullability survives (PK col excepted, forced NOT NULL)
+        for c, (_, _, nullable) in zip(ct.columns, cols):
+            if key_kind == 1 and c.name == cols[0][0]:
+                continue
+            assert c.nullable == nullable, c
+
+        # fixed point: re-create from the emitted DDL, emission matches
+        eng.execute(ddl1.replace(f"CREATE TABLE `{t1}`", f"CREATE TABLE `{t2}`", 1))
+        ddl2 = eng.execute(f"SHOW CREATE TABLE {t2}").rows()[0]["Create Table"]
+        assert ddl2.replace(f"`{t2}`", f"`{t1}`", 1) == ddl1
+    finally:
+        eng.execute(f"DROP DATABASE IF EXISTS {db}")
