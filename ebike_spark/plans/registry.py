@@ -67,6 +67,7 @@ def _load_all() -> None:
     import ebike_spark.streaming.events  # noqa: F401
     import ebike_spark.plans.analytics_late  # noqa: F401
     import ebike_spark.operators.semdedup  # noqa: F401
+    import ebike_spark.sources.io_layout  # noqa: F401
     import ebike_spark.plans.tpch  # noqa: F401
     import ebike_spark.plans.analytics  # noqa: F401
     import ebike_spark.plans.arrays  # noqa: F401

@@ -254,3 +254,16 @@ def test_q24_exists_legs_are_semi_and_anti(spark):
     plan = _physical(df)
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_layout_readback_prunes_partitions(spark):
+    """The io_partitioned_layout read-back filter must become a
+    PartitionFilter (directory pruning), not a row filter."""
+    import pyspark.sql.functions as F
+
+    from ebike_spark.sources.io_layout import io_partitioned_layout  # registers
+
+    df = REGISTRY["io_partitioned_layout"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters", 1)[1][:200]

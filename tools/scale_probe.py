@@ -54,6 +54,10 @@ def build(spark, out: str, replicas: int) -> None:
         ["doc_id"],
         extra=lambda x: x.withColumn("text", F.concat_ws(" ", "text", F.concat(F.lit("rep"), F.col("r")))),
     ).write.parquet(f"{out}/documents")
+    emb = load_table(spark, SF, "embeddings")
+    # vectors unchanged per replica: cluster occupancy replicates, so
+    # assignment work scales linearly with no cross-replica structure
+    shifted(emb, ["vec_id"]).write.parquet(f"{out}/embeddings")
 
 
 def main() -> None:
@@ -71,8 +75,10 @@ def main() -> None:
     n_li = li.count()
     print(f"# scale probe: {replicas}× → lineitem {n_li/1e6:.1f}M rows")
 
+    emb = spark.read.parquet(f"{out}/embeddings")
+
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "customer", "documents"):
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{out}/{t}/*.parquet'")
 
     def spark_time(df) -> float:
@@ -127,6 +133,16 @@ def main() -> None:
         "minhash-LSH dedup, same ground truth",
         spark_time(_dedup_lsh(spark, docs)),
         float("nan"),
+    ))
+    cases.append((
+        "centroid assign (GEMM mapInPandas)",
+        spark_time(_cluster_assign(spark, emb)),
+        duck_time(_ASSIGN_SQL),
+    ))
+    cases.append((
+        "per-domain cap (window over source)",
+        spark_time(_domain_cap(docs)),
+        duck_time(_DOMAIN_SQL),
     ))
     print("| shape | Spark s | DuckDB s | ratio |")
     print("|---|---|---|---|")
@@ -190,3 +206,53 @@ def _dedup_lsh(spark, docs):
 
 if __name__ == "__main__":
     main()
+
+
+def _cluster_assign(spark, emb):
+    """Registered-path shape over the probe's embeddings: GEMM argmax
+    against the base corpus' 8 seed centroids, then the K-row audit."""
+    from ebike_spark.operators.clustering import _make_assigner, _seed_centroids
+
+    seeds = _seed_centroids(spark, SF)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return (
+        e.mapInPandas(_make_assigner(seeds), "vec_id long, cluster_id int, cos double")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n"), F.avg("cos").alias("a"))
+    )
+
+
+_ASSIGN_SQL = """
+WITH seeds AS (SELECT vec_id cid, CAST(embedding AS DOUBLE[]) cv
+               FROM embeddings WHERE vec_id < 8),
+scored AS (SELECT e.vec_id, s.cid,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) cos,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) DESC,
+                        s.cid) rn
+           FROM embeddings e CROSS JOIN seeds s)
+SELECT cid, count(*), avg(cos) FROM scored WHERE rn = 1 GROUP BY cid
+"""
+
+
+def _domain_cap(docs):
+    from pyspark.sql import Window
+
+    from ebike_spark.functions.textfns import md5_long
+
+    h = md5_long(F.col("doc_id").cast("string"))
+    rn = F.row_number().over(Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc()))
+    return (
+        docs.select("source", "doc_id").withColumn("rn", rn)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum((F.col("rn") <= 15).cast("long")).alias("kept"))
+    )
+
+
+_DOMAIN_SQL = """
+WITH ranked AS (SELECT source, doc_id,
+  ROW_NUMBER() OVER (PARTITION BY source
+    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT), doc_id) rn
+  FROM documents)
+SELECT source, count(*), SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) FROM ranked GROUP BY source
+"""
