@@ -46,6 +46,10 @@ def _make_pair_scorer(tau: float):
     def score(pdf):
         import pandas as pd
 
+        if not len(pdf):  # Spark may hand a group-less empty batch
+            return pd.DataFrame(
+                {"cluster_id": [], "v1": [], "v2": [], "cos": []}
+            ).astype({"cluster_id": "int32", "v1": "int64", "v2": "int64", "cos": "float64"})
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         ids = pdf["vec_id"].to_numpy(dtype="int64")
         V = _np.array(list(pdf["v"]), dtype=_np.float64)
