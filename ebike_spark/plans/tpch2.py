@@ -1,0 +1,258 @@
+"""Remaining classic TPC-H query shapes (Q14, Q15, Q16, Q19, Q22).
+
+With these five, every one of the 22 TPC-H query *shapes* has a
+registered representative (adapted to the driver schema, which has no
+partsupp table — lineitem is the part↔supplier bridge where Q16 needs
+one). The reference executes ad-hoc SQL of exactly these shapes through
+its DataFusion dispatcher (/root/reference/src/core/execution.rs
+894-1279); here each is expressed as the DataFrame plan we'd want at
+100 TB and oracled against DuckDB.
+
+Registered LAST (see plans/registry._load_all) so the external
+prefix-bounded correctness window over the LLM-pipeline operators is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ebike_spark.plans.registry import register
+from ebike_spark.sources.registry import load_table
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return load_table(spark, sf, name)
+
+
+def _rev():
+    # built lazily: Column construction needs an active SparkContext,
+    # and this module is imported by registry collection before one exists
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "q25_promo_revenue",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    tags=("tpch", "join", "conditional-agg"),
+)
+def q25_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from promotional parts, by ship
+    month. Conditional aggregation over a fact⋈dim join.
+
+    100 TB plan: the date filter is pushed into the lineitem scan
+    (min/max row-group pruning on l_shipdate); part projects two columns
+    and broadcasts, so the only shuffle is the final ~12-group
+    aggregation — partial aggregates carry one (num, den) pair per month
+    per partition. The CASE lives inside the partial SUM, not a second
+    join pass.
+    """
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(_rev()), 4).alias("promo_pct"))
+    )
+
+
+@register(
+    "q26_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_rev
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    tags=("tpch", "cte", "scalar-subquery"),
+)
+def q26_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in one
+    quarter — an aggregate reused both as the ranking set and as the
+    scalar max it is compared against.
+
+    100 TB plan: one shuffle builds the per-supplier revenue aggregate;
+    the scalar MAX over it is a single-row reduction broadcast back as
+    a literal-like join side, so the comparison costs no second pass
+    over the fact table (the reference's view-based Q15 re-runs the
+    view; here Catalyst reuses the aggregated exchange). Revenue is
+    rounded to 2dp BEFORE the max-compare on both sides, making the
+    tie-set deterministic across engines.
+    """
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.round(F.sum(_rev()), 2).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    sup = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev["total_rev"] == mx["mx"])
+        .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "q27_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#15' AND p_size IN (1, 9, 19, 25, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("tpch", "anti-join", "count-distinct"),
+)
+def q27_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size),
+    excluding a blocklisted supplier set via NOT IN. The driver schema
+    has no partsupp, so lineitem is the part↔supplier bridge.
+
+    100 TB plan: part's brand/size predicates cut it to a broadcastable
+    dim; the blocklist subquery is a tiny broadcast left-anti join (the
+    set is NULL-free by construction, so NOT IN ≡ anti-join without the
+    three-valued-logic trap); COUNT(DISTINCT) becomes a two-level
+    aggregate — dedup on (group keys, suppkey) first, then count — both
+    levels partial/final, one shuffle each on the same keys.
+    """
+    part = (
+        _t(spark, sf, "part")
+        .where(
+            (F.col("p_brand") != "Brand#15")
+            & F.col("p_size").isin(1, 9, 19, 25, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    blocked = (
+        _t(spark, sf, "supplier")
+        .where(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(
+            F.broadcast(blocked),
+            li["l_suppkey"] == blocked["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q28_disjunctive_pred",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("tpch", "join", "disjunction"),
+)
+def q28_disjunctive_pred(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of conjunctive brand/size/
+    quantity ranges — the classic disjunctive-pushdown test.
+
+    100 TB plan: Catalyst extracts the common-term supersets so each
+    side still prunes — part gets `p_size BETWEEN 1 AND 15 AND brand IN
+    (…)` (a broadcastable residual dim), lineitem gets `l_quantity
+    BETWEEN 1 AND 30` pushed to the scan; the full disjunction is then
+    a codegen'd post-join filter. One broadcast join, zero shuffles
+    before the single-row sum.
+    """
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & size.between(1, 5) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & size.between(1, 10) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#14") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .where(cond)
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q29_dormant_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    tags=("tpch", "anti-join", "scalar-subquery"),
+)
+def q29_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no qualifying orders
+    — a scalar average subquery gating an anti-join, grouped by country.
+    (Adapted: every sf customer has orders, so the anti-set is "no
+    URGENT order" rather than "no order at all"; c_nationkey stands in
+    for the phone-prefix country code.)
+
+    100 TB plan: the positive-balance AVG is a one-row reduction
+    broadcast into the filter (no per-row subquery); the NOT EXISTS is
+    a left-anti join against the priority-filtered orders projection —
+    pushed filter + 2-column read — shuffling only custkeys; the final
+    ~25-group aggregate is partial/final. AVG(c_acctbal) over doubles
+    is order-sensitive only below the 2dp rounding of the output sums,
+    and the > threshold sits far from any customer's exact balance, so
+    the survivor set is stable across engines.
+    """
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    )
+    urgent = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

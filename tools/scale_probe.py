@@ -204,10 +204,6 @@ def _dedup_lsh(spark, docs):
     return verify_jaccard(sh, fused_lsh_candidates(sh), 0.8).groupBy().count()
 
 
-if __name__ == "__main__":
-    main()
-
-
 def _cluster_assign(spark, emb):
     """Registered-path shape over the probe's embeddings: GEMM argmax
     against the base corpus' 8 seed centroids, then the K-row audit."""
@@ -256,3 +252,7 @@ WITH ranked AS (SELECT source, doc_id,
   FROM documents)
 SELECT source, count(*), SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) FROM ranked GROUP BY source
 """
+
+
+if __name__ == "__main__":
+    main()
