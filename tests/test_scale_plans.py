@@ -267,3 +267,41 @@ def test_layout_readback_prunes_partitions(spark):
     plan = _physical(df)
     assert "PartitionFilters" in plan
     assert "lang" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_q25_date_filter_pushed_and_part_broadcast(spark):
+    """Q14 shape: the shipdate range reaches the lineitem scan (row-group
+    min/max pruning at scale) and part joins as a broadcast dim."""
+    df = REGISTRY["q25_promo_revenue"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q27_blocklist_is_broadcast_anti_join(spark):
+    """Q16 shape: the NOT IN supplier blocklist must compile to a
+    broadcast left-anti join, never a per-row subquery."""
+    df = REGISTRY["q27_supplier_cnt"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q28_supersets_prune_both_sides(spark):
+    """Q19 shape: Catalyst extracts the disjunction's common-term
+    supersets so both scans still prune — quantity range on lineitem,
+    brand/size residual on part."""
+    df = REGISTRY["q28_disjunctive_pred"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    pushed = "".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "l_quantity" in pushed
+    assert "p_brand" in pushed or "p_size" in pushed
+
+
+def test_q29_anti_join_and_one_row_gate(spark):
+    """Q22 shape: NOT EXISTS compiles to a left-anti join; the scalar
+    average arrives via a broadcast, not a per-row subquery."""
+    df = REGISTRY["q29_dormant_customers"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
