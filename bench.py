@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "text_heuristic_filter",
     "q23_scalar_corr_avg",
     "q24_multi_exists",
+    "q25_promo_revenue",
+    "q26_top_supplier",
+    "q27_supplier_cnt",
+    "q28_disjunctive_pred",
+    "q29_dormant_customers",
 ]
 
 

@@ -317,3 +317,37 @@ def test_persist_scoped_reuses_identical_plan_rebuilds_on_change(spark):
     c3 = _persist_scoped(spark, "unit_test_tag", spark.range(11).selectExpr("id*2 AS x"))
     assert c3 is not c1 and c3.count() == 11
     c3.unpersist()
+
+
+def test_range_join_boundaries_and_overlaps(spark):
+    """lo inclusive, hi exclusive; a point inside two overlapping
+    intervals matches both; bin-edge-straddling intervals match points
+    in their second bin (the two-bin explode)."""
+    from ebike_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame(
+        [(10,), (99,), (100,), (150,), (250,)], "t long"
+    )
+    ivs = spark.createDataFrame(
+        [("a", 10, 100), ("b", 50, 150), ("c", 90, 190)],
+        "iv string, lo long, hi long",
+    )
+    out = range_join(pts, ivs, "t", "lo", "hi", bin_us=100)
+    got = sorted((r["t"], r["iv"]) for r in out.collect())
+    assert got == [
+        (10, "a"),            # lo inclusive
+        (99, "a"), (99, "b"), (99, "c"),  # overlapping intervals all match
+        (100, "b"), (100, "c"),  # hi of a is exclusive; b/c straddle the bin edge
+        (150, "c"),           # hi of b is exclusive
+    ]  # 250 is in no interval
+
+
+def test_range_join_single_bin_interval_no_duplicates(spark):
+    """An interval inside one bin explodes to one bin id — a contained
+    point must match exactly once."""
+    from ebike_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame([(25,)], "t long")
+    ivs = spark.createDataFrame([("a", 20, 30)], "iv string, lo long, hi long")
+    out = range_join(pts, ivs, "t", "lo", "hi", bin_us=100).collect()
+    assert len(out) == 1

@@ -305,3 +305,13 @@ def test_q29_anti_join_and_one_row_gate(spark):
     plan = _physical(df)
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The keyless interval join must run as a binned equi (hash) join;
+    BroadcastNestedLoopJoin is the O(points x intervals) plan that dies
+    at scale."""
+    df = REGISTRY["range_join_event_windows"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
