@@ -74,6 +74,7 @@ def _load_all() -> None:
     import ebike_spark.plans.functions_battery  # noqa: F401
     import ebike_spark.plans.tpch2  # noqa: F401
     import ebike_spark.operators.range_join  # noqa: F401
+    import ebike_spark.operators.text_late  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:
