@@ -275,7 +275,13 @@ def update(spark: SparkSession, catalog: Catalog, upd: Update, current_db: str) 
     for key_name, kcols in keys:
         if not set(kcols) & set(assigned):
             continue
-        dup = new_df.groupBy(*kcols).count().where(F.col("count") > 1).limit(1).collect()
+        cand = new_df
+        if key_name != "PRIMARY":
+            # same NULL exemption as _check_constraints/_upsert: MySQL
+            # allows any number of NULLs in a non-PRIMARY unique index,
+            # so UPDATE t SET u = NULL over many rows is not a 1062
+            cand = cand.where(reduce(and_, [F.col(c).isNotNull() for c in kcols]))
+        dup = cand.groupBy(*kcols).count().where(F.col("count") > 1).limit(1).collect()
         if dup:
             val = "-".join(str(dup[0][c]) for c in kcols)
             raise duplicate_entry(val, key_name)

@@ -193,31 +193,71 @@ class Engine:
 
     @staticmethod
     def _mentions_rowid(sql: str) -> bool:
-        """Quote-aware: does the query text name ``rowid`` outside string
-        literals? Governs whether the hidden rowid column is surfaced
-        (reference: projection-time special case, core_util.rs:451-461)."""
-        found = False
+        """Does the query text name ``rowid`` as an identifier — bare OR
+        identifier-quoted (`rowid` / "rowid")? Single-quoted string
+        literals don't count. Governs whether the hidden rowid column is
+        surfaced (reference: projection-time special case,
+        core_util.rs:451-461)."""
+        from ebike_spark.engine.parser import _skip_quoted
 
-        def scan(seg: str, first: bool, last: bool) -> str:
-            nonlocal found
-            if re.search(r"\browid\b", seg, re.I):
-                found = True
-            return seg
+        i, n = 0, len(sql)
+        while i < n:
+            ch = sql[i]
+            if ch == "'":
+                i = _skip_quoted(sql, i)  # string literal: not an identifier
+                continue
+            if ch in "`\"":
+                j = _skip_quoted(sql, i)
+                if sql[i + 1 : j - 1].strip().lower() == "rowid":
+                    return True  # explicitly projected quoted identifier
+                i = j
+                continue
+            if re.match(r"\browid\b", sql[i:], re.I) and (i == 0 or not re.match(r"[\w$]", sql[i - 1])):
+                return True
+            i += 1
+        return False
 
-        map_unquoted(sql, scan)
-        return found
-
-    def _reads_hidden_rowid_table(self, df: DataFrame) -> bool:
-        """Does the query's analyzed plan scan any table whose rowid is
-        the engine-managed hidden one (ebike.rowid property)?"""
-        plan = df._jdf.queryExecution().analyzed().toString()
-        for name in set(re.findall(r"Relation (?:spark_catalog\.)?([\w.]+)\[", plan)):
+    def _drop_hidden_rowid(self, df: DataFrame) -> DataFrame:
+        """Drop hidden rowid columns by PROVENANCE, not by name: only
+        output attributes whose exprId traces back to the rowid attribute
+        of a hidden-rowid table scan (ebike.rowid property) are removed.
+        A user-declared column that happens to be named rowid — e.g. from
+        the other side of a join — keeps flowing through (round-2 advice;
+        the reference surfaces rowid whenever projected,
+        core_util.rs:451-461). Positional rename → select keeps Catalyst
+        free to prune the hidden column out of the scan."""
+        analyzed = df._jdf.queryExecution().analyzed()
+        hidden_ids: set[int] = set()
+        leaves = analyzed.collectLeaves()
+        for li in range(leaves.size()):
+            leaf = leaves.apply(li)
+            m = re.match(r"Relation (?:spark_catalog\.)?([\w.]+)\[", leaf.toString())
+            if not m:
+                continue
             try:
-                if self.catalog.has_rowid(name):
-                    return True
+                if not self.catalog.has_rowid(m.group(1)):
+                    continue
             except Exception:  # temp views etc. have no TBLPROPERTIES
                 continue
-        return False
+            out = leaf.output()
+            for oi in range(out.size()):
+                attr = out.apply(oi)
+                if attr.name().lower() == "rowid":
+                    hidden_ids.add(attr.exprId().id())
+        if not hidden_ids:
+            return df
+        out = analyzed.output()
+        drop_pos = {
+            i
+            for i in range(out.size())
+            if out.apply(i).name().lower() == "rowid" and out.apply(i).exprId().id() in hidden_ids
+        }
+        if not drop_pos:
+            return df
+        tmp = [f"__ebike_c{i}" for i in range(len(df.columns))]
+        kept = [t for i, t in enumerate(tmp) if i not in drop_pos]
+        names = [c for i, c in enumerate(df.columns) if i not in drop_pos]
+        return df.toDF(*tmp).select(*kept).toDF(*names)
 
     def _select(self, sql: str) -> EngineResult:
         if self._info_schema_dirty and re.search(
@@ -232,14 +272,11 @@ class Engine:
             # `SELECT *` (or any projection that picked up the hidden
             # rowid without naming it) hides row identity; dropping it
             # here lets Catalyst prune the column out of the scan. A
-            # user-DECLARED rowid column is not hidden — only tables
-            # carrying the ebike.rowid property trigger the drop.
-            if (
-                "rowid" in df.columns
-                and not self._mentions_rowid(sql)
-                and self._reads_hidden_rowid_table(df)
-            ):
-                df = df.drop("rowid")
+            # user-DECLARED rowid column is not hidden — the drop is by
+            # provenance (only attributes originating from a table
+            # carrying the ebike.rowid property).
+            if "rowid" in df.columns and not self._mentions_rowid(sql):
+                df = self._drop_hidden_rowid(df)
             return EngineResult("rows", df=df)
         except Exception as ex:  # map missing relations to MySQL 1146
             # (the reference's table-existence check, core_util.rs:143-221)
@@ -458,21 +495,47 @@ class Engine:
             # constraint checks apply only to the VALUES path, as in the
             # reference which only implements VALUES, insert.rs:48-224)
             self.spark.catalog.setCurrentDatabase(self.current_db)
-            m = re.match(r"\s*INSERT\s+INTO\s+([\w.`\"]+)\s+(SELECT\b[\s\S]*)$", fixed, re.I)
+            m = re.match(
+                r"\s*INSERT\s+INTO\s+([\w.`\"]+)\s*(?:\(([^)]*)\)\s*)?(SELECT\b[\s\S]*)$",
+                fixed,
+                re.I,
+            )
             if m:
                 q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
                 if self.catalog.table_exists(q) and self.catalog.has_rowid(q):
-                    # the source SELECT provides the user columns
-                    # positionally; the hidden rowid is minted here
+                    # the source SELECT provides the (listed or all) user
+                    # columns positionally; unlisted columns become NULL;
+                    # the hidden rowid is minted here — the column-list
+                    # form must NOT fall through to plain spark.sql, which
+                    # would write NULL rowids (round-2 advice)
                     import pyspark.sql.functions as F
 
-                    src = self.spark.sql(self._fix_select(m.group(2)))
+                    from ebike_spark.engine.parser import split_top_level
+
+                    src = self.spark.sql(self._fix_select(m.group(3)))
                     cols = self.catalog.column_types(q)
-                    if len(src.columns) != len(cols):
+                    types = dict(cols)
+                    listed = (
+                        [unquote_ident(c) for c in split_top_level(m.group(2))]
+                        if m.group(2)
+                        else [n for n, _ in cols]
+                    )
+                    unknown = [c for c in listed if c not in types]
+                    if unknown:
+                        raise EbikeError(1054, f"Unknown column '{unknown[0]}' in 'field list'")
+                    if len(src.columns) != len(listed):
                         raise EbikeError(1136, "Column count doesn't match value count")
+                    pos = {c: i for i, c in enumerate(listed)}
                     out = (
                         src.select(
-                            *[src[src.columns[i]].cast(t).alias(n) for i, (n, t) in enumerate(cols)]
+                            *[
+                                (
+                                    src[src.columns[pos[n]]]
+                                    if n in pos
+                                    else F.lit(None)
+                                ).cast(t).alias(n)
+                                for n, t in cols
+                            ]
                         )
                         .withColumn("rowid", F.expr("uuid()"))
                         .select(*self.spark.table(q).columns)  # physical order

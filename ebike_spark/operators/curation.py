@@ -155,8 +155,8 @@ def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     "corpus_pack_sequences",
     oracle=f"""
     SELECT doc_id, lang,
-           (SUM(n_tok) OVER w - n_tok) // {PACK_CTX} AS seq_id,
-           (SUM(n_tok) OVER w - n_tok) % {PACK_CTX} AS tok_offset
+           CAST((SUM(n_tok) OVER w - n_tok) // {PACK_CTX} AS BIGINT) AS seq_id,
+           CAST((SUM(n_tok) OVER w - n_tok) % {PACK_CTX} AS BIGINT) AS tok_offset
     FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents)
     WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
     """,
@@ -334,7 +334,7 @@ def _mix_target_sql() -> str:
     oracle=f"""
     WITH per AS (
       SELECT lang, COUNT(*) AS n_docs,
-             SUM(len(string_split(text, ' '))) AS n_tokens
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY lang),
     tot AS (SELECT SUM(n_tokens) AS t FROM per)
     SELECT lang, n_docs, n_tokens,

@@ -236,6 +236,24 @@ def jaccard_pairs(sh: DataFrame, threshold: float, df_cap: int | None = None) ->
             .groupBy("doc_id")
             .agg(F.sort_array(F.collect_list("s")).alias("stops"))
         )
+        # Loud-failure exactness guard (round-2 advice): a ≥-threshold
+        # pair shares ≥ t/(1+t) of EACH doc's shingles, so it can only
+        # be missed (all shared shingles stop-frequency) if some doc has
+        # stop-share ≥ t/(1+t). Assert the corpus invariant at run time:
+        # guard green ⇒ capped result PROVABLY equals the uncapped
+        # oracle; guard red ⇒ raise instead of silently under-reporting.
+        bound = threshold / (1.0 + threshold)
+        worst = (
+            doc_stop.join(sizes, "doc_id")
+            .agg(F.max(F.size("stops") * 1.0 / F.col("n")).alias("mx"))
+            .first()["mx"]
+        )
+        if worst is not None and worst >= bound:
+            raise ValueError(
+                f"jaccard df_cap={df_cap} unsound for this corpus: a document "
+                f"has stop-shingle share {worst:.3f} >= t/(1+t)={bound:.3f}; "
+                "raise the cap or run uncapped (jaccard_pairs(sh, t))"
+            )
         full_c = F.col("c_rare") + F.when(
             F.col("st1").isNotNull() & F.col("st2").isNotNull(),
             F.size(F.array_intersect("st1", "st2")),

@@ -118,7 +118,7 @@ def read_jdbc_stub(spark: SparkSession, url: str, table: str, **options) -> Data
 
 _TEXT_ORACLE = f"""
 SELECT COUNT(*) AS n_lines,
-       SUM({md5_long_sql("text")} % 1000000007) AS content_check
+       CAST(SUM({md5_long_sql("text")} % 1000000007) AS BIGINT) AS content_check
 FROM documents
 """
 

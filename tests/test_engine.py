@@ -605,6 +605,63 @@ def test_user_declared_rowid_column_wins(eng):
     assert rows[0]["rowid"] == "mine"
 
 
+def test_rowid_backtick_quoted_projection_surfaces(eng):
+    # round-3: an explicitly quoted projection (`rowid` / "rowid") is a
+    # mention — the hidden-column drop must NOT remove it
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'lucy', 1.70)")
+    rows = eng.execute("SELECT id, `rowid` FROM user").rows()
+    assert list(rows[0].asDict()) == ["id", "rowid"] and len(rows[0]["rowid"]) == 36
+    # while a STRING LITERAL 'rowid' is not a mention
+    rows = eng.execute("SELECT * FROM user WHERE name <> 'rowid'").rows()
+    assert list(rows[0].asDict()) == ["id", "name", "stature"]
+
+
+def test_rowid_join_keeps_user_declared_column(eng):
+    # round-3: joining a hidden-rowid table with a table whose USER
+    # column is named rowid must drop only the hidden one (provenance,
+    # not name)
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'lucy', 1.70)")
+    eng.execute("CREATE TABLE ext (id INT, rowid CHAR)")
+    eng.execute("INSERT INTO ext VALUES (1, 'mine')")
+    res = eng.execute("SELECT * FROM user JOIN ext ON user.id = ext.id")
+    assert res.df.columns == ["id", "name", "stature", "id", "rowid"]
+    row = res.rows()[0]
+    assert row[4] == "mine"  # the user-declared ext.rowid survives
+
+
+def test_update_to_null_unique_key_allowed(eng):
+    # round-3 (ADVICE): MySQL allows any number of NULLs in a UNIQUE
+    # index — UPDATE SET u = NULL across 2+ rows is not a 1062
+    eng.execute("CREATE TABLE uq (id INT NOT NULL, u INT, PRIMARY KEY (id), UNIQUE KEY (u))")
+    eng.execute("INSERT INTO uq VALUES (1, 10), (2, 20), (3, 30)")
+    n = eng.execute("UPDATE uq SET u = NULL WHERE id <= 2").affected
+    assert n == 2
+    vals = sorted(
+        (r["u"] is None, r["id"]) for r in eng.execute("SELECT id, u FROM uq").rows()
+    )
+    assert vals == [(False, 3), (True, 1), (True, 2)]
+    # but a real duplicate through an update still raises
+    with pytest.raises(EbikeError) as e:
+        eng.execute("UPDATE uq SET u = 30 WHERE id = 1")
+    assert e.value.code == 1062
+
+
+def test_insert_select_with_column_list_mints_rowid(eng):
+    # round-3 (ADVICE): INSERT INTO t (cols) SELECT must go through the
+    # rowid-minting path, with unlisted columns NULL
+    eng.execute("CREATE TABLE src2 (id INT, name CHAR)")
+    eng.execute("CREATE TABLE dst2 (id INT, name CHAR, extra INT)")
+    eng.execute("INSERT INTO src2 VALUES (1, 'a'), (2, 'b')")
+    eng.execute("INSERT INTO dst2 (name, id) SELECT name, id FROM src2")
+    rows = {r["id"]: r for r in eng.execute("SELECT id, name, extra, rowid FROM dst2").rows()}
+    assert rows[1]["name"] == "a" and rows[2]["name"] == "b"
+    assert rows[1]["extra"] is None
+    rids = {r["rowid"] for r in rows.values()}
+    assert len(rids) == 2 and all(v and len(v) == 36 for v in rids)
+
+
 def test_information_schema_views(eng):
     eng.execute("CREATE TABLE base (id INT, name CHAR)")
     eng.execute("INSERT INTO base VALUES (1, 'x')")
