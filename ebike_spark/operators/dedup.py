@@ -236,24 +236,62 @@ def jaccard_pairs(sh: DataFrame, threshold: float, df_cap: int | None = None) ->
             .groupBy("doc_id")
             .agg(F.sort_array(F.collect_list("s")).alias("stops"))
         )
-        # Loud-failure exactness guard (round-2 advice): a ≥-threshold
-        # pair shares ≥ t/(1+t) of EACH doc's shingles, so it can only
-        # be missed (all shared shingles stop-frequency) if some doc has
-        # stop-share ≥ t/(1+t). Assert the corpus invariant at run time:
-        # guard green ⇒ capped result PROVABLY equals the uncapped
+        # Loud-failure exactness guard (round-2 advice, tightened round
+        # 4): a pair is MISSED only if every shared shingle is a stop
+        # (the rare self-join is the sole candidate source; the
+        # array_intersect correction below only adjusts counts of pairs
+        # already found). For such a pair, |union| >= max(n1,n2) gives
+        # jaccard <= |I| / n_i <= stop_i / n_i for BOTH endpoints — so a
+        # necessary condition is two docs with stop-share >= t. Stage 1
+        # (linear) finds those risky docs; stage 2 runs the EXACT
+        # missed-pair test restricted to them: pairs whose all-stop
+        # intersection alone reaches t and which share no rare shingle.
+        # Guard green ⇒ capped result PROVABLY equals the uncapped
         # oracle; guard red ⇒ raise instead of silently under-reporting.
-        bound = threshold / (1.0 + threshold)
-        worst = (
+        # Cost: stage 1 is one small agg; stage 2 only runs when risky
+        # docs exist (all-boilerplate corpora — exactly the unsound
+        # case), quadratic only within that subset.
+        risky = (
             doc_stop.join(sizes, "doc_id")
-            .agg(F.max(F.size("stops") * 1.0 / F.col("n")).alias("mx"))
-            .first()["mx"]
+            .where(F.size("stops") * 1.0 >= threshold * F.col("n"))
+            .select("doc_id", "n", "stops")
         )
-        if worst is not None and worst >= bound:
-            raise ValueError(
-                f"jaccard df_cap={df_cap} unsound for this corpus: a document "
-                f"has stop-shingle share {worst:.3f} >= t/(1+t)={bound:.3f}; "
-                "raise the cap or run uncapped (jaccard_pairs(sh, t))"
+        if risky.limit(2).count() >= 2:
+            rs = risky.select("doc_id", "n", F.explode("stops").alias("s"))
+            ra, rb = rs.alias("ra"), rs.alias("rb")
+            # i/(n1+n2-i) >= t  ⇔  i*(1+t) >= t*(n1+n2)
+            stop_pairs = (
+                ra.join(
+                    rb,
+                    (F.col("ra.s") == F.col("rb.s"))
+                    & (F.col("ra.doc_id") < F.col("rb.doc_id")),
+                )
+                .groupBy(
+                    F.col("ra.doc_id").alias("d1"),
+                    F.col("rb.doc_id").alias("d2"),
+                    F.col("ra.n").alias("n1"),
+                    F.col("rb.n").alias("n2"),
+                )
+                .agg(F.count("*").alias("ci"))
+                .where(
+                    F.col("ci") * (1.0 + threshold)
+                    >= threshold * (F.col("n1") + F.col("n2"))
+                )
+                .select("d1", "d2")
             )
+            missed = (
+                stop_pairs.join(inter_rare.select("d1", "d2"), ["d1", "d2"], "left_anti")
+                .limit(1)
+                .count()
+            )
+            if missed:
+                raise ValueError(
+                    f"jaccard df_cap={df_cap} unsound for this corpus: a "
+                    f">={threshold}-jaccard pair shares only stop-shingles "
+                    "(df > cap) and would be missed by capped candidate "
+                    "generation; raise the cap or run uncapped "
+                    "(jaccard_pairs(sh, t))"
+                )
         full_c = F.col("c_rare") + F.when(
             F.col("st1").isNotNull() & F.col("st2").isNotNull(),
             F.size(F.array_intersect("st1", "st2")),

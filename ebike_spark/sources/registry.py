@@ -36,6 +36,114 @@ TABLES = (
 # grow but stay broadcastable in the driver's generator up to sf0.1).
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
+# Fixture-schema contract: column name → allowed Spark simpleStrings as
+# seen AFTER load_table's normalization (so events.ts is always
+# "timestamp"). The driver's fixtures drifted under the repo once
+# (events.ts int64-nanos → timestamp[us], round 3: 14 red rows from one
+# cryptic AnalysisException deep in a query plan); this check turns the
+# next drift into one clear error naming the table and column. Allowed
+# sets are singletons except where generator history/pyarrow defaults
+# make a widening plausible (int keys, tz-naive vs tz'd timestamps).
+EXPECTED_SCHEMAS: dict[str, dict[str, frozenset[str]]] = {
+    "region": {"r_regionkey": frozenset({"int", "bigint"}), "r_name": frozenset({"string"})},
+    "nation": {
+        "n_nationkey": frozenset({"int", "bigint"}),
+        "n_name": frozenset({"string"}),
+        "n_regionkey": frozenset({"int", "bigint"}),
+    },
+    "customer": {
+        "c_custkey": frozenset({"int", "bigint"}),
+        "c_name": frozenset({"string"}),
+        "c_nationkey": frozenset({"int", "bigint"}),
+        "c_acctbal": frozenset({"double"}),
+        "c_mktsegment": frozenset({"string"}),
+    },
+    "supplier": {
+        "s_suppkey": frozenset({"int", "bigint"}),
+        "s_name": frozenset({"string"}),
+        "s_nationkey": frozenset({"int", "bigint"}),
+        "s_acctbal": frozenset({"double"}),
+    },
+    "part": {
+        "p_partkey": frozenset({"int", "bigint"}),
+        "p_name": frozenset({"string"}),
+        "p_brand": frozenset({"string"}),
+        "p_type": frozenset({"string"}),
+        "p_size": frozenset({"int", "bigint"}),
+        "p_retailprice": frozenset({"double"}),
+    },
+    "orders": {
+        "o_orderkey": frozenset({"int", "bigint"}),
+        "o_custkey": frozenset({"int", "bigint"}),
+        "o_orderstatus": frozenset({"string"}),
+        "o_totalprice": frozenset({"double"}),
+        "o_orderdate": frozenset({"timestamp_ntz", "timestamp", "date"}),
+        "o_orderpriority": frozenset({"string"}),
+    },
+    "lineitem": {
+        "l_orderkey": frozenset({"int", "bigint"}),
+        "l_partkey": frozenset({"int", "bigint"}),
+        "l_suppkey": frozenset({"int", "bigint"}),
+        "l_linenumber": frozenset({"int", "bigint"}),
+        "l_quantity": frozenset({"double"}),
+        "l_extendedprice": frozenset({"double"}),
+        "l_discount": frozenset({"double"}),
+        "l_tax": frozenset({"double"}),
+        "l_returnflag": frozenset({"string"}),
+        "l_linestatus": frozenset({"string"}),
+        "l_shipdate": frozenset({"timestamp_ntz", "timestamp", "date"}),
+    },
+    "events": {
+        "event_id": frozenset({"int", "bigint"}),
+        "ts": frozenset({"timestamp"}),  # post-normalization invariant
+        "user_id": frozenset({"int", "bigint"}),
+        "event_type": frozenset({"string"}),
+        "value": frozenset({"double"}),
+        "props": frozenset({"string"}),
+    },
+    "documents": {
+        "doc_id": frozenset({"int", "bigint"}),
+        "text": frozenset({"string"}),
+        "lang": frozenset({"string"}),
+        "source": frozenset({"string"}),
+        "n_chars": frozenset({"int", "bigint"}),
+    },
+    "embeddings": {
+        "vec_id": frozenset({"int", "bigint"}),
+        "embedding": frozenset({"array<float>", "array<double>"}),
+        "label": frozenset({"int", "bigint"}),
+    },
+}
+
+
+def _check_contract(name: str, df: DataFrame) -> None:
+    """One clear error on fixture drift, instead of N cryptic plan
+    failures downstream. Plan-only (reads the parquet footer schema
+    already loaded into df) — no Spark job."""
+    expected = EXPECTED_SCHEMAS[name]
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = sorted(set(expected) - set(actual))
+    extra = sorted(set(actual) - set(expected))
+    drifted = sorted(
+        f"{c}: got {actual[c]}, expected one of {sorted(expected[c])}"
+        for c in set(expected) & set(actual)
+        if actual[c] not in expected[c]
+    )
+    if missing or extra or drifted:
+        parts = []
+        if missing:
+            parts.append(f"missing columns {missing}")
+        if extra:
+            parts.append(f"unexpected columns {extra}")
+        if drifted:
+            parts.append(f"type drift [{'; '.join(drifted)}]")
+        raise TypeError(
+            f"fixture schema drift in table {name!r}: " + "; ".join(parts) + ". "
+            "The driver's parquet fixtures changed shape — update "
+            "EXPECTED_SCHEMAS and any loader normalization in "
+            "ebike_spark/sources/registry.py."
+        )
+
 
 def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -113,12 +221,21 @@ def load_table(
     layout still wins ~15% from the sorted, compacted files even while
     AQE chooses broadcast joins.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; we read nanos as long (runtime legacy conf) and
-    truncate to a microsecond timestamp — the same truncation DuckDB
-    applies when reading TIMESTAMP_NS, so both engines see identical
-    values. ``ts div 1000`` is integer division (no double round-trip:
-    nanos exceed 2^53).
+    ``events.ts`` has shipped in two physical shapes across driver
+    fixture generations: TIMESTAMP(NANOS) (older) and TIMESTAMP(MICROS)
+    (current). We branch on the *loaded* dtype instead of assuming:
+
+    - already a timestamp (MICROS parquet; Spark may surface it as
+      TIMESTAMP_NTZ when the field is not UTC-adjusted) → cast to
+      TimestampType. Session tz is pinned UTC (session.py), so wall
+      values are unchanged and downstream ``cast(ts AS BIGINT)``
+      epoch arithmetic (e.g. plans/analytics.py) stays legal — NTZ
+      forbids that cast, TimestampType allows it.
+    - int64 (nanos read as long via the runtime legacy conf) →
+      truncate to microseconds, the same truncation DuckDB applies to
+      TIMESTAMP_NS, so both engines see identical values. ``ts div
+      1000`` is integer division (no double round-trip: nanos exceed
+      2^53).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -142,10 +259,27 @@ def load_table(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            # Current fixtures: timestamp[us]. Normalize to TimestampType
+            # (session tz is UTC, so values are unchanged; NTZ would
+            # forbid the epoch BIGINT casts used downstream).
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        elif isinstance(ts_type, T.LongType):
+            # Legacy fixtures: int64 nanos (read as long via the conf
+            # above); truncate to micros, matching DuckDB's TIMESTAMP_NS
+            # truncation.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            raise TypeError(
+                f"events.ts has unsupported type {ts_type.simpleString()}; "
+                "expected timestamp, timestamp_ntz, or int64 nanos"
+            )
     else:
         df = spark.read.parquet(path)
+    _check_contract(name, df)
     session_cache[key] = df
     return df
 

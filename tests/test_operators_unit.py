@@ -153,6 +153,24 @@ def test_jaccard_cap_keeps_pair_with_rare_shingle(spark):
     assert unc == out
 
 
+def test_jaccard_cap_guard_raises_on_all_stop_pair(spark):
+    """Guard true positive: two near-identical docs built ENTIRELY of
+    boilerplate shingles (each shingle df > cap) form a >=t pair whose
+    every shared shingle is a stop — capped candidate generation would
+    miss it, so jaccard_pairs must raise rather than under-report."""
+    from ebike_spark.operators.dedup import jaccard_pairs
+
+    rows = []
+    # 6 docs all sharing {S1, S2}: df(S1)=df(S2)=6 > cap 3; every pair
+    # has jaccard 1.0 with an all-stop intersection.
+    for d in range(1, 7):
+        rows.append((d, "S1"))
+        rows.append((d, "S2"))
+    sh = spark.createDataFrame(rows, "doc_id long, s string")
+    with pytest.raises(ValueError, match="unsound"):
+        jaccard_pairs(sh, 0.5, df_cap=3).collect()
+
+
 def test_jaccard_cap_equivalence_on_corpus(spark):
     """Capped and uncapped registered-path results agree on the test
     corpus even with an aggressive cap (every true pair shares at least

@@ -1,0 +1,78 @@
+"""Fixture-schema contract tests: the loader must fail with ONE clear
+message naming the drifted table/column when the driver's parquet
+fixtures change shape (they did once — events.ts int64-nanos →
+timestamp[us] — costing 14 red driver rows to a cryptic plan error),
+and must normalize events.ts to TimestampType in both known shapes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ebike_spark.sources.registry import TABLES, load_table
+from tests.conftest import SF_DIR
+
+
+def test_all_fixture_tables_pass_contract(spark):
+    for t in TABLES:
+        load_table(spark, SF_DIR, t)  # raises TypeError on drift
+
+
+def test_events_ts_normalized_to_timestamp(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    assert ev.schema["ts"].dataType.simpleString() == "timestamp"
+    # epoch arithmetic downstream requires the BIGINT cast to be legal
+    # (TimestampType allows it; TIMESTAMP_NTZ does not)
+    ev.selectExpr("cast(ts as bigint) as e").limit(1).collect()
+
+
+def _write_parquet(spark, rows, schema, path):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_contract_rejects_type_drift(spark, tmp_path):
+    d = str(tmp_path / "sfdrift")
+    os.makedirs(d, exist_ok=True)
+    # documents with n_chars as string — a type drift
+    _write_parquet(
+        spark,
+        [(1, "hello", "en", "web", "5")],
+        "doc_id long, text string, lang string, source string, n_chars string",
+        os.path.join(d, "documents.parquet"),
+    )
+    with pytest.raises(TypeError, match=r"documents.*n_chars.*got string"):
+        load_table(spark, d, "documents")
+
+
+def test_contract_rejects_missing_and_extra_columns(spark, tmp_path):
+    d = str(tmp_path / "sfcols")
+    os.makedirs(d, exist_ok=True)
+    # region missing r_name, carrying a surprise column
+    _write_parquet(
+        spark,
+        [(1, 9.0)],
+        "r_regionkey int, r_surprise double",
+        os.path.join(d, "region.parquet"),
+    )
+    with pytest.raises(TypeError) as ei:
+        load_table(spark, d, "region")
+    msg = str(ei.value)
+    assert "r_name" in msg and "r_surprise" in msg and "region" in msg
+
+
+def test_events_legacy_int64_nanos_still_loads(spark, tmp_path):
+    """The pre-drift fixture shape (ts as int64 nanoseconds) must keep
+    working through the legacy branch."""
+    d = str(tmp_path / "sfnanos")
+    os.makedirs(d, exist_ok=True)
+    _write_parquet(
+        spark,
+        [(1, 1_700_000_000_123_456_789, 7, "click", 1.5, "{}")],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+        os.path.join(d, "events.parquet"),
+    )
+    ev = load_table(spark, d, "events")
+    assert ev.schema["ts"].dataType.simpleString() == "timestamp"
+    micros = ev.selectExpr("unix_micros(ts) as m").first()["m"]
+    assert micros == 1_700_000_000_123_456  # nanos truncated, not rounded
