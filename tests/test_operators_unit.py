@@ -171,6 +171,39 @@ def test_jaccard_cap_guard_raises_on_all_stop_pair(spark):
         jaccard_pairs(sh, 0.5, df_cap=3).collect()
 
 
+def test_semdedup_blocked_equals_single_gemm(spark):
+    """The blocked GEMM must produce the identical pair set for any
+    block size: block=64 forces multi-chunk clusters at sf0.001 (≥8
+    chunk-pairs somewhere), block=10**9 is the single-GEMM degenerate
+    case."""
+    from ebike_spark.operators.semdedup import semantic_dedup_pairs
+
+    one = sorted(map(tuple, semantic_dedup_pairs(spark, SF_DIR, block=10**9).collect()))
+    blk = sorted(map(tuple, semantic_dedup_pairs(spark, SF_DIR, block=64).collect()))
+    assert blk == one and len(one) > 0
+
+
+def test_semdedup_task_memory_bound(spark):
+    """No chunk-pair group may ship more than 2·block vectors — the
+    per-task memory invariant that makes semdedup safe on skewed or
+    oversized clusters."""
+    import pyspark.sql.functions as F
+
+    from ebike_spark.operators.semdedup import _blocked_union, _chunked_members
+
+    block = 64
+    member = _chunked_members(spark, SF_DIR, block)
+    grouped = (
+        _blocked_union(member)
+        .groupBy("cluster_id", "ca", "cb")
+        .agg(F.count("*").alias("n"))
+    )
+    mx = grouped.agg(F.max("n").alias("m")).first()["m"]
+    assert mx is not None and mx <= 2 * block
+    # and blocking actually engaged (some cluster has >1 chunk)
+    assert grouped.where(F.col("ca") != F.col("cb")).count() > 0
+
+
 def test_jaccard_cap_equivalence_on_corpus(spark):
     """Capped and uncapped registered-path results agree on the test
     corpus even with an aggressive cap (every true pair shares at least
