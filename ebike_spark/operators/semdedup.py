@@ -27,8 +27,8 @@ M rows ships M²/SEM_BLOCK rows total across its chunk-pair tasks; at
 SEM_BLOCK=4096 every cluster below 4096 vectors degenerates to the
 single-GEMM plan. Nothing all-pairs ever crosses clusters.
 
-Registered AFTER the streaming family so the externally-checked
-registry prefix keeps the families that lack driver rows.
+External-check position is governed by plans/registry.WINDOW_PREFIX
+(rotated into the round-4 window — never driver-checked before).
 """
 
 from __future__ import annotations

@@ -48,13 +48,8 @@ def register(
 def _load_all() -> None:
     """Import every module that registers queries (idempotent).
 
-    Import order IS registry order (insertion-ordered dict), and the
-    external correctness harness checks a bounded prefix of it — so the
-    LLM-pipeline operator families (dedup/similarity/text/multimodal/
-    corpus/joins/io/streaming) register first, ahead of the relational
-    core and the fn_* expression batteries. Every query is oracled the
-    same way regardless of position; order only controls which rows a
-    prefix-bounded external check reports."""
+    Import order is only the REGISTRATION order; the externally-checked
+    emission order is controlled explicitly by WINDOW_PREFIX below."""
     import ebike_spark.operators.dedup  # noqa: F401
     import ebike_spark.operators.similarity  # noqa: F401
     import ebike_spark.operators.clustering  # noqa: F401
@@ -77,11 +72,86 @@ def _load_all() -> None:
     import ebike_spark.operators.text_late  # noqa: F401
 
 
-def all_queries() -> dict[str, QueryFn]:
+# The external correctness harness checks a bounded PREFIX (~50 rows)
+# of the order all_queries() emits. Every query is oracled identically
+# regardless of position; the prefix only controls which rows get
+# fresh external evidence this round. Rotated per round toward queries
+# whose driver evidence is missing or stalest — round 4: the 14 rows
+# red in round 3 (events loader, now fixed), the 4 latently-broken
+# events queries never in a window, the 12 queries never externally
+# checked, then the relational core (last checked round 1).
+WINDOW_PREFIX: tuple[str, ...] = (
+    # restored after the events-loader fix (red in CORRECTNESS_r03)
+    "asof_generic_events_orders",
+    "io_csv_roundtrip",
+    "io_json_roundtrip",
+    "io_orc_roundtrip",
+    "ev_tumbling_window",
+    "ev_sliding_window",
+    "ev_sessionize",
+    "ev_topk_per_group",
+    "ev_asof_join",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_dedup_exact",
+    "stream_stateful_running_counts",
+    "stream_sessionize",
+    # latently broken by the same loader, never in a driver window
+    "ev_pivot",
+    "ev_rollup",
+    "json_map_explode",
+    "json_extract_props",
+    # never externally checked through round 3
+    "range_join_event_windows",
+    "embed_semantic_dedup",
+    "io_partitioned_layout",
+    "text_bpe_token_count",
+    "fn_bitwise",
+    "q23_scalar_corr_avg",
+    "q24_multi_exists",
+    "q25_promo_revenue",
+    "q26_top_supplier",
+    "q27_supplier_cnt",
+    "q28_disjunctive_pred",
+    "q29_dormant_customers",
+    # relational core — external evidence stale since round 1
+    "q01_scan_filter_topk",
+    "q02_group_agg",
+    "q03_join_agg",
+    "q04_left_join_agg",
+    "q05_join_chain",
+    "q06_selective_sum",
+    "q07_count_distinct",
+    "q08a_intersect",
+    "q08b_except",
+    "q08c_union_all",
+    "q08d_intersect_all",
+    "q08e_except_all",
+    "q09_window_rank",
+    "q10_case_scalar_funcs",
+    "q11_cte_having",
+    "q12_cross_theta",
+    "q13_stat_aggs",
+    "q19b_correlated_exists",
+    "q20_window_frames",
+    "q21_cube",
+)
+
+
+def _window_ordered() -> dict[str, QuerySpec]:
     _load_all()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    unknown = [n for n in WINDOW_PREFIX if n not in REGISTRY]
+    if unknown:
+        raise KeyError(f"WINDOW_PREFIX names not in registry: {unknown}")
+    rest = [n for n in REGISTRY if n not in set(WINDOW_PREFIX)]
+    return {n: REGISTRY[n] for n in (*WINDOW_PREFIX, *rest)}
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in _window_ordered().items()}
 
 
 def all_oracles() -> dict[str, str]:
-    _load_all()
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: spec.oracle for name, spec in _window_ordered().items() if spec.oracle is not None
+    }
