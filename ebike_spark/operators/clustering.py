@@ -52,7 +52,7 @@ def _seed_centroids(spark: SparkSession, sf: str) -> list[tuple[int, list[float]
     return _seed_cache[sf]
 
 
-def _make_assigner(seeds: list[tuple[int, list[float]]]):
+def _make_assigner(seeds: list[tuple[int, list[float]]], carry_v: bool = False):
     """Closure factory for the Arrow-batched centroid assigner: batch
     embedding matrix × normalized centroid matrix (one GEMM), row-wise
     argmax. Everything the inner function touches is a local bound by
@@ -60,7 +60,12 @@ def _make_assigner(seeds: list[tuple[int, list[float]]]):
 
     Centroids are sorted by id so numpy's argmax (first max wins)
     breaks exact ties toward the LOWEST centroid id, mirroring the
-    oracle's ROW_NUMBER ... ORDER BY cos DESC, cid ASC."""
+    oracle's ROW_NUMBER ... ORDER BY cos DESC, cid ASC.
+
+    ``carry_v`` passes the raw vector through the output batch, so a
+    consumer that needs both the assignment and the vector (semdedup)
+    avoids re-joining against the embeddings table — one scan + one
+    GEMM instead of two scans and a shuffle join."""
     import numpy as _np
 
     ordered = sorted(seeds)
@@ -77,20 +82,22 @@ def _make_assigner(seeds: list[tuple[int, list[float]]]):
             V = _np.array(list(pdf["v"]), dtype=_np.float64)
             sims = (V @ Cn.T) / _np.linalg.norm(V, axis=1, keepdims=True)
             best = sims.argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].astype("int64"),
-                    "cluster_id": cids[best],
-                    "cos": sims[_np.arange(len(best)), best],
-                }
-            )
+            out = {
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "cluster_id": cids[best],
+                "cos": sims[_np.arange(len(best)), best],
+            }
+            if carry_v:
+                out["v"] = pdf["v"]
+            yield pd.DataFrame(out)
 
     return assign
 
 
-def _best_seed(spark: SparkSession, sf: str) -> DataFrame:
-    """(vec_id, cluster_id, cos): every vector assigned to its nearest
-    seed centroid by cosine, ties broken toward the lowest centroid id.
+def _best_seed(spark: SparkSession, sf: str, carry_v: bool = False) -> DataFrame:
+    """(vec_id, cluster_id, cos[, v]): every vector assigned to its
+    nearest seed centroid by cosine, ties broken toward the lowest
+    centroid id.
 
     The K×dim centroid matrix ships inside the task closure (tiny,
     constant); assignment is one Arrow-batched GEMM per batch — the
@@ -104,9 +111,10 @@ def _best_seed(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    return e.mapInPandas(
-        _make_assigner(seeds), "vec_id long, cluster_id int, cos double"
+    schema = "vec_id long, cluster_id int, cos double" + (
+        ", v array<double>" if carry_v else ""
     )
+    return e.mapInPandas(_make_assigner(seeds, carry_v=carry_v), schema)
 
 
 def _seed_cte() -> str:

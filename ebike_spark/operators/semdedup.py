@@ -38,7 +38,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ebike_spark.operators.clustering import N_SEEDS, _best_seed, _seed_cte
 from ebike_spark.plans.registry import register
-from ebike_spark.sources.registry import load_table
 
 SEM_TAU = 0.4  # within-cluster cosine threshold for a near-dup pair
 SEM_BLOCK = 4096  # max vectors per GEMM block (per-task memory bound)
@@ -91,60 +90,57 @@ def _make_block_scorer(tau: float):
     return score
 
 
-def _chunked_members(spark: SparkSession, sf: str, block: int) -> DataFrame:
-    """(cluster_id, chunk, vec_id, v): cluster members with a dense
-    chunk index — consecutive vec_id-ordered runs of ≤ ``block`` rows.
-    One window shuffle on cluster_id (same exchange the old
-    whole-cluster groupBy paid anyway)."""
-    assigned = _best_seed(spark, sf).select("vec_id", "cluster_id")
-    e = load_table(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+def _tagged_members(spark: SparkSession, sf: str, block: int) -> DataFrame:
+    """(cluster_id, ca, cb, vec_id, v, side): every member replicated
+    onto each of its chunk-pairs, in ONE pass.
+
+    Each vector computes its chunk index (row_number within cluster,
+    runs of ≤ ``block``) and its cluster's chunk count m (max-chunk
+    window, same exchange), then EXPLODES its own tag list: side 0 for
+    pairs (chunk, cb) with cb ≥ chunk, side 1 for pairs (ca, chunk)
+    with ca < chunk — the ca == cb block is scored triangle-style from
+    side 0 alone, so no side-1 copy is emitted for it. Replication
+    factor per row is exactly m, the unavoidable blocked-all-pairs
+    cost; the earlier join-based formulation re-derived the member
+    subtree (scan + assignment GEMM) once per join branch — 6
+    MapInPandas stages and 17 exchanges in the executed plan vs 1 GEMM
+    and 2 exchanges (window, final groupBy) here."""
+    member = _best_seed(spark, sf, carry_v=True).select("vec_id", "cluster_id", "v")
     win = Window.partitionBy("cluster_id").orderBy("vec_id")
+    cwin = Window.partitionBy("cluster_id")
+    chunk = F.col("chunk")
+    side0 = F.transform(
+        F.sequence(chunk, F.col("m") - F.lit(1)),
+        lambda cb: F.struct(chunk.alias("ca"), cb.alias("cb"), F.lit(0).alias("side")),
+    )
+    side1 = F.when(
+        chunk > 0,
+        F.transform(
+            F.sequence(F.lit(0), chunk - F.lit(1)),
+            lambda ca: F.struct(ca.alias("ca"), chunk.alias("cb"), F.lit(1).alias("side")),
+        ),
+    ).otherwise(F.array().cast("array<struct<ca:int,cb:int,side:int>>"))
     return (
-        assigned.join(e, "vec_id")
-        .withColumn("chunk", ((F.row_number().over(win) - F.lit(1)) / F.lit(block)).cast("int"))
-        .select("cluster_id", "chunk", "vec_id", "v")
-    )
-
-
-def _blocked_union(member: DataFrame) -> DataFrame:
-    """Replicate members onto their chunk-pairs: side 0 carries chunk ca,
-    side 1 carries chunk cb, for every within-cluster pair ca ≤ cb. The
-    chunk-pair table is tiny (Σ m_i² rows of three ints); the join is
-    left to AQE — no forced broadcast (the tfidf lesson)."""
-    chunks = member.select("cluster_id", "chunk").distinct()
-    cp = (
-        chunks.alias("x")
-        .join(
-            chunks.alias("y"),
-            (F.col("x.cluster_id") == F.col("y.cluster_id"))
-            & (F.col("x.chunk") <= F.col("y.chunk")),
-        )
+        member.withColumn("chunk", ((F.row_number().over(win) - F.lit(1)) / F.lit(block)).cast("int"))
+        .withColumn("m", F.max("chunk").over(cwin) + F.lit(1))
+        .select("cluster_id", "vec_id", "v", F.explode(F.concat(side0, side1)).alias("p"))
         .select(
-            F.col("x.cluster_id").alias("p_cid"),
-            F.col("x.chunk").alias("ca"),
-            F.col("y.chunk").alias("cb"),
+            "cluster_id",
+            F.col("p.ca").alias("ca"),
+            F.col("p.cb").alias("cb"),
+            "vec_id",
+            "v",
+            F.col("p.side").alias("side"),
         )
     )
-    a = member.join(
-        cp, (member["cluster_id"] == cp["p_cid"]) & (member["chunk"] == cp["ca"])
-    ).select("cluster_id", "ca", "cb", "vec_id", "v", F.lit(0).alias("side"))
-    b = member.join(
-        cp, (member["cluster_id"] == cp["p_cid"]) & (member["chunk"] == cp["cb"])
-    ).select("cluster_id", "ca", "cb", "vec_id", "v", F.lit(1).alias("side"))
-    # ca == cb blocks are scored triangle-style from side 0 alone; skip
-    # their side-1 copy instead of shipping it to be ignored.
-    return a.unionByName(b.where(F.col("ca") != F.col("cb")))
 
 
 def semantic_dedup_pairs(spark: SparkSession, sf: str, block: int = SEM_BLOCK) -> DataFrame:
     """All within-cluster pairs with cosine ≥ SEM_TAU via blocked GEMM;
     identical pair set for any ``block`` ≥ 1 (the unit suite pins
     block=64 against the default)."""
-    member = _chunked_members(spark, sf, block)
     return (
-        _blocked_union(member)
+        _tagged_members(spark, sf, block)
         .groupBy("cluster_id", "ca", "cb")
         .applyInPandas(
             _make_block_scorer(SEM_TAU), "cluster_id int, v1 long, v2 long, cos double"

@@ -189,12 +189,11 @@ def test_semdedup_task_memory_bound(spark):
     oversized clusters."""
     import pyspark.sql.functions as F
 
-    from ebike_spark.operators.semdedup import _blocked_union, _chunked_members
+    from ebike_spark.operators.semdedup import _tagged_members
 
     block = 64
-    member = _chunked_members(spark, SF_DIR, block)
     grouped = (
-        _blocked_union(member)
+        _tagged_members(spark, SF_DIR, block)
         .groupBy("cluster_id", "ca", "cb")
         .agg(F.count("*").alias("n"))
     )
