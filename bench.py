@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "ev_tumbling_window",
     "ev_sessionize",
     "ev_asof_join",
+    "ev_funnel",
+    "ev_retention",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -289,3 +289,132 @@ def ev_json(spark: SparkSession, sf: str) -> DataFrame:
     return ev.where(F.col("event_type") == "click").select(
         "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
     )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "ev_funnel",
+    oracle="""
+    WITH f1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    f2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN f1 ON e.user_id = f1.user_id
+           WHERE e.event_type = 'click' AND e.ts > f1.t1 GROUP BY 1),
+    f3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           JOIN f2 ON e.user_id = f2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > f2.t2 GROUP BY 1)
+    SELECT * FROM (
+      SELECT CAST(1 AS INTEGER) AS stage_idx, 'view' AS stage,
+             (SELECT COUNT(*) FROM f1) AS n_users
+      UNION ALL
+      SELECT CAST(2 AS INTEGER), 'click', (SELECT COUNT(*) FROM f2)
+      UNION ALL
+      SELECT CAST(3 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM f3))
+    WHERE n_users > 0
+    """,
+    tags=("events", "funnel", "sequence"),
+)
+def ev_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): how many users reached
+    each stage, where stage k+1 must occur STRICTLY after the user's
+    first qualifying stage-k event.
+
+    Spark-first shape is the single-shuffle sorted scan (the
+    windowFunnel pattern from event-analytics engines): one groupBy
+    user_id collects the user's (t, type) events sorted, then a
+    Catalyst `aggregate` HOF advances a (stage, t) accumulator in one
+    linear pass — entirely JVM-side, no Python. The oracle's
+    equivalent nested-min formulation needs one self-join per stage
+    (three user_id shuffles where this plan pays one); both agree
+    because a sorted greedy scan with strict-> advancement computes
+    exactly first-view, first-click-after, first-purchase-after.
+
+    Scale note: per-user state is that user's filtered event list —
+    the same per-key bound sessionization's window sort pays; heavy
+    users are bounded by the stage-type filter pushed to the scan."""
+    ev = load_table(spark, sf, "events")
+    stage_arr = F.array(*[F.lit(s) for s in FUNNEL_STAGES])
+    n_stages = len(FUNNEL_STAGES)
+    evs = ev.where(F.col("event_type").isin(*FUNNEL_STAGES)).select(
+        "user_id",
+        F.struct(F.unix_micros("ts").alias("t"), F.col("event_type").alias("et")).alias("e"),
+    )
+    init = F.struct(F.lit(0).alias("s"), F.lit(0).cast("long").alias("t"))
+
+    def step(acc, x):
+        # least() keeps element_at's index in range when the funnel is
+        # already complete (ANSI mode errors on out-of-bound indices).
+        want = F.element_at(stage_arr, F.least(acc["s"] + 1, F.lit(n_stages)))
+        can = (
+            (acc["s"] < n_stages)
+            & (x["et"] == want)
+            & ((acc["s"] == 0) | (x["t"] > acc["t"]))
+        )
+        return F.when(
+            can, F.struct((acc["s"] + 1).alias("s"), x["t"].alias("t"))
+        ).otherwise(acc)
+
+    reached = (
+        evs.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("seq"))
+        .select(F.aggregate("seq", init, step)["s"].alias("s"))
+        .where(F.col("s") >= 1)
+    )
+    return (
+        reached.select(F.explode(F.sequence(F.lit(1), F.col("s"))).alias("stage_idx"))
+        .groupBy("stage_idx")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            "stage_idx",
+            F.element_at(stage_arr, F.col("stage_idx")).alias("stage"),
+            "n_users",
+        )
+    )
+
+
+RETENTION_OFFSETS = (0, 1, 7, 14)
+
+
+@register(
+    "ev_retention",
+    oracle=f"""
+    WITH fa AS (SELECT user_id,
+                       CAST(epoch(date_trunc('day', MIN(ts))) AS BIGINT) AS d0
+                FROM events GROUP BY 1),
+    act AS (SELECT DISTINCT user_id,
+                   CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d
+            FROM events)
+    SELECT d0 AS cohort_day_s,
+           CAST((d - d0) // 86400 AS INTEGER) AS day_offset,
+           COUNT(*) AS n_users
+    FROM act JOIN fa USING (user_id)
+    WHERE (d - d0) // 86400 IN {RETENTION_OFFSETS}
+    GROUP BY 1, 2
+    """,
+    tags=("events", "retention", "cohort"),
+)
+def ev_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted again on day 0/+1/+7/+14. Two aggregations and one join,
+    all keyed on user_id — co-partitioned end to end (one logical
+    shuffle of the distinct (user, day) activity set; the first-day
+    aggregate reuses the same hash distribution), then a tiny
+    cohort×offset aggregate. Days are epoch-second BIGINTs on both
+    sides so the value hash is representation-independent."""
+    ev = load_table(spark, sf, "events")
+    fa = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("long").alias("d0")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("long").alias("d")
+    ).distinct()
+    off = ((F.col("d") - F.col("d0")) / F.lit(86400)).cast("int")
+    return (
+        act.join(fa, "user_id")
+        .select(F.col("d0").alias("cohort_day_s"), off.alias("day_offset"))
+        .where(F.col("day_offset").isin(*RETENTION_OFFSETS))
+        .groupBy("cohort_day_s", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

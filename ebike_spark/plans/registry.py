@@ -101,6 +101,9 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_rollup",
     "json_map_explode",
     "json_extract_props",
+    # new in round 4 — first external check
+    "ev_funnel",
+    "ev_retention",
     # never externally checked through round 3
     "range_join_event_windows",
     "embed_semantic_dedup",
