@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "fn_agg_extras",
     "embed_cluster_assign",
     "ann_range_search",
+    "embed_pq_encode",
+    "ann_pq_adc_topk",
     "corpus_domain_cap",
     "text_heuristic_filter",
     "q23_scalar_corr_avg",

@@ -104,6 +104,8 @@ WINDOW_PREFIX: tuple[str, ...] = (
     # new in round 4 — first external check
     "ev_funnel",
     "ev_retention",
+    "embed_pq_encode",
+    "ann_pq_adc_topk",
     # never externally checked through round 3
     "range_join_event_windows",
     "embed_semantic_dedup",

@@ -171,6 +171,47 @@ def test_jaccard_cap_guard_raises_on_all_stop_pair(spark):
         jaccard_pairs(sh, 0.5, df_cap=3).collect()
 
 
+def test_pq_adc_recall_and_code_width(spark):
+    """PQ ADC sanity: recall@10 vs the exact L2 top-10 must be well
+    above random (10/N ≈ 2%) even with the tiny deterministic 8×8 seed
+    codebook (measured 0.3-0.4; trained 256-codeword books recall far
+    higher — ann_ivf shows the learned path). Packed codes must fit
+    PQ_M×3 bits."""
+    import pyspark.sql.functions as F
+
+    from ebike_spark.operators.similarity import PQ_M, QUERY_VEC_ID, TOP_K, _query_vec
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+    from ebike_spark.sources.registry import load_table
+
+    _load_all()
+    qv = F.lit(_query_vec(spark, SF_DIR)).cast("array<double>")
+    e = load_table(spark, SF_DIR, "embeddings").where(F.col("vec_id") != QUERY_VEC_ID)
+    d2 = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), qv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = [
+        r["vec_id"]
+        for r in e.select("vec_id", d2.alias("d")).orderBy("d", "vec_id").limit(TOP_K).collect()
+    ]
+    adc = [r["vec_id"] for r in REGISTRY["ann_pq_adc_topk"].fn(spark, SF_DIR).collect()]
+    recall = len(set(exact) & set(adc)) / TOP_K
+    assert recall >= 0.2, recall
+
+    codes = REGISTRY["embed_pq_encode"].fn(spark, SF_DIR)
+    bad = codes.where(
+        (F.col("pq_code") < 0) | (F.col("pq_code") >= F.lit(1 << (3 * PQ_M)))
+    ).count()
+    assert bad == 0
+    # seed vectors reconstruct themselves exactly: zero error, and code
+    # packs (k, k, ..., k) for seed k
+    seed = {r["vec_id"]: (r["pq_code"], r["recon_err"]) for r in codes.where(F.col("vec_id") < 8).collect()}
+    for k, (code, err) in seed.items():
+        assert err == 0.0
+        assert code == sum(k << (3 * m) for m in range(PQ_M))
+
+
 def test_semdedup_blocked_equals_single_gemm(spark):
     """The blocked GEMM must produce the identical pair set for any
     block size: block=64 forces multi-chunk clusters at sf0.001 (≥8
