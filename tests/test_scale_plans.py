@@ -315,3 +315,52 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     plan = _physical(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_semdedup_single_gemm_plan(spark):
+    """The blocked semdedup plan must contain exactly ONE assignment
+    GEMM (MapInPandas) and no join — the round-4 re-shape collapsed the
+    join-based replication that re-derived the member subtree per
+    branch (6 GEMMs, 17 exchanges)."""
+    from ebike_spark.operators.semdedup import semantic_dedup_pairs
+
+    plan = _physical(semantic_dedup_pairs(spark, SF_DIR, block=64))
+    assert plan.count("MapInPandas") == 1
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the per-chunk-pair scorer
+
+
+def test_pq_encode_is_pure_map(spark):
+    """PQ encode is embarrassingly parallel: one Arrow map stage over
+    the scan, no Exchange anywhere."""
+    plan = _physical(REGISTRY["embed_pq_encode"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_pq_adc_topk_partial_topk(spark):
+    """ADC top-k: map-side LUT scoring + per-partition top-k — only k
+    rows per partition leave the executors, no shuffle of the corpus."""
+    plan = _physical(REGISTRY["ann_pq_adc_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_funnel_single_user_shuffle(spark):
+    """The funnel pays ONE user_id exchange (the groupBy collect); the
+    stage-type filter must be pushed to the parquet scan so only
+    funnel-relevant rows shuffle. The tiny stage-count aggregate after
+    the HOF scan adds its own exchanges over ≤3-row data; the invariant
+    is the event-data path: filter at scan + no join anywhere."""
+    plan = _physical(REGISTRY["ev_funnel"].fn(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "PushedFilters" in plan and "In(event_type" in plan
+
+
+def test_retention_joins_on_user_only(spark):
+    """Retention's only data-sized operations are user_id-keyed: the
+    distinct, the first-day aggregate, and their join; no window, no
+    nested-loop."""
+    plan = _physical(REGISTRY["ev_retention"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
