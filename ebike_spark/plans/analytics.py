@@ -334,7 +334,12 @@ def ev_funnel(spark: SparkSession, sf: str) -> DataFrame:
     Scale note: per-user state is that user's filtered event list —
     the same per-key bound sessionization's window sort pays; heavy
     users are bounded by the stage-type filter pushed to the scan."""
-    ev = load_table(spark, sf, "events")
+    return funnel_counts(load_table(spark, sf, "events"))
+
+
+def funnel_counts(ev: DataFrame) -> DataFrame:
+    """The funnel plan over any events-shaped DataFrame (used by the
+    registered query and the 10× scale probe)."""
     stage_arr = F.array(*[F.lit(s) for s in FUNNEL_STAGES])
     n_stages = len(FUNNEL_STAGES)
     evs = ev.where(F.col("event_type").isin(*FUNNEL_STAGES)).select(
@@ -403,7 +408,12 @@ def ev_retention(spark: SparkSession, sf: str) -> DataFrame:
     aggregate reuses the same hash distribution), then a tiny
     cohort×offset aggregate. Days are epoch-second BIGINTs on both
     sides so the value hash is representation-independent."""
-    ev = load_table(spark, sf, "events")
+    return retention_matrix(load_table(spark, sf, "events"))
+
+
+def retention_matrix(ev: DataFrame) -> DataFrame:
+    """The retention plan over any events-shaped DataFrame (used by the
+    registered query and the 10× scale probe)."""
     fa = ev.groupBy("user_id").agg(
         F.date_trunc("day", F.min("ts")).cast("long").alias("d0")
     )

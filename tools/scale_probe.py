@@ -58,6 +58,10 @@ def build(spark, out: str, replicas: int) -> None:
     # vectors unchanged per replica: cluster occupancy replicates, so
     # assignment work scales linearly with no cross-replica structure
     shifted(emb, ["vec_id"]).write.parquet(f"{out}/embeddings")
+    ev = load_table(spark, SF, "events")
+    # user_id shifted per replica: funnels/cohorts replicate instead of
+    # merging across replicas
+    shifted(ev, ["event_id", "user_id"]).write.parquet(f"{out}/events")
 
 
 def main() -> None:
@@ -77,8 +81,10 @@ def main() -> None:
 
     emb = spark.read.parquet(f"{out}/embeddings")
 
+    ev = spark.read.parquet(f"{out}/events")
+
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{out}/{t}/*.parquet'")
 
     def spark_time(df) -> float:
@@ -143,6 +149,26 @@ def main() -> None:
         "per-domain cap (window over source)",
         spark_time(_domain_cap(docs)),
         duck_time(_DOMAIN_SQL),
+    ))
+    cases.append((
+        "funnel (single-pass scan vs nested-min joins)",
+        spark_time(_funnel(ev)),
+        duck_time(_FUNNEL_SQL),
+    ))
+    cases.append((
+        "retention cohort matrix",
+        spark_time(_retention(ev)),
+        duck_time(_RETENTION_SQL),
+    ))
+    cases.append((
+        "PQ ADC top-k (LUT scan)",
+        spark_time(_pq_adc(spark, emb)),
+        duck_time(_PQ_ADC_SQL),
+    ))
+    cases.append((
+        "semantic dedup (blocked within-cluster GEMM)",
+        spark_time(_semdedup(spark, emb)),
+        duck_time(_SEMDEDUP_SQL),
     ))
     print("| shape | Spark s | DuckDB s | ratio |")
     print("|---|---|---|---|")
@@ -251,6 +277,145 @@ WITH ranked AS (SELECT source, doc_id,
     ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT), doc_id) rn
   FROM documents)
 SELECT source, count(*), SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) FROM ranked GROUP BY source
+"""
+
+
+def _funnel(ev):
+    from ebike_spark.plans.analytics import funnel_counts
+
+    return funnel_counts(ev)
+
+
+_FUNNEL_SQL = """
+WITH f1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type='view' GROUP BY 1),
+f2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN f1 ON e.user_id=f1.user_id
+       WHERE e.event_type='click' AND e.ts > f1.t1 GROUP BY 1),
+f3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN f2 ON e.user_id=f2.user_id
+       WHERE e.event_type='purchase' AND e.ts > f2.t2 GROUP BY 1)
+SELECT (SELECT count(*) FROM f1), (SELECT count(*) FROM f2), (SELECT count(*) FROM f3)
+"""
+
+
+def _retention(ev):
+    from ebike_spark.plans.analytics import retention_matrix
+
+    return retention_matrix(ev)
+
+
+_RETENTION_SQL = """
+WITH fa AS (SELECT user_id, CAST(epoch(date_trunc('day', MIN(ts))) AS BIGINT) d0
+            FROM events GROUP BY 1),
+act AS (SELECT DISTINCT user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) d FROM events)
+SELECT d0, (d - d0) // 86400 AS o, count(*) FROM act JOIN fa USING (user_id)
+WHERE (d - d0) // 86400 IN (0, 1, 7, 14) GROUP BY 1, 2
+"""
+
+
+def _pq_adc(spark, emb):
+    """Registered-path shape over probe embeddings: codebook + query
+    from the BASE corpus (constant), ADC LUT scan + top-k over the
+    replicated vectors."""
+    import numpy as np
+
+    from ebike_spark.operators.similarity import (
+        PQ_M,
+        PQ_SUBD,
+        TOP_K,
+        _make_pq_mapper,
+        _pq_codebook,
+        _query_vec,
+    )
+
+    cb = _pq_codebook(spark, SF)
+    q = np.asarray(_query_vec(spark, SF), dtype=np.float64).reshape(PQ_M, PQ_SUBD)
+    lut = ((q[:, None, :] - cb) ** 2).sum(-1)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    scored = e.mapInPandas(_make_pq_mapper(cb, lut), "vec_id long, adc_dist double")
+    return scored.orderBy("adc_dist", "vec_id").limit(TOP_K)
+
+
+_PQ_ADC_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+base AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+sub AS (SELECT vec_id, m, v[m*8+1 : m*8+8] sv FROM e,
+        (SELECT unnest(generate_series(0,7)) m) ms),
+cw AS (SELECT m, vec_id k, v[m*8+1 : m*8+8] cv FROM base,
+       (SELECT unnest(generate_series(0,7)) m) ms),
+scored AS (SELECT s.vec_id, s.m, c.k, POWER(list_distance(s.sv, c.cv),2) d2,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                ORDER BY list_distance(s.sv, c.cv), c.k) rn
+           FROM sub s JOIN cw c ON s.m=c.m),
+best AS (SELECT vec_id, m, k, d2 FROM scored WHERE rn=1),
+qsub AS (SELECT m, sv qv FROM sub WHERE vec_id = 0),
+lut AS (SELECT c.m, c.k, POWER(list_distance(q.qv, c.cv),2) qd
+        FROM cw c JOIN qsub q ON q.m=c.m),
+adc AS (SELECT b.vec_id, SUM(l.qd) ad FROM best b JOIN lut l ON l.m=b.m AND l.k=b.k
+        WHERE b.vec_id != 0 GROUP BY 1)
+SELECT vec_id, ad FROM adc ORDER BY ad, vec_id LIMIT 10
+"""
+
+
+def _semdedup(spark, emb):
+    """Blocked within-cluster pair scan over probe embeddings, seeds
+    from the base corpus. block=1024 so 10× clusters (~2500 vectors)
+    split into 3 chunks — the multi-chunk path is what's measured, not
+    the single-GEMM degenerate case."""
+    from pyspark.sql import Window
+
+    from ebike_spark.operators.clustering import _make_assigner, _seed_centroids
+    from ebike_spark.operators.semdedup import SEM_TAU, _make_block_scorer
+
+    SEM_BLOCK = 1024
+
+    seeds = _seed_centroids(spark, SF)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    member = e.mapInPandas(
+        _make_assigner(seeds, carry_v=True),
+        "vec_id long, cluster_id int, cos double, v array<double>",
+    ).select("vec_id", "cluster_id", "v")
+    win = Window.partitionBy("cluster_id").orderBy("vec_id")
+    cwin = Window.partitionBy("cluster_id")
+    chunk = F.col("chunk")
+    side0 = F.transform(
+        F.sequence(chunk, F.col("m") - F.lit(1)),
+        lambda cb: F.struct(chunk.alias("ca"), cb.alias("cb"), F.lit(0).alias("side")),
+    )
+    side1 = F.when(
+        chunk > 0,
+        F.transform(
+            F.sequence(F.lit(0), chunk - F.lit(1)),
+            lambda ca: F.struct(ca.alias("ca"), chunk.alias("cb"), F.lit(1).alias("side")),
+        ),
+    ).otherwise(F.array().cast("array<struct<ca:int,cb:int,side:int>>"))
+    tagged = (
+        member.withColumn("chunk", ((F.row_number().over(win) - F.lit(1)) / F.lit(SEM_BLOCK)).cast("int"))
+        .withColumn("m", F.max("chunk").over(cwin) + F.lit(1))
+        .select("cluster_id", "vec_id", "v", F.explode(F.concat(side0, side1)).alias("p"))
+        .select("cluster_id", F.col("p.ca").alias("ca"), F.col("p.cb").alias("cb"),
+                "vec_id", "v", F.col("p.side").alias("side"))
+    )
+    return (
+        tagged.groupBy("cluster_id", "ca", "cb")
+        .applyInPandas(_make_block_scorer(SEM_TAU), "cluster_id int, v1 long, v2 long, cos double")
+        .groupBy()
+        .count()
+    )
+
+
+_SEMDEDUP_SQL = """
+WITH seeds AS (SELECT vec_id cid, CAST(embedding AS DOUBLE[]) cv
+               FROM embeddings WHERE vec_id < 8),
+scored AS (SELECT e.vec_id, s.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) DESC,
+                        s.cid) rn
+           FROM embeddings e CROSS JOIN seeds s),
+member AS (SELECT m.vec_id, m.cid, CAST(e.embedding AS DOUBLE[]) v
+           FROM (SELECT vec_id, cid FROM scored WHERE rn=1) m
+           JOIN embeddings e ON e.vec_id = m.vec_id)
+SELECT count(*) FROM member a JOIN member b
+ON a.cid=b.cid AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """
 
 
