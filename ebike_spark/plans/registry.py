@@ -106,6 +106,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_retention",
     "embed_pq_encode",
     "ann_pq_adc_topk",
+    "stream_funnel",
     # never externally checked through round 3
     "range_join_event_windows",
     "embed_semantic_dedup",

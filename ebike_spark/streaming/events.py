@@ -280,3 +280,79 @@ def stream_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     staged = stage_stream_dir(spark, sf)
     sessions = run_to_table(session_window_agg(read_event_stream(spark, staged)), "complete")
     return sessions.groupBy("user_id").agg(F.count("*").cast("long").alias("n_sessions"))
+
+
+def make_funnel_tracker():
+    """Custom stateful operator: per-user funnel progress via
+    applyInPandasWithState. State is one (stage, t) pair per user —
+    the same strict-> greedy advancement the batch ev_funnel's sorted
+    scan applies, resumed across micro-batches. Correct because the
+    staged replay delivers each user's events in non-decreasing ts
+    order across batches (range-staged files) and each batch is sorted
+    (t, event_type) before the scan — matching the batch array_sort
+    order. Closure-built; executors never import this package."""
+    from ebike_spark.plans.analytics import FUNNEL_STAGES
+
+    stages = tuple(FUNNEL_STAGES)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            s, t = state.get
+        else:
+            s, t = 0, 0
+        frames = [p[["t", "event_type"]] for p in pdfs]
+        ev = pd.concat(frames).sort_values(["t", "event_type"]) if frames else None
+        if ev is not None:
+            for tt, et in zip(ev["t"], ev["event_type"]):
+                if s < len(stages) and et == stages[s] and (s == 0 or tt > t):
+                    s, t = s + 1, int(tt)
+        state.update((int(s), int(t)))
+        yield pd.DataFrame({"user_id": [user_id], "s": [int(s)]})
+
+    return fn
+
+
+def funnel_stream(ev: DataFrame) -> DataFrame:
+    from ebike_spark.plans.analytics import FUNNEL_STAGES
+
+    src = ev.where(F.col("event_type").isin(*FUNNEL_STAGES)).select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_type"
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        make_funnel_tracker(),
+        "user_id long, s int",
+        "s int, t long",
+        "update",
+        "NoTimeout",
+    )
+
+
+@register(
+    "stream_funnel",
+    oracle=REGISTRY["ev_funnel"].oracle,
+    tags=("streaming", "stateful", "funnel", "applyInPandasWithState"),
+)
+def stream_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming funnel: per-user stage state advanced across 4
+    micro-batches, final stage counts must hash-match the BATCH
+    funnel's oracle — a custom-state streaming operator with a full
+    value oracle (stream_stateful_running_counts is the rows-only
+    precedent; this one closes the loop). Stage is monotone, so the
+    final per-user stage is the max over update-mode emissions."""
+    staged = stage_stream_dir(spark, sf)
+    sink = run_to_table(funnel_stream(read_event_stream(spark, staged)), "update")
+    from ebike_spark.plans.analytics import FUNNEL_STAGES
+
+    stage_arr = F.array(*[F.lit(s) for s in FUNNEL_STAGES])
+    final = sink.groupBy("user_id").agg(F.max("s").alias("s")).where(F.col("s") >= 1)
+    return (
+        final.select(F.explode(F.sequence(F.lit(1), F.col("s"))).alias("stage_idx"))
+        .groupBy("stage_idx")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            "stage_idx",
+            F.element_at(stage_arr, F.col("stage_idx")).alias("stage"),
+            "n_users",
+        )
+    )

@@ -167,3 +167,21 @@ def test_foreach_batch_sink(spark):
     assert n_out == n_in
     # and it really arrived over multiple micro-batches
     assert len(glob.glob(os.path.join(staged, "*.parquet"))) >= 3
+
+
+def test_stream_funnel_matches_batch(spark):
+    """The stateful streaming funnel's final stage counts must equal
+    the batch ev_funnel exactly — per-user state resumed across
+    micro-batches reproduces the one-pass sorted scan."""
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    batch = {
+        (r["stage_idx"], r["stage"]): r["n_users"]
+        for r in REGISTRY["ev_funnel"].fn(spark, SF_DIR).collect()
+    }
+    streamed = {
+        (r["stage_idx"], r["stage"]): r["n_users"]
+        for r in REGISTRY["stream_funnel"].fn(spark, SF_DIR).collect()
+    }
+    assert streamed == batch and len(batch) > 0
