@@ -402,27 +402,26 @@ RETENTION_OFFSETS = (0, 1, 7, 14)
 )
 def ev_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity day,
-    counted again on day 0/+1/+7/+14. Two aggregations and one join,
-    all keyed on user_id — co-partitioned end to end (one logical
-    shuffle of the distinct (user, day) activity set; the first-day
-    aggregate reuses the same hash distribution), then a tiny
-    cohort×offset aggregate. Days are epoch-second BIGINTs on both
-    sides so the value hash is representation-independent."""
+    counted again on day 0/+1/+7/+14. No join at all: the first
+    activity day is a min-over-user window on the distinct (user, day)
+    activity set — one partial-aggregated distinct shuffle, one
+    user_id window exchange, then a tiny cohort×offset aggregate (the
+    oracle spells the same thing as an aggregate + join). Days are
+    epoch-second BIGINTs on both sides so the value hash is
+    representation-independent."""
     return retention_matrix(load_table(spark, sf, "events"))
 
 
 def retention_matrix(ev: DataFrame) -> DataFrame:
     """The retention plan over any events-shaped DataFrame (used by the
     registered query and the 10× scale probe)."""
-    fa = ev.groupBy("user_id").agg(
-        F.date_trunc("day", F.min("ts")).cast("long").alias("d0")
-    )
     act = ev.select(
         "user_id", F.date_trunc("day", F.col("ts")).cast("long").alias("d")
     ).distinct()
+    d0 = F.min("d").over(Window.partitionBy("user_id"))
     off = ((F.col("d") - F.col("d0")) / F.lit(86400)).cast("int")
     return (
-        act.join(fa, "user_id")
+        act.withColumn("d0", d0)
         .select(F.col("d0").alias("cohort_day_s"), off.alias("day_offset"))
         .where(F.col("day_offset").isin(*RETENTION_OFFSETS))
         .groupBy("cohort_day_s", "day_offset")

@@ -357,10 +357,11 @@ def test_funnel_single_user_shuffle(spark):
     assert "PushedFilters" in plan and "In(event_type" in plan
 
 
-def test_retention_joins_on_user_only(spark):
-    """Retention's only data-sized operations are user_id-keyed: the
-    distinct, the first-day aggregate, and their join; no window, no
-    nested-loop."""
+def test_retention_has_no_join(spark):
+    """Retention's first-activity day is a min-over-user window on the
+    distinct activity set — no join of two aggregates of the same
+    scan, no nested-loop; the data-sized operations are the distinct
+    and one user_id window exchange."""
     plan = _physical(REGISTRY["ev_retention"].fn(spark, SF_DIR))
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "Window" in plan
