@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "ann_pq_adc_topk",
     "corpus_domain_cap",
     "text_heuristic_filter",
+    "ev_anomaly_zscore",
+    "dedup_containment",
+    "dedup_incremental",
+    "text_quality_percentile",
     "q23_scalar_corr_avg",
     "q24_multi_exists",
     "q25_promo_revenue",

@@ -202,7 +202,43 @@ def verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFram
     )
 
 
-def jaccard_pairs(sh: DataFrame, threshold: float, df_cap: int | None = None) -> DataFrame:
+def _capped_parts(sh: DataFrame, df_cap: int) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(rare, doc_stop, sizes) for the capped pair pipelines — the
+    shingle set split by document frequency at ``df_cap``, plus per-doc
+    sorted stop arrays and shingle-set sizes.
+
+    rare and doc_stop are persisted through the session pool: the
+    exactness guard is an eager action whose subplan the main job
+    repeats, the rare self-join references rare through TWO aliases
+    (Spark does not reuse the exchange across aliases), and the three
+    registered capped pipelines (jaccard / containment / incremental)
+    share these exact intermediates — so one materialization serves
+    ~6 consumers. sameResult keying: a different sh or cap rebuilds."""
+    spark = sh.sparkSession
+    dfc = sh.groupBy("s").agg(F.count("*").alias("df"))
+    rare = _persist_scoped(
+        spark,
+        "capped_rare",
+        sh.join(dfc.where(F.col("df") <= df_cap).select("s"), "s", "left_semi"),
+    )
+    stop = dfc.where(F.col("df") > df_cap).select("s")
+    doc_stop = _persist_scoped(
+        spark,
+        "capped_doc_stop",
+        sh.join(stop, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("stops")),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return rare, doc_stop, sizes
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    threshold: float,
+    df_cap: int | None = None,
+    batch_min_id: int | None = None,
+) -> DataFrame:
     """Exact Jaccard over pairs sharing ≥1 shingle. The equi-join on the
     shingle value is the only quadratic-risk step; with ``df_cap`` set
     it is bounded at Σ min(df, cap)² by splitting shingles into RARE
@@ -219,22 +255,21 @@ def jaccard_pairs(sh: DataFrame, threshold: float, df_cap: int | None = None) ->
       formulation exploded candidates against whole documents and
       measured 6-12× slower at sf0.1.
 
+    ``batch_min_id`` restricts the RIGHT (d2) side of the pair join to
+    doc_id ≥ batch_min_id before joining — the incremental-dedup shape
+    (corpus × batch, never corpus × corpus); results are exactly the
+    full pair set filtered to d2 ≥ batch_min_id, including the guard's
+    coverage of that restricted set.
+
     Surviving pairs carry their exact full-set jaccard either way."""
     if df_cap is not None:
-        dfc = sh.groupBy("s").agg(F.count("*").alias("df"))
-        rare = sh.join(dfc.where(F.col("df") <= df_cap).select("s"), "s", "left_semi")
-        stop = dfc.where(F.col("df") > df_cap).select("s")
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-        a, b = rare.alias("a"), rare.alias("b")
+        rare, doc_stop, sizes = _capped_parts(sh, df_cap)
+        rare_b = rare if batch_min_id is None else rare.where(F.col("doc_id") >= batch_min_id)
+        a, b = rare.alias("a"), rare_b.alias("b")
         inter_rare = (
             a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
             .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
             .agg(F.count("*").alias("c_rare"))
-        )
-        doc_stop = (
-            sh.join(stop, "s", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.sort_array(F.collect_list("s")).alias("stops"))
         )
         # Loud-failure exactness guard (round-2 advice, tightened round
         # 4): a pair is MISSED only if every shared shingle is a stop
@@ -258,7 +293,8 @@ def jaccard_pairs(sh: DataFrame, threshold: float, df_cap: int | None = None) ->
         )
         if risky.limit(2).count() >= 2:
             rs = risky.select("doc_id", "n", F.explode("stops").alias("s"))
-            ra, rb = rs.alias("ra"), rs.alias("rb")
+            rs_b = rs if batch_min_id is None else rs.where(F.col("doc_id") >= batch_min_id)
+            ra, rb = rs.alias("ra"), rs_b.alias("rb")
             # i/(n1+n2-i) >= t  ⇔  i*(1+t) >= t*(n1+n2)
             stop_pairs = (
                 ra.join(
@@ -316,7 +352,8 @@ def jaccard_pairs(sh: DataFrame, threshold: float, df_cap: int | None = None) ->
         )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
-    b = sh.alias("b")
+    sh_b = sh if batch_min_id is None else sh.where(F.col("doc_id") >= batch_min_id)
+    b = sh_b.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
@@ -373,6 +410,219 @@ def dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     compare against."""
     sh = _persist_scoped(spark, "ngram_shingles", lambda: shingle_set(spark, sf), key=sf)
     return jaccard_pairs(sh, JACCARD_THRESHOLD, df_cap=JACCARD_DF_CAP)
+
+
+# ------------------------------------------------------------ containment
+
+# Asymmetric near-dup metric: C(A,B) = |A∩B| / min(|A|,|B|). Catches
+# SUBSET duplication (a short doc wholly embedded in a long one) that
+# jaccard's union denominator dilutes away — the standard companion
+# metric in training-corpus dedup (e.g. Lee et al., "Deduplicating
+# Training Data Makes Language Models Better", arXiv:2107.06499, uses
+# both edit-similarity and containment-style overlap).
+CONTAINMENT_THRESHOLD = 0.9
+
+_CONTAINMENT_PAIRS_SQL = f"""
+WITH {_SHINGLE_CTE},
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+SELECT d1, d2, ROUND(c * 1.0 / LEAST(sa.n, sb.n), 4) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE c * 1.0 / LEAST(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+def containment_pairs(sh: DataFrame, threshold: float, df_cap: int | None = None) -> DataFrame:
+    """Exact shingle containment over pairs sharing ≥1 shingle, with the
+    same rare/stop df_cap bound as jaccard_pairs: candidates come from
+    the rare (df ≤ cap) self-join only, the stop contribution is
+    recovered exactly via per-doc sorted stop arrays, and a loud
+    exactness guard raises if the cap could miss a pair.
+
+    Guard derivation (differs from jaccard's): a pair is missed only if
+    every shared shingle is a stop, so |I| ≤ stop_small and containment
+    ≤ stop_small / n_small — the necessary condition is that the
+    SMALLER doc has stop-share ≥ t. Stage 2 therefore joins risky docs
+    (stop-share ≥ t) against ALL stop-bearing docs (the larger side of
+    a missed pair need not be risky relative to its own size), counts
+    each pair's stop intersection once (distinct on (d1, d2, s)), and
+    tests the exact missed condition ci ≥ t·min(n1, n2) on pairs with
+    no shared rare shingle."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cont = F.col("c") * 1.0 / F.least(F.col("sa.n"), F.col("sb.n"))
+    if df_cap is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .agg(F.count("*").alias("c"))
+        )
+        return (
+            inter.join(sizes.alias("sa"), F.col("d1") == F.col("sa.doc_id"))
+            .join(sizes.alias("sb"), F.col("d2") == F.col("sb.doc_id"))
+            .where(cont >= threshold)
+            .select("d1", "d2", F.round(cont, 4).alias("containment"))
+        )
+    rare, doc_stop, _ = _capped_parts(sh, df_cap)
+    a, b = rare.alias("a"), rare.alias("b")
+    inter_rare = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("c_rare"))
+    )
+    risky = (
+        doc_stop.join(sizes, "doc_id")
+        .where(F.size("stops") * 1.0 >= threshold * F.col("n"))
+        .select("doc_id", "n", "stops")
+    )
+    if risky.limit(1).count() >= 1:
+        rs = risky.select("doc_id", "n", F.explode("stops").alias("s"))
+        alls = (
+            doc_stop.join(sizes, "doc_id")
+            .select("doc_id", "n", F.explode("stops").alias("s"))
+        )
+        ra, rb = rs.alias("ra"), alls.alias("rb")
+        stop_pairs = (
+            ra.join(
+                rb,
+                (F.col("ra.s") == F.col("rb.s"))
+                & (F.col("ra.doc_id") != F.col("rb.doc_id")),
+            )
+            .select(
+                F.least("ra.doc_id", "rb.doc_id").alias("d1"),
+                F.greatest("ra.doc_id", "rb.doc_id").alias("d2"),
+                F.least("ra.n", "rb.n").alias("n_min"),
+                F.col("ra.s").alias("s"),
+            )
+            .distinct()  # a both-risky pair matches in both directions
+            .groupBy("d1", "d2", "n_min")
+            .agg(F.count("*").alias("ci"))
+            .where(F.col("ci") * 1.0 >= threshold * F.col("n_min"))
+            .select("d1", "d2")
+        )
+        missed = (
+            stop_pairs.join(inter_rare.select("d1", "d2"), ["d1", "d2"], "left_anti")
+            .limit(1)
+            .count()
+        )
+        if missed:
+            raise ValueError(
+                f"containment df_cap={df_cap} unsound for this corpus: a "
+                f">={threshold}-containment pair shares only stop-shingles "
+                "(df > cap) and would be missed by capped candidate "
+                "generation; raise the cap or run uncapped "
+                "(containment_pairs(sh, t))"
+            )
+    full_c = F.col("c_rare") + F.when(
+        F.col("st1").isNotNull() & F.col("st2").isNotNull(),
+        F.size(F.array_intersect("st1", "st2")),
+    ).otherwise(0)
+    return (
+        inter_rare.join(
+            doc_stop.select(F.col("doc_id").alias("d1"), F.col("stops").alias("st1")),
+            "d1",
+            "left",
+        )
+        .join(
+            doc_stop.select(F.col("doc_id").alias("d2"), F.col("stops").alias("st2")),
+            "d2",
+            "left",
+        )
+        .withColumn("c", full_c)
+        .join(sizes.alias("sa"), F.col("d1") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("d2") == F.col("sb.doc_id"))
+        .where(cont >= threshold)
+        .select("d1", "d2", F.round(cont, 4).alias("containment"))
+    )
+
+
+# ------------------------------------------------------------ incremental
+
+# "New batch vs existing corpus" dedup — the production shape: each
+# crawl increment is deduped against everything already ingested, never
+# corpus-vs-corpus from scratch. The batch is defined by arrival order
+# (doc_id is monotonic in ingest time): the top INCREMENT_FRACTION of
+# the id space is the incoming batch. A new doc is dropped iff it has a
+# near-dup (full-set jaccard ≥ threshold) with ANY smaller doc_id —
+# which uniformly covers both "dup of the base corpus" and "dup of an
+# earlier doc in the same batch" (keep-first).
+INCREMENT_FRACTION = 0.2
+
+_INCREMENTAL_SQL = f"""
+WITH {_SHINGLE_CTE},
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  cut AS (SELECT CAST(ceil((1.0 - {INCREMENT_FRACTION}) * (MAX(doc_id) + 1)) AS BIGINT) AS cv
+          FROM documents),
+  inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+  dup AS (SELECT DISTINCT d2 AS doc_id
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = d1
+          JOIN sizes sb ON sb.doc_id = d2, cut
+          WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+            AND d2 >= cut.cv)
+SELECT d.doc_id, d.source
+FROM documents d, cut
+WHERE d.doc_id >= cut.cv AND d.doc_id NOT IN (SELECT doc_id FROM dup)
+"""
+
+
+@register(
+    "dedup_incremental",
+    oracle=_INCREMENTAL_SQL,
+    tags=("dedup", "incremental", "ngram"),
+)
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup dedup: the incoming batch (top 20% of the
+    doc_id space) keeps only docs with no jaccard-0.8 neighbor at a
+    smaller id (base corpus or earlier in-batch).
+
+    Scale shape: jaccard_pairs(batch_min_id=cutoff) restricts the pair
+    join's RIGHT side to the new batch before joining, so the
+    quadratic-risk equi-join is |corpus-shingles| × |batch-shingles| —
+    at 100 TB the batch is a small fraction of the corpus and this is
+    the whole point of incremental dedup (never corpus × corpus). The
+    stop-shingle cap, the exact stop correction, and the loud-failure
+    recall guard all apply unchanged (no candidate × full-set re-join —
+    that shape measured 6-12× slower, see jaccard_pairs). The id
+    cutoff is one scalar aggregate collected to the driver — bounded,
+    not a data collect."""
+    docs = load_table(spark, sf, "documents")
+    sh = _persist_scoped(spark, "ngram_shingles", lambda: shingle_set(spark, sf), key=sf)
+    import math
+
+    mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    cutoff = int(math.ceil((1.0 - INCREMENT_FRACTION) * (mx + 1)))
+    dup = (
+        jaccard_pairs(sh, JACCARD_THRESHOLD, df_cap=JACCARD_DF_CAP, batch_min_id=cutoff)
+        .select("d2")
+        .distinct()
+    )
+    return (
+        docs.where(F.col("doc_id") >= cutoff)
+        .join(dup, docs["doc_id"] == dup["d2"], "left_anti")
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "dedup_containment",
+    oracle=_CONTAINMENT_PAIRS_SQL,
+    tags=("dedup", "containment", "ngram"),
+)
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric n-gram containment near-dup pairs (threshold 0.9):
+    |A∩B| / min(|A|,|B|) flags subset duplication jaccard under-scores.
+    Shares the persisted shingle set with dedup_ngram_jaccard (one
+    build per (session, sf)); the pair join is bounded by the same
+    stop-shingle df cap, with verification exact on candidates."""
+    sh = _persist_scoped(spark, "ngram_shingles", lambda: shingle_set(spark, sf), key=sf)
+    return containment_pairs(sh, CONTAINMENT_THRESHOLD, df_cap=JACCARD_DF_CAP)
 
 
 # ---------------------------------------------------------------- minhash
@@ -502,7 +752,7 @@ def minhash_verified_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # unpersisted). MEMORY_AND_DISK: at cluster scale the set is large
     # but spills instead of recomputing.
     _tune_wide_codegen(spark)
-    sh = _persist_scoped(spark, "minhash_shingles", lambda: shingle_set(spark, sf), key=sf)
+    sh = _persist_scoped(spark, "ngram_shingles", lambda: shingle_set(spark, sf), key=sf)
     cand = fused_lsh_candidates(sh)
     return verify_jaccard(sh, cand, JACCARD_THRESHOLD)
 
@@ -595,7 +845,7 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         spark,
         "simhash_sig",
         lambda: simhash_signatures(
-            _persist_scoped(spark, "simhash_shingles", lambda: shingle_set(spark, sf), key=sf)
+            _persist_scoped(spark, "ngram_shingles", lambda: shingle_set(spark, sf), key=sf)
         ),
         key=sf,
     )

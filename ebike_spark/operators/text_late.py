@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ebike_spark.functions.textfns import tokens
 from ebike_spark.plans.registry import register
 from ebike_spark.sources.registry import load_table
 
@@ -63,3 +64,65 @@ def text_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
         F.round(F.sum("n_bpe") * 1.0 / F.sum("n_ws"), 4).alias("bpe_per_word"),
     )
+
+
+# Global quality-percentile filter: "keep the top decile by quality
+# score" — corpus curation's standard selection step once scores exist.
+QUALITY_PERCENTILE = 0.9
+
+
+def _qp_oracle() -> str:
+    from ebike_spark.operators.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS nt,
+             len(list_filter(string_split(text, ' '), w -> w IN ({sw}))) AS ns
+      FROM documents),
+    s AS (SELECT doc_id, least(1.0, nt / 100.0) * (1 - ns * 1.0 / nt) AS score FROM t),
+    q AS (SELECT quantile_cont(score, {QUALITY_PERCENTILE}) AS thr FROM s)
+    SELECT s.doc_id, ROUND(s.score, 4) AS score FROM s, q WHERE s.score >= q.thr
+    """
+
+
+def _text_quality_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Docs at or above the corpus-wide p{int(QUALITY_PERCENTILE*100)}
+    quality score (same composite score as text_quality).
+
+    Plan: one scoring scan → a 1-row exact-percentile aggregate →
+    broadcast that row back onto the scored scan (a 1-row broadcast
+    nested-loop join, no driver round-trip) → filter. The exact
+    `percentile` aggregate buffers the group's values, which is the
+    correct oracle-parity choice at test SF; at 100 TB the one-line
+    swap is `approx_percentile(score, p)` — a t-digest sketch with
+    mergeable partial aggregates, leaving the rest of the plan (the
+    broadcast scalar + filter) unchanged. Spark's linear interpolation
+    matches DuckDB's quantile_cont bit-for-bit on this corpus (checked
+    at all three SFs), so `>=` selects identical row sets."""
+    from ebike_spark.operators.text import STOPWORDS
+
+    docs = load_table(spark, sf, "documents")
+    tok = tokens(F.col("text"))
+    n_tokens = F.size(tok)
+    n_stop = F.size(F.filter(tok, lambda w: w.isin(*STOPWORDS)))
+    stop_ratio = n_stop * 1.0 / n_tokens
+    score = F.least(F.lit(1.0), n_tokens / 100.0) * (1 - stop_ratio)
+    scored = docs.select("doc_id", score.alias("score"))
+    thr = scored.agg(F.expr(f"percentile(score, {QUALITY_PERCENTILE})").alias("thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("score") >= F.col("thr"))
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+def _register_qp() -> None:
+    register(
+        "text_quality_percentile",
+        oracle=_qp_oracle(),
+        tags=("text", "quality", "percentile"),
+    )(_text_quality_percentile)
+
+
+_register_qp()

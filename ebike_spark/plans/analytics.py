@@ -427,3 +427,47 @@ def retention_matrix(ev: DataFrame) -> DataFrame:
         .groupBy("cohort_day_s", "day_offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+ANOMALY_Z = 3.0
+
+
+@register(
+    "ev_anomaly_zscore",
+    oracle=f"""
+    WITH s AS (SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS sd
+               FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.m) / s.sd, 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE ABS((e.value - s.m) / s.sd) >= {ANOMALY_Z}
+    """,
+    tags=("events", "anomaly", "stats"),
+)
+def ev_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type z-score outlier detection: events whose value deviates
+    ≥ {ANOMALY_Z}σ from their event_type's mean — the standard telemetry
+    anomaly sweep.
+
+    Two-pass shape, both passes linear: (1) groupBy event_type computes
+    a stats table with one row per type (map-side partial agg → tiny
+    shuffle); (2) the stats table is broadcast back onto the scan, so
+    the flagging pass is shuffle-free — no window over event_type,
+    which would shuffle the whole fact table to compute 5 numbers.
+    At 100 TB only pass 1's partial aggregates move (bytes per
+    partition × types), and pass 2 is embarrassingly parallel."""
+    return anomaly_zscore(load_table(spark, sf, "events"))
+
+
+def anomaly_zscore(ev: DataFrame, z_threshold: float = ANOMALY_Z) -> DataFrame:
+    """The anomaly plan over any events-shaped DataFrame (used by the
+    registered query and the 10× scale probe)."""
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) >= z_threshold)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )

@@ -107,6 +107,11 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "embed_pq_encode",
     "ann_pq_adc_topk",
     "stream_funnel",
+    "ev_anomaly_zscore",
+    "dedup_containment",
+    "dedup_incremental",
+    "text_quality_percentile",
+    "stream_static_join",
     # never externally checked through round 3
     "range_join_event_windows",
     "embed_semantic_dedup",

@@ -356,3 +356,41 @@ def stream_funnel(spark: SparkSession, sf: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', e.ts)) AS BIGINT) AS win_start,
+           c.c_mktsegment AS segment, COUNT(*) AS n,
+           ROUND(SUM(e.value), 2) AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join", "enrichment"),
+)
+def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the
+    static customer dimension (user_id = c_custkey), then a tumbling
+    window aggregate per market segment — the canonical streaming
+    enrichment topology (stream ⋈ broadcast dim → windowed rollup).
+
+    The static side is broadcast: Structured Streaming re-plans the
+    join every micro-batch, the stream side never shuffles for the
+    join, and no state is kept for it (unlike stream-stream joins).
+    At 100 TB/day the dim refresh is a Delta snapshot re-broadcast;
+    the aggregation state is bounded by windows × segments. Complete
+    mode over 4 replayed micro-batches must equal the batch join —
+    same oracle a batch engine would use."""
+    staged = stage_stream_dir(spark, sf)
+    ev = read_event_stream(spark, staged)
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").cast("long").alias("win_start"), "segment", "n", "total")
+    )
+    return run_to_table(agg, "complete")

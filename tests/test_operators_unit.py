@@ -442,3 +442,106 @@ def test_range_join_single_bin_interval_no_duplicates(spark):
     ivs = spark.createDataFrame([("a", 20, 30)], "iv string, lo long, hi long")
     out = range_join(pts, ivs, "t", "lo", "hi", bin_us=100).collect()
     assert len(out) == 1
+
+
+def test_containment_subset_pair_scores_one(spark):
+    """A short doc wholly embedded in a long one: containment = 1.0
+    while jaccard is diluted below threshold — the metric's reason to
+    exist. Capped and uncapped paths agree."""
+    from ebike_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    rows = [(1, f"small-{i}") for i in range(4)]
+    rows += [(2, f"small-{i}") for i in range(4)]
+    rows += [(2, f"big-{i}") for i in range(16)]
+    sh = spark.createDataFrame(rows, "doc_id long, s string")
+    out = {(r["d1"], r["d2"]): r["containment"] for r in containment_pairs(sh, 0.9).collect()}
+    assert out == {(1, 2): 1.0}
+    cap = {
+        (r["d1"], r["d2"]): r["containment"]
+        for r in containment_pairs(sh, 0.9, df_cap=3).collect()
+    }
+    assert cap == out
+    # jaccard on the same pair is 4/20 = 0.2 — invisible at any real threshold
+    assert jaccard_pairs(sh, 0.5).where("d1 = 1 AND d2 = 2").count() == 0
+
+
+def test_containment_guard_raises_on_all_stop_pair(spark):
+    """Guard true positive: docs made entirely of stop-shingles form a
+    >=t containment pair invisible to capped candidates — must raise."""
+    from ebike_spark.operators.dedup import containment_pairs
+
+    rows = []
+    for d in range(1, 7):
+        rows.append((d, "S1"))
+        rows.append((d, "S2"))
+    sh = spark.createDataFrame(rows, "doc_id long, s string")
+    with pytest.raises(ValueError, match="containment df_cap"):
+        containment_pairs(sh, 0.9, df_cap=3).collect()
+
+
+def test_containment_guard_covers_asymmetric_missed_pair(spark):
+    """Containment-specific guard case jaccard's risky×risky stage would
+    miss: the SMALL doc is all-stops (risky), the BIG doc has plenty of
+    rare shingles so its own stop-share is far below t — yet the pair's
+    containment is 1.0 and every shared shingle is a stop. The guard
+    must still raise (risky × all-stop-bearing join)."""
+    from ebike_spark.operators.dedup import containment_pairs
+
+    rows = []
+    # stops: S1, S2 appear in docs 1..6 (df=6 > cap=3)
+    for d in range(1, 7):
+        rows.append((d, "S1"))
+        rows.append((d, "S2"))
+    # doc 1 is ONLY stops (small, risky). doc 2 carries 20 rare
+    # shingles: stop-share 2/22 << 0.9, not risky by itself.
+    for i in range(20):
+        rows.append((2, f"rare-{i}"))
+    sh = spark.createDataFrame(rows, "doc_id long, s string")
+    with pytest.raises(ValueError, match="containment df_cap"):
+        containment_pairs(sh, 0.9, df_cap=3).collect()
+
+
+def test_containment_cap_equivalence_on_corpus(spark):
+    from ebike_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        containment_pairs,
+        shingle_set,
+    )
+
+    sh = shingle_set(spark, SF_DIR).persist()
+    try:
+        unc = sorted(map(tuple, containment_pairs(sh, CONTAINMENT_THRESHOLD).collect()))
+        cap = sorted(
+            map(tuple, containment_pairs(sh, CONTAINMENT_THRESHOLD, df_cap=10).collect())
+        )
+        assert unc == cap and len(unc) > 0
+    finally:
+        sh.unpersist()
+
+
+def test_incremental_dedup_matches_ground_truth(spark):
+    """dedup_incremental survivors == batch docs minus docs with ANY
+    >=t jaccard neighbor at a smaller id, per the full uncapped pair
+    ground truth."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from ebike_spark.operators.dedup import (
+        INCREMENT_FRACTION,
+        JACCARD_THRESHOLD,
+        jaccard_pairs,
+        shingle_set,
+    )
+    from ebike_spark.plans.registry import REGISTRY
+    from ebike_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    cutoff = int(math.ceil((1.0 - INCREMENT_FRACTION) * (mx + 1)))
+    batch = {r["doc_id"] for r in docs.where(F.col("doc_id") >= cutoff).collect()}
+    pairs = jaccard_pairs(shingle_set(spark, SF_DIR), JACCARD_THRESHOLD).collect()
+    dropped = {r["d2"] for r in pairs if r["d2"] >= cutoff}
+    got = {r["doc_id"] for r in REGISTRY["dedup_incremental"].fn(spark, SF_DIR).collect()}
+    assert got == batch - dropped
+    assert len(dropped & batch) > 0  # the filter actually fires at this SF

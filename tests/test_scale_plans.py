@@ -365,3 +365,38 @@ def test_retention_has_no_join(spark):
     plan = _physical(REGISTRY["ev_retention"].fn(spark, SF_DIR))
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_anomaly_stats_broadcast_no_window(spark):
+    """ev_anomaly_zscore flags outliers by broadcasting the 5-row stats
+    table back onto the scan — no Window over event_type (which would
+    shuffle the whole fact table) and no SortMergeJoin."""
+    df = REGISTRY["ev_anomaly_zscore"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+
+
+def test_incremental_pair_join_right_side_is_batch_only(spark):
+    """The incremental dedup's candidate equi-join must restrict its
+    batch side BEFORE the join: the optimized plan carries the id
+    cutoff as a pushed filter, so the join is corpus × batch, never
+    corpus × corpus."""
+    df = REGISTRY["dedup_incremental"].fn(spark, SF_DIR)
+    opt = _optimized(df)
+    assert "doc_id#" in opt
+    import re
+
+    assert re.search(r"doc_id#\d+L? >= \d+", opt), opt[:2000]
+
+
+def test_quality_percentile_single_scan_broadcast(spark):
+    """The percentile threshold joins back as a 1-row broadcast — no
+    sort-merge machinery, and the documents scan reads only doc_id and
+    text."""
+    df = REGISTRY["text_quality_percentile"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("lang" not in ln and "source" not in ln for ln in reads)
