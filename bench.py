@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "dedup_containment",
     "dedup_incremental",
     "text_quality_percentile",
+    "ann_knn_join",
     "q23_scalar_corr_avg",
     "q24_multi_exists",
     "q25_promo_revenue",

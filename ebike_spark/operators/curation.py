@@ -556,3 +556,55 @@ def text_heuristic_filter(spark: SparkSession, sf: str) -> DataFrame:
             ((F.col("r_short") + F.col("r_longword") + F.col("r_lowdiv") + F.col("r_nostop")) == 0).cast("long")
         ).cast("long").alias("n_kept"),
     )
+
+
+# ---------------------------------------- temperature-scaled sampling
+
+# Exponent for temperature sampling: stratum probability ∝ share^ALPHA
+# (α < 1 upweights small strata) — the multilingual/domain balancing
+# rule from the mBERT/XLM-R line of work (exponentially-smoothed
+# sampling, e.g. arXiv:1901.07291 §3.1), as opposed to
+# corpus_mix_weights' DECLARED target shares.
+MIX_ALPHA = 0.3
+
+
+@register(
+    "corpus_temperature_mix",
+    oracle=f"""
+    WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_docs) AS t, SUM(POWER(n_docs, {MIX_ALPHA})) AS pa FROM per)
+    SELECT source, n_docs,
+           ROUND(n_docs * 1.0 / tot.t, 4) AS share,
+           ROUND(POWER(n_docs, {MIX_ALPHA}) / tot.pa, 4) AS temp_share,
+           ROUND((POWER(n_docs, {MIX_ALPHA}) / tot.pa) / (n_docs * 1.0 / tot.t), 4)
+             AS boost
+    FROM per CROSS JOIN tot
+    """,
+    tags=("curation", "sampling", "mixing", "temperature"),
+)
+def corpus_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled sampling mix: per-source document shares
+    flattened by share^{MIX_ALPHA} (normalized), plus the per-source
+    sampling boost a weighted sampler applies. Unlike
+    corpus_mix_weights (declared targets), the targets here are a
+    FUNCTION of the observed shares — the standard low-resource
+    upweighting rule.
+
+    Plan: one stratum-count aggregation (strata rows, map-side
+    partial), a 1-row total aggregate broadcast back onto it (no
+    driver round-trip), pure expressions after that. Nothing scales
+    with corpus size except the first scan."""
+    docs = load_table(spark, sf, "documents")
+    per = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("t"), F.sum(F.pow("n_docs", F.lit(MIX_ALPHA))).alias("pa")
+    )
+    share = F.col("n_docs") * 1.0 / F.col("t")
+    temp_share = F.pow("n_docs", F.lit(MIX_ALPHA)) / F.col("pa")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(share, 4).alias("share"),
+        F.round(temp_share, 4).alias("temp_share"),
+        F.round(temp_share / share, 4).alias("boost"),
+    )

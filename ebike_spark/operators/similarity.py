@@ -352,3 +352,125 @@ def ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", F.round("adc_dist", 4).alias("adc_dist"))
     )
+
+
+# ------------------------------------------------------------- kNN join
+
+# Batch kNN join: EVERY query in a query set gets its exact top-k from
+# the corpus — the retrieval workhorse (RAG indexing, semdedup seeding,
+# eval-set contamination by embedding). The single-query ops above
+# broadcast one vector; this broadcasts the query MATRIX and computes
+# per-partition partial top-k, the distributed-kNN shape.
+N_QUERIES = 8
+KNN_SLACK = 8  # per-partition over-keep so numpy pruning can never
+# evict an exact top-k member (prune and refine use the same double
+# arithmetic to ~1e-15; slack 8 covers any boundary reordering)
+
+
+def _query_matrix(spark: SparkSession, sf: str) -> list[tuple[int, list[float]]]:
+    """The query set (vec_id < N_QUERIES) as driver-side rows — bounded
+    by the constant query-set size, not the corpus."""
+    rows = (
+        load_table(spark, sf, "embeddings")
+        .where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    return sorted((r["vec_id"], list(r["v"])) for r in rows)
+
+
+def _make_knn_pruner(queries: list[tuple[int, list[float]]], k_keep: int):
+    """Closure factory (executors never import this package): one
+    (batch × queries) cosine GEMM per Arrow batch, keep the top
+    ``k_keep`` corpus rows PER QUERY per batch. Output is
+    (query_id, vec_id, v) candidates — the corpus vector rides along
+    so the exact refine stage needs no re-join against the table."""
+    import numpy as _np
+
+    qids = [q for q, _ in queries]
+    Q = _np.array([v for _, v in queries], dtype=_np.float64)
+    Qn = Q / _np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def prune(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = _np.array(list(pdf["v"]), dtype=_np.float64)
+            Vn = V / _np.linalg.norm(V, axis=1, keepdims=True)
+            sims = Vn @ Qn.T  # (B, Q)
+            keep = min(k_keep, len(pdf))
+            idx = _np.argpartition(-sims, keep - 1, axis=0)[:keep]  # (keep, Q)
+            frames = []
+            for j, qid in enumerate(qids):
+                rows = idx[:, j]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": _np.full(len(rows), qid, dtype="int64"),
+                            "vec_id": pdf["vec_id"].to_numpy()[rows].astype("int64"),
+                            "v": pdf["v"].to_numpy()[rows],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return prune
+
+
+@register(
+    "ann_knn_join",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    s AS (SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS c
+          FROM embeddings e, q WHERE e.vec_id >= {N_QUERIES}),
+    r AS (SELECT query_id, vec_id, c,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, vec_id) AS rn
+          FROM s)
+    SELECT query_id, vec_id, ROUND(c, 4) AS cos FROM r WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "knn-join"),
+)
+def ann_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact batch kNN join: top-{TOP_K} cosine neighbors for each of
+    the {N_QUERIES} query vectors against the rest of the corpus.
+
+    Scale shape: the query matrix is broadcast inside an Arrow
+    mapInPandas closure — ONE (batch × queries) GEMM per partition
+    (never a row-at-a-time UDF, never an N×Q crossJoin through the
+    optimizer), emitting only top-(k+{KNN_SLACK}) candidates per query
+    per partition. The global refine re-scores that bounded candidate
+    set with the sequential-sum Catalyst cosine (bit-comparable to the
+    oracle's list arithmetic) and takes ROW_NUMBER ≤ k per query — a
+    window over partitions × queries × (k+slack) rows, not the corpus.
+    At 1000 executors the shuffle is a few thousand rows per query,
+    independent of corpus size; a larger query set tiles the GEMM
+    (queries stream in blocks through the same closure)."""
+    from pyspark.sql import Window
+
+    queries = _query_matrix(spark, sf)
+    e = (
+        load_table(spark, sf, "embeddings")
+        .where(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    cand = e.mapInPandas(
+        _make_knn_pruner(queries, TOP_K + KNN_SLACK),
+        "query_id long, vec_id long, v array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(qid, qv) for qid, qv in queries], "query_id long, qv array<double>"
+    )
+    scored = cand.join(F.broadcast(qdf), "query_id").select(
+        "query_id", "vec_id", cosine_sim(F.col("v"), F.col("qv")).alias("_c")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_c"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", F.round("_c", 4).alias("cos"))
+    )

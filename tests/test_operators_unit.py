@@ -545,3 +545,37 @@ def test_incremental_dedup_matches_ground_truth(spark):
     got = {r["doc_id"] for r in REGISTRY["dedup_incremental"].fn(spark, SF_DIR).collect()}
     assert got == batch - dropped
     assert len(dropped & batch) > 0  # the filter actually fires at this SF
+
+
+def test_knn_join_equals_bruteforce(spark):
+    """The pruned+refined kNN join must equal the exact brute-force
+    crossJoin answer (same cosine expression, same tiebreak) for every
+    query."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ebike_spark.functions.textfns import cosine_sim
+    from ebike_spark.operators.similarity import N_QUERIES, TOP_K
+    from ebike_spark.plans.registry import REGISTRY
+    from ebike_spark.sources.registry import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.where(F.col("vec_id") >= N_QUERIES)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_c"), "vec_id"
+    )
+    brute = (
+        c.crossJoin(q)
+        .select("query_id", "vec_id", cosine_sim(F.col("v"), F.col("qv")).alias("_c"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", F.round("_c", 4).alias("cos"))
+    )
+    got = sorted(map(tuple, REGISTRY["ann_knn_join"].fn(spark, SF_DIR).collect()))
+    want = sorted(map(tuple, brute.collect()))
+    assert got == want and len(got) == N_QUERIES * TOP_K

@@ -400,3 +400,14 @@ def test_quality_percentile_single_scan_broadcast(spark):
     assert "SortMergeJoin" not in plan
     reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert reads and all("lang" not in ln and "source" not in ln for ln in reads)
+
+
+def test_knn_join_prunes_before_window(spark):
+    """The batch kNN join must score via the Arrow GEMM stage and
+    window only the pruned candidate set — no CartesianProduct /
+    BroadcastNestedLoopJoin of the corpus against the query set."""
+    df = REGISTRY["ann_knn_join"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

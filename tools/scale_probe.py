@@ -170,6 +170,21 @@ def main() -> None:
         spark_time(_semdedup(spark, emb)),
         duck_time(_SEMDEDUP_SQL),
     ))
+    cases.append((
+        "batch kNN join (GEMM prune + exact refine)",
+        spark_time(_knn_join(spark, emb)),
+        duck_time(_KNN_SQL),
+    ))
+    cases.append((
+        "incremental dedup (corpus × batch pair join)",
+        spark_time(_incremental(spark, docs)),
+        duck_time(_INCREMENTAL_SQL),
+    ))
+    cases.append((
+        "anomaly z-score (broadcast stats, no window)",
+        spark_time(_anomaly(ev)),
+        duck_time(_ANOMALY_SQL),
+    ))
     print("| shape | Spark s | DuckDB s | ratio |")
     print("|---|---|---|---|")
     for name, ts, td in cases:
@@ -416,6 +431,109 @@ member AS (SELECT m.vec_id, m.cid, CAST(e.embedding AS DOUBLE[]) v
 SELECT count(*) FROM member a JOIN member b
 ON a.cid=b.cid AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
+
+
+def _knn_join(spark, emb):
+    """Registered-path shape over probe embeddings: query matrix from
+    the BASE corpus (constant size), GEMM prune + exact refine over the
+    replicated corpus."""
+    from pyspark.sql import Window
+
+    from ebike_spark.functions.textfns import cosine_sim
+    from ebike_spark.operators.similarity import (
+        KNN_SLACK,
+        N_QUERIES,
+        TOP_K,
+        _make_knn_pruner,
+        _query_matrix,
+    )
+
+    queries = _query_matrix(spark, SF)
+    e = emb.where(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cand = e.mapInPandas(
+        _make_knn_pruner(queries, TOP_K + KNN_SLACK),
+        "query_id long, vec_id long, v array<double>",
+    )
+    qdf = spark.createDataFrame(list(queries), "query_id long, qv array<double>")
+    scored = cand.join(F.broadcast(qdf), "query_id").select(
+        "query_id", "vec_id", cosine_sim(F.col("v"), F.col("qv")).alias("_c")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_c"), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= TOP_K)
+
+
+_KNN_SQL = """
+WITH q AS (SELECT vec_id query_id, CAST(embedding AS DOUBLE[]) qv
+           FROM embeddings WHERE vec_id < 8),
+s AS (SELECT q.query_id, e.vec_id,
+      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) c
+      FROM embeddings e, q WHERE e.vec_id >= 8),
+r AS (SELECT query_id, vec_id, c,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) rn FROM s)
+SELECT count(*) FROM r WHERE rn <= 10
+"""
+
+
+def _incremental(spark, docs):
+    """Incremental near-dup dedup over the probe corpus: batch = top
+    20% of the (shifted) id space — the last two replicas at 10×."""
+    import math
+
+    from ebike_spark.operators.dedup import (
+        INCREMENT_FRACTION,
+        JACCARD_DF_CAP,
+        JACCARD_THRESHOLD,
+        jaccard_pairs,
+    )
+
+    sh = _probe_shingles(spark, docs)
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    cutoff = int(math.ceil((1.0 - INCREMENT_FRACTION) * (mx + 1)))
+    dup = (
+        jaccard_pairs(sh, JACCARD_THRESHOLD, df_cap=JACCARD_DF_CAP, batch_min_id=cutoff)
+        .select("d2")
+        .distinct()
+    )
+    return (
+        docs.where(F.col("doc_id") >= cutoff)
+        .join(dup, docs["doc_id"] == dup["d2"], "left_anti")
+        .groupBy()
+        .count()
+    )
+
+
+_INCREMENTAL_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks WHERE len(w) >= 3),
+sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM idx),
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+cut AS (SELECT CAST(ceil(0.8 * (MAX(doc_id)+1)) AS BIGINT) cv FROM documents),
+inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
+          FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id, cut
+          WHERE b.doc_id >= cut.cv GROUP BY 1,2),
+dup AS (SELECT DISTINCT d2 FROM inter JOIN sizes sa ON sa.doc_id=d1
+        JOIN sizes sb ON sb.doc_id=d2 WHERE c*1.0/(sa.n+sb.n-c) >= 0.8)
+SELECT count(*) FROM documents d, cut
+WHERE d.doc_id >= cut.cv AND d.doc_id NOT IN (SELECT d2 FROM dup)
+"""
+
+
+def _anomaly(ev):
+    from ebike_spark.plans.analytics import anomaly_zscore
+
+    return anomaly_zscore(ev)
+
+
+_ANOMALY_SQL = """
+WITH s AS (SELECT event_type, AVG(value) m, STDDEV_SAMP(value) sd
+           FROM events GROUP BY 1)
+SELECT count(*) FROM events e JOIN s USING (event_type)
+WHERE ABS((e.value - s.m) / s.sd) >= 3.0
 """
 
 
