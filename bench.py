@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "q27_supplier_cnt",
     "q28_disjunctive_pred",
     "q29_dormant_customers",
+    "ev_gapfill_locf",
+    "ev_hierarchical_rollup",
+    "ev_concurrency",
+    "ev_scd2_intervals",
+    "sample_weighted",
 ]
 
 

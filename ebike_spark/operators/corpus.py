@@ -260,3 +260,53 @@ def sample_deterministic(spark: SparkSession, sf: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+# Uniform grain for the weighted coin flip: u = md5 % GRAIN behaves as
+# a deterministic uniform on [0, GRAIN); keep iff u/GRAIN < w/max_w,
+# cross-multiplied so both engines compare exact integers (no
+# transcendental/float divergence can flip a selection).
+WEIGHTED_GRAIN = 1_000_000
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(n_chars) AS mw FROM documents)
+    SELECT source, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+           SUM(n_chars) AS chars_sampled
+    FROM documents, mx
+    WHERE ({md5_long_sql("text")} % {WEIGHTED_GRAIN}) * mw < n_chars * {WEIGHTED_GRAIN}
+    GROUP BY source
+    """,
+    tags=("sampling", "weighted"),
+)
+def sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: each document is kept
+    with probability proportional to its weight (here n_chars — i.e.
+    length-proportional sampling, the standard pre-training mix move),
+    P(keep) = w / max(w). The coin is a content-hash uniform, so the
+    sample is reproducible across engines/runs/partitionings, and the
+    keep test is pure integer arithmetic — bit-identical in Spark and
+    DuckDB (a pow/ln-based A-ES key could flip selections on last-ulp
+    float divergence between engines).
+
+    Scale shape: max(w) is one scalar broadcast back into a scan-speed
+    predicate; no shuffle touches unselected rows. The final per-source
+    groupBy aggregates only survivors."""
+    docs = load_table(spark, sf, "documents")
+    mx = docs.agg(F.max("n_chars").alias("mw"))
+    keep = (md5_long(F.col("text")) % WEIGHTED_GRAIN) * F.col("mw") < F.col(
+        "n_chars"
+    ) * WEIGHTED_GRAIN
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .where(keep)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+    )

@@ -1,0 +1,270 @@
+"""Time-series extension operators over the ``events`` table: gap-fill
+(LOCF), hierarchical rollup by partial reaggregation, sweep-line
+concurrency via a distributed prefix sum, and SCD-2 interval building.
+
+The reference has no time-series surface (SURVEY §1.5); these are
+Spark-native extensions in the TimescaleDB/ClickHouse idiom
+(`time_bucket_gapfill`, continuous aggregates, `windowFunnel`-family),
+re-expressed declaratively so Catalyst owns the physical plan.
+
+Shared conventions with plans/analytics.py: timestamps are emitted as
+epoch seconds (BIGINT), window orderings carry the unique ``event_id``
+tiebreaker, floats are rounded at the output boundary only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ebike_spark.plans.registry import register
+from ebike_spark.sources.registry import load_table
+
+# Sweep-line interval length: each event is an open presence interval
+# [ts, ts + 30 min) — the sessionization gap family (SESSION_GAP_SEC/2
+# would also do; the constant only has to match the oracle).
+PRESENCE_US = 1_800_000_000
+HOUR_US = 3_600_000_000
+
+
+@register(
+    "ev_gapfill_locf",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events),
+    spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n, SUM(value) AS total
+      FROM events GROUP BY 1, 2)
+    SELECT CAST(epoch(s.h) AS BIGINT) AS win_start, t.event_type,
+           COALESCE(a.n, 0) AS n,
+           ROUND(COALESCE(
+             LAST_VALUE(a.total IGNORE NULLS) OVER (
+               PARTITION BY t.event_type ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 2) AS total_locf,
+           (a.n IS NULL) AS filled
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN agg a ON a.h = s.h AND a.event_type = t.event_type
+    """,
+    tags=("events", "time", "gapfill"),
+)
+def ev_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """`time_bucket_gapfill` + LOCF: a dense (hour × event_type) spine
+    left-joined onto the hourly aggregate, missing buckets carrying the
+    last observed total forward.
+
+    Scale shape: the raw table is touched exactly twice (bounds scalar
+    + hourly groupBy) and only AGGREGATED rows flow onward. The spine is
+    #hours × #types — bucket-grid-sized, not data-sized — so the grid
+    side broadcasts and the LOCF window partitions over at most
+    #types × #hours rows. At 100 TB the hourly aggregate is ~10⁵ rows;
+    nothing downstream of the first groupBy scales with raw data.
+    """
+    ev = load_table(spark, sf, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = F.broadcast(spine.crossJoin(types))
+    locf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(agg, ["h", "event_type"], "left").select(
+        F.col("h").cast("long").alias("win_start"),
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(
+            F.coalesce(F.last("total", ignorenulls=True).over(locf), F.lit(0.0)), 2
+        ).alias("total_locf"),
+        F.col("n").isNull().alias("filled"),
+    )
+
+
+@register(
+    "ev_hierarchical_rollup",
+    oracle="""
+    SELECT 'minute' AS level, CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'hour', CAST(epoch(date_trunc('hour', ts)) AS BIGINT), event_type,
+           COUNT(*), ROUND(SUM(value), 2)
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', CAST(epoch(date_trunc('day', ts)) AS BIGINT), event_type,
+           COUNT(*), ROUND(SUM(value), 2)
+    FROM events GROUP BY 2, 3
+    """,
+    tags=("events", "time", "rollup"),
+)
+def ev_hierarchical_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous-aggregate-style hierarchical rollup: the raw table is
+    scanned ONCE into minute partials; hour re-aggregates the minute
+    partials and day re-aggregates the hour partials (COUNT/SUM are
+    decomposable, so reaggregation is exact).
+
+    Scale shape: this is the materialized-rollup pattern — at 100 TB the
+    hour and day levels read ~10⁶ partial rows instead of re-scanning
+    10¹¹ raw rows. The minute partials are persisted so the three
+    branches of the union share one scan+shuffle (Catalyst does not
+    dedupe common subtrees across union branches on its own).
+    """
+    ev = load_table(spark, sf, "events")
+    minute = (
+        ev.groupBy(F.date_trunc("minute", F.col("ts")).alias("b"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .persist()
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("b")).alias("b"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("b")).alias("b"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+
+    def out(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("level"),
+            F.col("b").cast("long").alias("bucket_start"),
+            "event_type",
+            "n",
+            F.round("total", 2).alias("total"),
+        )
+
+    return out(minute, "minute").unionByName(out(hour, "hour")).unionByName(
+        out(day, "day")
+    )
+
+
+@register(
+    "ev_concurrency",
+    oracle=f"""
+    WITH deltas AS (
+      SELECT epoch_us(ts) AS t, 1 AS d, event_id FROM events
+      UNION ALL
+      SELECT epoch_us(ts) + {PRESENCE_US} AS t, -1 AS d, event_id FROM events),
+    run AS (
+      SELECT t, SUM(d) OVER (ORDER BY t, d, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM deltas)
+    SELECT CAST(t // {HOUR_US} * 3600 AS BIGINT) AS hour_start,
+           MAX(conc) AS peak_concurrency, COUNT(*) AS n_deltas
+    FROM run GROUP BY 1
+    """,
+    tags=("events", "time", "sweep-line"),
+)
+def ev_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak concurrency per hour by sweep line: each event contributes a
+    +1 at ts and a -1 at ts+30min; concurrency is the running sum of
+    deltas in global (t, d, event_id) order (-1 sorts before +1 at equal
+    t: back-to-back intervals don't overlap).
+
+    The naive plan — one running sum over a globally ordered window —
+    is a single-task sort. This is the DISTRIBUTED PREFIX SUM instead:
+    (1) per hour-bucket local running sums (shuffle partitioned by
+    bucket, parallel); (2) per-bucket delta totals, prefix-summed over
+    the tiny bucket axis (#hours rows — the only single-partition
+    window, grid-sized not data-sized); (3) broadcast the bucket
+    offsets back and add. Identical values to the global window at any
+    scale, with the data-sized work fully partitioned.
+    """
+    ev = load_table(spark, sf, "events")
+    starts = ev.select(
+        F.unix_micros("ts").alias("t"), F.lit(1).alias("d"), "event_id"
+    )
+    ends = ev.select(
+        (F.unix_micros("ts") + F.lit(PRESENCE_US)).alias("t"),
+        F.lit(-1).alias("d"),
+        "event_id",
+    )
+    deltas = starts.unionByName(ends).withColumn(
+        "bucket", F.expr(f"t div {HOUR_US}")
+    )
+    local_w = (
+        Window.partitionBy("bucket")
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = deltas.withColumn("local_sum", F.sum("d").over(local_w))
+    # Bucket axis: one row per hour — prefix-sum it on a single
+    # partition (grid-sized) and broadcast the offsets back.
+    off_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        deltas.groupBy("bucket")
+        .agg(F.sum("d").alias("bsum"))
+        .select(
+            "bucket", F.coalesce(F.sum("bsum").over(off_w), F.lit(0)).alias("off")
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .groupBy((F.col("bucket") * 3600).alias("hour_start"))
+        .agg(
+            F.max(F.col("local_sum") + F.col("off")).alias("peak_concurrency"),
+            F.count("*").alias("n_deltas"),
+        )
+    )
+
+
+@register(
+    "ev_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    iv AS (
+      -- epoch_us // 1e6 floors like Spark's timestamp->long cast
+      -- (CAST(epoch(ts) AS BIGINT) would ROUND the sub-second part).
+      SELECT user_id, event_type,
+             epoch_us(ts) // 1000000 AS valid_from,
+             LEAD(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM changes)
+    SELECT user_id, event_type, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current,
+           valid_to - valid_from AS duration_sec
+    FROM iv
+    """,
+    tags=("events", "time", "scd2"),
+)
+def ev_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD-type-2 interval building from a change log: collapse
+    consecutive equal states per user (LAG), then close each surviving
+    state with the next change's timestamp (LEAD); the open interval is
+    flagged current.
+
+    Scale shape: both windows partition by user_id — one hash exchange,
+    reused by the second window (same partitioning), per-user data is
+    tiny. This is the streaming-CDC "snapshot compaction" expressed as
+    two window passes; no join, no grid.
+    """
+    ev = load_table(spark, sf, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(order_w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    valid_to = F.lead(F.col("ts").cast("long")).over(order_w)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        (valid_to - F.col("ts").cast("long")).alias("duration_sec"),
+    )
