@@ -411,3 +411,63 @@ def test_knn_join_prunes_before_window(spark):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_grid_is_broadcast(spark):
+    """Gap-fill joins the dense (hour × type) spine as the BROADCAST
+    side — the grid is bucket-count-sized, never data-sized — and the
+    raw scan reads only the three columns the aggregate needs."""
+    df = REGISTRY["ev_gapfill_locf"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("props" not in ln and "user_id" not in ln for ln in reads)
+
+
+def test_hierarchical_rollup_reaggregates_partials(spark):
+    """The hour and day levels must reaggregate the minute PARTIALS
+    (InMemoryTableScan), not rescan raw parquet: exactly one branch of
+    the union reads the events files."""
+    df = REGISTRY["ev_hierarchical_rollup"].fn(spark, SF_DIR)
+    df.count()  # materialize the persisted minute partials
+    plan = _physical(df)
+    # one cache read per union branch (minute / hour / day); the
+    # FileScan lines visible in the string are the InMemoryRelation's
+    # printed LINEAGE, not executed scans — the executed branches all
+    # start from InMemoryTableScan
+    assert plan.count("InMemoryTableScan") == 3, plan[:3000]
+
+
+def test_concurrency_local_sums_partition_by_bucket(spark):
+    """The sweep line's data-sized running sum must be PARTITIONED (by
+    hour bucket), not a single global ordered window; the only
+    all-to-one window is over the tiny bucket axis. Assert: at least
+    one Window whose spec partitions by bucket, and the bucket-offset
+    side joins back as a broadcast."""
+    df = REGISTRY["ev_concurrency"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert any("bucket#" in ln for ln in win_lines), win_lines
+
+
+def test_scd2_windows_share_one_user_exchange(spark):
+    """SCD2's LAG (change collapse) and LEAD (interval close) partition
+    on the same key — the physical plan needs exactly one
+    hashpartitioning(user_id) exchange, reused by both sorts."""
+    df = REGISTRY["ev_scd2_intervals"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 1, ex
+    assert "Join" not in plan
+
+
+def test_weighted_sample_filter_at_scan_speed(spark):
+    """The weighted Bernoulli keep-test is a pure expression over a
+    1-row broadcast scalar: no sort-merge join, no window, no shuffle
+    before the filter."""
+    df = REGISTRY["sample_weighted"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
