@@ -101,6 +101,8 @@ def insert(spark: SparkSession, catalog: Catalog, ins: Insert, current_db: str) 
     qualified = catalog.qualify(ins.table, current_db)
     catalog.require_table(qualified)
     df = _values_df(spark, ins, catalog.column_types(qualified))
+    if ins.replace:
+        return _replace(spark, catalog, qualified, df, ins)
     if ins.on_dup_update is not None:
         return _upsert(spark, catalog, qualified, df, ins)
     _check_constraints(spark, catalog, qualified, df)
@@ -221,6 +223,67 @@ def _upsert(spark: SparkSession, catalog: Catalog, qualified: str, new_df, ins: 
             raise duplicate_entry("-".join(str(dup[0][c]) for c in cols), key_name)
     _rewrite(spark, qualified, final)
     return n_new + 2 * n_changed
+
+
+def _replace(spark: SparkSession, catalog: Catalog, qualified: str, new_df, ins: Insert) -> int:
+    """REPLACE INTO (MySQL delete-then-insert upsert — the reference
+    1105s it, like ON DUPLICATE; same set-oriented MERGE emulation as
+    :func:`_upsert`).
+
+    Semantics: every existing row that conflicts with an incoming row
+    on the PRIMARY KEY *or any UNIQUE index* is deleted, then the whole
+    batch is inserted. Affected-rows follows MySQL: 1 per inserted row
+    plus 1 per deleted row. With no unique index at all, REPLACE
+    degrades to plain INSERT (MySQL-identical). MySQL applies the batch
+    row-by-row, so intra-batch key collisions resolve in statement
+    order; this set-oriented implementation rejects them as 1062
+    (consistent with the upsert path's ambiguity stance) rather than
+    silently pick an order."""
+    pk = catalog.primary_key(qualified)
+    keys = ([("PRIMARY", pk)] if pk else []) + list(catalog.unique_keys(qualified))
+    has_rowid = catalog.has_rowid(qualified)
+    if not keys:
+        _check_constraints(spark, catalog, qualified, new_df)
+        if has_rowid:
+            new_df = new_df.withColumn(ROWID, F.expr("uuid()")).select(
+                *spark.table(qualified).columns
+            )
+        new_df.write.insertInto(qualified, overwrite=False)
+        return len(ins.rows)
+    # NOT NULL still applies to the incoming batch (key conflicts with
+    # stored rows are the point of REPLACE, so no clash check)
+    for col in catalog.not_null_cols(qualified):
+        if new_df.where(F.col(col).isNull()).limit(1).count() > 0:
+            raise EbikeError(1048, f"Column '{col}' cannot be null")
+    for key_name, cols in keys:
+        cand = new_df
+        if key_name != "PRIMARY":
+            cand = cand.where(reduce(and_, [F.col(c).isNotNull() for c in cols]))
+        dup = cand.groupBy(*cols).count().where(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise duplicate_entry("-".join(str(dup[0][c]) for c in cols), key_name)
+
+    existing = spark.table(qualified)
+    batch = new_df.select(*[F.col(c).alias(f"__new_{c}") for c in new_df.columns])
+    # conflict on ANY key: NULL key values never equi-match — exactly
+    # the unique-index semantics (NULLs don't conflict)
+    any_key = reduce(
+        or_,
+        [reduce(and_, [F.col(c) == F.col(f"__new_{c}") for c in cols]) for _, cols in keys],
+    )
+    n_deleted = existing.join(batch, any_key, "left_semi").count()
+    survivors = existing.join(batch, any_key, "left_anti")
+    to_insert = new_df
+    if has_rowid:
+        # REPLACE is delete + insert: the replacement row is a NEW row
+        # and mints a fresh rowid (unlike ON DUPLICATE, which updates
+        # in place and keeps it) — MySQL-faithful, same as its handler
+        # delete/write_row pair
+        to_insert = to_insert.withColumn(ROWID, F.expr("uuid()")).select(
+            *existing.columns
+        )
+    _rewrite(spark, qualified, survivors.unionByName(to_insert))
+    return len(ins.rows) + n_deleted
 
 
 def _rewrite(spark: SparkSession, qualified: str, new_df: DataFrame) -> None:

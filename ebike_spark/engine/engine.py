@@ -19,7 +19,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from ebike_spark.engine import dml, show
-from ebike_spark.engine.catalog import Catalog
+from ebike_spark.engine.catalog import Catalog, bq
 from ebike_spark.engine.errors import EbikeError, parse_error, unsupported
 from ebike_spark.engine.parser import (
     map_unquoted,
@@ -127,10 +127,18 @@ class Engine:
             return self._alter_table(sql)
         if kw == "INSERT":
             return self._insert(sql)
+        if kw == "REPLACE":
+            # REPLACE INTO: MySQL delete-then-insert upsert (the
+            # reference 1105s it; handled by the insert path's flag)
+            return self._insert(sql)
         if kw == "UPDATE":
             return self._update(sql)
         if kw == "DELETE":
             return self._delete(sql)
+        if kw == "TRUNCATE":
+            return self._truncate(sql)
+        if kw == "RENAME" and kw2 == "TABLE":
+            return self._rename_tables(sql)
         if kw == "COMMIT":
             # autocommit semantics: accepted no-op (execution.rs:1265-1267)
             return EngineResult("ok")
@@ -418,11 +426,77 @@ class Engine:
         return EngineResult("count", affected=0)
 
     def _create_table(self, sql: str) -> EngineResult:
+        m = re.match(
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`\"]+)\s+AS\s+(\(?\s*SELECT\b[\s\S]*)$",
+            sql,
+            re.I,
+        )
+        if m:
+            return self._ctas(bool(m.group(1)), unquote_ident(m.group(2)), m.group(3))
         try:
             ct = parse_create_table(sql)
         except ValueError as e:
             raise parse_error(str(e)) from e
         self.catalog.create_table(ct, self.current_db)
+        self._info_schema_dirty = True
+        return EngineResult("count", affected=0)
+
+    def _ctas(self, if_not_exists: bool, table: str, select_sql: str) -> EngineResult:
+        """CREATE TABLE ... AS SELECT (MySQL CTAS; beyond the reference,
+        whose CREATE only takes a column list). The result schema is the
+        SELECT's schema; no PK/UNIQUE/rowid metadata (as in MySQL, where
+        CTAS copies data but not indexes). Affected-rows = rows written,
+        MySQL-style."""
+        q = self.catalog.qualify(table, self.current_db)
+        if self.catalog.table_exists(q):
+            if if_not_exists:
+                return EngineResult("count", affected=0)
+            raise EbikeError(1050, f"Table '{table}' already exists")
+        self.spark.catalog.setCurrentDatabase(self.current_db)
+        src = self.spark.sql(self._fix_select(select_sql))
+        self.catalog._ensure_fresh_location(q)
+        src.write.format("parquet").saveAsTable(q)
+        self._info_schema_dirty = True
+        return EngineResult("count", affected=self.spark.table(q).count())
+
+    def _truncate(self, sql: str) -> EngineResult:
+        """TRUNCATE [TABLE] t — MySQL fast-delete-all (affected 0).
+        Spark's native TRUNCATE drops the managed table's data files,
+        the same O(files) operation MySQL's handler performs."""
+        m = re.match(r"TRUNCATE\s+(?:TABLE\s+)?([\w.`\"]+)\s*$", sql, re.I)
+        if not m:
+            raise parse_error("near TRUNCATE")
+        q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
+        self.catalog.require_table(q)
+        self.spark.sql(f"TRUNCATE TABLE {bq(q)}")
+        return EngineResult("count", affected=0)
+
+    def _rename_tables(self, sql: str) -> EngineResult:
+        """RENAME TABLE a TO b [, c TO d ...] — metadata-only move.
+        Cross-database renames are refused (Spark's v1 session catalog
+        renames within a database; MySQL allows the move — 1105 keeps
+        the failure explicit rather than silently copying data)."""
+        from ebike_spark.engine.parser import split_top_level
+
+        body = re.match(r"RENAME\s+TABLE\s+([\s\S]+)$", sql, re.I).group(1)
+        pairs = []
+        for part in split_top_level(body):
+            pm = re.match(r"\s*([\w.`\"]+)\s+TO\s+([\w.`\"]+)\s*$", part, re.I)
+            if not pm:
+                raise parse_error("near RENAME TABLE")
+            src = self.catalog.qualify(unquote_ident(pm.group(1)), self.current_db)
+            dst = self.catalog.qualify(unquote_ident(pm.group(2)), self.current_db)
+            self.catalog.require_table(src)
+            if self.catalog.table_exists(dst):
+                raise EbikeError(1050, f"Table '{pm.group(2)}' already exists")
+            if src.rpartition(".")[0] != dst.rpartition(".")[0]:
+                raise unsupported("cross-database RENAME TABLE")
+            pairs.append((src, dst))
+        # validate-all-then-apply: a multi-pair RENAME is atomic in
+        # MySQL; checking every pair first keeps the common failure
+        # modes (missing source, existing target) all-or-nothing
+        for src, dst in pairs:
+            self.spark.sql(f"ALTER TABLE {bq(src)} RENAME TO {bq(dst)}")
         self._info_schema_dirty = True
         return EngineResult("count", affected=0)
 

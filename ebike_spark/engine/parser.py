@@ -217,6 +217,8 @@ class Insert:
     # MySQL upsert clause: [(col, raw expr)] — exprs may reference the
     # existing row's columns and VALUES(col) for the incoming value
     on_dup_update: list[tuple[str, str]] | None = None
+    # REPLACE INTO: delete key-conflicting rows, then insert
+    replace: bool = False
 
 
 @dataclass
@@ -285,30 +287,34 @@ def parse_create_table(sql: str) -> CreateTable:
 
 def parse_insert(sql: str) -> Insert:
     m = re.match(
-        r"\s*INSERT\s+INTO\s+([\w.`\"]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.*?)"
+        r"\s*(INSERT|REPLACE)\s+INTO\s+([\w.`\"]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.*?)"
         r"(?:\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*?))?;?\s*$",
         sql,
         re.I | re.S,
     )
     if not m:
         raise ValueError("malformed INSERT (only INSERT ... VALUES supported here)")
-    table = unquote_ident(m.group(1))
-    cols = [unquote_ident(c) for c in split_top_level(m.group(3))] if m.group(3) else []
+    replace = m.group(1).upper() == "REPLACE"
+    table = unquote_ident(m.group(2))
+    cols = [unquote_ident(c) for c in split_top_level(m.group(4))] if m.group(4) else []
     rows = []
-    for row in split_top_level(m.group(4)):
+    for row in split_top_level(m.group(5)):
         rm = re.match(r"\s*\((.*)\)\s*$", row, re.S)
         if not rm:
             raise ValueError(f"malformed VALUES row: {row!r}")
         rows.append([e.strip() for e in split_top_level(rm.group(1))])
     on_dup = None
-    if m.group(5):
+    if m.group(6):
+        if replace:
+            # MySQL grammar: REPLACE has no ON DUPLICATE KEY clause
+            raise ValueError("REPLACE does not take ON DUPLICATE KEY UPDATE")
         on_dup = []
-        for a in split_top_level(m.group(5)):
+        for a in split_top_level(m.group(6)):
             am = re.match(r"([\w`\"]+)\s*=\s*(.*)$", a, re.S)
             if not am:
                 raise ValueError(f"malformed ON DUPLICATE KEY UPDATE assignment: {a!r}")
             on_dup.append((unquote_ident(am.group(1)), am.group(2).strip()))
-    return Insert(table=table, columns=cols, rows=rows, on_dup_update=on_dup)
+    return Insert(table=table, columns=cols, rows=rows, on_dup_update=on_dup, replace=replace)
 
 
 def parse_update(sql: str) -> Update:

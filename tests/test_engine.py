@@ -678,3 +678,68 @@ def test_information_schema_views(eng):
         f"SELECT table_type FROM information_schema.tables WHERE table_name = 'v_names'"
     ).rows()
     assert t and t[0][0] == "VIEW"
+
+
+def test_replace_into(eng):
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    # conflict on the PK (1,'a') deletes the old row; (3,'c') is new:
+    # MySQL affected = 2 inserted + 1 deleted = 3
+    r = eng.execute("REPLACE INTO user VALUES (1, 'a', 9.5), (3, 'c', 3.0)")
+    assert r.affected == 3
+    rows = {(x["id"], x["name"]): x["stature"] for x in eng.execute("SELECT * FROM user").rows()}
+    assert rows == {(1, "a"): 9.5, (2, "b"): 2.0, (3, "c"): 3.0}
+    # no conflict → plain insert semantics, affected = 1
+    assert eng.execute("REPLACE INTO user VALUES (4, 'd', 4.0)").affected == 1
+
+
+def test_replace_into_rejects_intra_batch_dup(eng):
+    eng.execute(USER_DDL)
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("REPLACE INTO user VALUES (1, 'a', 1.0), (1, 'a', 2.0)")
+    assert ei.value.code == 1062
+
+
+def test_truncate_table(eng):
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    assert eng.execute("TRUNCATE TABLE user").affected == 0
+    assert eng.execute("SELECT COUNT(*) AS n FROM user").rows()[0]["n"] == 0
+    # table survives empty and accepts inserts again
+    eng.execute("INSERT INTO user VALUES (5, 'e', 5.0)")
+    assert eng.execute("SELECT COUNT(*) AS n FROM user").rows()[0]["n"] == 1
+
+
+def test_rename_table(eng):
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'a', 1.0)")
+    eng.execute("RENAME TABLE user TO person")
+    tabs = [r[0] for r in eng.execute("SHOW TABLES").rows()]
+    assert tabs == ["person"]
+    assert eng.execute("SELECT COUNT(*) AS n FROM person").rows()[0]["n"] == 1
+    # constraints travel with the table properties
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO person VALUES (1, 'a', 2.0)")
+    assert ei.value.code == 1062
+    # renaming onto an existing name is 1050
+    eng.execute(USER_DDL)
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("RENAME TABLE person TO user")
+    assert ei.value.code == 1050
+
+
+def test_create_table_as_select(eng):
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    r = eng.execute("CREATE TABLE tall AS SELECT id, name FROM user WHERE stature > 1.5")
+    assert r.affected == 2
+    rows = sorted(tuple(x) for x in eng.execute("SELECT id, name FROM tall").rows())
+    assert rows == [(2, "b"), (3, "c")]
+    # CTAS copies data, not keys (MySQL-identical): duplicate inserts fly
+    eng.execute("INSERT INTO tall VALUES (2, 'b')")
+    assert eng.execute("SELECT COUNT(*) AS n FROM tall").rows()[0]["n"] == 3
+    # IF NOT EXISTS on an existing target is a no-op
+    assert eng.execute("CREATE TABLE IF NOT EXISTS tall AS SELECT * FROM user").affected == 0
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("CREATE TABLE tall AS SELECT * FROM user")
+    assert ei.value.code == 1050
