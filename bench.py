@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "ev_concurrency",
     "ev_scd2_intervals",
     "sample_weighted",
+    "dq_expectations",
+    "profile_columns",
+    "corpus_split_assign",
 ]
 
 

@@ -310,3 +310,75 @@ def sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_chars").alias("chars_sampled"),
         )
     )
+
+
+# Train/val/test proportions in hash-percent space: [0,98) / {98} / {99}
+SPLIT_TRAIN_LT, SPLIT_VAL = 98, 98
+
+
+@register(
+    "corpus_split_assign",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT source, n_chars,
+             CASE WHEN {md5_long_sql("text")} % 100 < {SPLIT_TRAIN_LT} THEN 'train'
+                  WHEN {md5_long_sql("text")} % 100 = {SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT source, split, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+    FROM tagged GROUP BY 1, 2
+    """,
+    tags=("sampling", "split"),
+)
+def corpus_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment by content hash:
+    stable under re-partitioning, re-runs, and engine changes, and a
+    document can never migrate between splits when the corpus grows
+    (the leakage failure mode of rand()- or position-based splits).
+
+    Scale shape: the split tag is a scan-speed expression; the audit
+    groupBy shuffles only (source, split) partials."""
+    docs = load_table(spark, sf, "documents")
+    pct = md5_long(F.col("text")) % 100
+    split = (
+        F.when(pct < SPLIT_TRAIN_LT, "train")
+        .when(pct == SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return docs.groupBy("source", split.alias("split")).agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+
+
+N_SHARDS = 64
+
+
+@register(
+    "corpus_shard_manifest",
+    oracle=f"""
+    WITH s AS (
+      SELECT {md5_long_sql("text")} % {N_SHARDS} AS shard_id, doc_id, n_chars
+      FROM documents)
+    SELECT shard_id, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM s GROUP BY 1
+    """,
+    tags=("sampling", "sharding"),
+)
+def corpus_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-shard manifest: content-hash shard assignment (uniform,
+    deterministic, join-free) summarized per shard. This is the audit
+    side of the writer path (`io_partitioned_layout` covers the
+    physical write); hash sharding keeps shard sizes balanced at any
+    corpus size — no range planning, no sampling pass.
+
+    Scale shape: one expression + one {N_SHARDS}-ary groupBy with
+    map-side partials; the manifest is shard-count-sized."""
+    docs = load_table(spark, sf, "documents")
+    shard = (md5_long(F.col("text")) % N_SHARDS).alias("shard_id")
+    return docs.groupBy(shard).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

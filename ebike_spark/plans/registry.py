@@ -71,6 +71,7 @@ def _load_all() -> None:
     import ebike_spark.operators.range_join  # noqa: F401
     import ebike_spark.operators.text_late  # noqa: F401
     import ebike_spark.plans.timeseries  # noqa: F401
+    import ebike_spark.operators.profiling  # noqa: F401
 
 
 # The external correctness harness checks a bounded PREFIX (~50 rows)
@@ -119,6 +120,17 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "stream_static_join",
     "ann_knn_join",
     "corpus_temperature_mix",
+    # added this round — first external check
+    "ev_gapfill_locf",
+    "ev_hierarchical_rollup",
+    "ev_concurrency",
+    "ev_scd2_intervals",
+    "sample_weighted",
+    "dq_expectations",
+    "profile_columns",
+    "text_length_histogram",
+    "corpus_split_assign",
+    "corpus_shard_manifest",
     # never externally checked through round 3
     "range_join_event_windows",
     "embed_semantic_dedup",

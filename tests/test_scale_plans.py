@@ -471,3 +471,34 @@ def test_weighted_sample_filter_at_scan_speed(spark):
     plan = _physical(df)
     assert "SortMergeJoin" not in plan and "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dq_expectations_single_scan(spark):
+    """Every expectation rule is a conditional aggregate in ONE pass:
+    exactly one parquet scan regardless of rule count (the oracle's
+    UNION ALL of N scans is the anti-pattern)."""
+    df = REGISTRY["dq_expectations"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln or "FileScan parquet" in ln]
+    assert len(scans) == 1, scans
+    assert "Join" not in plan
+
+
+def test_profile_columns_single_scan(spark):
+    """The column profiler shares one scan across all columns; the
+    multi-column exact COUNT(DISTINCT)s ride Spark's Expand over that
+    same scan."""
+    df = REGISTRY["profile_columns"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln or "FileScan parquet" in ln]
+    assert len(scans) == 1, scans
+    assert "Expand" in plan  # the multi-distinct plan
+
+
+def test_split_and_shard_are_scan_speed(spark):
+    """Split/shard assignment is a pure expression — no join, no
+    window; the only shuffle is the audit groupBy's partials."""
+    for name in ("corpus_split_assign", "corpus_shard_manifest"):
+        plan = _physical(REGISTRY[name].fn(spark, SF_DIR))
+        assert "Join" not in plan and "Window" not in plan, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
