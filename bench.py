@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "dq_expectations",
     "profile_columns",
     "corpus_split_assign",
+    "ev_path_transitions",
 ]
 
 

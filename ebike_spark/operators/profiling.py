@@ -60,7 +60,12 @@ def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
     reduce. The oracle's UNION ALL of N scans is the shape to AVOID at
     100 TB — N×scan cost; this plan's cost is independent of rule
     count."""
-    li = load_table(spark, sf, "lineitem")
+    return dq_report(load_table(spark, sf, "lineitem"))
+
+
+def dq_report(li: DataFrame) -> DataFrame:
+    """DataFrame-level core of dq_expectations (shared with the 10×
+    scale probe)."""
     aggs = [F.count("*").alias("__n")] + [
         F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(f"__v{i}")
         for i, (_, pred) in enumerate(DQ_RULES)

@@ -131,6 +131,8 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "text_length_histogram",
     "corpus_split_assign",
     "corpus_shard_manifest",
+    "ev_path_transitions",
+    "stream_scd2_closed",
     # never externally checked through round 3
     "range_join_event_windows",
     "embed_semantic_dedup",

@@ -62,7 +62,12 @@ def ev_gapfill_locf(spark: SparkSession, sf: str) -> DataFrame:
     #types × #hours rows. At 100 TB the hourly aggregate is ~10⁵ rows;
     nothing downstream of the first groupBy scales with raw data.
     """
-    ev = load_table(spark, sf, "events")
+    return gapfill_locf(load_table(spark, sf, "events"))
+
+
+def gapfill_locf(ev: DataFrame) -> DataFrame:
+    """DataFrame-level core of ev_gapfill_locf (shared with the 10×
+    scale probe)."""
     agg = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
     ).agg(F.count("*").alias("n"), F.sum("value").alias("total"))
@@ -120,7 +125,12 @@ def ev_hierarchical_rollup(spark: SparkSession, sf: str) -> DataFrame:
     branches of the union share one scan+shuffle (Catalyst does not
     dedupe common subtrees across union branches on its own).
     """
-    ev = load_table(spark, sf, "events")
+    return hierarchical_rollup(load_table(spark, sf, "events"))
+
+
+def hierarchical_rollup(ev: DataFrame) -> DataFrame:
+    """DataFrame-level core of ev_hierarchical_rollup (shared with the
+    10× scale probe)."""
     minute = (
         ev.groupBy(F.date_trunc("minute", F.col("ts")).alias("b"), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
@@ -179,7 +189,12 @@ def ev_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     offsets back and add. Identical values to the global window at any
     scale, with the data-sized work fully partitioned.
     """
-    ev = load_table(spark, sf, "events")
+    return concurrency_sweep(load_table(spark, sf, "events"))
+
+
+def concurrency_sweep(ev: DataFrame) -> DataFrame:
+    """DataFrame-level core of ev_concurrency (shared with the 10×
+    scale probe)."""
     starts = ev.select(
         F.unix_micros("ts").alias("t"), F.lit(1).alias("d"), "event_id"
     )
@@ -267,4 +282,45 @@ def ev_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
         (valid_to - F.col("ts").cast("long")).alias("duration_sec"),
+    )
+
+
+@register(
+    "ev_path_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("events", "time", "markov"),
+)
+def ev_path_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix of user event paths:
+    (from_type → to_type) counts via LEAD per user, row-normalized to
+    transition probabilities.
+
+    Scale shape: one user_id exchange for the LEAD window (per-user
+    data tiny), then the count groupBy collapses to types² rows — the
+    normalizing window runs over that types²-sized frame, not the
+    event stream. The path-analysis primitive behind next-action
+    prediction and funnel discovery."""
+    ev = load_table(spark, sf, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(order_w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p"),
     )

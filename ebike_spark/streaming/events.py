@@ -394,3 +394,94 @@ def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("w.start").cast("long").alias("win_start"), "segment", "n", "total")
     )
     return run_to_table(agg, "complete")
+
+
+def make_scd2_closer():
+    """Custom stateful operator: per-user SCD2 interval builder via
+    applyInPandasWithState. State is the open interval (current type,
+    valid_from in micros); each state CHANGE emits the closed interval.
+    Correct under the staged replay's per-user non-decreasing ts order
+    across batches; each batch is sorted (t, event_id) to match the
+    batch operator's (ts, event_id) window order. Closure-built;
+    executors never import this package."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        cur_type, t_from = state.get if state.exists else (None, 0)
+        frames = [p[["t", "event_id", "event_type"]] for p in pdfs]
+        out_type, out_from, out_to = [], [], []
+        if frames:
+            ev = pd.concat(frames).sort_values(["t", "event_id"])
+            for tt, et in zip(ev["t"], ev["event_type"]):
+                if cur_type is None:
+                    cur_type, t_from = et, int(tt)
+                elif et != cur_type:
+                    out_type.append(cur_type)
+                    out_from.append(t_from)
+                    out_to.append(int(tt))
+                    cur_type, t_from = et, int(tt)
+        state.update((cur_type, int(t_from)))
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "event_type": out_type,
+                "from_us": out_from,
+                "to_us": out_to,
+            }
+        )
+
+    return fn
+
+
+def scd2_stream(ev: DataFrame) -> DataFrame:
+    src = ev.select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id", "event_type"
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        make_scd2_closer(),
+        "user_id long, event_type string, from_us long, to_us long",
+        "cur_type string, t_from long",
+        "update",
+        "NoTimeout",
+    )
+
+
+@register(
+    "stream_scd2_closed",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    iv AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) // 1000000 AS valid_from,
+             LEAD(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM changes)
+    SELECT user_id, event_type, valid_from, valid_to,
+           valid_to - valid_from AS duration_sec
+    FROM iv WHERE valid_to IS NOT NULL
+    """,
+    tags=("streaming", "stateful", "scd2", "applyInPandasWithState"),
+)
+def stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming SCD2: per-user open-interval state advanced across 4
+    micro-batches; every state change emits a CLOSED interval, and the
+    union of emissions must hash-match the batch ev_scd2_intervals
+    restricted to closed intervals (the open interval per user lives in
+    operator state — exactly the CDC-compaction contract: closed
+    history in the sink, current state in the store)."""
+    staged = stage_stream_dir(spark, sf)
+    sink = run_to_table(scd2_stream(read_event_stream(spark, staged)), "update")
+    return sink.select(
+        "user_id",
+        "event_type",
+        F.expr("from_us div 1000000").alias("valid_from"),
+        F.expr("to_us div 1000000").alias("valid_to"),
+        (F.expr("to_us div 1000000") - F.expr("from_us div 1000000")).alias(
+            "duration_sec"
+        ),
+    )

@@ -579,3 +579,110 @@ def test_knn_join_equals_bruteforce(spark):
     got = sorted(map(tuple, REGISTRY["ann_knn_join"].fn(spark, SF_DIR).collect()))
     want = sorted(map(tuple, brute.collect()))
     assert got == want and len(got) == N_QUERIES * TOP_K
+
+
+def test_gapfill_grid_is_dense_and_locf_monotone(spark):
+    """Invariants beyond the oracle: (a) the grid is DENSE — every
+    (hour, type) cell between global min and max hour appears exactly
+    once; (b) a filled row never changes the LOCF value seen by the
+    previous real row (carry-forward, not interpolation)."""
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["ev_gapfill_locf"].fn(spark, SF_DIR).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    hours = sorted({r["win_start"] for r in rows})
+    assert hours == list(range(min(hours), max(hours) + 3600, 3600))
+    for tp, rs in by_type.items():
+        rs.sort(key=lambda r: r["win_start"])
+        assert len(rs) == len(hours), tp  # dense per type
+        prev = 0.0
+        for r in rs:
+            if r["filled"]:
+                assert r["n"] == 0
+                assert r["total_locf"] == prev, (tp, r)
+            prev = r["total_locf"]
+
+
+def test_hierarchical_rollup_levels_are_consistent(spark):
+    """Reaggregation exactness: each level's (count, total) sums equal
+    the level below's — the decomposable-aggregate contract."""
+    from collections import defaultdict
+
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["ev_hierarchical_rollup"].fn(spark, SF_DIR).collect()
+    sums = defaultdict(lambda: [0, 0.0])
+    for r in rows:
+        s = sums[r["level"]]
+        s[0] += r["n"]
+    assert sums["minute"][0] == sums["hour"][0] == sums["day"][0]
+
+
+def test_concurrency_matches_single_partition_window(spark):
+    """The distributed prefix sum must equal the naive global-window
+    computation value-for-value (the decomposition is exact)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ebike_spark.plans.registry import REGISTRY
+    from ebike_spark.plans.timeseries import HOUR_US, PRESENCE_US
+    from ebike_spark.sources.registry import load_table
+
+    fast = {
+        (r["hour_start"]): (r["peak_concurrency"], r["n_deltas"])
+        for r in REGISTRY["ev_concurrency"].fn(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    deltas = ev.select(F.unix_micros("ts").alias("t"), F.lit(1).alias("d"), "event_id").unionByName(
+        ev.select((F.unix_micros("ts") + F.lit(PRESENCE_US)).alias("t"), F.lit(-1).alias("d"), "event_id")
+    )
+    w = Window.orderBy("t", "d", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = (
+        deltas.withColumn("conc", F.sum("d").over(w))
+        .groupBy((F.expr(f"t div {HOUR_US}") * 3600).alias("h"))
+        .agg(F.max("conc").alias("p"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert fast == {r["h"]: (r["p"], r["n"]) for r in naive}
+
+
+def test_scd2_intervals_tile_per_user(spark):
+    """Per user: intervals are disjoint, consecutive (each valid_to ==
+    next valid_from), types alternate at boundaries, and exactly one
+    open interval exists."""
+    from collections import defaultdict
+
+    from ebike_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["ev_scd2_intervals"].fn(spark, SF_DIR).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in rs if r["is_current"]) == 1
+        assert rs[-1]["is_current"] and rs[-1]["valid_to"] is None
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"], uid
+            assert a["event_type"] != b["event_type"], uid
+
+
+def test_weighted_sample_includes_max_weight_doc(spark):
+    """P(keep) = w/max(w) ⇒ every maximum-weight document is kept with
+    probability 1 (u*max < max*GRAIN always) — a deterministic anchor
+    the oracle can't distinguish from luck."""
+    import pyspark.sql.functions as F
+
+    from ebike_spark.plans.registry import REGISTRY
+    from ebike_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    mx = docs.agg(F.max("n_chars")).collect()[0][0]
+    picked = REGISTRY["sample_weighted"].fn(spark, SF_DIR).collect()
+    total_sampled = sum(r["n_sampled"] for r in picked)
+    n_max_docs = docs.where(F.col("n_chars") == mx).count()
+    assert total_sampled >= n_max_docs > 0

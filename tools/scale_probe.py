@@ -185,6 +185,26 @@ def main() -> None:
         spark_time(_anomaly(ev)),
         duck_time(_ANOMALY_SQL),
     ))
+    cases.append((
+        "gap-fill + LOCF (grid broadcast + window)",
+        spark_time(_gapfill(ev)),
+        duck_time(_GAPFILL_SQL),
+    ))
+    cases.append((
+        "hierarchical rollup (partials reagg vs 3 rescans)",
+        spark_time(_rollup(ev)),
+        duck_time(_ROLLUP_SQL),
+    ))
+    cases.append((
+        "concurrency sweep line (distributed prefix sum vs global window)",
+        spark_time(_concurrency(ev)),
+        duck_time(_CONCURRENCY_SQL),
+    ))
+    cases.append((
+        "dq expectation suite (1 scan vs 5-scan UNION)",
+        spark_time(_dq(li)),
+        duck_time(_DQ_SQL),
+    ))
     print("| shape | Spark s | DuckDB s | ratio |")
     print("|---|---|---|---|")
     for name, ts, td in cases:
@@ -534,6 +554,75 @@ WITH s AS (SELECT event_type, AVG(value) m, STDDEV_SAMP(value) sd
            FROM events GROUP BY 1)
 SELECT count(*) FROM events e JOIN s USING (event_type)
 WHERE ABS((e.value - s.m) / s.sd) >= 3.0
+"""
+
+
+def _gapfill(ev):
+    from ebike_spark.plans.timeseries import gapfill_locf
+
+    return gapfill_locf(ev)
+
+
+_GAPFILL_SQL = """
+WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) lo, date_trunc('hour', MAX(ts)) hi FROM events),
+spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) h FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+agg AS (SELECT date_trunc('hour', ts) h, event_type, COUNT(*) n, SUM(value) total
+        FROM events GROUP BY 1, 2)
+SELECT count(*) FROM (
+  SELECT LAST_VALUE(a.total IGNORE NULLS) OVER (
+           PARTITION BY t.event_type ORDER BY s.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN agg a ON a.h = s.h AND a.event_type = t.event_type)
+"""
+
+
+def _rollup(ev):
+    from ebike_spark.plans.timeseries import hierarchical_rollup
+
+    return hierarchical_rollup(ev)
+
+
+_ROLLUP_SQL = """
+SELECT count(*) FROM (
+  SELECT date_trunc('minute', ts) b, event_type, COUNT(*) n, SUM(value) t FROM events GROUP BY 1,2
+  UNION ALL
+  SELECT date_trunc('hour', ts), event_type, COUNT(*), SUM(value) FROM events GROUP BY 1,2
+  UNION ALL
+  SELECT date_trunc('day', ts), event_type, COUNT(*), SUM(value) FROM events GROUP BY 1,2)
+"""
+
+
+def _concurrency(ev):
+    from ebike_spark.plans.timeseries import concurrency_sweep
+
+    return concurrency_sweep(ev)
+
+
+_CONCURRENCY_SQL = """
+WITH deltas AS (
+  SELECT epoch_us(ts) t, 1 d, event_id FROM events
+  UNION ALL SELECT epoch_us(ts) + 1800000000, -1, event_id FROM events),
+run AS (SELECT t, SUM(d) OVER (ORDER BY t, d, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) conc FROM deltas)
+SELECT t // 3600000000 * 3600, MAX(conc), COUNT(*) FROM run GROUP BY 1
+"""
+
+
+def _dq(li):
+    from ebike_spark.operators.profiling import dq_report
+
+    return dq_report(li)
+
+
+_DQ_SQL = """
+SELECT * FROM (
+  SELECT 'a', SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END), COUNT(*) FROM lineitem
+  UNION ALL SELECT 'b', SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END), COUNT(*) FROM lineitem
+  UNION ALL SELECT 'c', SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END), COUNT(*) FROM lineitem
+  UNION ALL SELECT 'd', SUM(CASE WHEN l_extendedprice < 0 OR l_tax < 0 THEN 1 ELSE 0 END), COUNT(*) FROM lineitem
+  UNION ALL SELECT 'e', SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END), COUNT(*) FROM lineitem)
 """
 
 
