@@ -114,6 +114,12 @@ class Engine:
             return self._drop_db(sql)
         if kw == "CREATE" and kw2 == "TABLE":
             return self._create_table(sql)
+        if kw == "CREATE" and kw2 == "MATERIALIZED":
+            return self._create_matview(sql)
+        if kw == "REFRESH" and kw2 == "MATERIALIZED":
+            return self._refresh_matview(sql)
+        if kw == "DROP" and kw2 == "MATERIALIZED":
+            return self._drop_matview(sql)
         if (kw, kw2) in (("CREATE", "VIEW"), ("CREATE", "OR"), ("DROP", "VIEW")):
             # views — beyond the reference (its dispatcher 1105s them,
             # execution.rs:894-1279); Spark-native passthrough
@@ -459,6 +465,76 @@ class Engine:
         self._info_schema_dirty = True
         return EngineResult("count", affected=self.spark.table(q).count())
 
+    # A materialized view is a managed parquet table whose defining
+    # SELECT is stored (base64, to dodge DDL string escaping) in table
+    # properties; REFRESH re-runs it through the same staged-swap path
+    # DML uses. The OLAP-engine face of the hierarchical-rollup pattern
+    # (plans/timeseries.py): materialize once, re-serve cheaply,
+    # recompute on demand. Beyond the reference (1105s there).
+    _PROP_MATVIEW = "ebike.matview.sql"
+
+    def _create_matview(self, sql: str) -> EngineResult:
+        m = re.match(
+            r"CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`\"]+)\s+AS\s+(\(?\s*SELECT\b[\s\S]*)$",
+            sql,
+            re.I,
+        )
+        if not m:
+            raise parse_error("near CREATE MATERIALIZED VIEW")
+        import base64
+
+        q = self.catalog.qualify(unquote_ident(m.group(2)), self.current_db)
+        if self.catalog.table_exists(q):
+            # IF NOT EXISTS: no-op, and do NOT claim the existing
+            # object as a matview; otherwise 1050 via the CTAS path
+            return self._ctas(bool(m.group(1)), unquote_ident(m.group(2)), m.group(3))
+        res = self._ctas(bool(m.group(1)), unquote_ident(m.group(2)), m.group(3))
+        enc = base64.b64encode(m.group(3).strip().encode()).decode()
+        self.spark.sql(
+            f"ALTER TABLE {bq(q)} SET TBLPROPERTIES ('{self._PROP_MATVIEW}' = '{enc}')"
+        )
+        return res
+
+    def _matview_sql(self, q: str) -> str:
+        import base64
+
+        enc = self.catalog.properties(q).get(self._PROP_MATVIEW)
+        if enc is None:
+            raise EbikeError(1347, f"'{q}' is not a MATERIALIZED VIEW")
+        return base64.b64decode(enc).decode()
+
+    def _refresh_matview(self, sql: str) -> EngineResult:
+        m = re.match(r"REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`\"]+)\s*$", sql, re.I)
+        if not m:
+            raise parse_error("near REFRESH MATERIALIZED VIEW")
+        q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
+        self.catalog.require_table(q)
+        stored = self._matview_sql(q)
+        self.spark.catalog.setCurrentDatabase(self.current_db)
+        src = self.spark.sql(self._fix_select(stored))
+        cur = self.spark.table(q)
+        if [f.dataType for f in src.schema.fields] != [
+            f.dataType for f in cur.schema.fields
+        ]:
+            raise unsupported("REFRESH with a changed result schema")
+        dml._rewrite(self.spark, q, src)
+        return EngineResult("count", affected=self.spark.table(q).count())
+
+    def _drop_matview(self, sql: str) -> EngineResult:
+        m = re.match(
+            r"DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`\"]+)\s*$", sql, re.I
+        )
+        if not m:
+            raise parse_error("near DROP MATERIALIZED VIEW")
+        q = self.catalog.qualify(unquote_ident(m.group(2)), self.current_db)
+        if not m.group(1):
+            self.catalog.require_table(q)
+            self._matview_sql(q)  # 1347 if it's a plain table
+        if self.catalog.table_exists(q):
+            self.catalog.drop_table(q, True)
+        self._info_schema_dirty = True
+        return EngineResult("count", affected=0)
+
     def _truncate(self, sql: str) -> EngineResult:
         """TRUNCATE [TABLE] t — MySQL fast-delete-all (affected 0).
         Spark's native TRUNCATE drops the managed table's data files,
@@ -524,7 +600,13 @@ class Engine:
                 self.catalog.qualify(unquote_ident(m.group(1)), self.current_db),
                 unquote_ident(m.group(2)),
             )
-        raise parse_error("near ALTER TABLE (only ADD/DROP COLUMN)")
+        m = re.match(
+            r"ALTER\s+TABLE\s+([\w.`\"]+)\s+RENAME\s+(?:TO\s+|AS\s+)?([\w.`\"]+)\s*$", sql, re.I
+        )
+        if m:
+            # MySQL's second rename spelling — same path as RENAME TABLE
+            return self._rename_tables(f"RENAME TABLE {m.group(1)} TO {m.group(2)}")
+        raise parse_error("near ALTER TABLE (only ADD/DROP COLUMN, RENAME)")
 
     def _drop_column(self, qualified: str, col: str) -> EngineResult:
         """Parquet v1 tables can't ALTER DROP COLUMN in place → recreate

@@ -133,6 +133,8 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "corpus_shard_manifest",
     "ev_path_transitions",
     "stream_scd2_closed",
+    "ev_gapfill_interp",
+    "stream_rollup_maintain",
     # never externally checked through round 3
     "range_join_event_windows",
     "embed_semantic_dedup",

@@ -324,3 +324,110 @@ def ev_path_transitions(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p"),
     )
+
+
+@register(
+    "ev_gapfill_interp",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events),
+    spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                   ROUND(SUM(value), 6) AS total
+            FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT s.h, t.event_type, a.total FROM spine s CROSS JOIN types t
+      LEFT JOIN agg a ON a.h = s.h AND a.event_type = t.event_type),
+    ctx AS (
+      SELECT h, event_type, total,
+        LAST_VALUE(total IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        LAST_VALUE(CASE WHEN total IS NOT NULL THEN epoch(h) END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+        FIRST_VALUE(total IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN total IS NOT NULL THEN epoch(h) END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY h
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh
+      FROM g)
+    -- no final ROUND: the raw doubles are bit-identical across engines
+    -- (inputs snapped at 6 decimals), while round() itself diverges on
+    -- interpolation midpoints - DuckDB rounds the shortest decimal
+    -- representation (11.254999999999999 -> 11.26), Spark rounds the
+    -- exact binary value (-> 11.25)
+    SELECT CAST(epoch(h) AS BIGINT) AS win_start, event_type,
+      CASE WHEN total IS NOT NULL THEN total
+           WHEN pv IS NOT NULL AND nv IS NOT NULL
+             THEN pv + (nv - pv) * (epoch(h) - ph) / (nh - ph)
+      END AS total_interp,
+      (total IS NULL) AS filled
+    FROM ctx
+    """,
+    tags=("events", "time", "gapfill", "interpolation"),
+)
+def ev_gapfill_interp(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-fill with LINEAR INTERPOLATION (the `interpolate()` half of
+    the TimescaleDB gapfill pair; ev_gapfill_locf is the carry-forward
+    half): a missing bucket takes the time-weighted blend of the
+    nearest real observations on each side; buckets outside the first/
+    last real observation stay NULL.
+
+    Scale shape: identical to LOCF — raw data is touched only by the
+    hourly aggregate; both directional windows (last-before, first-
+    after) run over the grid-sized frame and share one exchange (same
+    partitioning + ordering; Spark computes ascending and descending
+    frames in one Window operator pass)."""
+    ev = load_table(spark, sf, "events")
+    # ROUND(sum, 6) BEFORE the windows: partial-aggregation order makes
+    # the raw double sums differ from the oracle's in the last ulp, and
+    # the interpolation arithmetic amplifies that across the final
+    # 2-decimal rounding boundary (measured: 23/3600 rows flipped).
+    # Snapping both engines to 6 decimals first makes every downstream
+    # double op bit-identical.
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.round(F.sum("value"), 6).alias("total"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = F.broadcast(spine.crossJoin(types))
+    g = grid.join(agg, ["h", "event_type"], "left").select(
+        F.col("h").cast("long").alias("hs"), "event_type", "total"
+    )
+    before = (
+        Window.partitionBy("event_type")
+        .orderBy("hs")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    after = (
+        Window.partitionBy("event_type")
+        .orderBy("hs")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    real_t = F.when(F.col("total").isNotNull(), F.col("hs"))
+    pv = F.last("total", ignorenulls=True).over(before)
+    ph = F.last(real_t, ignorenulls=True).over(before)
+    nv = F.first("total", ignorenulls=True).over(after)
+    nh = F.first(real_t, ignorenulls=True).over(after)
+    interp = F.when(F.col("total").isNotNull(), F.col("total")).otherwise(
+        F.when(
+            pv.isNotNull() & nv.isNotNull(),
+            pv + (nv - pv) * (F.col("hs") - ph) / (nh - ph),
+        )
+    )
+    # emitted UNROUNDED (see the oracle comment): with 6-decimal-snapped
+    # inputs the two engines' doubles are bit-identical, while a final
+    # round() diverges on midpoints (engine rounding semantics differ)
+    return g.select(
+        F.col("hs").alias("win_start"),
+        "event_type",
+        interp.alias("total_interp"),
+        F.col("total").isNull().alias("filled"),
+    )

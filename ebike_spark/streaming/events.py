@@ -485,3 +485,72 @@ def stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
             "duration_sec"
         ),
     )
+
+
+def _merge_rollup_batch(target_dir: str):
+    """foreachBatch merge: fold one micro-batch's minute partials into
+    the materialized rollup at target_dir (read-merge-write with an
+    atomic directory swap — the no-lakehouse-dependency stand-in for a
+    Delta MERGE / dynamic-partition overwrite, which is the production
+    form: only partitions the batch touches would be rewritten)."""
+    import os as _os
+    import shutil as _shutil
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = batch_df.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("b"), "event_type"
+        ).agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        if _os.path.exists(target_dir):
+            cur = spark.read.parquet(target_dir)
+            partial = cur.unionByName(partial).groupBy("b", "event_type").agg(
+                F.sum("n").alias("n"), F.sum("total").alias("total")
+            )
+        tmp = target_dir + f".batch{batch_id}"
+        partial.write.mode("overwrite").parquet(tmp)
+        if _os.path.exists(target_dir):
+            _shutil.rmtree(target_dir)
+        _os.rename(tmp, target_dir)
+
+    return fn
+
+
+@register(
+    "stream_rollup_maintain",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS bucket_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "foreachBatch", "rollup", "incremental-view"),
+)
+def stream_rollup_maintain(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally MAINTAINED materialized rollup: the stream's 4
+    micro-batches each merge their minute partials into a materialized
+    aggregate table via foreachBatch (COUNT/SUM are decomposable, so
+    batch-wise merge is exact); the final table must hash-match the
+    batch minute rollup computed from scratch. This is the streaming
+    half of ev_hierarchical_rollup — together they are the continuous-
+    aggregate pattern: maintain the finest level incrementally, derive
+    coarser levels by reaggregation, never rescan history."""
+    staged = stage_stream_dir(spark, sf)
+    target = os.path.join(
+        tempfile.gettempdir(), f"ebike_rollup_{uuid.uuid4().hex[:10]}"
+    )
+    q = (
+        read_event_stream(spark, staged)
+        .writeStream.outputMode("append")
+        .foreachBatch(_merge_rollup_batch(target))
+        .option("checkpointLocation", target + ".ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target).select(
+        F.col("b").cast("long").alias("bucket_start"),
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+    )

@@ -743,3 +743,35 @@ def test_create_table_as_select(eng):
     with pytest.raises(EbikeError) as ei:
         eng.execute("CREATE TABLE tall AS SELECT * FROM user")
     assert ei.value.code == 1050
+
+
+def test_alter_table_rename(eng):
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'a', 1.0)")
+    eng.execute("ALTER TABLE user RENAME TO member")
+    assert [r[0] for r in eng.execute("SHOW TABLES").rows()] == ["member"]
+    assert eng.execute("SELECT COUNT(*) AS n FROM member").rows()[0]["n"] == 1
+
+
+def test_materialized_view_lifecycle(eng):
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    r = eng.execute(
+        "CREATE MATERIALIZED VIEW tall_mv AS SELECT id, stature FROM user WHERE stature > 1.5"
+    )
+    assert r.affected == 2
+    # serves the MATERIALIZED data: base-table changes don't show yet
+    eng.execute("INSERT INTO user VALUES (4, 'd', 4.0)")
+    assert eng.execute("SELECT COUNT(*) AS n FROM tall_mv").rows()[0]["n"] == 2
+    # REFRESH recomputes the stored SELECT
+    assert eng.execute("REFRESH MATERIALIZED VIEW tall_mv").affected == 3
+    assert eng.execute("SELECT COUNT(*) AS n FROM tall_mv").rows()[0]["n"] == 3
+    # REFRESH of a plain table is 1347
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("REFRESH MATERIALIZED VIEW user")
+    assert ei.value.code == 1347
+    # DROP MATERIALIZED VIEW refuses plain tables, removes matviews
+    with pytest.raises(EbikeError):
+        eng.execute("DROP MATERIALIZED VIEW user")
+    eng.execute("DROP MATERIALIZED VIEW tall_mv")
+    assert "tall_mv" not in [r[0] for r in eng.execute("SHOW TABLES").rows()]
