@@ -41,6 +41,7 @@ PROP_PK = "ebike.primary_key"
 PROP_UNIQUE_PREFIX = "ebike.unique."
 PROP_NOT_NULL = "ebike.not_null"
 PROP_ROWID = "ebike.rowid"
+PROP_AUTO_INCREMENT = "ebike.auto_increment"
 ROWID = "rowid"
 
 
@@ -113,6 +114,20 @@ class Catalog:
             if col not in not_null:
                 not_null.append(col)
         props = [f"'{PROP_NOT_NULL}' = '{','.join(not_null)}'"]
+        ai_cols = [c.name for c in ct.columns if c.auto_increment]
+        if len(ai_cols) > 1 or (
+            ai_cols
+            and ai_cols[0] not in ct.primary_key
+            and not any(ai_cols[0] in ucols for _, ucols in ct.uniques)
+        ):
+            # MySQL 1075: one auto column, and it must be a key
+            raise EbikeError(
+                1075,
+                "Incorrect table definition; there can be only one auto "
+                "column and it must be defined as a key",
+            )
+        if ai_cols:
+            props.append(f"'{PROP_AUTO_INCREMENT}' = '{ai_cols[0]}'")
         # hidden rowid, unless the user claimed the name for themselves
         if all(c.name != ROWID for c in ct.columns):
             cols.append(f"`{ROWID}` STRING")
@@ -156,6 +171,9 @@ class Catalog:
 
     def has_rowid(self, qualified: str) -> bool:
         return self.properties(qualified).get(PROP_ROWID) == "1"
+
+    def auto_increment_col(self, qualified: str) -> str | None:
+        return self.properties(qualified).get(PROP_AUTO_INCREMENT) or None
 
     def column_types(self, qualified: str) -> list[tuple[str, str]]:
         """[(name, spark_type_simple)] in table order — the USER-VISIBLE

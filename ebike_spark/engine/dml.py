@@ -97,10 +97,52 @@ def _check_constraints(
             raise duplicate_entry(val, key_name)
 
 
-def insert(spark: SparkSession, catalog: Catalog, ins: Insert, current_db: str) -> int:
+def _mint_auto_increment(
+    spark: SparkSession, qualified: str, df: DataFrame, ai: str, ai_type: str
+) -> tuple[DataFrame, int | None]:
+    """Assign AUTO_INCREMENT values to rows whose ``ai`` evaluated NULL
+    (MySQL mints on NULL or omitted). The counter is max(stored,
+    explicit-in-batch); minted values are consecutive in VALUES order.
+    Returns (df, first_minted_id | None). The scalar probes and the
+    single-partition running count are statement-sized (a VALUES batch),
+    not data-sized — the stored side contributes one MAX aggregate,
+    which Spark computes with map-side partials at any table size."""
+    stored = spark.table(qualified).agg(F.max(F.col(ai).cast("long"))).collect()[0][0] or 0
+    explicit = df.agg(F.max(F.col(ai).cast("long"))).collect()[0][0] or 0
+    start = max(stored, explicit)
+    n_null = df.where(F.col(ai).isNull()).count()
+    if n_null == 0:
+        return df, None
+    from pyspark.sql import Window as _W
+
+    order = _W.orderBy("__vidx").rowsBetween(_W.unboundedPreceding, 0)
+    nth = F.sum(F.when(F.col(ai).isNull(), 1).otherwise(0)).over(order)
+    out = (
+        df.withColumn("__vidx", F.monotonically_increasing_id())
+        .withColumn(ai, F.coalesce(F.col(ai), (F.lit(start) + nth).cast(ai_type)))
+        .drop("__vidx")
+    )
+    return out, start + 1
+
+
+def insert(
+    spark: SparkSession,
+    catalog: Catalog,
+    ins: Insert,
+    current_db: str,
+    session: dict | None = None,
+) -> int:
     qualified = catalog.qualify(ins.table, current_db)
     catalog.require_table(qualified)
     df = _values_df(spark, ins, catalog.column_types(qualified))
+    ai = catalog.auto_increment_col(qualified)
+    if ai is not None:
+        df, first_id = _mint_auto_increment(
+            spark, qualified, df, ai, dict(catalog.column_types(qualified))[ai]
+        )
+        if first_id is not None and session is not None:
+            # MySQL LAST_INSERT_ID(): first minted id of the batch
+            session["last_insert_id"] = first_id
     if ins.replace:
         return _replace(spark, catalog, qualified, df, ins)
     if ins.on_dup_update is not None:

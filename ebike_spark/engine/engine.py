@@ -83,6 +83,7 @@ class Engine:
         # new sessions see defaults overlaid with any SET GLOBAL values
         self.sys_vars = {**DEFAULT_SYS_VARS, **GLOBAL_VARS}
         self.user_vars: dict[str, object] = {}
+        self.last_insert_id = 0
         self._stmts: dict[int, _Prepared] = {}
         self._next_stmt_id = 1
         self._info_schema_dirty = True
@@ -183,6 +184,13 @@ class Engine:
         def fix(seg: str, first: bool, last: bool) -> str:
             # MySQL's database() → Spark's current_database()
             seg = re.sub(r"\bdatabase\s*\(\s*\)", "current_database()", seg, flags=re.I)
+            # MySQL LAST_INSERT_ID() → this session's last minted auto id
+            seg = re.sub(
+                r"\bLAST_INSERT_ID\s*\(\s*\)",
+                str(getattr(self, "last_insert_id", 0)),
+                seg,
+                flags=re.I,
+            )
             # `FROM dual` → no-FROM (Spark supports SELECT without FROM
             # natively; the reference injects a 1-row dual MemTable,
             # core_util.rs:463-479)
@@ -704,7 +712,10 @@ class Engine:
             ins = parse_insert(fixed)
         except ValueError as e:
             raise parse_error(str(e)) from e
-        n = dml.insert(self.spark, self.catalog, ins, self.current_db)
+        state: dict = {}
+        n = dml.insert(self.spark, self.catalog, ins, self.current_db, session=state)
+        if "last_insert_id" in state:
+            self.last_insert_id = state["last_insert_id"]
         return EngineResult("count", affected=n)
 
     def _update(self, sql: str) -> EngineResult:

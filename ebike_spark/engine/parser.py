@@ -198,6 +198,7 @@ class ColumnDef:
     name: str
     sql_type: str  # INT | FLOAT | CHAR (upper)
     nullable: bool
+    auto_increment: bool = False
 
 
 @dataclass
@@ -281,7 +282,10 @@ def parse_create_table(sql: str) -> CreateTable:
         if re.search(r"PRIMARY\s+KEY", rest, re.I):
             ct.primary_key = [cname]
             nullable = False
-        ct.columns.append(ColumnDef(cname, ctype, nullable))
+        ai = bool(re.search(r"\bAUTO_INCREMENT\b", rest, re.I))
+        if ai:
+            nullable = False  # MySQL: an auto column is implicitly NOT NULL
+        ct.columns.append(ColumnDef(cname, ctype, nullable, auto_increment=ai))
     return ct
 
 

@@ -40,10 +40,12 @@ def show_columns(spark: SparkSession, catalog: Catalog, qualified: str) -> DataF
     nn = set(catalog.not_null_cols(qualified))
     pk = set(catalog.primary_key(qualified))
     uniq = {c for _, cols in catalog.unique_keys(qualified) for c in cols}
+    ai = catalog.auto_increment_col(qualified)
     rows = []
     for name, typ in catalog.column_types(qualified):
         key = "PRI" if name in pk else ("UNI" if name in uniq else "")
-        rows.append((name, SQL_TYPE_NAME.get(typ, typ), "NO" if name in nn else "YES", key, None, ""))
+        extra = "auto_increment" if name == ai else ""
+        rows.append((name, SQL_TYPE_NAME.get(typ, typ), "NO" if name in nn else "YES", key, None, extra))
     return spark.createDataFrame(
         rows, "Field string, Type string, Null string, Key string, Default string, Extra string"
     )

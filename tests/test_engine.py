@@ -775,3 +775,27 @@ def test_materialized_view_lifecycle(eng):
         eng.execute("DROP MATERIALIZED VIEW user")
     eng.execute("DROP MATERIALIZED VIEW tall_mv")
     assert "tall_mv" not in [r[0] for r in eng.execute("SHOW TABLES").rows()]
+
+
+def test_auto_increment(eng):
+    eng.execute(
+        "CREATE TABLE seq (id INT AUTO_INCREMENT, name CHAR, PRIMARY KEY (id))"
+    )
+    # omitted column → minted 1, 2
+    eng.execute("INSERT INTO seq (name) VALUES ('a'), ('b')")
+    assert eng.execute("SELECT LAST_INSERT_ID() AS v").rows()[0]["v"] == 1
+    # explicit value bumps the counter; NULL mints after the max
+    eng.execute("INSERT INTO seq VALUES (10, 'c'), (NULL, 'd')")
+    assert eng.execute("SELECT LAST_INSERT_ID() AS v").rows()[0]["v"] == 11
+    rows = sorted((r["id"], r["name"]) for r in eng.execute("SELECT * FROM seq").rows())
+    assert rows == [(1, "a"), (2, "b"), (10, "c"), (11, "d")]
+    # the minted ids satisfy the PK constraint: duplicate explicit id → 1062
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO seq VALUES (11, 'x')")
+    assert ei.value.code == 1062
+
+
+def test_auto_increment_must_be_key(eng):
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("CREATE TABLE bad (id INT AUTO_INCREMENT, name CHAR)")
+    assert ei.value.code == 1075

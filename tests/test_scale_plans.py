@@ -502,3 +502,15 @@ def test_split_and_shard_are_scan_speed(spark):
         plan = _physical(REGISTRY[name].fn(spark, SF_DIR))
         assert "Join" not in plan and "Window" not in plan, name
         assert plan.count("Exchange hashpartitioning") == 1, name
+
+
+def test_gapfill_interp_windows_share_one_exchange(spark):
+    """Both directional IGNORE NULLS windows (last-before, first-after)
+    partition and order identically — the plan needs exactly one
+    hashpartitioning(event_type) exchange over the grid-sized frame,
+    and the grid side still broadcasts."""
+    df = REGISTRY["ev_gapfill_interp"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning(event_type" in ln]
+    assert len(ex) == 1, ex
