@@ -415,6 +415,8 @@ class Engine:
         if m:
             db = unquote_ident(m.group(1)) if m.group(1) else self.current_db
             return rows(show.show_table_status(spark, self.catalog, db))
+        if up.startswith("PROCESSLIST") or up.startswith("FULL PROCESSLIST"):
+            return rows(show.show_processlist(spark, self.current_db))
         if up.startswith("GRANTS"):
             return rows(show.show_grants(spark))
         if up.startswith("PRIVILEGES"):

@@ -125,6 +125,16 @@ def show_index(spark: SparkSession, catalog: Catalog, qualified: str) -> DataFra
     )
 
 
+def show_processlist(spark: SparkSession, current_db: str) -> DataFrame:
+    """One row: this session (single-connection engine; the reference's
+    processlist would surface its wire connections)."""
+    return spark.createDataFrame(
+        [(1, "root", "localhost", current_db, "Query", 0, "executing", "SHOW PROCESSLIST")],
+        "Id long, User string, Host string, db string, Command string, "
+        "Time long, State string, Info string",
+    )
+
+
 def show_grants(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [("GRANT ALL PRIVILEGES ON *.* TO 'root'@'%'",)],

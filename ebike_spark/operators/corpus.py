@@ -382,3 +382,47 @@ def corpus_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+UPSAMPLE_MAX_EPOCHS = 4
+
+
+@register(
+    "corpus_upsample_audit",
+    oracle=f"""
+    WITH d AS (SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars FROM documents GROUP BY 1),
+    mx AS (SELECT MAX(n_chars) AS mc FROM d)
+    SELECT source, n_docs, n_chars,
+           LEAST(CAST(CEIL(mc * 1.0 / n_chars) AS BIGINT), {UPSAMPLE_MAX_EPOCHS}) AS epochs,
+           n_chars * LEAST(CAST(CEIL(mc * 1.0 / n_chars) AS BIGINT), {UPSAMPLE_MAX_EPOCHS}) AS upsampled_chars
+    FROM d, mx
+    """,
+    tags=("sampling", "mix", "upsample"),
+)
+def corpus_upsample_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-count upsampling plan: each under-represented domain is
+    repeated ceil(max_domain_chars / domain_chars) times (capped at
+    {UPSAMPLE_MAX_EPOCHS} — the standard guard against over-repeating
+    tiny domains), targeting a roughly uniform char budget. The
+    complement of corpus_temperature_mix (which DOWN-weights): together
+    they bracket the mixture-design space.
+
+    Scale shape: one groupBy to domain-sized partials, one 1-row max
+    broadcast back — nothing downstream of the first aggregate scales
+    with corpus size."""
+    docs = load_table(spark, sf, "documents")
+    d = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    mx = d.agg(F.max("n_chars").alias("mc"))
+    epochs = F.least(
+        F.ceil(F.col("mc") * 1.0 / F.col("n_chars")).cast("long"),
+        F.lit(UPSAMPLE_MAX_EPOCHS),
+    )
+    return d.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        epochs.alias("epochs"),
+        (F.col("n_chars") * epochs).alias("upsampled_chars"),
+    )

@@ -474,3 +474,67 @@ def ann_knn_join(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", F.round("_c", 4).alias("cos"))
     )
+
+
+# --------------------------------------------- random projection (JL)
+
+RP_DIMS = 8  # output dimensionality
+RP_QUANT = 1_000_000  # fixed-point quantization: exact integer sums
+
+
+def _rp_sign(j: int, k: int) -> int:
+    """±1 from md5(j_k) — the same formula the DuckDB oracle spells, so
+    the projection matrix is reproducible anywhere (1-based j)."""
+    import hashlib
+
+    return int(hashlib.md5(f"{j}_{k}".encode()).hexdigest()[:14], 16) % 2 * 2 - 1
+
+
+def _rp_oracle() -> str:
+    return f"""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS j, unnest(embedding) AS e
+      FROM embeddings),
+    q AS (SELECT vec_id, j, CAST(ROUND(e * {RP_QUANT}) AS BIGINT) AS qe FROM flat),
+    proj AS (
+      SELECT vec_id, k.k,
+             SUM(qe * (CAST('0x' || substr(md5(j::VARCHAR || '_' || k.k::VARCHAR), 1, 14) AS BIGINT) % 2 * 2 - 1)) AS p
+      FROM q CROSS JOIN (SELECT UNNEST(range({RP_DIMS})) AS k) k
+      GROUP BY 1, 2)
+    SELECT vec_id, k AS dim, p FROM proj
+    """
+
+
+@register(
+    "embed_random_projection",
+    oracle=_rp_oracle(),
+    tags=("embedding", "random-projection", "jl"),
+)
+def embed_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection to {RP_DIMS} dims
+    (Achlioptas-style ±1 matrix), on fixed-point-quantized components so
+    every sum is integer-EXACT — the oracle aggregates in arbitrary
+    order, Spark folds sequentially, and the results still match bit
+    for bit (float sums would differ in the last ulp).
+
+    Scale shape: ZERO shuffle — the ±1 matrix is baked into the plan as
+    literals (computed driver-side with the same md5 formula the oracle
+    spells), and each output dim is one JVM-side aggregate() fold over
+    the embedding array; the explode+groupBy form the oracle uses would
+    shuffle rows × dims. The projection is the cheap front half of
+    LSH/sketch pipelines; downstream consumers bucket or band these
+    coordinates."""
+    emb = load_table(spark, sf, "embeddings")
+    dim = emb.select(F.size("embedding")).first()[0]
+    projections = []
+    for k in range(RP_DIMS):
+        signs = ", ".join(str(_rp_sign(j, k)) for j in range(1, dim + 1))
+        p = F.expr(
+            f"aggregate(zip_with(embedding, sequence(1, {dim}), (e, j) -> "
+            f"struct(e AS e, j AS j)), 0L, (acc, s) -> acc + "
+            f"CAST(ROUND(s.e * {RP_QUANT}) AS BIGINT) * element_at(array({signs}), s.j))"
+        )
+        projections.append(F.struct(F.lit(k).alias("dim"), p.alias("p")))
+    return emb.select(
+        "vec_id", F.explode(F.array(*projections)).alias("kp")
+    ).select("vec_id", "kp.dim", "kp.p")

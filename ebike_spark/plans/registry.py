@@ -135,6 +135,9 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "stream_scd2_closed",
     "ev_gapfill_interp",
     "stream_rollup_maintain",
+    "embed_random_projection",
+    "ev_value_histogram",
+    "corpus_upsample_audit",
     # never externally checked through round 3
     "range_join_event_windows",
     "embed_semantic_dedup",

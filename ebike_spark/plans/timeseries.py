@@ -431,3 +431,28 @@ def ev_gapfill_interp(spark: SparkSession, sf: str) -> DataFrame:
         interp.alias("total_interp"),
         F.col("total").isNull().alias("filled"),
     )
+
+
+@register(
+    "ev_value_histogram",
+    oracle="""
+    SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bin,
+           COUNT(*) AS n, ROUND(MIN(value), 2) AS min_v, ROUND(MAX(value), 2) AS max_v
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "histogram"),
+)
+def ev_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width value histogram per event type (bin width 10) —
+    the distribution profile behind alert thresholds and bin-packed
+    downsampling. Binning is a scan-speed expression; the groupBy
+    carries types × bins partials (map-side combined)."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 10).cast("long").alias("bin"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("min_v"),
+        F.round(F.max("value"), 2).alias("max_v"),
+    )

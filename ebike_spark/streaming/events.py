@@ -488,29 +488,36 @@ def stream_scd2(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _merge_rollup_batch(target_dir: str):
-    """foreachBatch merge: fold one micro-batch's minute partials into
-    the materialized rollup at target_dir (read-merge-write with an
-    atomic directory swap — the no-lakehouse-dependency stand-in for a
-    Delta MERGE / dynamic-partition overwrite, which is the production
-    form: only partitions the batch touches would be rewritten)."""
+    """foreachBatch merge via DYNAMIC PARTITION OVERWRITE: the rollup
+    is day-partitioned; each batch reads back only the day partitions
+    it touches (partition-pruned scan), merges its minute partials in,
+    and overwrites just those partitions — per-batch cost scales with
+    the batch's day span, never with the aggregate's total history.
+    This is the plain-parquet form of a lakehouse MERGE; swapping the
+    sink to Delta changes only the write call."""
     import os as _os
-    import shutil as _shutil
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        partial = batch_df.groupBy(
-            F.date_trunc("minute", F.col("ts")).alias("b"), "event_type"
-        ).agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        partial = (
+            batch_df.groupBy(
+                F.date_trunc("minute", F.col("ts")).alias("b"), "event_type"
+            )
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .withColumn("d", F.to_date("b"))
+        )
         if _os.path.exists(target_dir):
-            cur = spark.read.parquet(target_dir)
-            partial = cur.unionByName(partial).groupBy("b", "event_type").agg(
+            days = [r["d"] for r in partial.select("d").distinct().collect()]
+            cur = spark.read.parquet(target_dir).where(F.col("d").isin(days))
+            partial = cur.unionByName(partial).groupBy("b", "event_type", "d").agg(
                 F.sum("n").alias("n"), F.sum("total").alias("total")
             )
-        tmp = target_dir + f".batch{batch_id}"
-        partial.write.mode("overwrite").parquet(tmp)
-        if _os.path.exists(target_dir):
-            _shutil.rmtree(target_dir)
-        _os.rename(tmp, target_dir)
+        saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            partial.write.partitionBy("d").mode("overwrite").parquet(target_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 
     return fn
 

@@ -799,3 +799,9 @@ def test_auto_increment_must_be_key(eng):
     with pytest.raises(EbikeError) as ei:
         eng.execute("CREATE TABLE bad (id INT AUTO_INCREMENT, name CHAR)")
     assert ei.value.code == 1075
+
+
+def test_show_processlist(eng):
+    rows = eng.execute("SHOW PROCESSLIST").rows()
+    assert len(rows) == 1 and rows[0]["User"] == "root"
+    assert rows[0]["db"] == eng.current_db

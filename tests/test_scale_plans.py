@@ -514,3 +514,13 @@ def test_gapfill_interp_windows_share_one_exchange(spark):
     assert "BroadcastHashJoin" in plan
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning(event_type" in ln]
     assert len(ex) == 1, ex
+
+
+def test_random_projection_zero_shuffle(spark):
+    """The JL projection bakes the ±1 matrix into the plan as literals
+    and folds each output dim map-side — no Exchange, no Join anywhere
+    (the explode+groupBy formulation would shuffle rows × dims)."""
+    df = REGISTRY["embed_random_projection"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Join" not in plan
