@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "profile_columns",
     "corpus_split_assign",
     "ev_path_transitions",
+    "corpus_training_manifest",
 ]
 
 

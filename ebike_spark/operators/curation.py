@@ -608,3 +608,104 @@ def corpus_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
         F.round(temp_share, 4).alias("temp_share"),
         F.round(temp_share / share, 4).alias("boost"),
     )
+
+
+@register(
+    "corpus_training_manifest",
+    oracle=None,  # assigned below — needs the jaccard CTE import
+    tags=("curation", "pipeline", "flagship"),
+)
+def corpus_training_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END training-set manifest: the full curation pipeline as
+    ONE declarative plan — (1) C4/Gopher hard quality gates, (2) exact
+    dedup keeping the smallest doc_id per content digest, (3) near-dup
+    removal dropping every document that is the LARGER side of a
+    verified minhash-LSH pair (keep-smallest convention), (4)
+    deterministic 98/1/1 split assignment — reported per (source,
+    split).
+
+    Composability is the point: every stage is the registered operator
+    family's logic (same constants, same hash conventions), fused by
+    Catalyst into one plan instead of four materialized passes. Scale
+    shape: the gates are scan-speed expressions; exact-dedup adds one
+    digest window; the near-dup drop is a left-anti join against the
+    (tiny) verified-pair set; the final groupBy ships (source, split)
+    partials.
+    """
+    from ebike_spark.operators.corpus import SPLIT_TRAIN_LT, SPLIT_VAL
+    from ebike_spark.operators.dedup import minhash_verified_pairs
+
+    docs = load_table(spark, sf, "documents")
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok)
+    mean_wlen = F.length(F.regexp_replace("text", " ", "")) * F.lit(1.0) / n_tok
+    distinct_ratio = F.size(F.array_distinct(tok)) * F.lit(1.0) / n_tok
+    n_stop = F.size(F.filter(tok, lambda w: w.isin(*STOPWORDS)))
+    passes = (
+        (n_tok >= RULE_MIN_TOKENS)
+        & (mean_wlen <= RULE_MAX_MEAN_WLEN)
+        & (distinct_ratio >= RULE_MIN_DISTINCT_RATIO)
+        & (n_stop > 0)
+    )
+    quality = docs.where(passes)
+    keep_first = Window.partitionBy(F.md5("text"))
+    exact = quality.withColumn("__min_id", F.min("doc_id").over(keep_first)).where(
+        F.col("doc_id") == F.col("__min_id")
+    )
+    dup_larger = minhash_verified_pairs(spark, sf).select(F.col("d2").alias("doc_id")).distinct()
+    survivors = exact.join(dup_larger, "doc_id", "left_anti")
+    pct = md5_long(F.col("text")) % 100
+    split = (
+        F.when(pct < SPLIT_TRAIN_LT, "train")
+        .when(pct == SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return survivors.groupBy("source", split.alias("split")).agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+
+
+def _manifest_oracle() -> str:
+    from ebike_spark.operators.corpus import SPLIT_TRAIN_LT, SPLIT_VAL
+    from ebike_spark.operators.dedup import _JACCARD_PAIRS_SQL
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+    gated AS (
+      SELECT doc_id, source, n_chars, text FROM documents
+      WHERE len(string_split(text, ' ')) >= {RULE_MIN_TOKENS}
+        AND length(replace(text, ' ', '')) * 1.0
+              / len(string_split(text, ' ')) <= {RULE_MAX_MEAN_WLEN}
+        AND len(list_distinct(string_split(text, ' '))) * 1.0
+              / len(string_split(text, ' ')) >= {RULE_MIN_DISTINCT_RATIO}
+        AND len(list_filter(string_split(text, ' '), w -> w IN ({stop_list}))) > 0),
+    exact AS (
+      SELECT * FROM (
+        SELECT g.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS min_id FROM gated g)
+      WHERE doc_id = min_id),
+    survivors AS (
+      SELECT * FROM exact WHERE doc_id NOT IN (SELECT d2 FROM pairs)),
+    tagged AS (
+      SELECT source, n_chars,
+             CASE WHEN {md5_long_sql("text")} % 100 < {SPLIT_TRAIN_LT} THEN 'train'
+                  WHEN {md5_long_sql("text")} % 100 = {SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM survivors)
+    SELECT source, split, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+    FROM tagged GROUP BY 1, 2
+    """
+
+
+# late-bind the oracle (the jaccard SQL lives in dedup; importing at
+# module top would be circular through plans.registry)
+from ebike_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_spec = _REG["corpus_training_manifest"]
+_REG["corpus_training_manifest"] = type(_spec)(
+    name=_spec.name,
+    fn=_spec.fn,
+    oracle=_manifest_oracle(),
+    tags=_spec.tags,
+    doc=_spec.doc,
+)

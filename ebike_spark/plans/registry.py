@@ -138,6 +138,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "embed_random_projection",
     "ev_value_histogram",
     "corpus_upsample_audit",
+    "corpus_training_manifest",
     # never externally checked through round 3
     "range_join_event_windows",
     "embed_semantic_dedup",

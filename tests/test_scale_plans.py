@@ -524,3 +524,14 @@ def test_random_projection_zero_shuffle(spark):
     plan = _physical(df)
     assert "Exchange" not in plan, plan[:2000]
     assert "Join" not in plan
+
+
+def test_training_manifest_composes_without_cartesian(spark):
+    """The end-to-end manifest fuses four stages into one plan: the
+    near-dup drop must be a (broadcastable) anti join — never a
+    nested-loop — and the quality gates stay inside the scan-side
+    projection/filter (no extra shuffle before the digest window)."""
+    df = REGISTRY["corpus_training_manifest"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
