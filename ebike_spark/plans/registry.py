@@ -139,6 +139,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_value_histogram",
     "corpus_upsample_audit",
     "corpus_training_manifest",
+    "ev_funnel_windowed",
     # never externally checked through round 3
     "range_join_event_windows",
     "embed_semantic_dedup",

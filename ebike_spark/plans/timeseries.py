@@ -456,3 +456,86 @@ def ev_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("min_v"),
         F.round(F.max("value"), 2).alias("max_v"),
     )
+
+
+FUNNEL_WINDOW_US = 86_400_000_000  # 24h: the whole chain must fit
+
+
+@register(
+    "ev_funnel_windowed",
+    oracle=f"""
+    WITH f1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    f2 AS (SELECT e.user_id, f1.t1, MIN(epoch_us(e.ts)) AS t2 FROM events e
+           JOIN f1 ON e.user_id = f1.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > f1.t1
+             AND epoch_us(e.ts) <= f1.t1 + {FUNNEL_WINDOW_US} GROUP BY 1, 2),
+    f3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
+           JOIN f2 ON e.user_id = f2.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f2.t2
+             AND epoch_us(e.ts) <= f2.t1 + {FUNNEL_WINDOW_US} GROUP BY 1)
+    SELECT * FROM (
+      SELECT CAST(1 AS INTEGER) AS stage_idx, 'view' AS stage,
+             (SELECT COUNT(*) FROM f1) AS n_users
+      UNION ALL
+      SELECT CAST(2 AS INTEGER), 'click', (SELECT COUNT(*) FROM f2)
+      UNION ALL
+      SELECT CAST(3 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM f3))
+    WHERE n_users > 0
+    """,
+    tags=("events", "funnel", "windowed", "sequence"),
+)
+def ev_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed ordered funnel (the `windowFunnel(T)` constraint):
+    stages advance strictly in time AND the whole chain must complete
+    within 24h of the user's first stage-1 event (the anchor). Same
+    single-shuffle sorted-scan shape as ev_funnel — the accumulator
+    additionally carries the anchor time; the oracle's nested-min
+    joins add the `<= t1 + T` bound per stage.
+
+    Scale shape: identical to ev_funnel — ONE user_id shuffle, linear
+    Catalyst-HOF scan per user, stage filter pushed to the parquet
+    scan; the window constraint is pure accumulator arithmetic."""
+    from ebike_spark.plans.analytics import FUNNEL_STAGES
+
+    stage_arr = F.array(*[F.lit(s) for s in FUNNEL_STAGES])
+    n_stages = len(FUNNEL_STAGES)
+    evs = load_table(spark, sf, "events").where(
+        F.col("event_type").isin(*FUNNEL_STAGES)
+    ).select(
+        "user_id",
+        F.struct(F.unix_micros("ts").alias("t"), F.col("event_type").alias("et")).alias("e"),
+    )
+    init = F.struct(
+        F.lit(0).alias("s"), F.lit(0).cast("long").alias("t"), F.lit(0).cast("long").alias("anchor")
+    )
+
+    def step(acc, x):
+        want = F.element_at(stage_arr, F.least(acc["s"] + 1, F.lit(n_stages)))
+        can = (
+            (acc["s"] < n_stages)
+            & (x["et"] == want)
+            & ((acc["s"] == 0) | ((x["t"] > acc["t"]) & (x["t"] <= acc["anchor"] + FUNNEL_WINDOW_US)))
+        )
+        new_anchor = F.when(acc["s"] == 0, x["t"]).otherwise(acc["anchor"])
+        return F.when(
+            can,
+            F.struct((acc["s"] + 1).alias("s"), x["t"].alias("t"), new_anchor.alias("anchor")),
+        ).otherwise(acc)
+
+    reached = (
+        evs.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("seq"))
+        .select(F.aggregate("seq", init, step)["s"].alias("s"))
+        .where(F.col("s") >= 1)
+    )
+    return (
+        reached.select(F.explode(F.sequence(F.lit(1), F.col("s"))).alias("stage_idx"))
+        .groupBy("stage_idx")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            "stage_idx",
+            F.element_at(stage_arr, F.col("stage_idx")).alias("stage"),
+            "n_users",
+        )
+    )

@@ -85,3 +85,41 @@ def test_cli_runs_script(spark, capsys):
         assert "ERROR 1146" in out
     finally:
         e.execute(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_golden_replace_and_auto_increment(eng):
+    eng.execute("create table seq (id int auto_increment, name char, primary key(id))")
+    eng.execute("insert into seq (name) values ('a'), ('b')")
+    r = eng.execute("replace into seq values (1, 'A')")
+    assert r.affected == 2  # 1 deleted + 1 inserted
+    out = format_table(eng.execute("select * from seq order by id").df)
+    assert out == "\n".join(
+        [
+            "+----+------+",
+            "| id | name |",
+            "+----+------+",
+            "| 1  | A    |",
+            "| 2  | b    |",
+            "+----+------+",
+        ]
+    )
+
+
+def test_golden_matview_truncate_flow(eng):
+    eng.execute("create table t (id int, v float, primary key(id))")
+    eng.execute("insert into t values (1, 10.0), (2, 20.0)")
+    eng.execute("create materialized view big as select id from t where v > 15")
+    out = format_table(eng.execute("select * from big").df)
+    assert out == "\n".join(
+        [
+            "+----+",
+            "| id |",
+            "+----+",
+            "| 2  |",
+            "+----+",
+        ]
+    )
+    eng.execute("truncate table t")
+    assert eng.execute("refresh materialized view big").affected == 0
+    out = format_table(eng.execute("select count(*) AS `COUNT(*)` from big").df)
+    assert "| 0" in out
