@@ -80,12 +80,12 @@ def _load_all() -> None:
 # fresh external evidence this round. Rotated per round toward queries
 # whose driver evidence is missing or stalest — round 4: the 14 rows
 # red in round 3 (events loader, now fixed), the 4 latently-broken
-# events queries never in a window, the 12 new round-4 operators (first
-# evidence), the 12 queries never externally checked, then the
-# relational core (last checked round 1; the set-op/window tail past
-# position ~50 falls outside a 50-row window — a conscious cut, those
-# queries stay covered by the local oracle suite and rotate back next
-# round).
+# events queries never in a window, the 12 early-round-4 operators,
+# then the ~19 operators added later in round 4 (first evidence),
+# then the never-externally-checked round-3 tail and the relational
+# core (last checked round 1). Everything past position ~50 falls
+# outside the window — a conscious cut: those queries stay covered by
+# the local oracle suite and rotate back next round.
 WINDOW_PREFIX: tuple[str, ...] = (
     # restored after the events-loader fix (red in CORRECTNESS_r03)
     "asof_generic_events_orders",
