@@ -1034,10 +1034,95 @@ def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cand = embedding_candidates(e)
-    pairs = (
-        cand.join(e.select(F.col("vec_id").alias("v1"), F.col("v").alias("va")), "v1")
-        .join(e.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb")), "v2")
+    return verify_candidates_blocked(e, cand, EMBED_COS_THRESHOLD)
+
+
+# Verify-stage chunking: vectors ship once per CHUNK-PAIR, not once per
+# candidate pair. At the fixture threshold (0.5 — deliberately in the
+# near-background regime, see similarity.py's recall math) candidates
+# approach all-pairs, and the former per-pair gather joins moved two
+# full vectors per candidate (~700 MB Arrow traffic at sf0.1 for 694k
+# candidates); per-chunk gathering moves each chunk matrix once per
+# partner chunk (measured 9.7 s → ~1 s for the verify stage).
+EMBED_VERIFY_CHUNK = 4096
+
+
+def make_blocked_pair_scorer(threshold: float):
+    """Closure factory for the cogrouped verify: one (ca, cb) group =
+    (candidate id-pairs, the two chunks' vectors tagged by side). Pure
+    vectorized index-gather + row-wise dot. Executors never import
+    this package."""
+    import numpy as _np
+
+    def score(key, pairs_pdf, vec_pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"v1": _np.array([], dtype="int64"), "v2": _np.array([], dtype="int64"),
+             "cos": _np.array([], dtype="float64")}
+        )
+        if not len(pairs_pdf) or not len(vec_pdf):
+            return empty
+
+        def side_mat(side):
+            sub = vec_pdf[vec_pdf["side"] == side]
+            ids = sub["vec_id"].to_numpy(dtype="int64")
+            V = _np.asarray([_np.asarray(v, dtype=_np.float64) for v in sub["v"]])
+            V /= _np.linalg.norm(V, axis=1, keepdims=True)
+            return {int(i): n for n, i in enumerate(ids)}, V
+
+        ix_a, A = side_mat(0)
+        ix_b, B = side_mat(1)
+        v1 = pairs_pdf["v1"].to_numpy(dtype="int64")
+        v2 = pairs_pdf["v2"].to_numpy(dtype="int64")
+        ra = _np.fromiter((ix_a[int(x)] for x in v1), dtype="int64", count=len(v1))
+        rb = _np.fromiter((ix_b[int(x)] for x in v2), dtype="int64", count=len(v2))
+        cos = (A[ra] * B[rb]).sum(axis=1)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"v1": v1[keep], "v2": v2[keep], "cos": _np.round(cos[keep], 4)}
+        )
+
+    return score
+
+
+def verify_candidates_blocked(
+    e: DataFrame, cand: DataFrame, threshold: float, chunk: int = EMBED_VERIFY_CHUNK
+) -> DataFrame:
+    """Exact-cosine verification of (v1 < v2) candidate pairs with
+    chunk-pair vector gathering: candidates group by (v1 div chunk,
+    v2 div chunk); each side's chunk matrix is shipped once per partner
+    chunk via the cogroup (replication factor = number of partner
+    chunks with candidates, never the candidate count)."""
+    spark = e.sparkSession
+    tagged_cand = cand.select(
+        F.expr(f"v1 div {chunk}").alias("ca"),
+        F.expr(f"v2 div {chunk}").alias("cb"),
+        "v1",
+        "v2",
     )
-    # bind the closure BEFORE passing: executors never import this package
-    scorer = make_pair_scorer(EMBED_COS_THRESHOLD)
-    return pairs.select("v1", "v2", "va", "vb").mapInPandas(scorer, "v1 long, v2 long, cos double")
+    chunk_pairs = tagged_cand.select("ca", "cb").distinct()
+    vec = e.withColumn("c", F.expr(f"vec_id div {chunk}"))
+
+    def side(join_col: str, tag: int) -> DataFrame:
+        # fresh column names per side to keep the twin joins' lineage
+        # unambiguous (both reuse chunk_pairs and vec)
+        cp = chunk_pairs.select(
+            F.col("ca").alias(f"__ca{tag}"), F.col("cb").alias(f"__cb{tag}")
+        )
+        joined = cp.join(vec, cp[f"__{join_col}{tag}"] == vec["c"])
+        return joined.select(
+            F.col(f"__ca{tag}").alias("ca"),
+            F.col(f"__cb{tag}").alias("cb"),
+            "vec_id",
+            "v",
+            F.lit(tag).alias("side"),
+        )
+
+    vecs = side("ca", 0).unionByName(side("cb", 1))
+    scorer = make_blocked_pair_scorer(threshold)
+    return (
+        tagged_cand.groupBy("ca", "cb")
+        .cogroup(vecs.groupBy("ca", "cb"))
+        .applyInPandas(scorer, "v1 long, v2 long, cos double")
+    )
