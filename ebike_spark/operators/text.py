@@ -10,7 +10,7 @@ The reference has no text functions beyond basic SQL string ops
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ebike_spark.functions.textfns import md5_long, md5_long_sql, tokens
 from ebike_spark.plans.registry import register
@@ -250,4 +250,50 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         md5_long(F.col("text")).alias("content_hash"),
         rolling.alias("rolling_hash"),
+    )
+
+
+BIGRAM_TOP_K = 10
+
+
+@register(
+    "text_bigram_top",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (
+      SELECT lang, w[i] || ' ' || w[i+1] AS bigram
+      FROM (SELECT lang, w, UNNEST(generate_series(1, len(w) - 1)) AS i FROM tok)),
+    c AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+    r AS (SELECT lang, bigram, n,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+          FROM c)
+    SELECT lang, bigram, n, rn FROM r WHERE rn <= {BIGRAM_TOP_K}
+    """,
+    tags=("text", "ngram", "lm"),
+)
+def text_bigram_top(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{BIGRAM_TOP_K} bigrams per language with a deterministic
+    (count DESC, bigram) tiebreak — the n-gram LM count table in
+    miniature. Scale shape: the bigram explode is map-side; counts
+    partial-aggregate to (lang, bigram) before one shuffle; the ranking
+    window runs over per-lang count frames (vocabulary-sized, and
+    WindowGroupLimit prunes to top-k per partition map-side)."""
+    docs = load_table(spark, sf, "documents")
+    w = tokens(F.col("text"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    bg = (
+        docs.select("lang", w.alias("w"))
+        .where(F.size("w") >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+    )
+    c = bg.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    )
+    return c.select("lang", "bigram", "n", rn.alias("rn")).where(
+        F.col("rn") <= BIGRAM_TOP_K
     )

@@ -140,6 +140,8 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "corpus_upsample_audit",
     "corpus_training_manifest",
     "ev_funnel_windowed",
+    "ev_active_users",
+    "text_bigram_top",
     # never externally checked through round 3
     "range_join_event_windows",
     "embed_semantic_dedup",

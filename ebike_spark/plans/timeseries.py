@@ -539,3 +539,49 @@ def ev_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "ev_active_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+    SELECT 'day' AS level, CAST(epoch(d) AS BIGINT) AS bucket_start,
+           COUNT(DISTINCT user_id) AS n_active
+    FROM ud GROUP BY 2
+    UNION ALL
+    SELECT 'week', CAST(epoch(date_trunc('week', d)) AS BIGINT), COUNT(DISTINCT user_id)
+    FROM ud GROUP BY 2
+    UNION ALL
+    SELECT 'month', CAST(epoch(date_trunc('month', d)) AS BIGINT), COUNT(DISTINCT user_id)
+    FROM ud GROUP BY 2
+    """,
+    tags=("events", "time", "active-users"),
+)
+def ev_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU / WAU / MAU in one query: the raw stream reduces ONCE to the
+    distinct (user, day) frame — bounded by users × calendar days, not
+    event volume — and every granularity derives from that compact
+    frame (day = its row counts; week/month = count-distinct over it).
+    The same partial-reduction idea as the hierarchical rollup, applied
+    to the non-decomposable COUNT DISTINCT: distinct-by-day IS the
+    reaggregatable partial for any coarser calendar window."""
+    ev = load_table(spark, sf, "events")
+    ud = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .distinct()
+        .persist()
+    )
+    day = ud.groupBy("d").agg(F.count("*").alias("n_active")).select(
+        F.lit("day").alias("level"), F.col("d").cast("long").alias("bucket_start"), "n_active"
+    )
+    week = (
+        ud.groupBy(F.date_trunc("week", F.col("d")).alias("w"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .select(F.lit("week").alias("level"), F.col("w").cast("long").alias("bucket_start"), "n_active")
+    )
+    month = (
+        ud.groupBy(F.date_trunc("month", F.col("d")).alias("m"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .select(F.lit("month").alias("level"), F.col("m").cast("long").alias("bucket_start"), "n_active")
+    )
+    return day.unionByName(week).unionByName(month)
