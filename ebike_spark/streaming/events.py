@@ -499,6 +499,18 @@ def _merge_rollup_batch(target_dir: str):
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Idempotence guard: foreachBatch may REPLAY the last
+        # in-flight batch after a crash-restart (exactly-once requires
+        # the sink to dedupe by batchId). A read-merge-write that
+        # reapplies a replayed batch double-counts it — so the highest
+        # merged batchId is committed alongside the data, and replays
+        # are skipped. This is the same transactional-sink contract a
+        # Delta MERGE gets from its log.
+        marker = _os.path.join(target_dir, "_last_batch_id")
+        if _os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # replayed batch: already merged
         partial = (
             batch_df.groupBy(
                 F.date_trunc("minute", F.col("ts")).alias("b"), "event_type"
@@ -518,6 +530,8 @@ def _merge_rollup_batch(target_dir: str):
             partial.write.partitionBy("d").mode("overwrite").parquet(target_dir)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+        with open(marker, "w") as fh:
+            fh.write(str(batch_id))
 
     return fn
 

@@ -185,3 +185,92 @@ def test_stream_funnel_matches_batch(spark):
         for r in REGISTRY["stream_funnel"].fn(spark, SF_DIR).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_rollup_merge_replay_is_idempotent(spark):
+    """foreachBatch may replay the last in-flight batch after a crash;
+    the merge sink must dedupe by batchId or it double-counts. Apply
+    the same batch twice — the second application must be a no-op."""
+    import tempfile
+    import uuid as _uuid
+
+    import pyspark.sql.functions as F
+
+    from ebike_spark.sources.registry import load_table
+    from ebike_spark.streaming.events import _merge_rollup_batch
+
+    target = os.path.join(tempfile.gettempdir(), f"rollup_idem_{_uuid.uuid4().hex[:8]}")
+    ev = load_table(spark, SF_DIR, "events")
+    merge = _merge_rollup_batch(target)
+    merge(ev, 0)
+    once = {
+        (r["b"], r["event_type"]): (r["n"], round(r["total"], 6))
+        for r in spark.read.parquet(target).collect()
+    }
+    merge(ev, 0)  # crash-replay of the same batch
+    twice = {
+        (r["b"], r["event_type"]): (r["n"], round(r["total"], 6))
+        for r in spark.read.parquet(target).collect()
+    }
+    assert twice == once and len(once) > 0
+    merge(ev, 1)  # a genuinely new batch still merges
+    n_after = spark.read.parquet(target).agg(F.sum("n")).collect()[0][0]
+    assert n_after == 2 * sum(v[0] for v in once.values())
+
+
+def test_rollup_maintain_resumes_from_checkpoint(spark):
+    """Stop-and-resume: drain half the topic, stop, add the rest,
+    restart with the SAME checkpoint — the maintained rollup must equal
+    the from-scratch batch rollup (no gaps, no double-merges)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    import pyspark.sql.functions as F
+
+    from ebike_spark.streaming.events import (
+        _merge_rollup_batch,
+        read_event_stream,
+        stage_stream_dir,
+    )
+
+    staged_full = stage_stream_dir(spark, SF_DIR)
+    files = sorted(f for f in os.listdir(staged_full) if f.endswith(".parquet"))
+    half_dir = os.path.join(tempfile.gettempdir(), f"rollup_half_{_uuid.uuid4().hex[:8]}")
+    os.makedirs(half_dir)
+    for f in files[:2]:
+        shutil.copy2(os.path.join(staged_full, f), os.path.join(half_dir, f))
+    target = os.path.join(tempfile.gettempdir(), f"rollup_ckpt_{_uuid.uuid4().hex[:8]}")
+    ckpt = target + ".ckpt"
+
+    def drain():
+        q = (
+            read_event_stream(spark, half_dir)
+            .writeStream.outputMode("append")
+            .foreachBatch(_merge_rollup_batch(target))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    drain()  # first half
+    for f in files[2:]:
+        shutil.copy2(os.path.join(staged_full, f), os.path.join(half_dir, f))
+    drain()  # restart, same checkpoint: only the new files replay
+    got = {
+        (r["b"], r["event_type"]): (r["n"], round(r["total"], 6))
+        for r in spark.read.parquet(target).collect()
+    }
+    from ebike_spark.sources.registry import load_table
+
+    want = {
+        (r["b"], r["event_type"]): (r["n"], round(r["total"], 6))
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("b"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
