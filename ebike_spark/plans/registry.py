@@ -142,6 +142,8 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_funnel_windowed",
     "ev_active_users",
     "text_bigram_top",
+    "ev_session_stats",
+    "ev_active_users_hll",
     # never externally checked through round 3
     "range_join_event_windows",
     "embed_semantic_dedup",

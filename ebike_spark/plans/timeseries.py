@@ -621,3 +621,64 @@ def ev_active_users_hll(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return daily.unionByName(monthly)
+
+
+@register(
+    "ev_session_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+                       OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g),
+    sess AS (
+      SELECT user_id, sid, COUNT(*) AS n_events,
+             (MAX(t) - MIN(t)) // 1000000 AS duration_sec
+      FROM s GROUP BY 1, 2)
+    SELECT n_events, COUNT(*) AS n_sessions,
+           CAST(SUM(duration_sec) AS BIGINT) AS total_duration_sec,
+           CAST(MAX(duration_sec) AS BIGINT) AS max_duration_sec
+    FROM sess GROUP BY 1
+    """,
+    tags=("events", "time", "sessions"),
+)
+def ev_session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-depth distribution: sessions (30-min gap rule, same as
+    ev_sessionize) summarized by event count — how many sessions have k
+    events, their total and max durations. The engagement-depth profile
+    behind bounce-rate and session-length dashboards.
+
+    Scale shape: the gap test and session-id running sum share ONE
+    user_id exchange (same partitioning + ordering); the per-session
+    aggregate reuses it; only the tiny depth histogram reshuffles.
+    Integer microsecond arithmetic end to end — exact across engines."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    g = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    ).withColumn(
+        "new_s",
+        F.when(
+            (F.col("t") - F.lag("t").over(w) > 1800 * 1_000_000)
+            | F.lag("t").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        ((F.max("t") - F.min("t")) / 1_000_000).cast("long").alias("duration_sec"),
+    )
+    return sess.groupBy("n_events").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("duration_sec").alias("total_duration_sec"),
+        F.max("duration_sec").alias("max_duration_sec"),
+    )
