@@ -656,6 +656,24 @@ class Engine:
 
     def _insert(self, sql: str) -> EngineResult:
         fixed = substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS)
+        # MySQL `INSERT INTO t SET a = 1, b = 'x'` → column-list VALUES
+        m = re.match(
+            r"\s*(INSERT|REPLACE)\s+INTO\s+([\w.`\"]+)\s+SET\s+([\s\S]+?);?\s*$", fixed, re.I
+        )
+        if m:
+            from ebike_spark.engine.parser import split_top_level
+
+            cols, vals = [], []
+            for a in split_top_level(m.group(3)):
+                am = re.match(r"\s*([\w`\"]+)\s*=\s*([\s\S]+)$", a)
+                if not am:
+                    raise parse_error(f"near INSERT ... SET: {a!r}")
+                cols.append(unquote_ident(am.group(1)))
+                vals.append(am.group(2).strip())
+            fixed = (
+                f"{m.group(1)} INTO {m.group(2)} ({', '.join(cols)}) "
+                f"VALUES ({', '.join(vals)})"
+            )
         if not re.search(r"\bVALUES\b", fixed, re.I):
             # INSERT INTO ... SELECT: hand to Spark (beyond-reference;
             # constraint checks apply only to the VALUES path, as in the

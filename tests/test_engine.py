@@ -805,3 +805,13 @@ def test_show_processlist(eng):
     rows = eng.execute("SHOW PROCESSLIST").rows()
     assert len(rows) == 1 and rows[0]["User"] == "root"
     assert rows[0]["db"] == eng.current_db
+
+
+def test_insert_set_syntax(eng):
+    eng.execute(USER_DDL)
+    assert eng.execute("INSERT INTO user SET id = 7, name = 'g', stature = 1.5").affected == 1
+    rows = eng.execute("SELECT * FROM user").rows()
+    assert [(r["id"], r["name"], r["stature"]) for r in rows] == [(7, "g", 1.5)]
+    # composes with REPLACE and constraint checks
+    assert eng.execute("REPLACE INTO user SET id = 7, name = 'g', stature = 2.5").affected == 2
+    assert eng.execute("SELECT stature FROM user").rows()[0][0] == 2.5
