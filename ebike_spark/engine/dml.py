@@ -403,8 +403,56 @@ def delete(spark: SparkSession, catalog: Catalog, dele: Delete, current_db: str)
     # predicate (e.g. `x > 5` with x NULL) keeps the row. Plain
     # `~cond` would silently delete NULL rows (NOT NULL → NULL → drop).
     cond_true = F.coalesce(cond, F.lit(False))
+    if dele.limit is not None:
+        return _delete_limited(spark, catalog, qualified, t, cond_true, dele)
     affected = t.where(cond_true).count()
     if affected == 0:
         return 0
     _rewrite(spark, qualified, t.where(~cond_true))
     return affected
+
+
+def _delete_limited(
+    spark: SparkSession, catalog: Catalog, qualified: str, t, cond_true, dele: Delete
+) -> int:
+    """DELETE ... [ORDER BY ...] LIMIT n (MySQL bounded delete): pick
+    the doomed rows' hidden rowids with a distributed top-k
+    (orderBy + limit → TakeOrderedAndProject, never a single-task full
+    sort), then remove them by anti-join. Without ORDER BY, MySQL
+    deletes an arbitrary n rows; here the rowid orders them so repeat
+    runs are deterministic."""
+    from ebike_spark.engine.errors import unsupported
+
+    if not catalog.has_rowid(qualified):
+        # a user-declared `rowid` column displaced the hidden one; no
+        # stable row identity to bound the delete with
+        raise unsupported("DELETE ... LIMIT on a table without the hidden rowid")
+    cand = t.where(cond_true)
+    order = _order_cols(dele.order_by) if dele.order_by else [F.col(ROWID)]
+    doomed = cand.orderBy(*order).limit(dele.limit).select(ROWID)
+    affected = doomed.count()
+    if affected == 0:
+        return 0
+    # the using-join hoists rowid to the front; restore physical order
+    # (the staged rewrite's insertInto is positional)
+    survivors = t.join(doomed, ROWID, "left_anti").select(*t.columns)
+    _rewrite(spark, qualified, survivors)
+    return affected
+
+
+def _order_cols(order_by: str) -> list:
+    """Parse a raw ORDER BY list into sort Columns (ASC/DESC suffixes
+    aren't expression syntax, so they're peeled off here)."""
+    import re as _re
+
+    from ebike_spark.engine.parser import split_top_level
+
+    cols = []
+    for e in split_top_level(order_by):
+        m = _re.match(r"([\s\S]+?)\s+(ASC|DESC)\s*$", e.strip(), _re.I)
+        if m:
+            c = F.expr(m.group(1))
+            cols.append(c.desc() if m.group(2).upper() == "DESC" else c.asc())
+        else:
+            cols.append(F.expr(e.strip()))
+    return cols

@@ -233,6 +233,8 @@ class Update:
 class Delete:
     table: str
     where: str | None
+    order_by: str | None = None  # raw ORDER BY expression list
+    limit: int | None = None
 
 
 _TYPE_RE = r"(INT|INTEGER|FLOAT|CHAR|VARCHAR|DOUBLE|BIGINT|TEXT|DATE|TIMESTAMP|BOOLEAN|DECIMAL)"
@@ -340,10 +342,16 @@ def parse_update(sql: str) -> Update:
 
 def parse_delete(sql: str) -> Delete:
     m = re.match(
-        r"\s*DELETE\s+FROM\s+([\w.`\"]+)(?:\s+WHERE\s+(.*?))?;?\s*$",
+        r"\s*DELETE\s+FROM\s+([\w.`\"]+)(?:\s+WHERE\s+(.*?))?"
+        r"(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+LIMIT\s+(\d+))?;?\s*$",
         sql,
         re.I | re.S,
     )
     if not m:
         raise ValueError("malformed DELETE")
-    return Delete(table=unquote_ident(m.group(1)), where=m.group(2))
+    return Delete(
+        table=unquote_ident(m.group(1)),
+        where=m.group(2),
+        order_by=m.group(3),
+        limit=int(m.group(4)) if m.group(4) else None,
+    )

@@ -815,3 +815,18 @@ def test_insert_set_syntax(eng):
     # composes with REPLACE and constraint checks
     assert eng.execute("REPLACE INTO user SET id = 7, name = 'g', stature = 2.5").affected == 2
     assert eng.execute("SELECT stature FROM user").rows()[0][0] == 2.5
+
+
+def test_delete_order_by_limit(eng):
+    eng.execute(USER_DDL)
+    eng.execute(
+        "INSERT INTO user VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0), (4, 'd', 4.0)"
+    )
+    # delete the two tallest
+    r = eng.execute("DELETE FROM user ORDER BY stature DESC LIMIT 2")
+    assert r.affected == 2
+    rows = sorted(r["id"] for r in eng.execute("SELECT id FROM user").rows())
+    assert rows == [1, 2]
+    # LIMIT larger than matches deletes what's there
+    assert eng.execute("DELETE FROM user WHERE id > 1 ORDER BY id LIMIT 9").affected == 1
+    assert [r["id"] for r in eng.execute("SELECT id FROM user").rows()] == [1]
