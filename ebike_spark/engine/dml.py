@@ -347,6 +347,25 @@ def update(spark: SparkSession, catalog: Catalog, upd: Update, current_db: str) 
     catalog.require_table(qualified)
     t = spark.table(qualified)
     cond = F.expr(upd.where) if upd.where else F.lit(True)
+    if upd.limit is not None:
+        # UPDATE ... [ORDER BY ...] LIMIT n: bound the MATCHED set by a
+        # distributed top-k of rowids (same shape as _delete_limited),
+        # then proceed with membership as the effective condition.
+        from ebike_spark.engine.errors import unsupported
+
+        if not catalog.has_rowid(qualified):
+            raise unsupported("UPDATE ... LIMIT on a table without the hidden rowid")
+        order = _order_cols(upd.order_by) if upd.order_by else [F.col(ROWID)]
+        doomed = (
+            t.where(F.coalesce(cond, F.lit(False)))
+            .orderBy(*order)
+            .limit(upd.limit)
+            .select(F.col(ROWID).alias("__upd_rid"))
+        )
+        t = t.join(
+            F.broadcast(doomed), t[ROWID] == F.col("__upd_rid"), "left"
+        )
+        cond = F.col("__upd_rid").isNotNull()
     types = dict(catalog.column_types(qualified))
     assigned = dict(upd.assignments)
     for name in assigned:  # hidden rowid is not assignable either
@@ -362,7 +381,9 @@ def update(spark: SparkSession, catalog: Catalog, upd: Update, current_db: str) 
     if affected == 0:
         return 0
     cols = []
-    for name in t.columns:
+    # project the TABLE's columns only (the LIMIT path joined a helper
+    # __upd_rid column onto t that must not reach the staged rewrite)
+    for name in spark.table(qualified).columns:
         if name in assigned:
             new_val = F.expr(assigned[name]).cast(types[name])
             cols.append(F.when(cond, new_val).otherwise(F.col(name)).alias(name))

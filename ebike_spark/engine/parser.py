@@ -227,6 +227,8 @@ class Update:
     table: str
     assignments: list[tuple[str, str]]  # (col, raw expr)
     where: str | None
+    order_by: str | None = None  # raw ORDER BY expression list
+    limit: int | None = None
 
 
 @dataclass
@@ -325,7 +327,8 @@ def parse_insert(sql: str) -> Insert:
 
 def parse_update(sql: str) -> Update:
     m = re.match(
-        r"\s*UPDATE\s+([\w.`\"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?;?\s*$",
+        r"\s*UPDATE\s+([\w.`\"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?"
+        r"(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+LIMIT\s+(\d+))?;?\s*$",
         sql,
         re.I | re.S,
     )
@@ -337,7 +340,13 @@ def parse_update(sql: str) -> Update:
         if not am:
             raise ValueError(f"malformed assignment: {a!r}")
         assignments.append((unquote_ident(am.group(1)), am.group(2).strip()))
-    return Update(table=unquote_ident(m.group(1)), assignments=assignments, where=m.group(3))
+    return Update(
+        table=unquote_ident(m.group(1)),
+        assignments=assignments,
+        where=m.group(3),
+        order_by=m.group(4),
+        limit=int(m.group(5)) if m.group(5) else None,
+    )
 
 
 def parse_delete(sql: str) -> Delete:

@@ -830,3 +830,17 @@ def test_delete_order_by_limit(eng):
     # LIMIT larger than matches deletes what's there
     assert eng.execute("DELETE FROM user WHERE id > 1 ORDER BY id LIMIT 9").affected == 1
     assert [r["id"] for r in eng.execute("SELECT id FROM user").rows()] == [1]
+
+
+def test_update_order_by_limit(eng):
+    eng.execute(USER_DDL)
+    eng.execute(
+        "INSERT INTO user VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0), (4, 'd', 4.0)"
+    )
+    # raise only the two shortest
+    r = eng.execute("UPDATE user SET stature = 9.0 ORDER BY stature ASC LIMIT 2")
+    assert r.affected == 2
+    rows = {x["id"]: x["stature"] for x in eng.execute("SELECT id, stature FROM user").rows()}
+    assert rows == {1: 9.0, 2: 9.0, 3: 3.0, 4: 4.0}
+    # WHERE composes; LIMIT larger than matches updates what's there
+    assert eng.execute("UPDATE user SET stature = 5.0 WHERE id >= 4 ORDER BY id LIMIT 9").affected == 1
