@@ -76,3 +76,54 @@ def test_events_legacy_int64_nanos_still_loads(spark, tmp_path):
     assert ev.schema["ts"].dataType.simpleString() == "timestamp"
     micros = ev.selectExpr("unix_micros(ts) as m").first()["m"]
     assert micros == 1_700_000_000_123_456  # nanos truncated, not rounded
+
+
+def test_hostile_session_is_normalized(spark, oracle):
+    """A driver-provided session may arrive with ANSI on and a non-UTC
+    timezone (Spark 4 defaults + host locale). Every query path goes
+    through load_table, which must normalize both — otherwise date
+    bucketing drifts an hour and permissive casts become errors. Run a
+    timestamp-sensitive query under a hostile session and hash-compare
+    it against the oracle."""
+    import math
+
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+    from tests.conftest import SF_DIR
+
+    _load_all()
+    saved = {
+        "spark.sql.ansi.enabled": spark.conf.get("spark.sql.ansi.enabled"),
+        "spark.sql.session.timeZone": spark.conf.get("spark.sql.session.timeZone"),
+    }
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    def _norm(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return ("null",)
+        if isinstance(v, float):
+            return ("f", round(v, 9))
+        if isinstance(v, int):
+            return ("i", v)
+        return ("s", str(v))
+
+    try:
+        for name in ("ev_tumbling_window", "ev_scd2_intervals", "fn_conditional"):
+            spec = REGISTRY[name]
+            sdf = spec.fn(spark, SF_DIR)
+            scols = sorted(sdf.columns)
+            srows = sorted(
+                tuple(_norm(row[c]) for c in scols) for row in sdf.collect()
+            )
+            res = oracle.execute(spec.oracle)
+            ocols_all = [d[0] for d in res.description]
+            idx = [ocols_all.index(c) for c in sorted(ocols_all)]
+            orows = sorted(
+                tuple(_norm(r[i]) for i in idx) for r in res.fetchall()
+            )
+            assert srows == orows, name
+        # load_table really did reset the session (not just survive it)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
