@@ -107,12 +107,14 @@ def _mint_auto_increment(
     single-partition running count are statement-sized (a VALUES batch),
     not data-sized — the stored side contributes one MAX aggregate,
     which Spark computes with map-side partials at any table size."""
+    n_null = df.where(F.col(ai).isNull()).count()
+    if n_null == 0:
+        # fully-explicit batch: skip both MAX probes (the stored-side
+        # MAX is a full-table aggregate — wasted work on the DML path)
+        return df, None
     stored = spark.table(qualified).agg(F.max(F.col(ai).cast("long"))).collect()[0][0] or 0
     explicit = df.agg(F.max(F.col(ai).cast("long"))).collect()[0][0] or 0
     start = max(stored, explicit)
-    n_null = df.where(F.col(ai).isNull()).count()
-    if n_null == 0:
-        return df, None
     from pyspark.sql import Window as _W
 
     order = _W.orderBy("__vidx").rowsBetween(_W.unboundedPreceding, 0)

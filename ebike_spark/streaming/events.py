@@ -503,14 +503,12 @@ def _merge_rollup_batch(target_dir: str):
         # in-flight batch after a crash-restart (exactly-once requires
         # the sink to dedupe by batchId). A read-merge-write that
         # reapplies a replayed batch double-counts it — so the highest
-        # merged batchId is committed alongside the data, and replays
-        # are skipped. This is the same transactional-sink contract a
-        # Delta MERGE gets from its log.
-        marker = _os.path.join(target_dir, "_last_batch_id")
-        if _os.path.exists(marker):
-            with open(marker) as fh:
-                if batch_id <= int(fh.read().strip()):
-                    return  # replayed batch: already merged
+        # merged batchId rides INSIDE each day partition's data
+        # (`last_bid`), committing atomically with the merge itself:
+        # there is no window where the data landed but its provenance
+        # didn't (a side-file marker written after the data write has
+        # exactly that window). This is the same transactional-sink
+        # contract a Delta MERGE gets from its log.
         partial = (
             batch_df.groupBy(
                 F.date_trunc("minute", F.col("ts")).alias("b"), "event_type"
@@ -521,17 +519,28 @@ def _merge_rollup_batch(target_dir: str):
         if _os.path.exists(target_dir):
             days = [r["d"] for r in partial.select("d").distinct().collect()]
             cur = spark.read.parquet(target_dir).where(F.col("d").isin(days))
+            done = {
+                r["d"]
+                for r in cur.groupBy("d")
+                .agg(F.max("last_bid").alias("m"))
+                .where(F.col("m") >= batch_id)
+                .collect()
+            }
+            fresh = [d for d in days if d not in done]
+            if not fresh:
+                return  # replayed batch: every touched day already has it
+            partial = partial.where(F.col("d").isin(fresh))
+            cur = cur.where(F.col("d").isin(fresh)).drop("last_bid")
             partial = cur.unionByName(partial).groupBy("b", "event_type", "d").agg(
                 F.sum("n").alias("n"), F.sum("total").alias("total")
             )
+        partial = partial.withColumn("last_bid", F.lit(batch_id))
         saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             partial.write.partitionBy("d").mode("overwrite").parquet(target_dir)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
-        with open(marker, "w") as fh:
-            fh.write(str(batch_id))
 
     return fn
 

@@ -844,3 +844,83 @@ def test_update_order_by_limit(eng):
     assert rows == {1: 9.0, 2: 9.0, 3: 3.0, 4: 4.0}
     # WHERE composes; LIMIT larger than matches updates what's there
     assert eng.execute("UPDATE user SET stature = 5.0 WHERE id >= 4 ORDER BY id LIMIT 9").affected == 1
+
+
+def test_drop_matview_if_exists_refuses_plain_table(eng):
+    """IF EXISTS only suppresses the missing-object error — an existing
+    plain table must still raise 1347, never be silently dropped."""
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'a', 1.0)")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("DROP MATERIALIZED VIEW IF EXISTS user")
+    assert ei.value.code == 1347
+    assert eng.execute("SELECT COUNT(*) AS n FROM user").rows()[0]["n"] == 1
+    # a genuinely missing object is the case IF EXISTS covers
+    assert eng.execute("DROP MATERIALIZED VIEW IF EXISTS no_such_mv").affected == 0
+    with pytest.raises(EbikeError):
+        eng.execute("DROP MATERIALIZED VIEW no_such_mv")
+
+
+def test_ctas_does_not_leak_hidden_rowid(eng):
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    eng.execute("CREATE TABLE copy2 AS SELECT * FROM user")
+    cols = [r["Field"] for r in eng.execute("SHOW COLUMNS FROM copy2").rows()]
+    assert cols == ["id", "name", "stature"]
+    star = eng.execute("SELECT * FROM copy2").rows()
+    assert sorted(star[0].asDict().keys()) == ["id", "name", "stature"]
+    # explicitly projecting rowid still materializes it, MySQL-rowid style
+    eng.execute("CREATE TABLE withrid AS SELECT rowid, id FROM user")
+    cols = [r["Field"] for r in eng.execute("SHOW COLUMNS FROM withrid").rows()]
+    assert cols == ["rowid", "id"]
+
+
+def test_rename_table_chain_and_swap(eng):
+    """MySQL applies RENAME pairs left-to-right on the evolving
+    namespace: chains and the classic atomic swap are legal."""
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'a', 1.0)")
+    # chain: the intermediate name exists only mid-statement
+    eng.execute("RENAME TABLE user TO mid, mid TO final")
+    assert [r[0] for r in eng.execute("SHOW TABLES").rows()] == ["final"]
+    # swap via temp name
+    eng.execute("CREATE TABLE other (x INT)")
+    eng.execute("INSERT INTO other VALUES (9)")
+    eng.execute("RENAME TABLE final TO tmp_sw, other TO final, tmp_sw TO other")
+    assert eng.execute("SELECT COUNT(*) AS n FROM other").rows()[0]["n"] == 1
+    assert eng.execute("SELECT x FROM final").rows()[0]["x"] == 9
+    # a self-conflicting list fails validation BEFORE any rename applies
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("RENAME TABLE final TO a2, final TO b2")
+    assert ei.value.code == 1146
+    assert eng.execute("SELECT x FROM final").rows()[0]["x"] == 9
+
+
+def test_insert_set_with_on_duplicate(eng):
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user SET id = 1, name = 'a', stature = 1.0")
+    r = eng.execute(
+        "INSERT INTO user SET id = 1, name = 'a', stature = 1.0 "
+        "ON DUPLICATE KEY UPDATE stature = 7.5"
+    )
+    assert r.affected == 2  # MySQL: 2 for an update via ON DUPLICATE
+    assert eng.execute("SELECT stature FROM user").rows()[0][0] == 7.5
+
+
+def test_last_insert_id_in_dml(eng):
+    """The canonical parent/child idiom: LAST_INSERT_ID() usable inside
+    INSERT VALUES and UPDATE SET, not only bare SELECT."""
+    eng.execute("CREATE TABLE parent (id INT AUTO_INCREMENT, name CHAR, PRIMARY KEY (id))")
+    eng.execute("CREATE TABLE child (fk INT, note CHAR)")
+    eng.execute("INSERT INTO parent (name) VALUES ('p1')")
+    eng.execute("INSERT INTO child VALUES (LAST_INSERT_ID(), 'c1')")
+    assert eng.execute("SELECT fk FROM child").rows()[0]["fk"] == 1
+    eng.execute("INSERT INTO parent (name) VALUES ('p2')")
+    eng.execute("UPDATE child SET fk = LAST_INSERT_ID() WHERE note = 'c1'")
+    assert eng.execute("SELECT fk FROM child").rows()[0]["fk"] == 2
+    # quoted literals are untouched
+    eng.execute("INSERT INTO child VALUES (5, 'LAST_INSERT_ID()')")
+    assert (
+        eng.execute("SELECT note FROM child WHERE fk = 5").rows()[0]["note"]
+        == "LAST_INSERT_ID()"
+    )

@@ -395,10 +395,8 @@ def _semdedup(spark, emb):
     from the base corpus. block=1024 so 10× clusters (~2500 vectors)
     split into 3 chunks — the multi-chunk path is what's measured, not
     the single-GEMM degenerate case."""
-    from pyspark.sql import Window
-
     from ebike_spark.operators.clustering import _make_assigner, _seed_centroids
-    from ebike_spark.operators.semdedup import SEM_TAU, _make_block_scorer
+    from ebike_spark.operators.semdedup import SEM_TAU, _make_block_scorer, tag_chunk_pairs
 
     SEM_BLOCK = 1024
 
@@ -408,27 +406,7 @@ def _semdedup(spark, emb):
         _make_assigner(seeds, carry_v=True),
         "vec_id long, cluster_id int, cos double, v array<double>",
     ).select("vec_id", "cluster_id", "v")
-    win = Window.partitionBy("cluster_id").orderBy("vec_id")
-    cwin = Window.partitionBy("cluster_id")
-    chunk = F.col("chunk")
-    side0 = F.transform(
-        F.sequence(chunk, F.col("m") - F.lit(1)),
-        lambda cb: F.struct(chunk.alias("ca"), cb.alias("cb"), F.lit(0).alias("side")),
-    )
-    side1 = F.when(
-        chunk > 0,
-        F.transform(
-            F.sequence(F.lit(0), chunk - F.lit(1)),
-            lambda ca: F.struct(ca.alias("ca"), chunk.alias("cb"), F.lit(1).alias("side")),
-        ),
-    ).otherwise(F.array().cast("array<struct<ca:int,cb:int,side:int>>"))
-    tagged = (
-        member.withColumn("chunk", ((F.row_number().over(win) - F.lit(1)) / F.lit(SEM_BLOCK)).cast("int"))
-        .withColumn("m", F.max("chunk").over(cwin) + F.lit(1))
-        .select("cluster_id", "vec_id", "v", F.explode(F.concat(side0, side1)).alias("p"))
-        .select("cluster_id", F.col("p.ca").alias("ca"), F.col("p.cb").alias("cb"),
-                "vec_id", "v", F.col("p.side").alias("side"))
-    )
+    tagged = tag_chunk_pairs(member, SEM_BLOCK)
     return (
         tagged.groupBy("cluster_id", "ca", "cb")
         .applyInPandas(_make_block_scorer(SEM_TAU), "cluster_id int, v1 long, v2 long, cos double")
