@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "ev_sessionize",
     "ev_asof_join",
     "ev_funnel",
+    "ev_funnel_sliding",
     "ev_retention",
     "dedup_exact",
     "dedup_minhash_lsh",

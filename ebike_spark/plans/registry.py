@@ -144,6 +144,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "text_bigram_top",
     "ev_session_stats",
     "ev_active_users_hll",
+    "ev_funnel_sliding",
     # never externally checked through round 3
     "range_join_event_windows",
     "embed_semantic_dedup",

@@ -549,6 +549,89 @@ def ev_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "ev_funnel_sliding",
+    oracle=f"""
+    WITH a AS (SELECT user_id, epoch_us(ts) AS t1 FROM events
+               WHERE event_type = 'view'),
+    s2 AS (SELECT a.user_id, a.t1, MIN(epoch_us(e.ts)) AS t2 FROM a JOIN events e
+             ON e.user_id = a.user_id AND e.event_type = 'click'
+            AND epoch_us(e.ts) > a.t1
+            AND epoch_us(e.ts) <= a.t1 + {FUNNEL_WINDOW_US} GROUP BY 1, 2),
+    s3 AS (SELECT s2.user_id FROM s2 JOIN events e
+             ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+            AND epoch_us(e.ts) > s2.t2
+            AND epoch_us(e.ts) <= s2.t1 + {FUNNEL_WINDOW_US} GROUP BY 1),
+    lvl AS (SELECT u.user_id,
+              CASE WHEN u.user_id IN (SELECT user_id FROM s3) THEN 3
+                   WHEN u.user_id IN (SELECT user_id FROM s2) THEN 2
+                   ELSE 1 END AS level
+            FROM (SELECT DISTINCT user_id FROM a) u)
+    SELECT level, COUNT(*) AS n_users FROM lvl GROUP BY 1
+    """,
+    tags=("events", "funnel", "windowed", "sequence", "any-anchor"),
+)
+def ev_funnel_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse-exact sliding windowFunnel: a user's level is the
+    DEEPEST stage chain completable within 24h of ANY of their stage-1
+    events, not just the first (ev_funnel_windowed's anchor). Per
+    anchor, greedily taking the earliest valid next-stage event is
+    optimal (exchange argument: an earlier t never excludes a later
+    chain step), so max-over-anchors of the greedy depth is exact —
+    the same per-anchor nested-min chain the oracle runs.
+
+    Scale shape: ONE user_id shuffle; per user a nested Catalyst HOF —
+    outer transform over that user's anchors, inner aggregate over the
+    anchor's 24h slice — all JVM codegen, no Python. Per-user cost is
+    O(anchors × events), bounded by the per-user event count (the same
+    bound sessionize and ev_funnel already assume); the stage filter
+    is pushed to the parquet scan."""
+    from ebike_spark.plans.analytics import FUNNEL_STAGES
+
+    n_stages = len(FUNNEL_STAGES)
+    stage_arr = F.array(*[F.lit(s) for s in FUNNEL_STAGES])
+    evs = load_table(spark, sf, "events").where(
+        F.col("event_type").isin(*FUNNEL_STAGES)
+    ).select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("t"), F.col("event_type").alias("et")
+        ).alias("e"),
+    )
+
+    def depth_from(anchor):
+        # anchor consumed as stage 1; chain stages 2..n greedily inside
+        # the anchor's window slice
+        init = F.struct(F.lit(1).alias("s"), anchor["t"].alias("t"))
+
+        def step(acc, x):
+            want = F.element_at(stage_arr, F.least(acc["s"] + 1, F.lit(n_stages)))
+            can = (acc["s"] < n_stages) & (x["et"] == want) & (x["t"] > acc["t"])
+            return F.when(
+                can, F.struct((acc["s"] + 1).alias("s"), x["t"].alias("t"))
+            ).otherwise(acc)
+
+        return F.aggregate(
+            F.filter(
+                F.col("seq"),
+                lambda x: (x["t"] > anchor["t"])
+                & (x["t"] <= anchor["t"] + F.lit(FUNNEL_WINDOW_US)),
+            ),
+            init,
+            step,
+        )["s"]
+
+    anchors = F.filter(F.col("seq"), lambda e: e["et"] == FUNNEL_STAGES[0])
+    return (
+        evs.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("seq"))
+        .select(F.array_max(F.transform(anchors, depth_from)).alias("level"))
+        .where(F.col("level").isNotNull())
+        .groupBy("level")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
     "ev_active_users",
     oracle="""
     WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)

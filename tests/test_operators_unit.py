@@ -707,3 +707,21 @@ def test_hll_active_users_tracks_exact(spark):
     assert set(est) == set(exact)
     for k, e in est.items():
         assert abs(e - exact[k]) <= max(1, 0.02 * exact[k]), (k, e, exact[k])
+
+
+def test_sliding_funnel_dominates_first_anchor(spark):
+    """ev_funnel_sliding maxes depth over ANY stage-1 anchor, so each
+    user's level is >= their ev_funnel_windowed (first-anchor) depth:
+    cumulative users at every stage must dominate, and stage-1 totals
+    (any view at all) must be identical."""
+    from ebike_spark.plans.timeseries import ev_funnel_sliding, ev_funnel_windowed
+
+    win = {
+        r["stage_idx"]: r["n_users"]
+        for r in ev_funnel_windowed(spark, SF_DIR).collect()
+    }
+    lvl = {r["level"]: r["n_users"] for r in ev_funnel_sliding(spark, SF_DIR).collect()}
+    cum = {k: sum(n for l, n in lvl.items() if l >= k) for k in (1, 2, 3)}
+    assert cum[1] == win.get(1, 0)
+    for k in (2, 3):
+        assert cum[k] >= win.get(k, 0)

@@ -535,3 +535,12 @@ def test_training_manifest_composes_without_cartesian(spark):
     plan = _physical(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
+
+
+def test_sliding_funnel_single_user_shuffle(spark):
+    """ev_funnel_sliding keeps ev_funnel's scale shape: the any-anchor
+    max runs inside nested Catalyst HOFs after ONE user_id exchange —
+    no join, no second event-data shuffle, stage filter at the scan."""
+    plan = _physical(REGISTRY["ev_funnel_sliding"].fn(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "PushedFilters" in plan and "In(event_type" in plan
