@@ -145,6 +145,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_session_stats",
     "ev_active_users_hll",
     "ev_funnel_sliding",
+    "ev_rate_moving",
     # never externally checked through round 3
     "range_join_event_windows",
     "embed_semantic_dedup",

@@ -441,6 +441,55 @@ def ev_gapfill_interp(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "ev_rate_moving",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS b,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, b AS bucket_start, n,
+      SUM(n) OVER (PARTITION BY event_type ORDER BY b
+                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS n_1h,
+      n - LAG(n) OVER (PARTITION BY event_type ORDER BY b) AS delta_n
+    FROM m
+    """,
+    tags=("events", "time", "window", "range-frame", "rate"),
+)
+def ev_rate_moving(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 1h moving event count + per-bucket rate delta over the
+    minute rollup — the alerting primitive behind spike detection. The
+    frame is a RANGE (time-based) frame, not ROWS: sparse minutes mean
+    row-offset frames silently span more than an hour, so the window
+    must be value-bounded on epoch seconds (RANGE BETWEEN 3599
+    PRECEDING). delta_n is vs the previous EXISTING bucket (LAG), the
+    same convention both engines share. All outputs integer-exact — no
+    float parity risk.
+
+    Scale shape: the raw stream reduces to minute×type partials FIRST
+    (map-side combined groupBy — the only event-data shuffle); the
+    RANGE window then runs over the bounded partial frame (~types ×
+    minutes rows), sorted within each event_type partition. Same
+    partial-reduction contract as ev_hierarchical_rollup."""
+    m = (
+        load_table(spark, sf, "events")
+        .groupBy("event_type", F.date_trunc("minute", F.col("ts")).alias("bt"))
+        .agg(F.count("*").alias("n"))
+        .select("event_type", F.col("bt").cast("long").alias("b"), "n")
+    )
+    w_range = (
+        Window.partitionBy("event_type").orderBy("b").rangeBetween(-3599, 0)
+    )
+    w_prev = Window.partitionBy("event_type").orderBy("b")
+    return m.select(
+        "event_type",
+        F.col("b").alias("bucket_start"),
+        "n",
+        F.sum("n").over(w_range).alias("n_1h"),
+        (F.col("n") - F.lag("n").over(w_prev)).alias("delta_n"),
+    )
+
+
+@register(
     "ev_value_histogram",
     oracle="""
     SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bin,

@@ -544,3 +544,16 @@ def test_sliding_funnel_single_user_shuffle(spark):
     plan = _physical(REGISTRY["ev_funnel_sliding"].fn(spark, SF_DIR))
     assert "Join" not in plan
     assert "PushedFilters" in plan and "In(event_type" in plan
+
+
+def test_rate_moving_windows_over_partials(spark):
+    """ev_rate_moving reduces the event stream to minute×type partials
+    before the RANGE-frame window: the only event-data shuffle is the
+    rollup groupBy; the window sorts the bounded partial frame. No
+    join anywhere."""
+    plan = _physical(REGISTRY["ev_rate_moving"].fn(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Window" in plan and "HashAggregate" in plan
+    # the Window must consume the aggregate, not the raw scan (the
+    # plan prints root-first, so Window appears above HashAggregate)
+    assert plan.index("Window") < plan.index("HashAggregate")
