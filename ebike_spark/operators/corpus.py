@@ -274,7 +274,7 @@ WEIGHTED_GRAIN = 1_000_000
     oracle=f"""
     WITH mx AS (SELECT MAX(n_chars) AS mw FROM documents)
     SELECT source, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
-           SUM(n_chars) AS chars_sampled
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
     FROM documents, mx
     WHERE ({md5_long_sql("text")} % {WEIGHTED_GRAIN}) * mw < n_chars * {WEIGHTED_GRAIN}
     GROUP BY source
@@ -325,7 +325,7 @@ SPLIT_TRAIN_LT, SPLIT_VAL = 98, 98
                   WHEN {md5_long_sql("text")} % 100 = {SPLIT_VAL} THEN 'val'
                   ELSE 'test' END AS split
       FROM documents)
-    SELECT source, split, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+    SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
     FROM tagged GROUP BY 1, 2
     """,
     tags=("sampling", "split"),
@@ -359,7 +359,7 @@ N_SHARDS = 64
     WITH s AS (
       SELECT {md5_long_sql("text")} % {N_SHARDS} AS shard_id, doc_id, n_chars
       FROM documents)
-    SELECT shard_id, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars,
+    SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
     FROM s GROUP BY 1
     """,
@@ -390,11 +390,11 @@ UPSAMPLE_MAX_EPOCHS = 4
 @register(
     "corpus_upsample_audit",
     oracle=f"""
-    WITH d AS (SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars FROM documents GROUP BY 1),
+    WITH d AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY 1),
     mx AS (SELECT MAX(n_chars) AS mc FROM d)
     SELECT source, n_docs, n_chars,
            LEAST(CAST(CEIL(mc * 1.0 / n_chars) AS BIGINT), {UPSAMPLE_MAX_EPOCHS}) AS epochs,
-           n_chars * LEAST(CAST(CEIL(mc * 1.0 / n_chars) AS BIGINT), {UPSAMPLE_MAX_EPOCHS}) AS upsampled_chars
+           CAST(n_chars * LEAST(CAST(CEIL(mc * 1.0 / n_chars) AS BIGINT), {UPSAMPLE_MAX_EPOCHS}) AS BIGINT) AS upsampled_chars
     FROM d, mx
     """,
     tags=("sampling", "mix", "upsample"),

@@ -301,18 +301,21 @@ def text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     mean are noise; far below are boilerplate). Every token is in-vocab
     by construction so there is no smoothing term to diverge on.
 
-    Scale shape: the unigram table is vocabulary-sized → broadcast into
-    the scoring join; one explode pass + one per-doc aggregation, both
-    with map-side partial combine. Swapping the unigram table for
-    externally-trained n-gram logprobs is a join-table change, not a
-    plan change."""
+    Scale shape: the unigram table grows with the corpus vocabulary, so
+    the scoring join carries NO forced broadcast hint — AQE broadcasts
+    it while it fits and falls back to a shuffled hash join when the
+    vocabulary outgrows executor memory (the same fix
+    text_tfidf_top_terms got; a forced hint is an OOM at 100 TB).
+    One explode pass + one per-doc aggregation, both with map-side
+    partial combine. Swapping the unigram table for externally-trained
+    n-gram logprobs is a join-table change, not a plan change."""
     docs = load_table(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     freq = tok.groupBy("t").agg(F.count("*").alias("c"))
     total = freq.agg(F.sum("c")).collect()[0][0]  # one scalar
     nll = -F.log(F.col("c") * 1.0 / F.lit(float(total)))
     return (
-        tok.join(F.broadcast(freq), "t")
+        tok.join(freq, "t")
         .groupBy("doc_id")
         .agg(F.round(F.avg(nll), 4).alias("nll"))
     )
@@ -692,7 +695,7 @@ def _manifest_oracle() -> str:
                   WHEN {md5_long_sql("text")} % 100 = {SPLIT_VAL} THEN 'val'
                   ELSE 'test' END AS split
       FROM survivors)
-    SELECT source, split, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+    SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
     FROM tagged GROUP BY 1, 2
     """
 

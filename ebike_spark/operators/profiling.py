@@ -38,7 +38,7 @@ DQ_RULES: tuple[tuple[str, str], ...] = (
 def _dq_oracle() -> str:
     legs = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS rule, "
-        f"SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS n_violations, "
+        f"CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, "
         f"COUNT(*) AS n_checked FROM lineitem"
         for name, pred in DQ_RULES
     )
@@ -151,7 +151,7 @@ def profile_columns(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH t AS (SELECT len(string_split(text, ' ')) AS n_tok, n_chars FROM documents)
     SELECT (1 << (length(bin(n_tok)) - 1)) AS bucket_lo,
-           COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            ROUND(AVG(n_chars), 2) AS avg_chars
     FROM t WHERE n_tok > 0 GROUP BY 1
     """,

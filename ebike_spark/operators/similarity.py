@@ -498,7 +498,7 @@ def _rp_oracle() -> str:
     q AS (SELECT vec_id, j, CAST(ROUND(e * {RP_QUANT}) AS BIGINT) AS qe FROM flat),
     proj AS (
       SELECT vec_id, k.k,
-             SUM(qe * (CAST('0x' || substr(md5(j::VARCHAR || '_' || k.k::VARCHAR), 1, 14) AS BIGINT) % 2 * 2 - 1)) AS p
+             CAST(SUM(qe * (CAST('0x' || substr(md5(j::VARCHAR || '_' || k.k::VARCHAR), 1, 14) AS BIGINT) % 2 * 2 - 1)) AS BIGINT) AS p
       FROM q CROSS JOIN (SELECT UNNEST(range({RP_DIMS})) AS k) k
       GROUP BY 1, 2)
     SELECT vec_id, k AS dim, p FROM proj

@@ -78,75 +78,33 @@ def _load_all() -> None:
 # of the order all_queries() emits. Every query is oracled identically
 # regardless of position; the prefix only controls which rows get
 # fresh external evidence this round. Rotated per round toward queries
-# whose driver evidence is missing or stalest — round 4: the 14 rows
-# red in round 3 (events loader, now fixed), the 4 latently-broken
-# events queries never in a window, the 12 early-round-4 operators,
-# then the ~19 operators added later in round 4 (first evidence),
-# then the never-externally-checked round-3 tail and the relational
-# core (last checked round 1). Everything past position ~50 falls
-# outside the window — a conscious cut: those queries stay covered by
-# the local oracle suite and rotate back next round.
+# whose driver evidence is missing or stalest — round 5: the 9 rows
+# red in round 4 on oracle-typing only (now CAST to BIGINT, values
+# were judge-verified identical) plus stream_stateful_running_counts
+# (gains a batch oracle this round), then the 17 queries never in any
+# driver window, then the relational core whose external evidence is
+# stale since round 1. Everything past position ~50 falls outside the
+# window — a conscious cut: those queries stay covered by the local
+# oracle suite and rotate back next round.
 WINDOW_PREFIX: tuple[str, ...] = (
-    # restored after the events-loader fix (red in CORRECTNESS_r03)
-    "asof_generic_events_orders",
-    "io_csv_roundtrip",
-    "io_json_roundtrip",
-    "io_orc_roundtrip",
-    "ev_tumbling_window",
-    "ev_sliding_window",
-    "ev_sessionize",
-    "ev_topk_per_group",
-    "ev_asof_join",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_dedup_exact",
-    "stream_stateful_running_counts",
-    "stream_sessionize",
-    # latently broken by the same loader, never in a driver window
-    "ev_pivot",
-    "ev_rollup",
-    "json_map_explode",
-    "json_extract_props",
-    # new in round 4 — first external check
-    "ev_funnel",
-    "ev_retention",
-    "embed_pq_encode",
-    "ann_pq_adc_topk",
-    "stream_funnel",
-    "ev_anomaly_zscore",
-    "dedup_containment",
-    "dedup_incremental",
-    "text_quality_percentile",
-    "stream_static_join",
-    "ann_knn_join",
-    "corpus_temperature_mix",
-    # added this round — first external check
-    "ev_gapfill_locf",
-    "ev_hierarchical_rollup",
+    # red in r04 on DuckDB HUGEINT typing only — oracles now CAST
     "ev_concurrency",
-    "ev_scd2_intervals",
     "sample_weighted",
     "dq_expectations",
-    "profile_columns",
     "text_length_histogram",
     "corpus_split_assign",
     "corpus_shard_manifest",
-    "ev_path_transitions",
-    "stream_scd2_closed",
-    "ev_gapfill_interp",
-    "stream_rollup_maintain",
     "embed_random_projection",
-    "ev_value_histogram",
     "corpus_upsample_audit",
     "corpus_training_manifest",
-    "ev_funnel_windowed",
-    "ev_active_users",
+    # was no_oracle every round — batch oracle added round 5
+    "stream_stateful_running_counts",
+    # never externally checked (local-green since round 3/4)
     "text_bigram_top",
     "ev_session_stats",
     "ev_active_users_hll",
     "ev_funnel_sliding",
     "ev_rate_moving",
-    # never externally checked through round 3
     "range_join_event_windows",
     "embed_semantic_dedup",
     "io_partitioned_layout",
@@ -177,9 +135,12 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "q11_cte_having",
     "q12_cross_theta",
     "q13_stat_aggs",
+    "q18_semi_anti_join",
+    "q19_subqueries",
     "q19b_correlated_exists",
     "q20_window_frames",
     "q21_cube",
+    "q22_values_inline",
 )
 
 

@@ -176,7 +176,7 @@ def hierarchical_rollup(ev: DataFrame) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
       FROM deltas)
     SELECT CAST(t // {HOUR_US} * 3600 AS BIGINT) AS hour_start,
-           MAX(conc) AS peak_concurrency, COUNT(*) AS n_deltas
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency, COUNT(*) AS n_deltas
     FROM run GROUP BY 1
     """,
     tags=("events", "time", "sweep-line"),
@@ -448,8 +448,8 @@ def ev_gapfill_interp(spark: SparkSession, sf: str) -> DataFrame:
              COUNT(*) AS n
       FROM events GROUP BY 1, 2)
     SELECT event_type, b AS bucket_start, n,
-      SUM(n) OVER (PARTITION BY event_type ORDER BY b
-                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS n_1h,
+      CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY b
+                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h,
       n - LAG(n) OVER (PARTITION BY event_type ORDER BY b) AS delta_n
     FROM m
     """,
@@ -630,7 +630,9 @@ def ev_funnel_sliding(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: ONE user_id shuffle; per user a nested Catalyst HOF —
     outer transform over that user's anchors, inner aggregate over the
-    anchor's 24h slice — all JVM codegen, no Python. Per-user cost is
+    anchor's 24h slice — JVM-interpreted HOFs (HOF lambdas evaluate
+    outside whole-stage codegen, see functions/textfns.py), but
+    JVM-side and Python-free. Per-user cost is
     O(anchors × events), bounded by the per-user event count (the same
     bound sessionize and ev_funnel already assume); the stage filter
     is pushed to the parquet scan."""

@@ -128,27 +128,34 @@ def session_window_agg(ev: DataFrame) -> DataFrame:
 def make_running_counter():
     """Custom stateful operator: per-user running event count + sum via
     applyInPandasWithState. Closure-built so executors don't need this
-    package on PYTHONPATH. State is one (count, total) pair per user —
-    constant memory per key, merge-on-batch: the applyInPandasWithState
-    pattern that scales to arbitrary custom streaming state."""
+    package on PYTHONPATH. State is one (count, total_cents) pair per
+    user — constant memory per key, merge-on-batch: the
+    applyInPandasWithState pattern that scales to arbitrary custom
+    streaming state. The monetary total accumulates as integer CENTS
+    (value is 2-decimal currency; value*100 is integer-valued), making
+    the running sum order-independent and bit-identical to any batch
+    engine — a float accumulator's result depends on micro-batch
+    arrival order and can flip a final ROUND at a half boundary."""
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            cnt, tot = state.get
+            cnt, cents = state.get
         else:
-            cnt, tot = 0, 0.0
+            cnt, cents = 0, 0
         for pdf in pdfs:
             cnt += len(pdf)
-            tot += float(pdf["value"].sum())
-        state.update((cnt, tot))
-        yield pd.DataFrame({"user_id": [user_id], "n": [cnt], "total": [round(tot, 2)]})
+            cents += int((pdf["value"] * 100).round().sum())
+        state.update((cnt, cents))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n": [cnt], "total_cents": [cents]}
+        )
 
     return fn
 
 
-RUNNING_OUT_SCHEMA = "user_id long, n long, total double"
-RUNNING_STATE_SCHEMA = "cnt long, tot double"
+RUNNING_OUT_SCHEMA = "user_id long, n long, total_cents long"
+RUNNING_STATE_SCHEMA = "cnt long, cents long"
 
 
 def running_counts_stream(ev: DataFrame) -> DataFrame:
@@ -253,17 +260,29 @@ def stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "stream_stateful_running_counts",
-    oracle=None,  # custom stateful operator — not SQL-expressible; final
-    # state is asserted against batch counts in tests/test_streaming.py
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY user_id
+    """,
     tags=("streaming", "stateful", "applyInPandasWithState"),
 )
 def stream_stateful(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
-    per-user running totals across micro-batches; returns the final
-    per-user state (max n per user over all updates)."""
+    per-user running totals across micro-batches; the final per-user
+    state must equal the batch per-user count + integer-cents sum — a
+    full value oracle (the batch twin of the same per-user state
+    logic, the stream_funnel precedent). Update mode emits one row per
+    (user, batch); n is strictly monotone, so the row holding the max
+    (n, total_cents) struct per user IS the final state."""
     staged = stage_stream_dir(spark, sf, n_files=3)
     sink = run_to_table(running_counts_stream(read_event_stream(spark, staged)), "update")
-    return sink.groupBy("user_id").agg(F.max("n").alias("n"), F.max("total").alias("total"))
+    final = sink.groupBy("user_id").agg(
+        F.max(F.struct("n", "total_cents")).alias("s")
+    )
+    return final.select(
+        "user_id", F.col("s.n").alias("n"), F.col("s.total_cents").alias("total_cents")
+    )
 
 
 @register(

@@ -40,11 +40,21 @@ def test_stateful_running_counts(spark):
     staged = stage_stream_dir(spark, SF_DIR, n_files=3)
     sink = run_to_table(running_counts_stream(read_event_stream(spark, staged)), "update")
     # update mode appends one row per (user, batch); the max n per user
-    # is the final state and must equal the batch per-user count
-    final = sink.groupBy("user_id").agg(F.max("n").alias("n"))
-    batch = load_table(spark, SF_DIR, "events").groupBy("user_id").agg(F.count("*").alias("n"))
-    got = {r["user_id"]: r["n"] for r in final.collect()}
-    want = {r["user_id"]: r["n"] for r in batch.collect()}
+    # is the final state and must equal the batch per-user count + the
+    # integer-cents sum
+    final = sink.groupBy("user_id").agg(
+        F.max("n").alias("n"), F.max("total_cents").alias("total_cents")
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("total_cents"),
+        )
+    )
+    got = {r["user_id"]: (r["n"], r["total_cents"]) for r in final.collect()}
+    want = {r["user_id"]: (r["n"], r["total_cents"]) for r in batch.collect()}
     assert got == want
 
 
