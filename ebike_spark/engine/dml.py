@@ -101,30 +101,48 @@ def _mint_auto_increment(
     spark: SparkSession, qualified: str, df: DataFrame, ai: str, ai_type: str
 ) -> tuple[DataFrame, int | None]:
     """Assign AUTO_INCREMENT values to rows whose ``ai`` evaluated NULL
-    (MySQL mints on NULL or omitted). The counter is max(stored,
-    explicit-in-batch); minted values are consecutive in VALUES order.
-    Returns (df, first_minted_id | None). The scalar probes and the
-    single-partition running count are statement-sized (a VALUES batch),
-    not data-sized — the stored side contributes one MAX aggregate,
-    which Spark computes with map-side partials at any table size."""
+    (MySQL mints on NULL or omitted). MySQL bumps the counter ROW BY
+    ROW in VALUES order — an explicit id only lifts the counter for
+    LATER rows, so VALUES (NULL),(100),(NULL) on an empty table mints
+    1, keeps 100, mints 101. Closed form over the batch: with N_i the
+    running NULL count through row i, a NULL row mints
+    ``N_i + max(stored, max over earlier explicit rows j of
+    (e_j - N_j))`` — the window below computes exactly that, no
+    per-row driver loop. Returns (df, first_minted_id | None) —
+    LAST_INSERT_ID is the FIRST minted id of the batch. The window is
+    statement-sized (a VALUES batch), not data-sized — the stored side
+    contributes one MAX aggregate, which Spark computes with map-side
+    partials at any table size."""
     n_null = df.where(F.col(ai).isNull()).count()
     if n_null == 0:
-        # fully-explicit batch: skip both MAX probes (the stored-side
-        # MAX is a full-table aggregate — wasted work on the DML path)
+        # fully-explicit batch: skip the stored MAX probe (a full-table
+        # aggregate — wasted work on the DML path)
         return df, None
     stored = spark.table(qualified).agg(F.max(F.col(ai).cast("long"))).collect()[0][0] or 0
-    explicit = df.agg(F.max(F.col(ai).cast("long"))).collect()[0][0] or 0
-    start = max(stored, explicit)
     from pyspark.sql import Window as _W
 
-    order = _W.orderBy("__vidx").rowsBetween(_W.unboundedPreceding, 0)
-    nth = F.sum(F.when(F.col(ai).isNull(), 1).otherwise(0)).over(order)
+    run = _W.orderBy("__vidx").rowsBetween(_W.unboundedPreceding, 0)
+    prev = _W.orderBy("__vidx").rowsBetween(_W.unboundedPreceding, -1)
+    n_cum = F.sum(F.when(F.col(ai).isNull(), 1).otherwise(0)).over(run)
+    explicit_key = F.when(F.col(ai).isNotNull(), F.col(ai).cast("long") - n_cum)
+    counter_base = F.greatest(
+        F.lit(stored), F.coalesce(F.max(explicit_key).over(prev), F.lit(stored))
+    )
+    minted = (n_cum + counter_base).cast(ai_type)
+    tagged = df.withColumn("__vidx", F.monotonically_increasing_id())
+    first_id = (
+        tagged.withColumn("__mint", minted)
+        .where(F.col(ai).isNull())
+        .orderBy("__vidx")
+        .select(F.col("__mint").cast("long"))
+        .limit(1)
+        .collect()[0][0]
+    )
     out = (
-        df.withColumn("__vidx", F.monotonically_increasing_id())
-        .withColumn(ai, F.coalesce(F.col(ai), (F.lit(start) + nth).cast(ai_type)))
+        tagged.withColumn(ai, F.coalesce(F.col(ai), minted))
         .drop("__vidx")
     )
-    return out, start + 1
+    return out, int(first_id)
 
 
 def insert(
@@ -280,9 +298,11 @@ def _replace(spark: SparkSession, catalog: Catalog, qualified: str, new_df, ins:
     plus 1 per deleted row. With no unique index at all, REPLACE
     degrades to plain INSERT (MySQL-identical). MySQL applies the batch
     row-by-row, so intra-batch key collisions resolve in statement
-    order; this set-oriented implementation rejects them as 1062
-    (consistent with the upsert path's ambiguity stance) rather than
-    silently pick an order."""
+    order — a later row REPLACEs an earlier batch row exactly as it
+    replaces a stored one; the driver-side simulation below (key
+    columns of a VALUES-sized batch only, never data-sized) picks the
+    same survivors, and each evicted earlier row counts one delete in
+    affected-rows."""
     pk = catalog.primary_key(qualified)
     keys = ([("PRIMARY", pk)] if pk else []) + list(catalog.unique_keys(qualified))
     has_rowid = catalog.has_rowid(qualified)
@@ -299,16 +319,45 @@ def _replace(spark: SparkSession, catalog: Catalog, qualified: str, new_df, ins:
     for col in catalog.not_null_cols(qualified):
         if new_df.where(F.col(col).isNull()).limit(1).count() > 0:
             raise EbikeError(1048, f"Column '{col}' cannot be null")
-    for key_name, cols in keys:
-        cand = new_df
-        if key_name != "PRIMARY":
-            cand = cand.where(reduce(and_, [F.col(c).isNotNull() for c in cols]))
-        dup = cand.groupBy(*cols).count().where(F.col("count") > 1).limit(1).collect()
-        if dup:
-            raise duplicate_entry("-".join(str(dup[0][c]) for c in cols), key_name)
+
+    # Intra-batch collisions: replay MySQL's row-by-row algorithm over
+    # the batch's key tuples (statement-sized driver loop). Each row
+    # evicts every earlier surviving row it collides with on ANY key
+    # (NULL key components never conflict — unique-index semantics).
+    key_cols = sorted({c for _, cols in keys for c in cols})
+    tagged = new_df.withColumn("__vidx", F.monotonically_increasing_id())
+    batch_keys = [
+        (r["__vidx"], r) for r in tagged.select("__vidx", *key_cols).collect()
+    ]
+    batch_keys.sort(key=lambda p: p[0])
+    live: dict[int, dict] = {}
+    intra_deleted = 0
+    for vidx, row in batch_keys:
+        evict = []
+        for ov, orow in live.items():
+            for _, cols in keys:
+                if all(row[c] is not None and row[c] == orow[c] for c in cols):
+                    evict.append(ov)
+                    break
+        for ov in evict:
+            del live[ov]
+            intra_deleted += 1
+        live[vidx] = row
+    # Stored-conflict deletion uses the FULL batch: an evicted batch
+    # row still deleted its stored conflicts while it was live (MySQL
+    # processes it before the later row replaces it) — a stored row
+    # never "comes back". Only the survivors are inserted.
+    full_batch = tagged.drop("__vidx")
+    if intra_deleted:
+        survivor_ids = sorted(live)
+        new_df = (
+            tagged.where(F.col("__vidx").isin(survivor_ids)).drop("__vidx")
+        )
+    else:
+        new_df = full_batch
 
     existing = spark.table(qualified)
-    batch = new_df.select(*[F.col(c).alias(f"__new_{c}") for c in new_df.columns])
+    batch = full_batch.select(*[F.col(c).alias(f"__new_{c}") for c in full_batch.columns])
     # conflict on ANY key: NULL key values never equi-match — exactly
     # the unique-index semantics (NULLs don't conflict)
     any_key = reduce(
@@ -327,7 +376,10 @@ def _replace(spark: SparkSession, catalog: Catalog, qualified: str, new_df, ins:
             *existing.columns
         )
     _rewrite(spark, qualified, survivors.unionByName(to_insert))
-    return len(ins.rows) + n_deleted
+    # MySQL affected-rows: 1 per batch row inserted (including ones a
+    # later batch row then replaced) + 1 per deleted row (stored or
+    # earlier-batch)
+    return len(ins.rows) + n_deleted + intra_deleted
 
 
 def _rewrite(spark: SparkSession, qualified: str, new_df: DataFrame) -> None:

@@ -520,9 +520,17 @@ class Engine:
             return self._ctas(bool(m.group(1)), unquote_ident(m.group(2)), m.group(3))
         res = self._ctas(bool(m.group(1)), unquote_ident(m.group(2)), m.group(3))
         enc = base64.b64encode(m.group(3).strip().encode()).decode()
-        self.spark.sql(
-            f"ALTER TABLE {bq(q)} SET TBLPROPERTIES ('{self._PROP_MATVIEW}' = '{enc}')"
-        )
+        try:
+            self.spark.sql(
+                f"ALTER TABLE {bq(q)} SET TBLPROPERTIES ('{self._PROP_MATVIEW}' = '{enc}')"
+            )
+        except Exception:
+            # CTAS + marker must be atomic: without the property the
+            # object is a plain table that REFRESH/DROP MATERIALIZED
+            # VIEW reject with 1347 and DROP MATERIALIZED VIEW refuses
+            # to clean up — roll the CTAS back instead of leaking it
+            self.spark.sql(f"DROP TABLE IF EXISTS {bq(q)}")
+            raise
         return res
 
     def _matview_sql(self, q: str) -> str:

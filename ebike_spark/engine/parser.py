@@ -97,6 +97,64 @@ def split_top_level(s: str, sep: str = ",") -> list[str]:
     return parts
 
 
+def find_top_level_keywords(s: str, keywords: tuple[str, ...]) -> list[tuple[str, int, int]]:
+    """Locate top-level clause keywords — outside string/identifier
+    quotes AND outside parens — returning (keyword, start, end) spans
+    in text order. Multi-word keywords ("ORDER BY") match across any
+    whitespace. This is the quote-aware substrate for clause splitting:
+    a bare regex alternation can anchor a clause keyword INSIDE a
+    string literal (``WHERE msg = 'a order by b'``) and silently split
+    the statement mid-literal."""
+    pats = [(kw, re.compile(r"\b" + r"\s+".join(kw.split()) + r"\b", re.I)) for kw in keywords]
+    found: list[tuple[str, int, int]] = []
+    depth = 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"`":
+            i = _skip_quoted(s, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch.isalpha():
+            for kw, pat in pats:
+                m = pat.match(s, i)
+                if m and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")):
+                    found.append((kw, m.start(), m.end()))
+                    i = m.end()
+                    break
+            else:
+                # skip the rest of this word so ORDERBY never matches ORDER
+                while i < n and (s[i].isalnum() or s[i] == "_"):
+                    i += 1
+                continue
+            continue
+        i += 1
+    return found
+
+
+def split_tail_clauses(tail: str, keywords: tuple[str, ...]) -> tuple[str, dict[str, str]]:
+    """Split ``tail`` into a head plus trailing clauses introduced by
+    ``keywords`` (quote/paren-aware). Clauses must appear in the given
+    order, each at most once; out-of-order or duplicate keywords raise
+    (malformed statement — e.g. ``WHERE x LIMIT 1 WHERE y``)."""
+    spans = find_top_level_keywords(tail, keywords)
+    order = {kw: k for k, kw in enumerate(keywords)}
+    last = -1
+    for kw, _, _ in spans:
+        if order[kw] <= last:
+            raise ValueError(f"misplaced {kw} clause")
+        last = order[kw]
+    head_end = spans[0][1] if spans else len(tail)
+    clauses: dict[str, str] = {}
+    for k, (kw, _, kw_end) in enumerate(spans):
+        nxt = spans[k + 1][1] if k + 1 < len(spans) else len(tail)
+        clauses[kw] = tail[kw_end:nxt].strip()
+    return tail[:head_end].strip(), clauses
+
+
 def sql_literal(v: object) -> str:
     """Render a Python value as a Spark SQL literal. Spark's default
     (non-ANSI) lexer treats backslash as an escape inside string
@@ -325,42 +383,50 @@ def parse_insert(sql: str) -> Insert:
     return Insert(table=table, columns=cols, rows=rows, on_dup_update=on_dup, replace=replace)
 
 
+def _parse_limit_count(clauses: dict[str, str]) -> int | None:
+    if "LIMIT" not in clauses:
+        return None
+    lm = re.fullmatch(r"(\d+)", clauses["LIMIT"])
+    if not lm:
+        raise ValueError(f"malformed LIMIT: {clauses['LIMIT']!r}")
+    return int(lm.group(1))
+
+
 def parse_update(sql: str) -> Update:
-    m = re.match(
-        r"\s*UPDATE\s+([\w.`\"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?"
-        r"(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+LIMIT\s+(\d+))?;?\s*$",
-        sql,
-        re.I | re.S,
-    )
+    # Clause boundaries located quote/paren-aware (find_top_level_
+    # keywords), never by lazy regex alternation — a bare regex splits
+    # WHERE msg = 'a order by b' inside the string literal.
+    m = re.match(r"\s*UPDATE\s+([\w.`\"]+)\s+SET\s+(.*?);?\s*$", sql, re.I | re.S)
     if not m:
         raise ValueError("malformed UPDATE")
+    set_part, clauses = split_tail_clauses(m.group(2), ("WHERE", "ORDER BY", "LIMIT"))
     assignments = []
-    for a in split_top_level(m.group(2)):
+    for a in split_top_level(set_part):
         am = re.match(r"([\w`\"]+)\s*=\s*(.*)$", a, re.S)
         if not am:
             raise ValueError(f"malformed assignment: {a!r}")
         assignments.append((unquote_ident(am.group(1)), am.group(2).strip()))
+    if not assignments:
+        raise ValueError("malformed UPDATE")
     return Update(
         table=unquote_ident(m.group(1)),
         assignments=assignments,
-        where=m.group(3),
-        order_by=m.group(4),
-        limit=int(m.group(5)) if m.group(5) else None,
+        where=clauses.get("WHERE"),
+        order_by=clauses.get("ORDER BY"),
+        limit=_parse_limit_count(clauses),
     )
 
 
 def parse_delete(sql: str) -> Delete:
-    m = re.match(
-        r"\s*DELETE\s+FROM\s+([\w.`\"]+)(?:\s+WHERE\s+(.*?))?"
-        r"(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+LIMIT\s+(\d+))?;?\s*$",
-        sql,
-        re.I | re.S,
-    )
+    m = re.match(r"\s*DELETE\s+FROM\s+([\w.`\"]+)(.*?);?\s*$", sql, re.I | re.S)
     if not m:
+        raise ValueError("malformed DELETE")
+    head, clauses = split_tail_clauses(m.group(2), ("WHERE", "ORDER BY", "LIMIT"))
+    if head:
         raise ValueError("malformed DELETE")
     return Delete(
         table=unquote_ident(m.group(1)),
-        where=m.group(2),
-        order_by=m.group(3),
-        limit=int(m.group(4)) if m.group(4) else None,
+        where=clauses.get("WHERE"),
+        order_by=clauses.get("ORDER BY"),
+        limit=_parse_limit_count(clauses),
     )

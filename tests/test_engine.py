@@ -693,11 +693,39 @@ def test_replace_into(eng):
     assert eng.execute("REPLACE INTO user VALUES (4, 'd', 4.0)").affected == 1
 
 
-def test_replace_into_rejects_intra_batch_dup(eng):
+def test_replace_into_intra_batch_last_row_wins(eng):
+    """MySQL applies REPLACE row-by-row: within one batch a later row
+    replaces an earlier one, and the evicted earlier row counts one
+    delete in affected-rows (2 inserted + 1 intra-batch delete = 3)."""
     eng.execute(USER_DDL)
-    with pytest.raises(EbikeError) as ei:
-        eng.execute("REPLACE INTO user VALUES (1, 'a', 1.0), (1, 'a', 2.0)")
-    assert ei.value.code == 1062
+    r = eng.execute("REPLACE INTO user VALUES (1, 'a', 1.0), (1, 'a', 2.0)")
+    assert r.affected == 3
+    rows = eng.execute("SELECT * FROM user").rows()
+    assert [(x["id"], x["name"], x["stature"]) for x in rows] == [(1, "a", 2.0)]
+    # stored + intra-batch conflicts stack: old (1) deleted, first
+    # batch row inserted then evicted by the second → 2 ins + 2 del
+    r = eng.execute("REPLACE INTO user VALUES (1, 'a', 3.0), (1, 'a', 4.0)")
+    assert r.affected == 4
+    assert eng.execute("SELECT stature FROM user").rows()[0]["stature"] == 4.0
+
+
+def test_replace_into_evicted_row_still_deletes_stored(eng):
+    """A batch row that a LATER batch row replaces was still processed
+    first — its stored conflicts are deleted and stay deleted (MySQL
+    row-by-row). Here row (1,'x') deletes stored PK 1, then (2,'x')
+    replaces it on the UNIQUE key: stored PK 1 must NOT survive."""
+    eng.execute(
+        "CREATE TABLE ru (id INT NOT NULL, u CHAR, v INT, "
+        "PRIMARY KEY (id), UNIQUE KEY uq (u))"
+    )
+    eng.execute("INSERT INTO ru VALUES (1, 'a', 10), (9, 'z', 90)")
+    # 2 inserted + stored PK-1 deleted + intra-batch eviction = 4
+    r = eng.execute("REPLACE INTO ru VALUES (1, 'x', 11), (2, 'x', 22)")
+    assert r.affected == 4
+    rows = sorted(
+        (x["id"], x["u"], x["v"]) for x in eng.execute("SELECT * FROM ru").rows()
+    )
+    assert rows == [(2, "x", 22), (9, "z", 90)]
 
 
 def test_truncate_table(eng):
@@ -793,6 +821,21 @@ def test_auto_increment(eng):
     with pytest.raises(EbikeError) as ei:
         eng.execute("INSERT INTO seq VALUES (11, 'x')")
     assert ei.value.code == 1062
+
+
+def test_auto_increment_row_by_row(eng):
+    """MySQL bumps the counter row-by-row in VALUES order: an explicit
+    id only lifts the counter for LATER rows, so (NULL),(100),(NULL)
+    on an empty table mints 1, keeps 100, mints 101 — and
+    LAST_INSERT_ID() is the FIRST minted id (1), not 101."""
+    eng.execute("CREATE TABLE seqr (id INT AUTO_INCREMENT, name CHAR, PRIMARY KEY (id))")
+    eng.execute("INSERT INTO seqr VALUES (NULL, 'a'), (100, 'b'), (NULL, 'c')")
+    assert eng.execute("SELECT LAST_INSERT_ID() AS v").rows()[0]["v"] == 1
+    rows = sorted((r["id"], r["name"]) for r in eng.execute("SELECT * FROM seqr").rows())
+    assert rows == [(1, "a"), (100, "b"), (101, "c")]
+    # a later batch resumes past the stored max
+    eng.execute("INSERT INTO seqr (name) VALUES ('d')")
+    assert eng.execute("SELECT LAST_INSERT_ID() AS v").rows()[0]["v"] == 102
 
 
 def test_auto_increment_must_be_key(eng):
