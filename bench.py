@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "corpus_split_assign",
     "ev_path_transitions",
     "corpus_training_manifest",
+    "ev_attribution_last_touch",
+    "ev_cohort_matrix",
+    "ev_rfm_segments",
+    "text_bigram_pmi",
 ]
 
 

@@ -297,3 +297,102 @@ def text_bigram_top(spark: SparkSession, sf: str) -> DataFrame:
     return c.select("lang", "bigram", "n", rn.alias("rn")).where(
         F.col("rn") <= BIGRAM_TOP_K
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 100
+
+
+@register(
+    "text_bigram_pmi",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni),
+    docs2 AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (
+      SELECT w[i] AS w1, w[i+1] AS w2
+      FROM (SELECT w, UNNEST(generate_series(1, len(w) - 1)) AS i FROM docs2)),
+    bc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+    b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bg FROM bg),
+    j AS (
+      SELECT bc.w1, bc.w2, bc.c_ab, u1.c AS c_a, u2.c AS c_b,
+             ln(bc.c_ab) + 2 * ln(n.n_tok) - ln(b.n_bg) - ln(u1.c) - ln(u2.c) AS pmi
+      FROM bc
+      JOIN uni u1 ON u1.w = bc.w1
+      JOIN uni u2 ON u2.w = bc.w2
+      CROSS JOIN n CROSS JOIN b
+      WHERE bc.c_ab >= {PMI_MIN_COUNT})
+    SELECT w1 || ' ' || w2 AS bigram, c_ab, c_a, c_b, pmi
+    FROM j ORDER BY c_ab DESC, w1, w2 LIMIT {PMI_TOP_K}
+    """,
+    tags=("text", "ngram", "collocation", "pmi"),
+)
+def text_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Pointwise mutual information collocations: bigrams whose joint
+    frequency exceeds what their unigram frequencies predict —
+    PMI = ln P(ab) − ln P(a) − ln P(b) — the classic collocation /
+    multiword-expression extractor (Church & Hanks 1990), and the
+    signal behind merge-style tokenizer vocab induction. The top-k cut
+    orders by the INTEGER count with a lexicographic tiebreak so the
+    limit boundary can never flip on float noise; pmi itself is
+    emitted unrounded (sum-of-logs form — overflow-safe at any corpus
+    size, and the driver hash's 1e-9 rounding absorbs last-ulp libm
+    differences between engines).
+
+    Scale shape: one token explode feeding both count tables with
+    map-side partials; the two unigram joins are plain equi-joins AQE
+    can broadcast while the vocabulary fits and shuffle when it
+    doesn't (the text_perplexity rule); the two scalar totals
+    broadcast. Top-k is TakeOrderedAndProject, never a full sort."""
+    docs = load_table(spark, sf, "documents")
+    w = tokens(F.col("text"))
+    tok = docs.select(F.explode(w).alias("w"))
+    uni = tok.groupBy("w").agg(F.count("*").alias("c"))
+    n_tok = uni.agg(F.sum("c").cast("long").alias("n_tok"))
+    pairs = F.expr(
+        "transform(sequence(1, size(w) - 1), "
+        "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+    )
+    bg = (
+        docs.select(w.alias("w"))
+        .where(F.size("w") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab")).where(
+        F.col("c_ab") >= PMI_MIN_COUNT
+    )
+    n_bg = bg.agg(F.count("*").cast("long").alias("n_bg"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    j = (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_bg))
+    )
+    pmi = (
+        F.log("c_ab")
+        + 2 * F.log("n_tok")
+        - F.log("n_bg")
+        - F.log("c_a")
+        - F.log("c_b")
+    )
+    return (
+        j.select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            pmi.alias("pmi"),
+            "w1",
+            "w2",
+        )
+        .orderBy(F.col("c_ab").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+        .drop("w1", "w2")
+    )

@@ -1,0 +1,279 @@
+"""Marketing/product analytics over the events stream: attribution,
+cohort retention matrix, RFM segmentation.
+
+The reference engine has no events surface at all (SURVEY §1.5); these
+extend the Spark-native analytics family (`plans/analytics.py`,
+`plans/timeseries.py`) with the three workhorse growth-analytics
+queries a warehouse team runs daily. All money flows as integer CENTS
+(value is 2-decimal currency; value*100 is integer-valued) and all
+time arithmetic as epoch microseconds/seconds BIGINT, so every output
+is integer-exact and the cross-engine value hash can never diverge on
+float representation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ebike_spark.plans.registry import register
+from ebike_spark.sources.registry import load_table
+
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+CENTS = "CAST(ROUND(value * 100, 0) AS BIGINT)"
+
+
+@register(
+    "ev_attribution_last_touch",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+             {CENTS} AS cents
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+    tagged AS (
+      SELECT *,
+        last_value(CASE WHEN event_type IN ('click', 'view') THEN t END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_t,
+        last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type
+      FROM e),
+    attributed AS (
+      SELECT CASE WHEN lt_t IS NOT NULL AND t - lt_t <= {ATTR_WINDOW_US}
+                  THEN lt_type ELSE 'direct' END AS touch_type,
+             cents
+      FROM tagged WHERE event_type = 'purchase')
+    SELECT touch_type, COUNT(*) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM attributed GROUP BY 1
+    """,
+    tags=("events", "attribution", "window"),
+)
+def ev_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent click/view within the preceding 7 days, else 'direct'.
+    One pass, no self-join: a per-user ordered window carries the last
+    touch's (time, type) forward via last(ignorenulls) — the same
+    LOCF machinery ev_gapfill_locf uses, here over the event stream
+    itself. Ordering ties break on event_id so both engines see the
+    identical sequence.
+
+    Scale shape: ONE user_id shuffle (the window), then a scan-speed
+    CASE and a 3-row groupBy with map-side partials. Per-user window
+    frames are bounded by per-user event count — the standing events
+    assumption (sessionize, funnels). The event-type filter is pushed
+    to the parquet scan."""
+    ev = load_table(spark, sf, "events").where(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.expr(CENTS).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    tagged = e.select(
+        "*",
+        F.last(F.when(is_touch, F.col("t")), ignorenulls=True).over(w).alias("lt_t"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("lt_type"),
+    )
+    touch = F.when(
+        F.col("lt_t").isNotNull() & (F.col("t") - F.col("lt_t") <= ATTR_WINDOW_US),
+        F.col("lt_type"),
+    ).otherwise(F.lit("direct"))
+    return (
+        tagged.where(F.col("event_type") == "purchase")
+        .select(touch.alias("touch_type"), "cents")
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+WEEK_SEC = 7 * 24 * 3600
+
+
+@register(
+    "ev_cohort_matrix",
+    oracle=f"""
+    WITH su AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('week', MIN(ts))) AS BIGINT) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+    act AS (
+      SELECT DISTINCT e.user_id,
+             CAST(epoch(date_trunc('week', e.ts)) AS BIGINT) AS w
+      FROM events e),
+    j AS (
+      SELECT su.cohort_week, (act.w - su.cohort_week) // {WEEK_SEC} AS week_offset,
+             act.user_id
+      FROM su JOIN act ON act.user_id = su.user_id
+      WHERE act.w >= su.cohort_week)
+    SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_active
+    FROM j GROUP BY 1, 2
+    """,
+    tags=("events", "cohort", "retention"),
+)
+def ev_cohort_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention triangle: users cohorted by the week of
+    their first signup event; n_active = distinct cohort members with
+    ANY activity at each week offset. The long-form (cohort_week,
+    week_offset, n_active) output is the standard retention heatmap
+    input — ev_retention's day-offset cousin at product-analytics
+    grain. Both engines truncate weeks to Monday 00:00 UTC, and the
+    offset is exact integer division of epoch seconds.
+
+    Scale shape: signup scan aggregates to one row per cohorted user;
+    the activity side pre-distincts to (user, week) BEFORE the join —
+    the join's right side is bounded by users × active-weeks, not raw
+    events. The join shuffles on user_id; AQE may broadcast the cohort
+    side when small. Final distinct-count shuffles (cohort, offset,
+    user) partials."""
+    ev = load_table(spark, sf, "events")
+    week = lambda c: F.date_trunc("week", c).cast("long")  # noqa: E731
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(week(F.min("ts")).alias("cohort_week"))
+    )
+    act = ev.select("user_id", week(F.col("ts")).alias("w")).distinct()
+    j = su.join(act, "user_id").where(F.col("w") >= F.col("cohort_week"))
+    offset = ((F.col("w") - F.col("cohort_week")) / WEEK_SEC).cast("long")
+    return (
+        j.select("cohort_week", offset.alias("week_offset"), "user_id")
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "ev_rfm_segments",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id,
+             MAX(epoch_us(ts)) AS last_t,
+             COUNT(*) AS freq,
+             CAST(SUM({CENTS}) AS BIGINT) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    ref AS (SELECT MAX(epoch_us(ts)) AS ref_t FROM events),
+    rfm AS (
+      SELECT user_id, (ref_t - last_t) // 86400000000 AS recency_days,
+             freq, monetary
+      FROM p, ref),
+    q AS (
+      SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq,
+             quantile_cont(freq, [0.25, 0.5, 0.75]) AS fq,
+             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
+      FROM rfm),
+    scored AS (
+      SELECT
+        -- R: LOWER recency is better -> score counts cutoffs ABOVE
+        1 + CAST(recency_days < rq[1] AS INT) + CAST(recency_days < rq[2] AS INT)
+          + CAST(recency_days < rq[3] AS INT) AS r,
+        1 + CAST(freq > fq[1] AS INT) + CAST(freq > fq[2] AS INT)
+          + CAST(freq > fq[3] AS INT) AS f,
+        1 + CAST(monetary > mq[1] AS INT) + CAST(monetary > mq[2] AS INT)
+          + CAST(monetary > mq[3] AS INT) AS m,
+        monetary
+      FROM rfm, q)
+    SELECT r || '-' || f || '-' || m AS segment, COUNT(*) AS n_users,
+           CAST(SUM(monetary) AS BIGINT) AS total_monetary_cents
+    FROM scored GROUP BY 1
+    """,
+    tags=("events", "rfm", "segmentation"),
+)
+def ev_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation: per purchasing user, Recency (days since last
+    purchase vs the corpus's latest event), Frequency (#purchases) and
+    Monetary (cents) are each scored 1-4 against the exact quartiles of
+    the user population, then users roll up to segment counts. Scores
+    assign by comparing against BROADCAST quartile cutoffs (strict
+    inequalities, identical in both engines) — NOT by a global NTILE,
+    which would order every user through one window partition; the
+    cutoff approach keeps scoring scan-speed and fully parallel at any
+    user count. Both engines' continuous quantile is the same R-7
+    interpolation, and the inputs are integers, so cutoffs are exact
+    binary fractions — comparisons can't diverge.
+
+    Scale shape: one purchase-scan aggregation to per-user rows; one
+    3×3-scalar quantile aggregate (distributed sort-based, grid-sized
+    result broadcast back); one scan-speed CASE pass; one ≤64-row
+    groupBy. No data-sized window, no driver loop."""
+    from ebike_spark.operators.dedup import _persist_scoped
+
+    ev = load_table(spark, sf, "events")
+
+    def build_rfm():
+        p = (
+            ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(
+                F.max(F.unix_micros("ts")).alias("last_t"),
+                F.count("*").alias("freq"),
+                F.sum(F.expr(CENTS)).alias("monetary"),
+            )
+        )
+        ref = ev.agg(F.max(F.unix_micros("ts")).alias("ref_t"))
+        return p.crossJoin(F.broadcast(ref)).select(
+            "user_id",
+            ((F.col("ref_t") - F.col("last_t")) / 86400000000).cast("long").alias(
+                "recency_days"
+            ),
+            "freq",
+            "monetary",
+        )
+
+    # the per-user aggregate feeds TWO passes (quantile cutoffs, then
+    # scoring) — persist it so raw events scan once, not twice
+    rfm = _persist_scoped(spark, "rfm_user", build_rfm, key=sf)
+    q = rfm.agg(
+        F.percentile("recency_days", F.lit([0.25, 0.5, 0.75])).alias("rq"),
+        F.percentile("freq", F.lit([0.25, 0.5, 0.75])).alias("fq"),
+        F.percentile("monetary", F.lit([0.25, 0.5, 0.75])).alias("mq"),
+    )
+    s = rfm.crossJoin(F.broadcast(q))
+
+    def score_low_good(col, qcol):
+        return (
+            F.lit(1)
+            + (F.col(col) < F.col(qcol)[0]).cast("int")
+            + (F.col(col) < F.col(qcol)[1]).cast("int")
+            + (F.col(col) < F.col(qcol)[2]).cast("int")
+        )
+
+    def score_high_good(col, qcol):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(qcol)[0]).cast("int")
+            + (F.col(col) > F.col(qcol)[1]).cast("int")
+            + (F.col(col) > F.col(qcol)[2]).cast("int")
+        )
+
+    seg = F.concat_ws(
+        "-",
+        score_low_good("recency_days", "rq"),
+        score_high_good("freq", "fq"),
+        score_high_good("monetary", "mq"),
+    )
+    return (
+        s.select(seg.alias("segment"), "monetary")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("monetary").alias("total_monetary_cents"),
+        )
+    )

@@ -603,3 +603,111 @@ def stream_rollup_maintain(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         F.round("total", 2).alias("total"),
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS p_event, epoch_us(p.ts) AS p_ts_us,
+           epoch_us(v.ts) AS v_ts_us
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "stream-stream-join", "interval"),
+)
+def stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-STREAM interval join driven to completion: purchases ×
+    same-user views in the trailing hour, both sides watermarked so
+    Spark can expire join state (the unbounded-buffer failure mode of
+    an unconstrained stream-stream join). Every emitted pair must
+    hash-match the batch interval join — the staged range-ordered
+    replay plus the 2h watermark guarantees no view leaves state while
+    a joinable purchase can still arrive."""
+    staged = stage_stream_dir(spark, sf)
+    return run_to_table(
+        stream_stream_interval_join(read_event_stream(spark, staged)), "append"
+    )
+
+
+GAP_ALERT_US = 7 * 24 * 3600 * 1_000_000  # 7-day silence threshold
+
+
+def make_gap_detector():
+    """Custom stateful operator: per-user silence detection. State is
+    the user's last event time; each arriving event whose gap from the
+    previous one exceeds GAP_ALERT_US emits one alert fact. Works
+    because the staged replay delivers each user's events in
+    non-decreasing ts order across micro-batches (range-staged files)
+    and each batch sorts (t, event_id) — the funnel tracker's
+    assumption. Closure-built; executors never import this package."""
+    gap = GAP_ALERT_US
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        prev = state.get[0] if state.exists else None
+        starts, ends = [], []
+        frames = [p[["t", "event_id"]] for p in pdfs]
+        if frames:
+            ev = pd.concat(frames).sort_values(["t", "event_id"])
+            for t in ev["t"]:
+                t = int(t)
+                if prev is not None and t - prev > gap:
+                    starts.append(prev)
+                    ends.append(t)
+                prev = t
+        if prev is not None:
+            state.update((int(prev),))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(starts),
+                "gap_start": starts,
+                "gap_end": ends,
+            }
+        )
+
+    return fn
+
+
+def gap_alert_stream(ev: DataFrame) -> DataFrame:
+    src = ev.select("user_id", F.unix_micros("ts").alias("t"), "event_id")
+    return src.groupBy("user_id").applyInPandasWithState(
+        make_gap_detector(),
+        "user_id long, gap_start long, gap_end long",
+        "last_t long",
+        "update",
+        "NoTimeout",
+    )
+
+
+@register(
+    "stream_gap_alerts",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_t,
+             epoch_us(ts) AS t
+      FROM events)
+    SELECT user_id, COUNT(*) AS n_gaps,
+           CAST(MAX(t - prev_t) AS BIGINT) AS max_gap_us
+    FROM g WHERE t - prev_t > {GAP_ALERT_US} GROUP BY 1
+    """,
+    tags=("streaming", "stateful", "alerting", "applyInPandasWithState"),
+)
+def stream_gap_alerts(spark: SparkSession, sf: str) -> DataFrame:
+    """Silence/gap alerting: a custom stateful operator carries each
+    user's last event time across micro-batches and emits an alert
+    fact whenever the inter-event gap exceeds 7 days — the streaming
+    dual of sessionization (gaps ARE the session boundaries) and the
+    deterministic, event-time formulation of a silence alert (a
+    processing-time timeout alert cannot be oracled — wall clock).
+    The emitted alert facts aggregate per user and must hash-match
+    the batch LAG-gap query."""
+    staged = stage_stream_dir(spark, sf)
+    sink = run_to_table(gap_alert_stream(read_event_stream(spark, staged)), "update")
+    return sink.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.max(F.col("gap_end") - F.col("gap_start")).alias("max_gap_us"),
+    )
