@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "ev_cohort_matrix",
     "ev_rfm_segments",
     "text_bigram_pmi",
+    "ev_ewma_spike",
 ]
 
 

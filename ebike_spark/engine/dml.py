@@ -167,6 +167,8 @@ def insert(
         return _replace(spark, catalog, qualified, df, ins)
     if ins.on_dup_update is not None:
         return _upsert(spark, catalog, qualified, df, ins)
+    if ins.ignore:
+        return _insert_ignore(spark, catalog, qualified, df)
     _check_constraints(spark, catalog, qualified, df)
     if catalog.has_rowid(qualified):
         # row identity materializes at INSERT (reference: uuid per row,
@@ -285,6 +287,71 @@ def _upsert(spark: SparkSession, catalog: Catalog, qualified: str, new_df, ins: 
             raise duplicate_entry("-".join(str(dup[0][c]) for c in cols), key_name)
     _rewrite(spark, qualified, final)
     return n_new + 2 * n_changed
+
+
+def _insert_ignore(spark: SparkSession, catalog: Catalog, qualified: str, new_df) -> int:
+    """INSERT IGNORE (MySQL duplicate-skip): rows whose PRIMARY/UNIQUE
+    key collides with a stored row OR an earlier row of the same batch
+    are silently skipped (first row wins within the batch — MySQL
+    processes VALUES in order and the later duplicate is the one
+    ignored); affected-rows counts only the rows actually inserted.
+    Documented divergence: MySQL's IGNORE also downgrades NOT NULL /
+    type errors to warnings with implicit defaults — here those still
+    error (1048), matching this engine's strict-constraint stance.
+
+    Scale shape: the intra-batch replay walks VALUES-sized key tuples
+    on the driver; the stored side is one left-anti join per statement
+    that AQE broadcasts (the batch is statement-sized)."""
+    for col in catalog.not_null_cols(qualified):
+        if new_df.where(F.col(col).isNull()).limit(1).count() > 0:
+            raise EbikeError(1048, f"Column '{col}' cannot be null")
+    pk = catalog.primary_key(qualified)
+    keys = ([("PRIMARY", pk)] if pk else []) + list(catalog.unique_keys(qualified))
+    has_rowid = catalog.has_rowid(qualified)
+    existing = spark.table(qualified)
+    if keys:
+        # intra-batch: first row wins; later rows colliding with any
+        # surviving earlier row (on any key, NULLs never conflict) skip
+        key_cols = sorted({c for _, cols in keys for c in cols})
+        tagged = new_df.withColumn("__vidx", F.monotonically_increasing_id())
+        batch_keys = [
+            (r["__vidx"], r) for r in tagged.select("__vidx", *key_cols).collect()
+        ]
+        batch_keys.sort(key=lambda p: p[0])
+        live: dict[int, dict] = {}
+        for vidx, row in batch_keys:
+            clash = any(
+                all(row[c] is not None and row[c] == orow[c] for c in cols)
+                for orow in live.values()
+                for _, cols in keys
+            )
+            if not clash:
+                live[vidx] = row
+        new_df = tagged.where(F.col("__vidx").isin(sorted(live))).drop("__vidx")
+        # stored conflicts: anti-join on any key
+        batch = new_df.select(
+            *[F.col(c).alias(f"__new_{c}") for c in new_df.columns]
+        )
+        any_key = reduce(
+            or_,
+            [
+                reduce(and_, [F.col(f"__new_{c}") == F.col(c) for c in cols])
+                for _, cols in keys
+            ],
+        )
+        surviving = batch.join(existing, any_key, "left_anti").select(
+            *[F.col(f"__new_{c}").alias(c) for c in new_df.columns]
+        )
+    else:
+        surviving = new_df
+    n = surviving.count()
+    if n:
+        if has_rowid:
+            surviving = surviving.withColumn(ROWID, F.expr("uuid()")).select(
+                *existing.columns
+            )
+        surviving.write.insertInto(qualified, overwrite=False)
+    return n
 
 
 def _replace(spark: SparkSession, catalog: Catalog, qualified: str, new_df, ins: Insert) -> int:

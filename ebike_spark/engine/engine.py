@@ -702,7 +702,7 @@ class Engine:
         )
         # MySQL `INSERT INTO t SET a = 1, b = 'x'` → column-list VALUES
         m = re.match(
-            r"\s*(INSERT|REPLACE)\s+INTO\s+([\w.`\"]+)\s+SET\s+([\s\S]+?)"
+            r"\s*(INSERT(?:\s+IGNORE)?|REPLACE)\s+INTO\s+([\w.`\"]+)\s+SET\s+([\s\S]+?)"
             r"(\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+[\s\S]+?)?;?\s*$",
             fixed,
             re.I,

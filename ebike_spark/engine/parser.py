@@ -278,6 +278,8 @@ class Insert:
     on_dup_update: list[tuple[str, str]] | None = None
     # REPLACE INTO: delete key-conflicting rows, then insert
     replace: bool = False
+    # INSERT IGNORE: skip key-conflicting rows instead of erroring 1062
+    ignore: bool = False
 
 
 @dataclass
@@ -353,7 +355,7 @@ def parse_create_table(sql: str) -> CreateTable:
 
 def parse_insert(sql: str) -> Insert:
     m = re.match(
-        r"\s*(INSERT|REPLACE)\s+INTO\s+([\w.`\"]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.*?)"
+        r"\s*(INSERT|REPLACE)\s+(IGNORE\s+)?INTO\s+([\w.`\"]+)\s*(\(([^)]*)\))?\s*VALUES\s*(.*?)"
         r"(?:\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*?))?;?\s*$",
         sql,
         re.I | re.S,
@@ -361,26 +363,36 @@ def parse_insert(sql: str) -> Insert:
     if not m:
         raise ValueError("malformed INSERT (only INSERT ... VALUES supported here)")
     replace = m.group(1).upper() == "REPLACE"
-    table = unquote_ident(m.group(2))
-    cols = [unquote_ident(c) for c in split_top_level(m.group(4))] if m.group(4) else []
+    ignore = bool(m.group(2))
+    if replace and ignore:
+        # MySQL grammar: REPLACE takes no IGNORE modifier
+        raise ValueError("REPLACE does not take IGNORE")
+    table = unquote_ident(m.group(3))
+    cols = [unquote_ident(c) for c in split_top_level(m.group(5))] if m.group(5) else []
     rows = []
-    for row in split_top_level(m.group(5)):
+    for row in split_top_level(m.group(6)):
         rm = re.match(r"\s*\((.*)\)\s*$", row, re.S)
         if not rm:
             raise ValueError(f"malformed VALUES row: {row!r}")
         rows.append([e.strip() for e in split_top_level(rm.group(1))])
     on_dup = None
-    if m.group(6):
+    if m.group(7):
         if replace:
             # MySQL grammar: REPLACE has no ON DUPLICATE KEY clause
             raise ValueError("REPLACE does not take ON DUPLICATE KEY UPDATE")
+        if ignore:
+            # both clauses at once make the upsert ambiguous; reject
+            # rather than silently prefer one (documented stance)
+            raise ValueError("INSERT IGNORE with ON DUPLICATE KEY UPDATE is not supported")
         on_dup = []
-        for a in split_top_level(m.group(6)):
+        for a in split_top_level(m.group(7)):
             am = re.match(r"([\w`\"]+)\s*=\s*(.*)$", a, re.S)
             if not am:
                 raise ValueError(f"malformed ON DUPLICATE KEY UPDATE assignment: {a!r}")
             on_dup.append((unquote_ident(am.group(1)), am.group(2).strip()))
-    return Insert(table=table, columns=cols, rows=rows, on_dup_update=on_dup, replace=replace)
+    return Insert(
+        table=table, columns=cols, rows=rows, on_dup_update=on_dup, replace=replace, ignore=ignore
+    )
 
 
 def _parse_limit_count(clauses: dict[str, str]) -> int | None:

@@ -125,6 +125,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "stream_interval_join",
     "stream_gap_alerts",
     "text_bigram_pmi",
+    "ev_ewma_spike",
     # relational core — external evidence stale since round 1
     # (continuously re-verified by the local driver-mirror suite; the
     # entries past the driver's ~50-row cut rotate back next round)

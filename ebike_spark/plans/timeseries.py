@@ -828,3 +828,89 @@ def ev_session_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("duration_sec").alias("total_duration_sec"),
         F.max("duration_sec").alias("max_duration_sec"),
     )
+
+
+EWMA_K = 16  # truncation depth: weights 3^d/4^(d+1), d = 0..K-1
+EWMA_SCALE = 4**EWMA_K  # common denominator after cross-multiplying
+
+
+def _ewma_lag_terms(engine: str) -> str:
+    """SUM over d=0..K-1 of lag(n, d+1) * 3^d * 4^(K-1-d): the
+    integer-scaled truncated EWMA of the PREVIOUS K buckets (lag d+1 —
+    the forecast excludes the current observation)."""
+    terms = []
+    for d in range(EWMA_K):
+        w = 3**d * 4 ** (EWMA_K - 1 - d)
+        if engine == "duckdb":
+            terms.append(
+                f"COALESCE(lag(n, {d + 1}) OVER (PARTITION BY event_type ORDER BY b), 0) * {w}"
+            )
+        else:
+            terms.append(f"COALESCE(lag(n, {d + 1}) OVER w, CAST(0 AS BIGINT)) * {w}")
+    return " + ".join(terms)
+
+
+@register(
+    "ev_ewma_spike",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS b,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    e AS (
+      SELECT event_type, b, n,
+             CAST({_ewma_lag_terms("duckdb")} AS BIGINT) AS s_prev,
+             CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY b
+                  ROWS BETWEEN {EWMA_K} PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_hist
+      FROM m)
+    SELECT event_type, b AS bucket_start, n, s_prev,
+           (n_hist >= {EWMA_K} AND n * {EWMA_SCALE} > 2 * s_prev) AS is_spike
+    FROM e
+    """,
+    tags=("events", "time", "anomaly", "ewma", "integer-exact"),
+)
+def ev_ewma_spike(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA spike detection over the hourly event-count series, INTEGER
+    EXACT: with alpha = 1/4 the truncated exponential forecast
+    s = (1/4) * sum d=0..{EWMA_K - 1} (3/4)^d * n[t-1-d] cross-multiplies
+    to BIGINT arithmetic (scale 4^{EWMA_K}), so the spike predicate
+    n > 2*s compares exact integers — no pow()/float EWMA that could
+    flip a boundary between engines (house rule: sample_weighted,
+    corpus_temperature_mix). The spike flag arms only once {EWMA_K}
+    history buckets exist (n_hist gate), avoiding cold-start noise.
+    EWMA runs over OBSERVED buckets (sparse series semantics — pair
+    with ev_gapfill_locf for a calendar spine).
+
+    Scale shape: the rollup shuffles (type, hour) partials once; the
+    {EWMA_K} LAG terms all share ONE window spec = one pass over the
+    bucket series (bucket-count-sized, not event-sized). Expressible
+    as a RANGE frame dot-product only with HOFs — the fixed-depth LAG
+    fan-out stays in codegen."""
+    ev = load_table(spark, sf, "events")
+    m = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").cast("long").alias("b")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("b")
+    s_prev = None
+    for d in range(EWMA_K):
+        weight = 3**d * 4 ** (EWMA_K - 1 - d)
+        term = F.coalesce(F.lag("n", d + 1).over(w), F.lit(0)).cast("long") * weight
+        s_prev = term if s_prev is None else s_prev + term
+    n_hist = F.count("*").over(w.rowsBetween(-EWMA_K, -1))
+    e = m.select(
+        "event_type",
+        F.col("b").alias("bucket_start"),
+        "n",
+        s_prev.cast("long").alias("s_prev"),
+        n_hist.cast("long").alias("n_hist"),
+    )
+    return e.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        "s_prev",
+        (
+            (F.col("n_hist") >= EWMA_K)
+            & (F.col("n") * EWMA_SCALE > 2 * F.col("s_prev"))
+        ).alias("is_spike"),
+    )

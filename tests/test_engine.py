@@ -967,3 +967,48 @@ def test_last_insert_id_in_dml(eng):
         eng.execute("SELECT note FROM child WHERE fk = 5").rows()[0]["note"]
         == "LAST_INSERT_ID()"
     )
+
+
+def test_insert_ignore(eng):
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'a', 1.0)")
+    # stored conflict skipped, fresh row inserted: affected = 1
+    r = eng.execute("INSERT IGNORE INTO user VALUES (1, 'a', 9.0), (2, 'b', 2.0)")
+    assert r.affected == 1
+    rows = {(x["id"], x["name"]): x["stature"] for x in eng.execute("SELECT * FROM user").rows()}
+    assert rows == {(1, "a"): 1.0, (2, "b"): 2.0}  # stored row untouched
+    # intra-batch: FIRST row wins, later duplicate skipped
+    r = eng.execute("INSERT IGNORE INTO user VALUES (3, 'c', 3.0), (3, 'c', 8.0)")
+    assert r.affected == 1
+    assert eng.execute("SELECT stature FROM user WHERE id = 3").rows()[0]["stature"] == 3.0
+    # all-duplicate batch: affected = 0, no error
+    assert eng.execute("INSERT IGNORE INTO user VALUES (1, 'a', 0.0)").affected == 0
+
+
+def test_insert_ignore_unique_key(eng):
+    eng.execute(
+        "CREATE TABLE igq (id INT NOT NULL, u CHAR, PRIMARY KEY (id), UNIQUE KEY uq (u))"
+    )
+    eng.execute("INSERT INTO igq VALUES (1, 'a')")
+    # second row collides on the UNIQUE key with the batch's first row
+    r = eng.execute("INSERT IGNORE INTO igq VALUES (2, 'b'), (3, 'b'), (4, 'a')")
+    assert r.affected == 1
+    rows = sorted((x["id"], x["u"]) for x in eng.execute("SELECT * FROM igq").rows())
+    assert rows == [(1, "a"), (2, "b")]
+    # NULL unique keys never conflict
+    assert eng.execute("INSERT IGNORE INTO igq VALUES (5, NULL), (6, NULL)").affected == 2
+
+
+def test_insert_ignore_rejects_bad_combos(eng):
+    eng.execute(USER_DDL)
+    with pytest.raises(EbikeError):
+        eng.execute("REPLACE IGNORE INTO user VALUES (1, 'a', 1.0)")
+    with pytest.raises(EbikeError):
+        eng.execute(
+            "INSERT IGNORE INTO user VALUES (1, 'a', 1.0) "
+            "ON DUPLICATE KEY UPDATE stature = 2.0"
+        )
+    # NOT NULL still errors under IGNORE (documented strict stance)
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT IGNORE INTO user VALUES (NULL, 'x', 1.0)")
+    assert ei.value.code == 1048
