@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "ev_rfm_segments",
     "text_bigram_pmi",
     "ev_ewma_spike",
+    "mm_ppm_decode_stats",
+    "ev_funnel_latency",
 ]
 
 

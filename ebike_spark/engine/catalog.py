@@ -40,6 +40,9 @@ SQL_TYPE_NAME = {"bigint": "int", "double": "float", "string": "char"}
 PROP_PK = "ebike.primary_key"
 PROP_UNIQUE_PREFIX = "ebike.unique."
 PROP_NOT_NULL = "ebike.not_null"
+# secondary "indexes": physical range-clustering on the key columns
+# (zone-map pruning via parquet row-group min/max), recorded per index
+PROP_CLUSTER_PREFIX = "ebike.cluster."
 PROP_ROWID = "ebike.rowid"
 PROP_AUTO_INCREMENT = "ebike.auto_increment"
 ROWID = "rowid"
@@ -163,6 +166,13 @@ class Catalog:
         for k, v in self.properties(qualified).items():
             if k.startswith(PROP_UNIQUE_PREFIX):
                 out.append((k[len(PROP_UNIQUE_PREFIX):], [c for c in v.split(",") if c]))
+        return sorted(out)
+
+    def cluster_indexes(self, qualified: str) -> list[tuple[str, list[str]]]:
+        out = []
+        for k, v in self.properties(qualified).items():
+            if k.startswith(PROP_CLUSTER_PREFIX):
+                out.append((k[len(PROP_CLUSTER_PREFIX):], [c for c in v.split(",") if c]))
         return sorted(out)
 
     def not_null_cols(self, qualified: str) -> list[str]:

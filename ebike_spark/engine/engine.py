@@ -121,6 +121,10 @@ class Engine:
             return self._refresh_matview(sql)
         if kw == "DROP" and kw2 == "MATERIALIZED":
             return self._drop_matview(sql)
+        if kw == "CREATE" and kw2 == "INDEX":
+            return self._create_index(sql)
+        if kw == "DROP" and kw2 == "INDEX":
+            return self._drop_index(sql)
         if (kw, kw2) in (("CREATE", "VIEW"), ("CREATE", "OR"), ("DROP", "VIEW")):
             # views — beyond the reference (its dispatcher 1105s them,
             # execution.rs:894-1279); Spark-native passthrough
@@ -532,6 +536,76 @@ class Engine:
             self.spark.sql(f"DROP TABLE IF EXISTS {bq(q)}")
             raise
         return res
+
+    _PROP_CLUSTER = "ebike.cluster."
+
+    def _create_index(self, sql: str) -> EngineResult:
+        """CREATE INDEX — the Spark-first reinterpretation of a
+        secondary index: a columnar engine has no B-tree to build, so
+        the index becomes PHYSICAL RANGE CLUSTERING on the key columns.
+        The table is rewritten repartitionByRange + sortWithinPartitions
+        on the index columns, which makes parquet row-group min/max
+        statistics (zone maps) selective for predicates on those
+        columns — the scan skips row groups the way the reference's
+        sled index-range seek skips keys
+        (/root/reference/src/core/execution.rs index-seek path; the
+        reference's own CREATE INDEX statement falls through to 1105).
+        The index is recorded in table properties; SHOW INDEX lists it
+        with Index_type CLUSTERED. One clustering order per table can
+        be physically dominant — creating a second index re-clusters
+        (documented; MySQL's secondary B-trees have no such coupling)."""
+        m = re.match(
+            r"CREATE\s+(UNIQUE\s+)?INDEX\s+([\w`\"]+)\s+ON\s+([\w.`\"]+)\s*\(([^)]+)\)\s*$",
+            sql,
+            re.I,
+        )
+        if not m:
+            raise parse_error("near CREATE INDEX")
+        if m.group(1):
+            # post-hoc UNIQUE would need a retroactive constraint check +
+            # catalog change; out of scope like the reference (1105)
+            raise unsupported("CREATE UNIQUE INDEX")
+        from ebike_spark.engine.parser import split_top_level
+
+        name = unquote_ident(m.group(2))
+        if not re.fullmatch(r"\w+", name):
+            raise parse_error(f"bad index name '{name}'")
+        q = self.catalog.qualify(unquote_ident(m.group(3)), self.current_db)
+        self.catalog.require_table(q)
+        cols = [unquote_ident(c) for c in split_top_level(m.group(4))]
+        known = {c for c, _ in self.catalog.column_types(q)}
+        for c in cols:
+            if c not in known:
+                raise EbikeError(1072, f"Key column '{c}' doesn't exist in table")
+        if any(n == name for n, _ in self.catalog.cluster_indexes(q)):
+            raise EbikeError(1061, f"Duplicate key name '{name}'")
+        t = self.spark.table(q)
+        from ebike_spark.engine import dml
+
+        dml._rewrite(
+            self.spark, q, t.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        )
+        self.spark.sql(
+            f"ALTER TABLE {bq(q)} SET TBLPROPERTIES "
+            f"('{self._PROP_CLUSTER}{name}' = '{','.join(cols)}')"
+        )
+        return EngineResult("count", affected=0)
+
+    def _drop_index(self, sql: str) -> EngineResult:
+        m = re.match(r"DROP\s+INDEX\s+([\w`\"]+)\s+ON\s+([\w.`\"]+)\s*$", sql, re.I)
+        if not m:
+            raise parse_error("near DROP INDEX")
+        name = unquote_ident(m.group(1))
+        q = self.catalog.qualify(unquote_ident(m.group(2)), self.current_db)
+        self.catalog.require_table(q)
+        if not any(n == name for n, _ in self.catalog.cluster_indexes(q)):
+            raise EbikeError(1091, f"Can't DROP '{name}'; check that column/key exists")
+        # metadata-only: the physical clustering stays (harmless — it is
+        # just a row order) but stops being advertised or maintained
+        self.spark.sql(
+            f"ALTER TABLE {bq(q)} UNSET TBLPROPERTIES ('{self._PROP_CLUSTER}{name}')"
+        )
+        return EngineResult("count", affected=0)
 
     def _matview_sql(self, q: str) -> str:
         import base64

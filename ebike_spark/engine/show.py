@@ -118,6 +118,11 @@ def show_index(spark: SparkSession, catalog: Catalog, qualified: str) -> DataFra
     for kname, cols in keys:
         for seq, c in enumerate(cols, start=1):
             rows.append((tname, 0, kname, seq, c, "BTREE"))
+    # secondary indexes = physical range clustering (zone-map pruning);
+    # advertised with their real mechanism, not a fake BTREE
+    for kname, cols in catalog.cluster_indexes(qualified):
+        for seq, c in enumerate(cols, start=1):
+            rows.append((tname, 1, kname, seq, c, "CLUSTERED"))
     return spark.createDataFrame(
         rows or [("", 0, "", 0, "", "")],
         "Table string, Non_unique long, Key_name string, Seq_in_index long, "

@@ -1,12 +1,16 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed in Arrow-batched Python (mapInPandas).
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked stub (NotImplementedError) — but everything Spark-side is
-real and tested: the binary column, the metadata struct schema, the
-mapInPandas batch iteration, and the feature extraction over raw bytes
-(which is verifiable against a SQL oracle because the synthetic payload
-is the utf-8 encoding of the document text).
+The container has no image/audio codec libraries, so the GENERIC
+decode step is a clearly-marked stub (NotImplementedError) — but
+everything Spark-side is real and tested: the binary column, the
+metadata struct schema, the mapInPandas batch iteration, and the
+feature extraction over raw bytes (verifiable against a SQL oracle
+because the synthetic payload is the utf-8 encoding of the document
+text). Since round 5 one decode path is REAL end to end:
+``mm_ppm_decode_stats`` encodes/decodes binary PPM (P6) in pure numpy
+— header parse, (h, w, 3) reshape, nearest-neighbor resize — with a
+closed-form SQL oracle over the emitted image statistics.
 
 At 100 TB: payloads live in parquet binary columns (or object-store
 pointers for >2 GB blobs); mapInPandas processes Arrow batches per
@@ -208,3 +212,206 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     (ASCII corpus → byte and char windows coincide)."""
     media = ingest_media(spark, sf).select("doc_id", "payload")
     return media.mapInPandas(make_frame_sampler(), FRAME_SCHEMA)
+
+
+# ------------------------------------------------- real PPM codec path
+#
+# The generic decode_image above stays a stub (arbitrary formats need
+# codec libraries this container lacks), but binary PPM (P6) is a
+# header + raw RGB bytes — decodable in pure numpy. This section makes
+# the decode step REAL end to end: a mapInPandas stage ENCODES P6
+# payloads, a second stage parses the header, reshapes the pixel
+# buffer to (h, w, 3), nearest-neighbor-resizes it, and emits integer
+# image statistics that a SQL oracle reproduces in closed form (pixel
+# bytes follow k % 256 over the flattened buffer, so sums telescope).
+
+PPM_DS = 16  # nearest-neighbor downsample target (PPM_DS × PPM_DS)
+
+
+def ppm_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic per-doc image dims, 16..63 on each side."""
+    return 16 + doc_id % 48, 16 + (doc_id // 7) % 48
+
+
+def encode_ppm(doc_id: int) -> bytes:
+    """Binary PPM (P6): ASCII header, then h*w*3 raw RGB bytes. Pixel
+    bytes are the flattened index mod 256 — real image layout, closed-
+    form statistics."""
+    import numpy as np
+
+    w, h = ppm_dims(doc_id)
+    header = f"P6\n{w} {h}\n255\n".encode()
+    px = (np.arange(w * h * 3, dtype=np.int64) % 256).astype(np.uint8)
+    return header + px.tobytes()
+
+
+def decode_ppm(payload: bytes) -> "object":
+    """Parse a binary PPM (P6) into an (h, w, 3) uint8 array — a REAL
+    decoder (header tokenizer + frombuffer reshape), no codec library
+    needed. Raises on malformed input like any decoder would."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval — whitespace-separated
+    parts = []
+    i = 2
+    while len(parts) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raw pixels
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return px.reshape(h, w, 3)
+
+
+PPM_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("byte_sum", LongType(), True),
+        StructField("ds_sum", LongType(), True),
+    ]
+)
+
+
+def make_ppm_encoder():
+    """mapInPandas stage 1: (doc_id) -> (doc_id, payload) PPM bytes.
+    Closure-built; executors never import this package."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def enc(doc_id: int) -> bytes:
+            w, h = 16 + doc_id % 48, 16 + (doc_id // 7) % 48
+            header = f"P6\n{w} {h}\n255\n".encode()
+            px = (np.arange(w * h * 3, dtype=np.int64) % 256).astype(np.uint8)
+            return header + px.tobytes()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["doc_id"].map(lambda d: enc(int(d))),
+                }
+            )
+
+    return encode
+
+
+def make_ppm_stats(ds: int = PPM_DS):
+    """mapInPandas stage 2: decode each PPM payload, nearest-neighbor
+    resize to ds×ds (numpy index slicing — a real resize), emit integer
+    stats. Closure-built for executor pickling."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def decode(payload: bytes):
+            if not payload.startswith(b"P6"):
+                raise ValueError("not P6")
+            parts, i = [], 2
+            while len(parts) < 3:
+                while i < len(payload) and payload[i : i + 1].isspace():
+                    i += 1
+                j = i
+                while j < len(payload) and not payload[j : j + 1].isspace():
+                    j += 1
+                parts.append(int(payload[i:j]))
+                i = j
+            i += 1
+            w, h, _ = parts
+            return np.frombuffer(payload, np.uint8, w * h * 3, i).reshape(h, w, 3)
+
+        for pdf in batches:
+            ids, ws, hs, bsums, dsums = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode(bytes(payload))
+                h, w, _ = img.shape
+                ys = (np.arange(ds) * h) // ds
+                xs = (np.arange(ds) * w) // ds
+                small = img[np.ix_(ys, xs)][:, :, 0]  # channel-0 ds×ds
+                ids.append(int(doc_id))
+                ws.append(w)
+                hs.append(h)
+                bsums.append(int(img.astype(np.int64).sum()))
+                dsums.append(int(small.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "byte_sum": pd.Series(bsums, dtype="int64"),
+                    "ds_sum": pd.Series(dsums, dtype="int64"),
+                }
+            )
+
+    return stats
+
+
+@register(
+    "mm_ppm_decode_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 48 AS BIGINT) AS w,
+             CAST(16 + (doc_id // 7) % 48 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 10 = 0),
+    -- flattened pixel bytes are k % 256 for k in 0..3wh-1: the sum is
+    -- full-cycle count * 32640 plus a triangular remainder
+    sums AS (
+      SELECT doc_id, w, h,
+             (3 * w * h // 256) * 32640
+               + ((3 * w * h % 256) * (3 * w * h % 256 - 1)) // 2 AS byte_sum
+      FROM d),
+    -- nearest-neighbor ds×ds sample of channel 0: byte index of
+    -- (y, x, 0) is 3*(y*w + x); grid indices floor(i*h/{PPM_DS}),
+    -- floor(j*w/{PPM_DS})
+    grid AS (SELECT a.i, b.j
+             FROM (SELECT unnest(range({PPM_DS})) AS i) a
+             CROSS JOIN (SELECT unnest(range({PPM_DS})) AS j) b),
+    ds AS (
+      SELECT d.doc_id,
+             CAST(SUM((3 * ((g.i * d.h // {PPM_DS}) * d.w + (g.j * d.w // {PPM_DS}))) % 256) AS BIGINT) AS ds_sum
+      FROM d CROSS JOIN grid g GROUP BY 1)
+    SELECT s.doc_id, s.w AS width, s.h AS height,
+           CAST(s.byte_sum AS BIGINT) AS byte_sum, ds.ds_sum
+    FROM sums s JOIN ds USING (doc_id)
+    """,
+    tags=("multimodal", "image", "decode", "resize", "pandas-udf"),
+)
+def mm_ppm_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode + resize in the multimodal path: stage 1
+    encodes a binary PPM (P6) per sampled document (pure numpy — the
+    one raster format that needs no codec library), stage 2 parses the
+    header, reshapes the raw RGB buffer to (h, w, 3), nearest-neighbor
+    downsamples to {PPM_DS}×{PPM_DS} via index slicing, and emits
+    integer statistics. The SQL oracle reproduces every number in
+    closed form (pixel bytes are the flattened index mod 256), so the
+    decoder, the reshape, and the resize geometry are all value-checked
+    — this closes the gap the generic decode_image stub documents.
+
+    Scale shape: both stages are Arrow-batched mapInPandas with no
+    shuffle at all between them (encode→decode chains in one task);
+    the doc_id % 10 sample bounds payload volume; at 100 TB the encode
+    stage is replaced by reading real payload bytes from the parquet
+    binary column — the decode stage is unchanged."""
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") % 10 == 0)
+    media = docs.select("doc_id").mapInPandas(
+        make_ppm_encoder(),
+        StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("payload", BinaryType(), True),
+            ]
+        ),
+    )
+    return media.mapInPandas(make_ppm_stats(), PPM_STATS_SCHEMA)

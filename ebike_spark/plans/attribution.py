@@ -277,3 +277,87 @@ def ev_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("monetary").alias("total_monetary_cents"),
         )
     )
+
+
+FUNNEL_WINDOW_DAYS_NOTE = "unbounded — the strict first-anchor funnel"
+
+
+@register(
+    "ev_funnel_latency",
+    oracle="""
+    WITH f1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    f2 AS (SELECT e.user_id, f1.t1, MIN(epoch_us(e.ts)) AS t2 FROM events e
+           JOIN f1 ON e.user_id = f1.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > f1.t1 GROUP BY 1, 2),
+    f3 AS (SELECT f2.user_id, f2.t1, MIN(epoch_us(e.ts)) AS t3 FROM events e
+           JOIN f2 ON e.user_id = f2.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f2.t2 GROUP BY 1, 2),
+    lat AS (SELECT t3 - t1 AS latency_us FROM f3)
+    SELECT COUNT(*) AS n_converted,
+           CAST(MIN(latency_us) AS BIGINT) AS min_us,
+           quantile_cont(latency_us, 0.25) AS p25_us,
+           quantile_cont(latency_us, 0.50) AS p50_us,
+           quantile_cont(latency_us, 0.75) AS p75_us,
+           CAST(MAX(latency_us) AS BIGINT) AS max_us
+    FROM lat
+    """,
+    tags=("events", "funnel", "latency", "percentile"),
+)
+def ev_funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert distribution for the strict first-anchor funnel
+    (view → click → purchase): per converting user, the microseconds
+    from the first view to the purchase that completes the greedy
+    chain, summarized as exact quartiles. The greedy sorted scan is
+    exactly ev_funnel's single-pass aggregate (earliest-valid-next is
+    optimal), extended to carry the anchor time so latency falls out
+    of the same pass — no per-stage self-join chain (the oracle's
+    shape). Latencies are integer microseconds; the continuous
+    quartiles of integers are exact binary fractions in both engines
+    (the ev_rfm_segments rule).
+
+    Scale shape: ONE user_id shuffle + per-user linear scan; the final
+    percentile is a single distributed sort-based aggregate over one
+    latency value per CONVERTED user."""
+    from ebike_spark.plans.analytics import FUNNEL_STAGES
+
+    n_stages = len(FUNNEL_STAGES)
+    stage_arr = F.array(*[F.lit(s) for s in FUNNEL_STAGES])
+    evs = load_table(spark, sf, "events").where(
+        F.col("event_type").isin(*FUNNEL_STAGES)
+    ).select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("t"), F.col("event_type").alias("et")
+        ).alias("e"),
+    )
+    init = F.struct(
+        F.lit(0).alias("s"),
+        F.lit(0).cast("long").alias("t"),
+        F.lit(0).cast("long").alias("t1"),
+    )
+
+    def step(acc, x):
+        want = F.element_at(stage_arr, F.least(acc["s"] + 1, F.lit(n_stages)))
+        can = (acc["s"] < n_stages) & (x["et"] == want) & ((acc["s"] == 0) | (x["t"] > acc["t"]))
+        new_t1 = F.when(acc["s"] == 0, x["t"]).otherwise(acc["t1"])
+        return F.when(
+            can,
+            F.struct((acc["s"] + 1).alias("s"), x["t"].alias("t"), new_t1.alias("t1")),
+        ).otherwise(acc)
+
+    per_user = (
+        evs.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("seq"))
+        .select(F.aggregate("seq", init, step).alias("a"))
+        .where(F.col("a.s") >= n_stages)
+        .select((F.col("a.t") - F.col("a.t1")).alias("latency_us"))
+    )
+    return per_user.agg(
+        F.count("*").alias("n_converted"),
+        F.min("latency_us").alias("min_us"),
+        F.percentile("latency_us", F.lit(0.25)).alias("p25_us"),
+        F.percentile("latency_us", F.lit(0.50)).alias("p50_us"),
+        F.percentile("latency_us", F.lit(0.75)).alias("p75_us"),
+        F.max("latency_us").alias("max_us"),
+    )

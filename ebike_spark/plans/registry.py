@@ -126,6 +126,8 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "stream_gap_alerts",
     "text_bigram_pmi",
     "ev_ewma_spike",
+    "mm_ppm_decode_stats",
+    "ev_funnel_latency",
     # relational core — external evidence stale since round 1
     # (continuously re-verified by the local driver-mirror suite; the
     # entries past the driver's ~50-row cut rotate back next round)

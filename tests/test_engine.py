@@ -1012,3 +1012,51 @@ def test_insert_ignore_rejects_bad_combos(eng):
     with pytest.raises(EbikeError) as ei:
         eng.execute("INSERT IGNORE INTO user VALUES (NULL, 'x', 1.0)")
     assert ei.value.code == 1048
+
+
+def test_create_index_clustering(eng):
+    """CREATE INDEX = physical range clustering + catalog record; SHOW
+    INDEX advertises it as CLUSTERED; data survives the rewrite; DROP
+    INDEX removes the record."""
+    eng.execute(USER_DDL)
+    eng.execute(
+        "INSERT INTO user VALUES (3, 'c', 3.0), (1, 'a', 1.0), (2, 'b', 2.0)"
+    )
+    r = eng.execute("CREATE INDEX ix_stature ON user (stature)")
+    assert r.kind == "count"
+    rows = sorted((x["id"], x["stature"]) for x in eng.execute("SELECT * FROM user").rows())
+    assert rows == [(1, 1.0), (2, 2.0), (3, 3.0)]
+    idx = eng.execute("SHOW INDEX FROM user").rows()
+    by_key = {(x["Key_name"], x["Column_name"]): x for x in idx}
+    assert ("PRIMARY", "id") in by_key
+    cl = by_key[("ix_stature", "stature")]
+    assert cl["Non_unique"] == 1 and cl["Index_type"] == "CLUSTERED"
+    # duplicate name / unknown column / UNIQUE rejected
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("CREATE INDEX ix_stature ON user (id)")
+    assert ei.value.code == 1061
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("CREATE INDEX ix_bad ON user (nope)")
+    assert ei.value.code == 1072
+    with pytest.raises(EbikeError):
+        eng.execute("CREATE UNIQUE INDEX ux ON user (stature)")
+    # DROP removes only the record; unknown drop errors 1091
+    eng.execute("DROP INDEX ix_stature ON user")
+    idx2 = eng.execute("SHOW INDEX FROM user").rows()
+    assert all(x["Key_name"] != "ix_stature" for x in idx2)
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("DROP INDEX ix_stature ON user")
+    assert ei.value.code == 1091
+
+
+def test_create_index_preserves_rowid_and_dml(eng):
+    """The clustering rewrite must keep the hidden rowid machinery and
+    leave the table fully DML-able afterwards."""
+    eng.execute("CREATE TABLE ct (a INT, b CHAR)")  # keyless -> rowid table
+    eng.execute("INSERT INTO ct VALUES (2, 'y'), (1, 'x')")
+    eng.execute("CREATE INDEX ix_a ON ct (a)")
+    eng.execute("INSERT INTO ct VALUES (3, 'z')")
+    eng.execute("UPDATE ct SET b = 'X' WHERE a = 1")
+    assert eng.execute("DELETE FROM ct WHERE a = 2").affected == 1
+    rows = sorted((x["a"], x["b"]) for x in eng.execute("SELECT * FROM ct").rows())
+    assert rows == [(1, "X"), (3, "z")]

@@ -10,6 +10,12 @@ import tempfile
 import uuid
 
 import pyspark.sql.functions as F
+import pytest
+
+# every test here drives a real multi-micro-batch streaming query
+# (~2-12 s each); excluded from quick loops via `-m "not slow"`, but
+# ALWAYS part of the full pre-commit run
+pytestmark = pytest.mark.slow
 
 from ebike_spark.sources.registry import load_table
 from ebike_spark.streaming.events import (
