@@ -557,3 +557,68 @@ def test_rate_moving_windows_over_partials(spark):
     # the Window must consume the aggregate, not the raw scan (the
     # plan prints root-first, so Window appears above HashAggregate)
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_attribution_single_user_shuffle_no_join(spark):
+    """ev_attribution_last_touch is a per-user LOCF window, never a
+    purchases×touches self-join; the stage filter reaches the scan."""
+    plan = _physical(REGISTRY["ev_attribution_last_touch"].fn(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "PushedFilters" in plan and "In(event_type" in plan
+    assert plan.count("Window") == 1
+
+
+def test_rfm_scores_without_global_window(spark):
+    """ev_rfm_segments must score against broadcast quantile cutoffs —
+    a global NTILE/rank window over users is the anti-pattern."""
+    plan = _physical(REGISTRY["ev_rfm_segments"].fn(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_cohort_activity_distincts_before_join(spark):
+    """ev_cohort_matrix joins cohorts to the DISTINCT (user, week)
+    activity set, not to raw events: the join input must be an
+    aggregate on both sides."""
+    df = REGISTRY["ev_cohort_matrix"].fn(spark, SF_DIR)
+    opt = _optimized(df)
+    # optimized plan shows Aggregate below the Join on the activity side
+    join_pos = opt.index("Join")
+    assert "Aggregate" in opt[join_pos:]
+
+
+def test_ppm_pipeline_has_no_shuffle(spark):
+    """mm_ppm_decode_stats chains encode→decode mapInPandas stages in
+    one task: zero Exchange in the whole plan."""
+    plan = _physical(REGISTRY["mm_ppm_decode_stats"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
+
+
+def test_bigram_pmi_topk_and_scan_reuse(spark):
+    """text_bigram_pmi's final cut is TakeOrderedAndProject (never a
+    global sort) and neither unigram join carries a forced broadcast
+    hint (AQE decides — the text_perplexity rule)."""
+    df = REGISTRY["text_bigram_pmi"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "TakeOrderedAndProject" in plan
+    # the two scalar totals broadcast; vocabulary joins must not be
+    # forced — assert no broadcast HINT in the analyzed plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2  # n_tok + n_bg only
+
+
+def test_ewma_lags_share_one_window(spark):
+    """ev_ewma_spike's 16 weighted LAGs must share a single window
+    exchange over the grid-sized bucket series."""
+    plan = _physical(REGISTRY["ev_ewma_spike"].fn(spark, SF_DIR))
+    assert plan.count("Window") <= 2  # lag fan-out + history count
+    assert "Join" not in plan
+
+
+def test_funnel_latency_single_pass(spark):
+    """ev_funnel_latency = ev_funnel's single greedy pass + one global
+    percentile aggregate: no per-stage join chain."""
+    plan = _physical(REGISTRY["ev_funnel_latency"].fn(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "PushedFilters" in plan and "In(event_type" in plan
