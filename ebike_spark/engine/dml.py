@@ -310,27 +310,17 @@ def _insert_ignore(spark: SparkSession, catalog: Catalog, qualified: str, new_df
     has_rowid = catalog.has_rowid(qualified)
     existing = spark.table(qualified)
     if keys:
-        # intra-batch: first row wins; later rows colliding with any
-        # surviving earlier row (on any key, NULLs never conflict) skip
+        # Row-by-row replay, interleaving STORED conflicts: a row MySQL
+        # skips for a stored-index conflict never enters the index, so
+        # it must not suppress later batch rows either — e.g. stored
+        # (1,'a'), batch (1,'b'),(2,'b'): (1,'b') skips on the stored
+        # PK, therefore (2,'b') DOES insert. Stored-conflict status is
+        # static per row (IGNORE never deletes), so it precomputes as
+        # one semi-join returning the conflicting vidx set.
         key_cols = sorted({c for _, cols in keys for c in cols})
         tagged = new_df.withColumn("__vidx", F.monotonically_increasing_id())
-        batch_keys = [
-            (r["__vidx"], r) for r in tagged.select("__vidx", *key_cols).collect()
-        ]
-        batch_keys.sort(key=lambda p: p[0])
-        live: dict[int, dict] = {}
-        for vidx, row in batch_keys:
-            clash = any(
-                all(row[c] is not None and row[c] == orow[c] for c in cols)
-                for orow in live.values()
-                for _, cols in keys
-            )
-            if not clash:
-                live[vidx] = row
-        new_df = tagged.where(F.col("__vidx").isin(sorted(live))).drop("__vidx")
-        # stored conflicts: anti-join on any key
-        batch = new_df.select(
-            *[F.col(c).alias(f"__new_{c}") for c in new_df.columns]
+        batch = tagged.select(
+            "__vidx", *[F.col(c).alias(f"__new_{c}") for c in key_cols]
         )
         any_key = reduce(
             or_,
@@ -339,12 +329,32 @@ def _insert_ignore(spark: SparkSession, catalog: Catalog, qualified: str, new_df
                 for _, cols in keys
             ],
         )
-        surviving = batch.join(existing, any_key, "left_anti").select(
-            *[F.col(f"__new_{c}").alias(c) for c in new_df.columns]
-        )
+        stored_clash = {
+            r["__vidx"]
+            for r in batch.join(existing, any_key, "left_semi")
+            .select("__vidx")
+            .collect()
+        }
+        batch_keys = [
+            (r["__vidx"], r) for r in tagged.select("__vidx", *key_cols).collect()
+        ]
+        batch_keys.sort(key=lambda p: p[0])
+        live: dict[int, dict] = {}
+        for vidx, row in batch_keys:
+            if vidx in stored_clash:
+                continue
+            clash = any(
+                all(row[c] is not None and row[c] == orow[c] for c in cols)
+                for orow in live.values()
+                for _, cols in keys
+            )
+            if not clash:
+                live[vidx] = row
+        surviving = tagged.where(F.col("__vidx").isin(sorted(live))).drop("__vidx")
+        n = len(live)
     else:
         surviving = new_df
-    n = surviving.count()
+        n = surviving.count()
     if n:
         if has_rowid:
             surviving = surviving.withColumn(ROWID, F.expr("uuid()")).select(

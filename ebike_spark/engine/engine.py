@@ -121,7 +121,9 @@ class Engine:
             return self._refresh_matview(sql)
         if kw == "DROP" and kw2 == "MATERIALIZED":
             return self._drop_matview(sql)
-        if kw == "CREATE" and kw2 == "INDEX":
+        if kw == "CREATE" and kw2 in ("INDEX", "UNIQUE"):
+            # CREATE [UNIQUE] INDEX both route here; the UNIQUE form is
+            # rejected inside with a specific message
             return self._create_index(sql)
         if kw == "DROP" and kw2 == "INDEX":
             return self._drop_index(sql)
@@ -799,6 +801,11 @@ class Engine:
             # INSERT INTO ... SELECT: hand to Spark (beyond-reference;
             # constraint checks apply only to the VALUES path, as in the
             # reference which only implements VALUES, insert.rs:48-224)
+            if re.match(r"\s*INSERT\s+IGNORE\b", fixed, re.I):
+                # duplicate-skip needs the VALUES-path key replay; an
+                # IGNORE+SELECT would otherwise reach raw spark.sql(),
+                # which raises an unwrapped ParseException on IGNORE
+                raise unsupported("INSERT IGNORE ... SELECT")
             self.spark.catalog.setCurrentDatabase(self.current_db)
             m = re.match(
                 r"\s*INSERT\s+INTO\s+([\w.`\"]+)\s*(?:\(([^)]*)\)\s*)?(SELECT\b[\s\S]*)$",

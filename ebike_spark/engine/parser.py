@@ -151,7 +151,13 @@ def split_tail_clauses(tail: str, keywords: tuple[str, ...]) -> tuple[str, dict[
     clauses: dict[str, str] = {}
     for k, (kw, _, kw_end) in enumerate(spans):
         nxt = spans[k + 1][1] if k + 1 < len(spans) else len(tail)
-        clauses[kw] = tail[kw_end:nxt].strip()
+        body = tail[kw_end:nxt].strip()
+        if not body:
+            # a dangling keyword ('DELETE FROM t WHERE') must be a parse
+            # error — an empty WHERE body is falsy downstream and would
+            # silently turn a malformed statement into a FULL-TABLE op
+            raise ValueError(f"empty {kw} clause")
+        clauses[kw] = body
     return tail[:head_end].strip(), clauses
 
 

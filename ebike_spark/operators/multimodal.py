@@ -227,50 +227,9 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 PPM_DS = 16  # nearest-neighbor downsample target (PPM_DS × PPM_DS)
 
-
-def ppm_dims(doc_id: int) -> tuple[int, int]:
-    """Deterministic per-doc image dims, 16..63 on each side."""
-    return 16 + doc_id % 48, 16 + (doc_id // 7) % 48
-
-
-def encode_ppm(doc_id: int) -> bytes:
-    """Binary PPM (P6): ASCII header, then h*w*3 raw RGB bytes. Pixel
-    bytes are the flattened index mod 256 — real image layout, closed-
-    form statistics."""
-    import numpy as np
-
-    w, h = ppm_dims(doc_id)
-    header = f"P6\n{w} {h}\n255\n".encode()
-    px = (np.arange(w * h * 3, dtype=np.int64) % 256).astype(np.uint8)
-    return header + px.tobytes()
-
-
-def decode_ppm(payload: bytes) -> "object":
-    """Parse a binary PPM (P6) into an (h, w, 3) uint8 array — a REAL
-    decoder (header tokenizer + frombuffer reshape), no codec library
-    needed. Raises on malformed input like any decoder would."""
-    import numpy as np
-
-    if not payload.startswith(b"P6"):
-        raise ValueError("not a binary PPM (P6) payload")
-    # header = magic, width, height, maxval — whitespace-separated
-    parts = []
-    i = 2
-    while len(parts) < 3:
-        while i < len(payload) and payload[i : i + 1].isspace():
-            i += 1
-        j = i
-        while j < len(payload) and not payload[j : j + 1].isspace():
-            j += 1
-        parts.append(int(payload[i:j]))
-        i = j
-    i += 1  # single whitespace after maxval, then raw pixels
-    w, h, maxval = parts
-    if maxval != 255:
-        raise ValueError("only 8-bit PPM supported")
-    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
-    return px.reshape(h, w, 3)
-
+# The encoder/decoder live ONLY inside the closures below (executors
+# can't import this package, so the logic must ship by value with the
+# UDF — a module-level copy would duplicate and drift).
 
 PPM_STATS_SCHEMA = StructType(
     [
@@ -317,7 +276,8 @@ def make_ppm_stats(ds: int = PPM_DS):
 
         def decode(payload: bytes):
             if not payload.startswith(b"P6"):
-                raise ValueError("not P6")
+                raise ValueError("not a binary PPM (P6) payload")
+            # header = magic, width, height, maxval — whitespace-separated
             parts, i = [], 2
             while len(parts) < 3:
                 while i < len(payload) and payload[i : i + 1].isspace():
@@ -327,8 +287,10 @@ def make_ppm_stats(ds: int = PPM_DS):
                     j += 1
                 parts.append(int(payload[i:j]))
                 i = j
-            i += 1
-            w, h, _ = parts
+            i += 1  # single whitespace after maxval, then raw pixels
+            w, h, maxval = parts
+            if maxval != 255:
+                raise ValueError("only 8-bit PPM supported")
             return np.frombuffer(payload, np.uint8, w * h * 3, i).reshape(h, w, 3)
 
         for pdf in batches:

@@ -279,9 +279,6 @@ def ev_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-FUNNEL_WINDOW_DAYS_NOTE = "unbounded — the strict first-anchor funnel"
-
-
 @register(
     "ev_funnel_latency",
     oracle="""

@@ -834,20 +834,16 @@ EWMA_K = 16  # truncation depth: weights 3^d/4^(d+1), d = 0..K-1
 EWMA_SCALE = 4**EWMA_K  # common denominator after cross-multiplying
 
 
-def _ewma_lag_terms(engine: str) -> str:
-    """SUM over d=0..K-1 of lag(n, d+1) * 3^d * 4^(K-1-d): the
-    integer-scaled truncated EWMA of the PREVIOUS K buckets (lag d+1 —
-    the forecast excludes the current observation)."""
-    terms = []
-    for d in range(EWMA_K):
-        w = 3**d * 4 ** (EWMA_K - 1 - d)
-        if engine == "duckdb":
-            terms.append(
-                f"COALESCE(lag(n, {d + 1}) OVER (PARTITION BY event_type ORDER BY b), 0) * {w}"
-            )
-        else:
-            terms.append(f"COALESCE(lag(n, {d + 1}) OVER w, CAST(0 AS BIGINT)) * {w}")
-    return " + ".join(terms)
+def _ewma_lag_terms() -> str:
+    """DuckDB SQL: SUM over d=0..K-1 of lag(n, d+1) * 3^d * 4^(K-1-d) —
+    the integer-scaled truncated EWMA of the PREVIOUS K buckets (lag
+    d+1: the forecast excludes the current observation). The Spark side
+    builds the same terms inline in ev_ewma_spike."""
+    return " + ".join(
+        f"COALESCE(lag(n, {d + 1}) OVER (PARTITION BY event_type ORDER BY b), 0)"
+        f" * {3**d * 4 ** (EWMA_K - 1 - d)}"
+        for d in range(EWMA_K)
+    )
 
 
 @register(
@@ -859,7 +855,7 @@ def _ewma_lag_terms(engine: str) -> str:
       FROM events GROUP BY 1, 2),
     e AS (
       SELECT event_type, b, n,
-             CAST({_ewma_lag_terms("duckdb")} AS BIGINT) AS s_prev,
+             CAST({_ewma_lag_terms()} AS BIGINT) AS s_prev,
              CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY b
                   ROWS BETWEEN {EWMA_K} PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_hist
       FROM m)

@@ -1060,3 +1060,49 @@ def test_create_index_preserves_rowid_and_dml(eng):
     assert eng.execute("DELETE FROM ct WHERE a = 2").affected == 1
     rows = sorted((x["a"], x["b"]) for x in eng.execute("SELECT * FROM ct").rows())
     assert rows == [(1, "X"), (3, "z")]
+
+
+def test_dangling_clause_keyword_is_parse_error(eng):
+    """A bare trailing WHERE/ORDER BY/LIMIT must be a parse error — an
+    empty WHERE body is falsy downstream and would silently turn the
+    malformed statement into a FULL-TABLE delete/update."""
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    for bad in (
+        "DELETE FROM user WHERE",
+        "UPDATE user SET stature = 0 WHERE",
+        "DELETE FROM user WHERE id = 1 ORDER BY",
+    ):
+        with pytest.raises(EbikeError):
+            eng.execute(bad)
+    assert eng.execute("SELECT COUNT(*) AS c FROM user").rows()[0]["c"] == 2
+
+
+def test_insert_ignore_stored_skip_does_not_suppress_later_rows(eng):
+    """A batch row skipped for a STORED conflict never entered the
+    index, so it must not suppress later batch rows (MySQL row-by-row):
+    stored (1,'a'); batch (1,'b'),(2,'b') -> (1,'b') skips on PK, so
+    (2,'b') DOES insert."""
+    eng.execute(
+        "CREATE TABLE igs (id INT NOT NULL, u CHAR, PRIMARY KEY (id), UNIQUE KEY uq (u))"
+    )
+    eng.execute("INSERT INTO igs VALUES (1, 'a')")
+    r = eng.execute("INSERT IGNORE INTO igs VALUES (1, 'b'), (2, 'b')")
+    assert r.affected == 1
+    rows = sorted((x["id"], x["u"]) for x in eng.execute("SELECT * FROM igs").rows())
+    assert rows == [(1, "a"), (2, "b")]
+
+
+def test_create_unique_index_specific_error(eng):
+    eng.execute(USER_DDL)
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("CREATE UNIQUE INDEX ux ON user (stature)")
+    assert ei.value.code == 1105 and "UNIQUE INDEX" in str(ei.value)
+
+
+def test_insert_ignore_select_rejected_cleanly(eng):
+    eng.execute(USER_DDL)
+    eng.execute("CREATE TABLE src (id INT, name CHAR, stature FLOAT)")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT IGNORE INTO user SELECT * FROM src")
+    assert ei.value.code == 1105
