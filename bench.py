@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "ev_ewma_spike",
     "mm_ppm_decode_stats",
     "ev_funnel_latency",
+    "text_novelty_score",
+    "ev_pareto_share",
+    "ev_attribution_touchpoints",
 ]
 
 

@@ -27,6 +27,7 @@ from ebike_spark.engine.parser import (
     parse_delete,
     parse_insert,
     parse_update,
+    rewrite_group_concat,
     sql_literal,
     strip_comments,
     substitute_vars,
@@ -200,6 +201,11 @@ class Engine:
 
     def _fix_select(self, sql: str) -> str:
         sql = substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS)
+        # MySQL GROUP_CONCAT → Spark listagg (quote/paren-aware pass —
+        # the construct spans quoted separators, so it can't run inside
+        # the segment-wise map_unquoted rewrites below)
+        if re.search(r"\bGROUP_CONCAT\s*\(", sql, re.I):
+            sql = rewrite_group_concat(sql)
 
         # All rewrites run segment-wise OUTSIDE quoted spans so a string
         # literal containing e.g. "from dual" passes through untouched.

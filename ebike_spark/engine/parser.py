@@ -209,6 +209,84 @@ def map_unquoted(sql: str, fn) -> str:
     return "".join(out)
 
 
+def _find_matching_paren(s: str, open_idx: int) -> int:
+    """Index just past the ')' matching s[open_idx] == '(' (quote-aware);
+    raises ValueError on imbalance."""
+    depth = 0
+    i, n = open_idx, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"`":
+            i = _skip_quoted(s, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in GROUP_CONCAT")
+
+
+def rewrite_group_concat(sql: str) -> str:
+    """MySQL ``GROUP_CONCAT([DISTINCT] expr[, expr...] [ORDER BY ...]
+    [SEPARATOR 'sep'])`` → Spark ``listagg([DISTINCT] expr, 'sep')
+    [WITHIN GROUP (ORDER BY ...)]`` (beyond-reference: DataFusion 6.0
+    has no GROUP_CONCAT either, but a MySQL-dialect user reaches for it
+    constantly). Quote/paren-aware; multiple occurrences handled;
+    multi-expr form concatenates per-row exactly as MySQL does
+    (``concat`` matches MySQL's any-NULL→NULL row semantics, and both
+    engines then skip NULL rows). Spark's listagg restriction stands:
+    DISTINCT with a WITHIN GROUP key other than the expr itself errors —
+    same statements MySQL itself warns on and reorders."""
+    pat = re.compile(r"\bGROUP_CONCAT\s*\(", re.I)
+    out, i = [], 0
+    while True:
+        # scan for the next unquoted GROUP_CONCAT(
+        m = None
+        j = i
+        while j < len(sql):
+            if sql[j] in "'\"`":
+                j = _skip_quoted(sql, j)
+                continue
+            m = pat.match(sql, j)
+            if m and (j == 0 or not (sql[j - 1].isalnum() or sql[j - 1] in "_$")):
+                break
+            m = None
+            j += 1
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        open_idx = m.end() - 1
+        close = _find_matching_paren(sql, open_idx)
+        inner = sql[open_idx + 1 : close - 1].strip()
+        out.append(sql[i:j])
+
+        sep = "','"
+        kws = find_top_level_keywords(inner, ("ORDER BY", "SEPARATOR"))
+        order_by = None
+        for kw, s0, s1 in kws:
+            if kw == "SEPARATOR":
+                sep = inner[s1:].strip()
+                inner = inner[:s0].rstrip()
+        for kw, s0, s1 in find_top_level_keywords(inner, ("ORDER BY",)):
+            order_by = inner[s1:].strip()
+            inner = inner[:s0].rstrip()
+        distinct = ""
+        dm = re.match(r"DISTINCT\b", inner, re.I)
+        if dm:
+            distinct = "DISTINCT "
+            inner = inner[dm.end() :].strip()
+        exprs = split_top_level(inner)
+        body = exprs[0] if len(exprs) == 1 else f"concat({', '.join(exprs)})"
+        repl = f"listagg({distinct}{body}, {sep})"
+        if order_by:
+            repl += f" WITHIN GROUP (ORDER BY {order_by})"
+        out.append(repl)
+        i = close
+
+
 def substitute_vars(
     sql: str,
     sys_vars: dict[str, object],

@@ -358,3 +358,213 @@ def ev_funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
         F.percentile("latency_us", F.lit(0.75)).alias("p75_us"),
         F.max("latency_us").alias("max_us"),
     )
+
+
+PARETO_BUCKETS = 10
+
+
+@register(
+    "ev_pareto_share",
+    oracle=f"""
+    WITH u AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+    d AS (SELECT user_id, n,
+                 NTILE({PARETO_BUCKETS}) OVER (ORDER BY n DESC, user_id) AS decile
+          FROM u),
+    a AS (SELECT decile,
+                 CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(n) AS BIGINT) AS n_events
+          FROM d GROUP BY 1)
+    SELECT decile, n_users, n_events,
+           CAST(SUM(n_events) OVER (ORDER BY decile) AS BIGINT) AS cum_events
+    FROM a
+    """,
+    tags=("events", "concentration", "window"),
+)
+def ev_pareto_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Activity concentration (Lorenz/Pareto): users ranked by event
+    count into {PARETO_BUCKETS} NTILE buckets (count DESC, user_id
+    tiebreak — fully deterministic), with per-bucket user/event counts
+    and the cumulative event total. The "top 10% of users drive X% of
+    events" readout. All counts integer-exact; share ratios are
+    downstream division.
+
+    Scale shape: the event scan partial-aggregates to one row per user
+    before anything global happens (users << events). The NTILE ranking
+    is a single-partition window — but over the USER aggregate, not the
+    event stream; at 1e9 users the distributed rank (per-partition
+    counts + offset prefix-sum, the ev_concurrency pattern) drops in,
+    keyed the same way. The decile rollup and {PARETO_BUCKETS}-row
+    cumulative window are constant-sized."""
+    ev = load_table(spark, sf, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    d = u.select(
+        "n",
+        F.ntile(PARETO_BUCKETS)
+        .over(Window.orderBy(F.col("n").desc(), "user_id"))
+        .alias("decile"),
+    )
+    a = d.groupBy("decile").agg(
+        F.count("*").alias("n_users"), F.sum("n").alias("n_events")
+    )
+    return a.select(
+        "decile",
+        "n_users",
+        "n_events",
+        F.sum("n_events")
+        .over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_events"),
+    )
+
+
+@register(
+    "ev_attribution_touchpoints",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+    tagged AS (
+      SELECT *,
+        min(CASE WHEN event_type IN ('click', 'view') THEN
+              lpad(CAST(t AS VARCHAR), 20, '0') || '|' ||
+              lpad(CAST(event_id AS VARCHAR), 10, '0') || '|' || event_type
+            END)
+          OVER (PARTITION BY user_id ORDER BY t
+                RANGE BETWEEN {ATTR_WINDOW_US} PRECEDING AND CURRENT ROW) AS ft_key,
+        last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_any,
+        last_value(CASE WHEN event_type IN ('click', 'view') THEN t END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_t,
+        COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+          OVER (PARTITION BY user_id ORDER BY t
+                RANGE BETWEEN {ATTR_WINDOW_US} PRECEDING AND CURRENT ROW) AS n_click,
+        COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+          OVER (PARTITION BY user_id ORDER BY t
+                RANGE BETWEEN {ATTR_WINDOW_US} PRECEDING AND CURRENT ROW) AS n_view
+      FROM e),
+    conv AS (
+      -- DuckDB split_part(NULL, ...) returns '' not NULL, so the
+      -- no-touch branch must test ft_key itself
+      SELECT CASE WHEN ft_key IS NULL THEN 'direct'
+                  ELSE split_part(ft_key, '|', 3) END AS ft,
+             CASE WHEN lt_t IS NOT NULL AND t - lt_t <= {ATTR_WINDOW_US}
+                  THEN lt_any ELSE 'direct' END AS lt,
+             n_click, n_view
+      FROM tagged WHERE event_type = 'purchase')
+    SELECT 'click' AS channel,
+           CAST(SUM(CASE WHEN ft = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS first_touch_convs,
+           CAST(SUM(CASE WHEN lt = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS last_touch_convs,
+           CAST(SUM(n_click) AS BIGINT) AS touches_credited
+    FROM conv
+    UNION ALL
+    SELECT 'view',
+           CAST(SUM(CASE WHEN ft = 'view' THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN lt = 'view' THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(n_view) AS BIGINT)
+    FROM conv
+    UNION ALL
+    SELECT 'direct',
+           CAST(SUM(CASE WHEN ft = 'direct' THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN lt = 'direct' THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM conv
+    """,
+    tags=("events", "attribution", "window", "range-frame"),
+)
+def ev_attribution_touchpoints(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-touch position attribution: for each purchase, the FIRST
+    and LAST click/view inside the trailing 7-day window, plus how many
+    touches of each channel fell in the window — the U-shaped-report
+    inputs, kept as integer counts (per-conversion fractional credit is
+    downstream division). First-touch-in-range needs an arg-min over a
+    moving time range; that is ONE string MIN over a RANGE frame with
+    the (t, event_id, type) key zero-padded so lexicographic = numeric
+    order (the min_by-via-encoded-key trick — both engines share
+    identical RANGE inclusion semantics, so no tie divergence). Last
+    touch reuses the LOCF ROWS frame from ev_attribution_last_touch.
+
+    Scale shape: ONE user_id shuffle feeds all five window frames
+    (same partitioning, Spark stacks the Window operators without
+    re-exchanging); RANGE frames bound per-row state by the 7-day
+    window's per-user event count. All nine output numbers come from a
+    SINGLE aggregate pass (map-side partials into a one-row reduce);
+    the 3-row channel layout is a constant stack() unpivot of that
+    row — never a per-channel re-scan."""
+    ev = load_table(spark, sf, "events").where(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    e = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-ATTR_WINDOW_US, 0)
+    )
+    wl = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_key = F.concat(
+        F.lpad(F.col("t").cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        F.lit("|"),
+        F.col("event_type"),
+    )
+    tagged = e.select(
+        "event_type",
+        "t",
+        F.min(F.when(is_touch, touch_key)).over(wr).alias("ft_key"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(wl)
+        .alias("lt_any"),
+        F.last(F.when(is_touch, F.col("t")), ignorenulls=True).over(wl).alias("lt_t"),
+        F.count(F.when(F.col("event_type") == "click", 1)).over(wr).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).over(wr).alias("n_view"),
+    )
+    conv = tagged.where(F.col("event_type") == "purchase").select(
+        F.coalesce(F.split_part("ft_key", F.lit("|"), F.lit(3)), F.lit("direct")).alias(
+            "ft"
+        ),
+        F.when(
+            F.col("lt_t").isNotNull() & (F.col("t") - F.col("lt_t") <= ATTR_WINDOW_US),
+            F.col("lt_any"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("lt"),
+        "n_click",
+        "n_view",
+    )
+
+    # ONE aggregate pass produces all nine numbers (a 3-way union of
+    # per-channel aggregates re-scans events and re-runs both windows
+    # per branch — plan-verified); the constant 3-row unpivot is a
+    # stack over the single aggregate row. direct credits count(*)*0
+    # (not SUM of a literal) so an EMPTY conversion set still yields 0,
+    # matching the oracle's literal.
+    def cnt(col: str, name: str):
+        return F.sum(F.when(F.col(col) == name, 1).otherwise(0))
+
+    aggd = conv.agg(
+        cnt("ft", "click").alias("ft_click"),
+        cnt("ft", "view").alias("ft_view"),
+        cnt("ft", "direct").alias("ft_direct"),
+        cnt("lt", "click").alias("lt_click"),
+        cnt("lt", "view").alias("lt_view"),
+        cnt("lt", "direct").alias("lt_direct"),
+        F.sum("n_click").alias("tc_click"),
+        F.sum("n_view").alias("tc_view"),
+        (F.count(F.lit(1)) * 0).cast("long").alias("tc_direct"),
+    )
+    return aggd.selectExpr(
+        "stack(3, 'click', ft_click, lt_click, tc_click,"
+        " 'view', ft_view, lt_view, tc_view,"
+        " 'direct', ft_direct, lt_direct, tc_direct)"
+        " AS (channel, first_touch_convs, last_touch_convs, touches_credited)"
+    )

@@ -128,6 +128,9 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_ewma_spike",
     "mm_ppm_decode_stats",
     "ev_funnel_latency",
+    "text_novelty_score",
+    "ev_pareto_share",
+    "ev_attribution_touchpoints",
     # relational core — external evidence stale since round 1
     # (continuously re-verified by the local driver-mirror suite; the
     # entries past the driver's ~50-row cut rotate back next round)

@@ -1106,3 +1106,43 @@ def test_insert_ignore_select_rejected_cleanly(eng):
     with pytest.raises(EbikeError) as ei:
         eng.execute("INSERT IGNORE INTO user SELECT * FROM src")
     assert ei.value.code == 1105
+
+
+def test_group_concat_rewrite_unit():
+    """Pure-text rewrite: MySQL GROUP_CONCAT forms → Spark listagg."""
+    from ebike_spark.engine.parser import rewrite_group_concat as rw
+
+    assert rw("SELECT GROUP_CONCAT(name) FROM t") == "SELECT listagg(name, ',') FROM t"
+    assert (
+        rw("SELECT group_concat(DISTINCT name SEPARATOR '|') FROM t")
+        == "SELECT listagg(DISTINCT name, '|') FROM t"
+    )
+    assert (
+        rw("SELECT GROUP_CONCAT(name ORDER BY id DESC SEPARATOR '; ') FROM t")
+        == "SELECT listagg(name, '; ') WITHIN GROUP (ORDER BY id DESC) FROM t"
+    )
+    # multi-expr form concatenates per row, exactly MySQL
+    assert (
+        rw("SELECT GROUP_CONCAT(a, ':', b) FROM t")
+        == "SELECT listagg(concat(a, ':', b), ',') FROM t"
+    )
+    # inside a string literal: untouched
+    s = "SELECT 'GROUP_CONCAT(x)' AS lit FROM t"
+    assert rw(s) == s
+    # separator containing the keyword-ish text and parens
+    assert (
+        rw("SELECT GROUP_CONCAT(f(a, b) SEPARATOR ' ORDER BY ') FROM t")
+        == "SELECT listagg(f(a, b), ' ORDER BY ') FROM t"
+    )
+
+
+def test_group_concat_end_to_end(eng):
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (2, 'b', 2.0), (1, 'a', 1.0), (3, 'a', 3.0)")
+    r = eng.execute(
+        "SELECT name, GROUP_CONCAT(id ORDER BY id SEPARATOR '+') AS ids "
+        "FROM user GROUP BY name ORDER BY name"
+    ).rows()
+    assert [(x["name"], x["ids"]) for x in r] == [("a", "1+3"), ("b", "2")]
+    r2 = eng.execute("SELECT GROUP_CONCAT(DISTINCT name) AS n FROM user").rows()
+    assert sorted(r2[0]["n"].split(",")) == ["a", "b"]

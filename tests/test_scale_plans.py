@@ -622,3 +622,34 @@ def test_funnel_latency_single_pass(spark):
     plan = _physical(REGISTRY["ev_funnel_latency"].fn(spark, SF_DIR))
     assert "Join" not in plan
     assert "PushedFilters" in plan and "In(event_type" in plan
+
+
+def test_novelty_no_broadcast_of_vocab(spark):
+    """text_novelty_score's first-occurrence join keys on gram — it
+    must carry no forced broadcast hint (the gram table is
+    vocabulary-sized; the text_perplexity rule) and never cross-join."""
+    df = REGISTRY["text_novelty_score"].fn(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_pareto_ranks_user_aggregate_not_events(spark):
+    """ev_pareto_share's global NTILE runs over the per-user aggregate,
+    never the event stream: the Window must sit above a HashAggregate,
+    and no join anywhere."""
+    plan = _physical(REGISTRY["ev_pareto_share"].fn(spark, SF_DIR))
+    assert "Join" not in plan
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[first_window:]
+
+
+def test_touchpoints_single_scan_single_user_shuffle(spark):
+    """ev_attribution_touchpoints computes all nine channel numbers in
+    ONE pass: one parquet scan (no per-channel union re-scan), the
+    RANGE and ROWS frames share the user_id exchange, no join."""
+    plan = _physical(REGISTRY["ev_attribution_touchpoints"].fn(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "PushedFilters" in plan and "In(event_type" in plan
