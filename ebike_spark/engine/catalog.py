@@ -151,6 +151,25 @@ class Catalog:
             self.require_table(qualified)
         self.spark.sql(f"DROP TABLE IF EXISTS {bq(qualified)}")
 
+    def create_table_like(self, src_qualified: str, dst_qualified: str) -> None:
+        """CREATE TABLE dst LIKE src — structure only, as MySQL: columns
+        (including the hidden rowid slot) and every ebike.* property
+        (PK/UNIQUE/NOT NULL/AUTO_INCREMENT/cluster markers) copy; data
+        does not. The AUTO_INCREMENT counter starts fresh (MySQL resets
+        it too)."""
+        self.require_table(src_qualified)
+        fields = self.spark.table(src_qualified).schema.fields
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+        props = {
+            k: v for k, v in self.properties(src_qualified).items() if k.startswith("ebike.")
+        }
+        props_ddl = ", ".join(f"'{k}' = '{v}'" for k, v in props.items()) or f"'{PROP_NOT_NULL}' = ''"
+        self._ensure_fresh_location(dst_qualified)
+        self.spark.sql(
+            f"CREATE TABLE {bq(dst_qualified)} ({cols}) USING parquet"
+            f" TBLPROPERTIES ({props_ddl})"
+        )
+
     # ------------------------------------------------------------ metadata
 
     def properties(self, qualified: str) -> dict[str, str]:

@@ -16,6 +16,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ebike_spark.engine import dml, show
@@ -477,6 +478,26 @@ class Engine:
         )
         if m:
             return self._ctas(bool(m.group(1)), unquote_ident(m.group(2)), m.group(3))
+        m = re.match(
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`\"]+)\s+"
+            r"(?:LIKE\s+([\w.`\"]+)|\(\s*LIKE\s+([\w.`\"]+)\s*\))\s*$",
+            sql,
+            re.I,
+        )
+        if m:
+            # MySQL CREATE TABLE ... LIKE (both spellings): structure +
+            # keys copy, data does not
+            dst = self.catalog.qualify(unquote_ident(m.group(2)), self.current_db)
+            src = self.catalog.qualify(
+                unquote_ident(m.group(3) or m.group(4)), self.current_db
+            )
+            if self.catalog.table_exists(dst):
+                if m.group(1):
+                    return EngineResult("count", affected=0)
+                raise EbikeError(1050, f"Table '{m.group(2)}' already exists")
+            self.catalog.create_table_like(src, dst)
+            self._info_schema_dirty = True
+            return EngineResult("count", affected=0)
         try:
             ct = parse_create_table(sql)
         except ValueError as e:
@@ -740,7 +761,34 @@ class Engine:
         if m:
             # MySQL's second rename spelling — same path as RENAME TABLE
             return self._rename_tables(f"RENAME TABLE {m.group(1)} TO {m.group(2)}")
-        raise parse_error("near ALTER TABLE (only ADD/DROP COLUMN, RENAME)")
+        m = re.match(
+            r"ALTER\s+TABLE\s+([\w.`\"]+)\s+MODIFY\s+(?:COLUMN\s+)?([\w`\"]+)\s+(\w+)"
+            r"(\s+NOT\s+NULL)?\s*$",
+            sql,
+            re.I,
+        )
+        if m:
+            q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
+            col = unquote_ident(m.group(2))
+            return self._modify_column(q, col, col, m.group(3).upper(), bool(m.group(4)))
+        m = re.match(
+            r"ALTER\s+TABLE\s+([\w.`\"]+)\s+CHANGE\s+(?:COLUMN\s+)?([\w`\"]+)\s+([\w`\"]+)"
+            r"\s+(\w+)(\s+NOT\s+NULL)?\s*$",
+            sql,
+            re.I,
+        )
+        if m:
+            q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
+            return self._modify_column(
+                q,
+                unquote_ident(m.group(2)),
+                unquote_ident(m.group(3)),
+                m.group(4).upper(),
+                bool(m.group(5)),
+            )
+        raise parse_error(
+            "near ALTER TABLE (only ADD/DROP/MODIFY/CHANGE COLUMN, RENAME)"
+        )
 
     def _drop_column(self, qualified: str, col: str) -> EngineResult:
         """Parquet v1 tables can't ALTER DROP COLUMN in place → recreate
@@ -752,21 +800,29 @@ class Engine:
             # the hidden rowid is not a user column — not droppable
             raise EbikeError(1091, f"Can't DROP '{col}'; check that column/key exists")
         kept = t.drop(col)
-        props = self.catalog.properties(qualified)
-        db, _, name = qualified.rpartition(".")
+        keep_props = {
+            k: ",".join(c for c in v.split(",") if c != col)
+            for k, v in self.catalog.properties(qualified).items()
+            if k.startswith("ebike.")
+        }
+        self._recreate_table(qualified, kept, keep_props)
+        return EngineResult("count", affected=0)
+
+    def _recreate_table(self, qualified: str, df: DataFrame, ebike_props: dict[str, str]) -> None:
+        """Stage-swap recreate for schema evolution parquet v1 can't do
+        in place (type/order change, column drop): write the new shape
+        to a stage table, drop, recreate with the given ebike.*
+        properties, reload, drop the stage. Shared by DROP/MODIFY/
+        CHANGE COLUMN."""
+        db, _, _ = qualified.rpartition(".")
         import uuid as _uuid
 
         stage = f"{db}.__ebike_stage_{_uuid.uuid4().hex[:12]}"
-        kept.write.saveAsTable(stage)
+        df.write.saveAsTable(stage)
         try:
             self.spark.sql(f"DROP TABLE {qualified}")
-            cols_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in kept.schema.fields)
-            keep_props = {
-                k: ",".join(c for c in v.split(",") if c != col)
-                for k, v in props.items()
-                if k.startswith("ebike.")
-            }
-            props_ddl = ", ".join(f"'{k}' = '{v}'" for k, v in keep_props.items()) or "'ebike.not_null' = ''"
+            cols_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+            props_ddl = ", ".join(f"'{k}' = '{v}'" for k, v in ebike_props.items()) or "'ebike.not_null' = ''"
             self.spark.sql(
                 f"CREATE TABLE {qualified} ({cols_ddl}) USING parquet TBLPROPERTIES ({props_ddl})"
             )
@@ -774,6 +830,73 @@ class Engine:
         finally:
             self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
         self._info_schema_dirty = True
+
+    def _modify_column(
+        self, qualified: str, old: str, new: str, sql_type: str, not_null: bool
+    ) -> EngineResult:
+        """ALTER TABLE MODIFY/CHANGE COLUMN: retype (strict-mode cast —
+        a non-NULL value that doesn't convert is 1366, as MySQL strict),
+        optionally rename, via the stage-swap recreate. Key/cluster/
+        auto-increment markers follow the rename. Divergence from
+        MySQL's full-redefinition semantics, documented: attributes not
+        restated in the clause (AUTO_INCREMENT, key membership) are
+        PRESERVED rather than dropped; nullability follows the clause
+        (absent NOT NULL → nullable, except PK columns, which stay NOT
+        NULL as in MySQL)."""
+        from ebike_spark.engine.catalog import (
+            PROP_AUTO_INCREMENT,
+            PROP_NOT_NULL,
+            TYPE_MAP,
+        )
+
+        self.catalog.require_table(qualified)
+        if sql_type not in TYPE_MAP:
+            raise EbikeError(1064, f"unsupported column type {sql_type} (only INT/FLOAT/CHAR)")
+        t = self.spark.table(qualified)
+        hidden_rowid = self.catalog.has_rowid(qualified)
+        if old not in t.columns or (old == "rowid" and hidden_rowid):
+            raise EbikeError(1054, f"Unknown column '{old}' in 'field list'")
+        if new != old and new in t.columns:
+            raise EbikeError(1060, f"Duplicate column name '{new}'")
+        spark_t = TYPE_MAP[sql_type]
+        if self.catalog.auto_increment_col(qualified) == old and spark_t != "BIGINT":
+            raise EbikeError(1063, f"Incorrect column specifier for column '{old}'")
+        src = F.col(old)
+        if t.schema[old].dataType.simpleString() == "double" and spark_t == "BIGINT":
+            # MySQL ROUNDS float→int; a bare cast truncates
+            cast = F.expr(f"CAST(ROUND(`{old}`, 0) AS BIGINT)")
+        else:
+            cast = src.cast(spark_t.lower())
+        bad = t.where(src.isNotNull() & cast.isNull()).count()
+        if bad:
+            raise EbikeError(
+                1366, f"Incorrect {sql_type.lower()} value for column '{old}' ({bad} rows)"
+            )
+        if not_null and t.where(src.isNull()).count():
+            raise EbikeError(1138, f"Invalid use of NULL value for column '{old}'")
+        new_df = t.select(
+            *[cast.alias(new) if c == old else F.col(c) for c in t.columns]
+        )
+        pk_cols = self.catalog.primary_key(qualified)
+
+        def ren(v: str) -> str:
+            return ",".join(new if c == old else c for c in v.split(","))
+
+        props = {
+            k: ren(v)
+            for k, v in self.catalog.properties(qualified).items()
+            if k.startswith("ebike.")
+        }
+        nn = [c for c in props.get(PROP_NOT_NULL, "").split(",") if c]
+        if not_null:
+            if new not in nn:
+                nn.append(new)
+        elif old not in pk_cols:
+            nn = [c for c in nn if c != new]
+        props[PROP_NOT_NULL] = ",".join(nn)
+        if props.get(PROP_AUTO_INCREMENT) == new and spark_t != "BIGINT":
+            props.pop(PROP_AUTO_INCREMENT)
+        self._recreate_table(qualified, new_df, props)
         return EngineResult("count", affected=0)
 
     # ------------------------------------------------------------ DML

@@ -1146,3 +1146,77 @@ def test_group_concat_end_to_end(eng):
     assert [(x["name"], x["ids"]) for x in r] == [("a", "1+3"), ("b", "2")]
     r2 = eng.execute("SELECT GROUP_CONCAT(DISTINCT name) AS n FROM user").rows()
     assert sorted(r2[0]["n"].split(",")) == ["a", "b"]
+
+
+def test_create_table_like_copies_structure_not_data(eng):
+    eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'a', 1.0)")
+    eng.execute("CREATE TABLE user2 LIKE user")
+    assert eng.execute("SELECT COUNT(*) AS c FROM user2").rows()[0]["c"] == 0
+    # keys copied: duplicate PK in the clone raises 1062
+    eng.execute("INSERT INTO user2 VALUES (1, 'a', 9.0)")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO user2 VALUES (1, 'a', 2.0)")
+    assert ei.value.code == 1062
+    # SHOW CREATE TABLE round-trips the same column/PK shape
+    c1 = eng.execute("SHOW CREATE TABLE user").rows()[0]["Create Table"]
+    c2 = eng.execute("SHOW CREATE TABLE user2").rows()[0]["Create Table"]
+    assert c1.split("(", 1)[1] == c2.split("(", 1)[1]
+    # paren spelling + IF NOT EXISTS no-op
+    eng.execute("CREATE TABLE user3 (LIKE user)")
+    eng.execute("CREATE TABLE IF NOT EXISTS user2 LIKE user")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("CREATE TABLE user2 LIKE user")
+    assert ei.value.code == 1050
+
+
+def test_alter_modify_column_retypes_and_checks(eng):
+    eng.execute("CREATE TABLE mc (id INT NOT NULL, v CHAR, PRIMARY KEY (id))")
+    eng.execute("INSERT INTO mc VALUES (1, '10'), (2, '20')")
+    eng.execute("ALTER TABLE mc MODIFY v INT")
+    rows = sorted((x["id"], x["v"]) for x in eng.execute("SELECT * FROM mc").rows())
+    assert rows == [(1, 10), (2, 20)]
+    assert eng.execute("SELECT id + v AS s FROM mc WHERE id = 1").rows()[0]["s"] == 11
+    # strict-mode: non-convertible value is 1366, table unchanged
+    eng.execute("CREATE TABLE mc2 (id INT NOT NULL, v CHAR, PRIMARY KEY (id))")
+    eng.execute("INSERT INTO mc2 VALUES (1, 'abc')")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("ALTER TABLE mc2 MODIFY v INT")
+    assert ei.value.code == 1366
+    assert eng.execute("SELECT v FROM mc2").rows()[0]["v"] == "abc"
+    # NOT NULL over existing NULLs is 1138
+    eng.execute("CREATE TABLE mc3 (id INT NOT NULL, v FLOAT, PRIMARY KEY (id))")
+    eng.execute("INSERT INTO mc3 VALUES (1, NULL)")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("ALTER TABLE mc3 MODIFY v FLOAT NOT NULL")
+    assert ei.value.code == 1138
+    # float→int rounds (MySQL), never truncates
+    eng.execute("CREATE TABLE mc4 (id INT NOT NULL, v FLOAT, PRIMARY KEY (id))")
+    eng.execute("INSERT INTO mc4 VALUES (1, 2.6), (2, -2.6)")
+    eng.execute("ALTER TABLE mc4 MODIFY v INT")
+    rows = sorted((x["id"], x["v"]) for x in eng.execute("SELECT * FROM mc4").rows())
+    assert rows == [(1, 3), (2, -3)]
+
+
+def test_alter_change_column_renames_and_keys_follow(eng):
+    eng.execute(
+        "CREATE TABLE cc (id INT NOT NULL, u CHAR, PRIMARY KEY (id), UNIQUE KEY uq (u))"
+    )
+    eng.execute("INSERT INTO cc VALUES (1, 'a')")
+    eng.execute("ALTER TABLE cc CHANGE u username CHAR")
+    assert [r["username"] for r in eng.execute("SELECT username FROM cc").rows()] == ["a"]
+    # the unique key followed the rename
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO cc VALUES (2, 'a')")
+    assert ei.value.code == 1062
+    # DML on the renamed column works end-to-end
+    eng.execute("UPDATE cc SET username = 'b' WHERE id = 1")
+    eng.execute("INSERT INTO cc VALUES (2, 'a')")
+    assert eng.execute("SELECT COUNT(*) AS c FROM cc").rows()[0]["c"] == 2
+    # rename onto an existing column is 1060; unknown source is 1054
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("ALTER TABLE cc CHANGE username id INT")
+    assert ei.value.code == 1060
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("ALTER TABLE cc MODIFY nope INT")
+    assert ei.value.code == 1054
