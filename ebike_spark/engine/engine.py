@@ -590,12 +590,16 @@ class Engine:
         )
         if not m:
             raise parse_error("near CREATE INDEX")
-        if m.group(1):
-            # post-hoc UNIQUE would need a retroactive constraint check +
-            # catalog change; out of scope like the reference (1105)
-            raise unsupported("CREATE UNIQUE INDEX")
         from ebike_spark.engine.parser import split_top_level
 
+        if m.group(1):
+            # CREATE UNIQUE INDEX = retroactive UNIQUE constraint: the
+            # existing data is checked for duplicates, then the key is
+            # recorded and enforced by every subsequent INSERT/upsert
+            name = unquote_ident(m.group(2))
+            q = self.catalog.qualify(unquote_ident(m.group(3)), self.current_db)
+            cols = [unquote_ident(c) for c in split_top_level(m.group(4))]
+            return self._add_unique(q, name, cols)
         name = unquote_ident(m.group(2))
         if not re.fullmatch(r"\w+", name):
             raise parse_error(f"bad index name '{name}'")
@@ -624,16 +628,114 @@ class Engine:
         m = re.match(r"DROP\s+INDEX\s+([\w`\"]+)\s+ON\s+([\w.`\"]+)\s*$", sql, re.I)
         if not m:
             raise parse_error("near DROP INDEX")
-        name = unquote_ident(m.group(1))
-        q = self.catalog.qualify(unquote_ident(m.group(2)), self.current_db)
-        self.catalog.require_table(q)
-        if not any(n == name for n, _ in self.catalog.cluster_indexes(q)):
-            raise EbikeError(1091, f"Can't DROP '{name}'; check that column/key exists")
-        # metadata-only: the physical clustering stays (harmless — it is
-        # just a row order) but stops being advertised or maintained
-        self.spark.sql(
-            f"ALTER TABLE {bq(q)} UNSET TBLPROPERTIES ('{self._PROP_CLUSTER}{name}')"
+        return self._drop_index_named(
+            self.catalog.qualify(unquote_ident(m.group(2)), self.current_db),
+            unquote_ident(m.group(1)),
         )
+
+    def _drop_index_named(self, q: str, name: str) -> EngineResult:
+        from ebike_spark.engine.catalog import PROP_UNIQUE_PREFIX
+
+        self.catalog.require_table(q)
+        if any(n == name for n, _ in self.catalog.cluster_indexes(q)):
+            # metadata-only: the physical clustering stays (harmless —
+            # it is just a row order) but stops being advertised or
+            # maintained
+            self.spark.sql(
+                f"ALTER TABLE {bq(q)} UNSET TBLPROPERTIES ('{self._PROP_CLUSTER}{name}')"
+            )
+            return EngineResult("count", affected=0)
+        if any(n == name for n, _ in self.catalog.unique_keys(q)):
+            # dropping a UNIQUE index stops its constraint enforcement
+            self.spark.sql(
+                f"ALTER TABLE {bq(q)} UNSET TBLPROPERTIES ('{PROP_UNIQUE_PREFIX}{name}')"
+            )
+            return EngineResult("count", affected=0)
+        raise EbikeError(1091, f"Can't DROP '{name}'; check that column/key exists")
+
+    def _add_unique(self, q: str, name: str, cols: list[str]) -> EngineResult:
+        """Retroactive UNIQUE key: reject if the existing data already
+        violates it (one bounded LIMIT-1 duplicate probe — rows with a
+        NULL in any key column are exempt, MySQL semantics), then record
+        the key; the INSERT/upsert paths enforce it from then on."""
+        from ebike_spark.engine.catalog import PROP_UNIQUE_PREFIX
+
+        self.catalog.require_table(q)
+        if not re.fullmatch(r"\w+", name):
+            raise parse_error(f"bad index name '{name}'")
+        known = {c for c, _ in self.catalog.column_types(q)}
+        for c in cols:
+            if c not in known:
+                raise EbikeError(1072, f"Key column '{c}' doesn't exist in table")
+        taken = {n for n, _ in self.catalog.unique_keys(q)}
+        taken.update(n for n, _ in self.catalog.cluster_indexes(q))
+        if name in taken:
+            raise EbikeError(1061, f"Duplicate key name '{name}'")
+        t = self.spark.table(q)
+        non_null = t
+        for c in cols:
+            non_null = non_null.where(F.col(c).isNotNull())
+        dup = (
+            non_null.groupBy(*[F.col(c) for c in cols])
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            vals = "-".join(str(dup[0][c]) for c in cols)
+            raise EbikeError(1062, f"Duplicate entry '{vals}' for key '{name}'")
+        self.spark.sql(
+            f"ALTER TABLE {bq(q)} SET TBLPROPERTIES "
+            f"('{PROP_UNIQUE_PREFIX}{name}' = '{','.join(cols)}')"
+        )
+        return EngineResult("count", affected=0)
+
+    def _add_primary_key(self, q: str, cols: list[str]) -> EngineResult:
+        """Retroactive PRIMARY KEY: existing NULLs are 1138, existing
+        duplicates 1062; the key columns join the NOT NULL set."""
+        from ebike_spark.engine.catalog import PROP_NOT_NULL, PROP_PK
+
+        self.catalog.require_table(q)
+        if self.catalog.primary_key(q):
+            raise EbikeError(1068, "Multiple primary key defined")
+        known = {c for c, _ in self.catalog.column_types(q)}
+        for c in cols:
+            if c not in known:
+                raise EbikeError(1072, f"Key column '{c}' doesn't exist in table")
+        t = self.spark.table(q)
+        import functools as _ft
+        import operator as _op
+
+        any_null = _ft.reduce(_op.or_, [F.col(c).isNull() for c in cols])
+        if t.where(any_null).limit(1).collect():
+            raise EbikeError(1138, "Invalid use of NULL value in key column")
+        dup = (
+            t.groupBy(*[F.col(c) for c in cols])
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            vals = "-".join(str(dup[0][c]) for c in cols)
+            raise EbikeError(1062, f"Duplicate entry '{vals}' for key 'PRIMARY'")
+        nn = self.catalog.not_null_cols(q)
+        nn.extend(c for c in cols if c not in nn)
+        self.spark.sql(
+            f"ALTER TABLE {bq(q)} SET TBLPROPERTIES "
+            f"('{PROP_PK}' = '{','.join(cols)}', '{PROP_NOT_NULL}' = '{','.join(nn)}')"
+        )
+        return EngineResult("count", affected=0)
+
+    def _drop_primary_key(self, q: str) -> EngineResult:
+        from ebike_spark.engine.catalog import PROP_PK
+
+        self.catalog.require_table(q)
+        if not self.catalog.primary_key(q):
+            raise EbikeError(1091, "Can't DROP 'PRIMARY'; check that column/key exists")
+        # MySQL keeps the NOT NULL attribute on former PK columns
+        self.spark.sql(f"ALTER TABLE {bq(q)} UNSET TBLPROPERTIES ('{PROP_PK}')")
         return EngineResult("count", affected=0)
 
     def _matview_sql(self, q: str) -> str:
@@ -762,6 +864,53 @@ class Engine:
             # MySQL's second rename spelling — same path as RENAME TABLE
             return self._rename_tables(f"RENAME TABLE {m.group(1)} TO {m.group(2)}")
         m = re.match(
+            r"ALTER\s+TABLE\s+([\w.`\"]+)\s+ADD\s+PRIMARY\s+KEY\s*\(([^)]+)\)\s*$", sql, re.I
+        )
+        if m:
+            from ebike_spark.engine.parser import split_top_level
+
+            q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
+            return self._add_primary_key(
+                q, [unquote_ident(c) for c in split_top_level(m.group(2))]
+            )
+        m = re.match(
+            r"ALTER\s+TABLE\s+([\w.`\"]+)\s+ADD\s+UNIQUE\s+(?:INDEX\s+|KEY\s+)?"
+            r"(?:([\w`\"]+)\s*)?\(([^)]+)\)\s*$",
+            sql,
+            re.I,
+        )
+        if m:
+            from ebike_spark.engine.parser import split_top_level
+
+            q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
+            cols = [unquote_ident(c) for c in split_top_level(m.group(3))]
+            # MySQL auto-names an anonymous key after its first column
+            name = unquote_ident(m.group(2)) if m.group(2) else cols[0]
+            return self._add_unique(q, name, cols)
+        m = re.match(
+            r"ALTER\s+TABLE\s+([\w.`\"]+)\s+ADD\s+(?:INDEX|KEY)\s+([\w`\"]+)\s*\(([^)]+)\)\s*$",
+            sql,
+            re.I,
+        )
+        if m:
+            # same path as CREATE INDEX (physical range clustering)
+            return self._create_index(
+                f"CREATE INDEX {m.group(2)} ON {m.group(1)} ({m.group(3)})"
+            )
+        m = re.match(r"ALTER\s+TABLE\s+([\w.`\"]+)\s+DROP\s+PRIMARY\s+KEY\s*$", sql, re.I)
+        if m:
+            return self._drop_primary_key(
+                self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
+            )
+        m = re.match(
+            r"ALTER\s+TABLE\s+([\w.`\"]+)\s+DROP\s+(?:INDEX|KEY)\s+([\w`\"]+)\s*$", sql, re.I
+        )
+        if m:
+            return self._drop_index_named(
+                self.catalog.qualify(unquote_ident(m.group(1)), self.current_db),
+                unquote_ident(m.group(2)),
+            )
+        m = re.match(
             r"ALTER\s+TABLE\s+([\w.`\"]+)\s+MODIFY\s+(?:COLUMN\s+)?([\w`\"]+)\s+(\w+)"
             r"(\s+NOT\s+NULL)?\s*$",
             sql,
@@ -787,7 +936,8 @@ class Engine:
                 bool(m.group(5)),
             )
         raise parse_error(
-            "near ALTER TABLE (only ADD/DROP/MODIFY/CHANGE COLUMN, RENAME)"
+            "near ALTER TABLE (only ADD/DROP/MODIFY/CHANGE COLUMN, "
+            "ADD/DROP INDEX|UNIQUE|PRIMARY KEY, RENAME)"
         )
 
     def _drop_column(self, qualified: str, col: str) -> EngineResult:

@@ -1038,8 +1038,7 @@ def test_create_index_clustering(eng):
     with pytest.raises(EbikeError) as ei:
         eng.execute("CREATE INDEX ix_bad ON user (nope)")
     assert ei.value.code == 1072
-    with pytest.raises(EbikeError):
-        eng.execute("CREATE UNIQUE INDEX ux ON user (stature)")
+    # UNIQUE INDEX is the retroactive-constraint path (its own test)
     # DROP removes only the record; unknown drop errors 1091
     eng.execute("DROP INDEX ix_stature ON user")
     idx2 = eng.execute("SHOW INDEX FROM user").rows()
@@ -1093,11 +1092,65 @@ def test_insert_ignore_stored_skip_does_not_suppress_later_rows(eng):
     assert rows == [(1, "a"), (2, "b")]
 
 
-def test_create_unique_index_specific_error(eng):
+def test_create_unique_index_retroactive(eng):
+    """CREATE UNIQUE INDEX = retroactive UNIQUE: existing duplicates
+    reject it (1062); once created, INSERT enforces it."""
     eng.execute(USER_DDL)
+    eng.execute("INSERT INTO user VALUES (1, 'a', 1.0), (2, 'b', 1.0)")
     with pytest.raises(EbikeError) as ei:
         eng.execute("CREATE UNIQUE INDEX ux ON user (stature)")
-    assert ei.value.code == 1105 and "UNIQUE INDEX" in str(ei.value)
+    assert ei.value.code == 1062
+    eng.execute("DELETE FROM user WHERE id = 2")
+    eng.execute("CREATE UNIQUE INDEX ux ON user (stature)")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO user VALUES (3, 'c', 1.0)")
+    assert ei.value.code == 1062
+    # NULLs never conflict (MySQL unique semantics)
+    eng.execute("INSERT INTO user VALUES (4, 'd', NULL), (5, 'e', NULL)")
+    # DROP INDEX releases the constraint
+    eng.execute("DROP INDEX ux ON user")
+    eng.execute("INSERT INTO user VALUES (6, 'f', 1.0)")
+    assert eng.execute("SELECT COUNT(*) AS c FROM user").rows()[0]["c"] == 4
+
+
+def test_alter_add_drop_keys(eng):
+    eng.execute("CREATE TABLE ak (id INT NOT NULL, u CHAR, v FLOAT)")
+    eng.execute("INSERT INTO ak VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    # retroactive PRIMARY KEY; duplicate add is 1068
+    eng.execute("ALTER TABLE ak ADD PRIMARY KEY (id)")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO ak VALUES (1, 'z', 9.0)")
+    assert ei.value.code == 1062
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("ALTER TABLE ak ADD PRIMARY KEY (u)")
+    assert ei.value.code == 1068
+    # anonymous UNIQUE auto-names after its first column
+    eng.execute("ALTER TABLE ak ADD UNIQUE (u)")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO ak VALUES (3, 'a', 3.0)")
+    assert ei.value.code == 1062
+    eng.execute("ALTER TABLE ak DROP KEY u")
+    eng.execute("INSERT INTO ak VALUES (3, 'a', 3.0)")
+    # ADD INDEX rides the clustering path and shows up in SHOW INDEX
+    eng.execute("ALTER TABLE ak ADD INDEX iv (v)")
+    idx = eng.execute("SHOW INDEX FROM ak").rows()
+    assert any(r["Key_name"] == "iv" for r in idx)
+    eng.execute("ALTER TABLE ak DROP INDEX iv")
+    # DROP PRIMARY KEY; second drop is 1091
+    eng.execute("ALTER TABLE ak DROP PRIMARY KEY")
+    eng.execute("INSERT INTO ak VALUES (1, 'q', 4.0)")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("ALTER TABLE ak DROP PRIMARY KEY")
+    assert ei.value.code == 1091
+    # retroactive PK over now-duplicate data is 1062; over NULLs 1138
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("ALTER TABLE ak ADD PRIMARY KEY (id)")
+    assert ei.value.code == 1062
+    eng.execute("CREATE TABLE ak2 (id INT, v FLOAT)")
+    eng.execute("INSERT INTO ak2 VALUES (NULL, 1.0)")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("ALTER TABLE ak2 ADD PRIMARY KEY (id)")
+    assert ei.value.code == 1138
 
 
 def test_insert_ignore_select_rejected_cleanly(eng):
