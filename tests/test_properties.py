@@ -313,3 +313,47 @@ def test_engine_show_create_roundtrip(spark, cols, key_kind):
         assert ddl2.replace(f"`{t2}`", f"`{t1}`", 1) == ddl1
     finally:
         eng.execute(f"DROP DATABASE IF EXISTS {db}")
+
+
+# ------------------------------------------------- GROUP_CONCAT rewrite
+
+
+@given(st.text(alphabet="abc'\"`(), GROUP_CONCAT", max_size=40))
+def test_group_concat_rewrite_total(sql):
+    """The rewriter never crashes on arbitrary (even malformed) input —
+    it either rewrites or raises ValueError (unbalanced parens), and
+    text without an unquoted GROUP_CONCAT( passes through verbatim."""
+    from ebike_spark.engine.parser import rewrite_group_concat
+
+    try:
+        out = rewrite_group_concat(sql)
+    except ValueError:
+        return  # unbalanced GROUP_CONCAT( — rejected, never mangled
+    if "GROUP_CONCAT" not in sql.upper():
+        assert out == sql
+
+
+@given(
+    idents,
+    st.sampled_from(["", "DISTINCT "]),
+    st.one_of(st.none(), idents),
+    st.one_of(st.none(), st.text(alphabet="|;, ORDER BY'", max_size=6)),
+)
+def test_group_concat_rewrite_shape(expr, distinct, order, sep):
+    """Well-formed GROUP_CONCAT always becomes listagg with the same
+    expr, a WITHIN GROUP iff ORDER BY was present, and the separator
+    literal carried through byte-for-byte."""
+    from ebike_spark.engine.parser import rewrite_group_concat
+
+    inner = f"{distinct}{expr}"
+    if order:
+        inner += f" ORDER BY {order}"
+    if sep is not None:
+        sep_lit = "'" + sep.replace("'", "") + "'"
+        inner += f" SEPARATOR {sep_lit}"
+    else:
+        sep_lit = "','"
+    out = rewrite_group_concat(f"SELECT GROUP_CONCAT({inner}) FROM t")
+    assert out.startswith(f"SELECT listagg({distinct}{expr}, {sep_lit})")
+    assert ("WITHIN GROUP" in out) == bool(order)
+    assert out.endswith(" FROM t")
