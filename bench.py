@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "mm_ppm_decode_stats",
     "ev_funnel_latency",
     "text_novelty_score",
+    "text_novelty_incremental",
     "ev_pareto_share",
     "ev_attribution_touchpoints",
 ]

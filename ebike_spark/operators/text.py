@@ -401,6 +401,23 @@ def text_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
 NOVELTY_N = 5  # word n-gram size for first-occurrence novelty
 
 
+def _novelty_gram_set(docs):
+    """(doc_id, gram): distinct word {NOVELTY_N}-grams per document,
+    posexplode+lead construction (HOF variant measured 4.7x slower)."""
+    tok = docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "w"))
+    win = Window.partitionBy("doc_id").orderBy("i")
+    parts = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, NOVELTY_N)]
+    tail = F.lead("w", NOVELTY_N - 1).over(win)
+    return (
+        tok.select("doc_id", F.concat_ws(" ", *parts).alias("gram"), tail.alias("_t"))
+        .where(F.col("_t").isNotNull())
+        .drop("_t")
+        .distinct()
+    )
+
+
+
+
 @register(
     "text_novelty_score",
     oracle=f"""
@@ -442,17 +459,7 @@ def text_novelty_score(spark: SparkSession, sf: str) -> DataFrame:
     discipline as the dedup shingle pipelines); the final per-doc
     rollup is one doc_id shuffle. No broadcast of anything
     vocabulary-sized."""
-    docs = load_table(spark, sf, "documents")
-    tok = docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "w"))
-    win = Window.partitionBy("doc_id").orderBy("i")
-    parts = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, NOVELTY_N)]
-    tail = F.lead("w", NOVELTY_N - 1).over(win)
-    g = (
-        tok.select("doc_id", F.concat_ws(" ", *parts).alias("gram"), tail.alias("_t"))
-        .where(F.col("_t").isNotNull())
-        .drop("_t")
-        .distinct()
-    )
+    g = _novelty_gram_set(load_table(spark, sf, "documents"))
     first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (
         g.join(first, "gram")
@@ -462,5 +469,68 @@ def text_novelty_score(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(
                 F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
             ).alias("novel_grams"),
+        )
+    )
+
+
+NOVELTY_BATCH_FRACTION = 0.2  # top 20% of the doc_id space = the batch
+
+
+@register(
+    "text_novelty_incremental",
+    oracle=f"""
+    WITH mx AS (SELECT CAST(ceil({1.0 - NOVELTY_BATCH_FRACTION!r} * (MAX(doc_id) + 1))
+                       AS BIGINT) AS c FROM documents),
+    tok AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= {NOVELTY_N}),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+{NOVELTY_N - 1}], ' ') AS gram
+      FROM (SELECT doc_id, w,
+                   UNNEST(generate_series(1, len(w) - {NOVELTY_N - 1})) AS i
+            FROM tok)),
+    hist AS (SELECT DISTINCT gram FROM g, mx WHERE doc_id < c),
+    b AS (SELECT g.doc_id, g.gram FROM g, mx WHERE g.doc_id >= c)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS total_grams,
+           CAST(SUM(CASE WHEN h.gram IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_grams
+    FROM b LEFT JOIN hist h ON h.gram = b.gram
+    GROUP BY 1
+    """,
+    tags=("text", "ngram", "curation", "novelty", "incremental"),
+)
+def text_novelty_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-incremental novelty — the production shape of
+    text_novelty_score: the incoming batch (top 20% of the doc_id
+    space, the dedup_incremental convention) is
+    scored against the HISTORICAL gram set only (in-batch novelty is
+    batch-local and deliberately not counted — a streaming batch
+    arrives as one unit). A pipeline runs this per ingest batch instead
+    of recomputing corpus-wide first-occurrence.
+
+    Scale shape: the history side reduces to its DISTINCT gram
+    vocabulary before the join; the left-outer credit join's LEFT side
+    is batch-sized — at 100 TB the batch is a small fraction of the
+    corpus, so the per-batch cost is |batch grams| + one
+    vocabulary-sized shuffle, never corpus x corpus (the
+    dedup_incremental argument). The id cutoff is one scalar aggregate
+    collected to the driver — bounded, not a data collect."""
+    import math
+
+    docs = load_table(spark, sf, "documents")
+    mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    cutoff = int(math.ceil((1.0 - NOVELTY_BATCH_FRACTION) * (mx + 1)))
+    g = _novelty_gram_set(docs)
+    hist = g.where(F.col("doc_id") < cutoff).select("gram").distinct()
+    batch = g.where(F.col("doc_id") >= cutoff)
+    return (
+        batch.join(hist.withColumn("__hit", F.lit(1)), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_grams"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias(
+                "novel_grams"
+            ),
         )
     )

@@ -129,6 +129,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "mm_ppm_decode_stats",
     "ev_funnel_latency",
     "text_novelty_score",
+    "text_novelty_incremental",
     "ev_pareto_share",
     "ev_attribution_touchpoints",
     # relational core — external evidence stale since round 1

@@ -653,3 +653,17 @@ def test_touchpoints_single_scan_single_user_shuffle(spark):
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
     assert "PushedFilters" in plan and "In(event_type" in plan
+
+
+def test_novelty_incremental_history_distincts_before_join(spark):
+    """text_novelty_incremental's credit join consumes the DISTINCT
+    history gram vocabulary, never raw history grams, and carries no
+    forced broadcast (vocabulary-sized right side)."""
+    df = REGISTRY["text_novelty_incremental"].fn(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    opt = _optimized(df)
+    join_pos = opt.index("Join")
+    assert "Aggregate" in opt[join_pos:]  # distinct below the join
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
