@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "text_novelty_incremental",
     "ev_pareto_share",
     "ev_attribution_touchpoints",
+    "ev_attribution_time_decay",
 ]
 
 

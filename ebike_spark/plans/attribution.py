@@ -568,3 +568,98 @@ def ev_attribution_touchpoints(spark: SparkSession, sf: str) -> DataFrame:
         " 'direct', ft_direct, lt_direct, tc_direct)"
         " AS (channel, first_touch_convs, last_touch_convs, touches_credited)"
     )
+
+
+DAY_US = 24 * 3600 * 1_000_000
+DECAY_DAYS = 7  # lookback; day-bucket d gets weight 2^(DECAY_DAYS-1-d)
+
+
+def _decay_bucket_sql(channel: str, d: int) -> str:
+    lo = (d + 1) * DAY_US - 1
+    hi = d * DAY_US
+    return (
+        f"COUNT(CASE WHEN event_type = '{channel}' THEN 1 END) OVER "
+        f"(PARTITION BY user_id ORDER BY t "
+        f"RANGE BETWEEN {lo} PRECEDING AND {hi} PRECEDING)"
+    )
+
+
+@register(
+    "ev_attribution_time_decay",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+    tagged AS (
+      SELECT *,
+        {", ".join(f"{_decay_bucket_sql(ch, d)} AS n_{ch}_{d}"
+                   for ch in ("click", "view") for d in range(DECAY_DAYS))}
+      FROM e),
+    conv AS (SELECT * FROM tagged WHERE event_type = 'purchase')
+    SELECT 'click' AS channel,
+           CAST(SUM({" + ".join(f"n_click_{d} * {2 ** (DECAY_DAYS - 1 - d)}"
+                                for d in range(DECAY_DAYS))}) AS BIGINT) AS decayed_credit,
+           CAST(SUM({" + ".join(f"n_click_{d}" for d in range(DECAY_DAYS))})
+                AS BIGINT) AS touches
+    FROM conv
+    UNION ALL
+    SELECT 'view',
+           CAST(SUM({" + ".join(f"n_view_{d} * {2 ** (DECAY_DAYS - 1 - d)}"
+                                for d in range(DECAY_DAYS))}) AS BIGINT),
+           CAST(SUM({" + ".join(f"n_view_{d}" for d in range(DECAY_DAYS))})
+                AS BIGINT)
+    FROM conv
+    """,
+    tags=("events", "attribution", "window", "range-frame", "integer-exact"),
+)
+def ev_attribution_time_decay(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-decay attribution, INTEGER EXACT: each purchase credits
+    every click/view in its trailing 7 days with weight 2^(6-d) for a
+    touch d whole days old (most recent day 64 ... oldest 1) — the
+    exponential-decay model cross-multiplied to integers (house rule:
+    ev_ewma_spike). A window aggregate cannot reference the CURRENT
+    row's timestamp against frame rows, so per-pair age is not
+    expressible in one frame; the decomposition into {DECAY_DAYS}
+    fixed-bound day buckets — each a RANGE frame with CONSTANT weight —
+    is, and is exact.
+
+    Scale shape: all 2x{DECAY_DAYS} bucket counts ride ONE user_id
+    shuffle (identical partitioning and ordering, one Window operator
+    stack); frames bound per-row state by the 7-day per-user event
+    count; the final 2-row channel aggregate is map-side partials. The
+    event-type filter reaches the parquet scan."""
+    ev = load_table(spark, sf, "events").where(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    e = ev.select("user_id", "event_type", F.unix_micros("ts").alias("t"))
+    buckets = {}
+    for ch in ("click", "view"):
+        for d in range(DECAY_DAYS):
+            w = (
+                Window.partitionBy("user_id")
+                .orderBy("t")
+                .rangeBetween(-((d + 1) * DAY_US - 1), -(d * DAY_US))
+            )
+            buckets[f"n_{ch}_{d}"] = F.count(
+                F.when(F.col("event_type") == ch, 1)
+            ).over(w)
+    tagged = e.select("event_type", *[c.alias(n) for n, c in buckets.items()])
+    conv = tagged.where(F.col("event_type") == "purchase")
+
+    # ONE aggregate pass for both channels, constant 2-row stack unpivot
+    # (a per-channel union would re-run the scan and all 14 windows)
+    aggs = []
+    for ch in ("click", "view"):
+        total = None
+        raw = None
+        for d in range(DECAY_DAYS):
+            term = F.col(f"n_{ch}_{d}") * (2 ** (DECAY_DAYS - 1 - d))
+            cnt = F.col(f"n_{ch}_{d}")
+            total = term if total is None else total + term
+            raw = cnt if raw is None else raw + cnt
+        aggs.append(F.sum(total).cast("long").alias(f"dc_{ch}"))
+        aggs.append(F.sum(raw).cast("long").alias(f"tc_{ch}"))
+    return conv.agg(*aggs).selectExpr(
+        "stack(2, 'click', dc_click, tc_click, 'view', dc_view, tc_view)"
+        " AS (channel, decayed_credit, touches)"
+    )

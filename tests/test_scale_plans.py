@@ -667,3 +667,13 @@ def test_novelty_incremental_history_distincts_before_join(spark):
     assert "Aggregate" in opt[join_pos:]  # distinct below the join
     plan = _physical(df)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_time_decay_one_window_one_scan(spark):
+    """ev_attribution_time_decay's 14 day-bucket RANGE frames share ONE
+    Window operator over one user_id exchange; both channels come from
+    a single aggregate (no per-channel union re-scan)."""
+    plan = _physical(REGISTRY["ev_attribution_time_decay"].fn(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "PushedFilters" in plan and "In(event_type" in plan
