@@ -229,6 +229,8 @@ class Catalog:
             lines.append("  PRIMARY KEY (" + ", ".join(f"`{c}`" for c in pk) + ")")
         for uname, ucols in self.unique_keys(qualified):
             lines.append(f"  UNIQUE KEY `{uname}` (" + ", ".join(f"`{c}`" for c in ucols) + ")")
+        for iname, icols in self.cluster_indexes(qualified):
+            lines.append(f"  KEY `{iname}` (" + ", ".join(f"`{c}`" for c in icols) + ")")
         body = ",\n".join(lines)
         return f"CREATE TABLE `{tname}` (\n{body}\n) ENGINE=parquet DEFAULT CHARSET=utf8mb4"
 

@@ -1273,3 +1273,13 @@ def test_alter_change_column_renames_and_keys_follow(eng):
     with pytest.raises(EbikeError) as ei:
         eng.execute("ALTER TABLE cc MODIFY nope INT")
     assert ei.value.code == 1054
+
+
+def test_show_create_table_lists_cluster_keys(eng):
+    eng.execute(USER_DDL)
+    eng.execute("CREATE INDEX ix ON user (stature)")
+    ct = eng.execute("SHOW CREATE TABLE user").rows()[0]["Create Table"]
+    assert "KEY `ix` (`stature`)" in ct
+    eng.execute("DROP INDEX ix ON user")
+    ct2 = eng.execute("SHOW CREATE TABLE user").rows()[0]["Create Table"]
+    assert "KEY `ix`" not in ct2
