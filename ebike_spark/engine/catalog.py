@@ -153,11 +153,15 @@ class Catalog:
 
     def create_table_like(self, src_qualified: str, dst_qualified: str) -> None:
         """CREATE TABLE dst LIKE src — structure only, as MySQL: columns
-        (including the hidden rowid slot) and every ebike.* property
-        (PK/UNIQUE/NOT NULL/AUTO_INCREMENT/cluster markers) copy; data
-        does not. The AUTO_INCREMENT counter starts fresh (MySQL resets
-        it too)."""
+        (including the hidden rowid slot) and the key-shaped ebike.*
+        properties (PK/UNIQUE/NOT NULL/AUTO_INCREMENT/cluster markers)
+        copy; data does not. The AUTO_INCREMENT counter starts fresh
+        (MySQL resets it too). A materialized view is not a base table
+        (MySQL 1347 for LIKE on a view) — and copying its marker would
+        make the clone REFRESH-able into the source's query result."""
         self.require_table(src_qualified)
+        if "ebike.matview.sql" in self.properties(src_qualified):
+            raise EbikeError(1347, f"'{src_qualified}' is not BASE TABLE")
         fields = self.spark.table(src_qualified).schema.fields
         cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
         props = {

@@ -124,8 +124,8 @@ class Engine:
         if kw == "DROP" and kw2 == "MATERIALIZED":
             return self._drop_matview(sql)
         if kw == "CREATE" and kw2 in ("INDEX", "UNIQUE"):
-            # CREATE [UNIQUE] INDEX both route here; the UNIQUE form is
-            # rejected inside with a specific message
+            # CREATE INDEX = range clustering; CREATE UNIQUE INDEX =
+            # retroactive UNIQUE constraint (_add_unique)
             return self._create_index(sql)
         if kw == "DROP" and kw2 == "INDEX":
             return self._drop_index(sql)
@@ -644,12 +644,14 @@ class Engine:
             self.spark.sql(
                 f"ALTER TABLE {bq(q)} UNSET TBLPROPERTIES ('{self._PROP_CLUSTER}{name}')"
             )
+            self._info_schema_dirty = True
             return EngineResult("count", affected=0)
         if any(n == name for n, _ in self.catalog.unique_keys(q)):
             # dropping a UNIQUE index stops its constraint enforcement
             self.spark.sql(
                 f"ALTER TABLE {bq(q)} UNSET TBLPROPERTIES ('{PROP_UNIQUE_PREFIX}{name}')"
             )
+            self._info_schema_dirty = True
             return EngineResult("count", affected=0)
         raise EbikeError(1091, f"Can't DROP '{name}'; check that column/key exists")
 
@@ -689,6 +691,7 @@ class Engine:
             f"ALTER TABLE {bq(q)} SET TBLPROPERTIES "
             f"('{PROP_UNIQUE_PREFIX}{name}' = '{','.join(cols)}')"
         )
+        self._info_schema_dirty = True
         return EngineResult("count", affected=0)
 
     def _add_primary_key(self, q: str, cols: list[str]) -> EngineResult:
@@ -726,6 +729,7 @@ class Engine:
             f"ALTER TABLE {bq(q)} SET TBLPROPERTIES "
             f"('{PROP_PK}' = '{','.join(cols)}', '{PROP_NOT_NULL}' = '{','.join(nn)}')"
         )
+        self._info_schema_dirty = True
         return EngineResult("count", affected=0)
 
     def _drop_primary_key(self, q: str) -> EngineResult:
@@ -736,6 +740,7 @@ class Engine:
             raise EbikeError(1091, "Can't DROP 'PRIMARY'; check that column/key exists")
         # MySQL keeps the NOT NULL attribute on former PK columns
         self.spark.sql(f"ALTER TABLE {bq(q)} UNSET TBLPROPERTIES ('{PROP_PK}')")
+        self._info_schema_dirty = True
         return EngineResult("count", affected=0)
 
     def _matview_sql(self, q: str) -> str:
@@ -874,7 +879,7 @@ class Engine:
                 q, [unquote_ident(c) for c in split_top_level(m.group(2))]
             )
         m = re.match(
-            r"ALTER\s+TABLE\s+([\w.`\"]+)\s+ADD\s+UNIQUE\s+(?:INDEX\s+|KEY\s+)?"
+            r"ALTER\s+TABLE\s+([\w.`\"]+)\s+ADD\s+UNIQUE\s*(?:\b(?:INDEX|KEY)\b\s*)?"
             r"(?:([\w`\"]+)\s*)?\(([^)]+)\)\s*$",
             sql,
             re.I,
@@ -884,8 +889,15 @@ class Engine:
 
             q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
             cols = [unquote_ident(c) for c in split_top_level(m.group(3))]
-            # MySQL auto-names an anonymous key after its first column
-            name = unquote_ident(m.group(2)) if m.group(2) else cols[0]
+            name = unquote_ident(m.group(2)) if m.group(2) else None
+            if name is None:
+                # MySQL auto-names an anonymous key after its first
+                # column, deduping with _2, _3, ... on collision
+                taken = {n for n, _ in self.catalog.unique_keys(q)}
+                taken.update(n for n, _ in self.catalog.cluster_indexes(q))
+                name, k = cols[0], 2
+                while name in taken:
+                    name, k = f"{cols[0]}_{k}", k + 1
             return self._add_unique(q, name, cols)
         m = re.match(
             r"ALTER\s+TABLE\s+([\w.`\"]+)\s+ADD\s+(?:INDEX|KEY)\s+([\w`\"]+)\s*\(([^)]+)\)\s*$",
@@ -954,6 +966,14 @@ class Engine:
             k: ",".join(c for c in v.split(",") if c != col)
             for k, v in self.catalog.properties(qualified).items()
             if k.startswith("ebike.")
+        }
+        # a UNIQUE/cluster key whose LAST column was dropped disappears
+        # with it (MySQL drops the index; an empty key list would crash
+        # the next keyed INSERT's conjunction builder)
+        keep_props = {
+            k: v
+            for k, v in keep_props.items()
+            if v or not k.startswith(("ebike.unique.", "ebike.cluster."))
         }
         self._recreate_table(qualified, kept, keep_props)
         return EngineResult("count", affected=0)
@@ -1044,8 +1064,6 @@ class Engine:
         elif old not in pk_cols:
             nn = [c for c in nn if c != new]
         props[PROP_NOT_NULL] = ",".join(nn)
-        if props.get(PROP_AUTO_INCREMENT) == new and spark_t != "BIGINT":
-            props.pop(PROP_AUTO_INCREMENT)
         self._recreate_table(qualified, new_df, props)
         return EngineResult("count", affected=0)
 

@@ -264,12 +264,10 @@ def rewrite_group_concat(sql: str) -> str:
         out.append(sql[i:j])
 
         sep = "','"
-        kws = find_top_level_keywords(inner, ("ORDER BY", "SEPARATOR"))
         order_by = None
-        for kw, s0, s1 in kws:
-            if kw == "SEPARATOR":
-                sep = inner[s1:].strip()
-                inner = inner[:s0].rstrip()
+        for kw, s0, s1 in find_top_level_keywords(inner, ("SEPARATOR",)):
+            sep = inner[s1:].strip()
+            inner = inner[:s0].rstrip()
         for kw, s0, s1 in find_top_level_keywords(inner, ("ORDER BY",)):
             order_by = inner[s1:].strip()
             inner = inner[:s0].rstrip()

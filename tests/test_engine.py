@@ -1283,3 +1283,50 @@ def test_show_create_table_lists_cluster_keys(eng):
     eng.execute("DROP INDEX ix ON user")
     ct2 = eng.execute("SHOW CREATE TABLE user").rows()[0]["Create Table"]
     assert "KEY `ix`" not in ct2
+
+
+def test_drop_column_removes_emptied_unique_key(eng):
+    """Dropping a UNIQUE key's last column drops the key with it (MySQL
+    drops the index) — an empty key list must not survive to crash the
+    next keyed INSERT."""
+    eng.execute("CREATE TABLE dk (a INT, b CHAR, UNIQUE KEY u (b))")
+    eng.execute("ALTER TABLE dk DROP COLUMN b")
+    eng.execute("INSERT INTO dk VALUES (1)")
+    eng.execute("INSERT INTO dk VALUES (1)")  # no phantom constraint
+    assert eng.execute("SELECT COUNT(*) AS c FROM dk").rows()[0]["c"] == 2
+
+
+def test_create_table_like_matview_rejected(eng):
+    eng.execute(USER_DDL)
+    eng.execute("CREATE MATERIALIZED VIEW mv AS SELECT id FROM user")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("CREATE TABLE t2 LIKE mv")
+    assert ei.value.code == 1347
+    eng.execute("DROP MATERIALIZED VIEW mv")
+
+
+def test_add_unique_nospace_and_autoname_dedup(eng):
+    eng.execute("CREATE TABLE au (a INT, b CHAR)")
+    # no space after the keyword: INDEX must not become the key name
+    eng.execute("ALTER TABLE au ADD UNIQUE INDEX(a)")
+    names = {r["Key_name"] for r in eng.execute("SHOW INDEX FROM au").rows()}
+    assert "a" in names and "index" not in names
+    # anonymous re-add on a fresh column set dedups a -> a_2 (MySQL)
+    eng.execute("ALTER TABLE au ADD UNIQUE (a, b)")
+    names = {r["Key_name"] for r in eng.execute("SHOW INDEX FROM au").rows()}
+    assert "a_2" in names
+
+
+def test_key_ddl_refreshes_information_schema(eng):
+    eng.execute("CREATE TABLE ks (id INT NOT NULL, v CHAR)")
+    # prime (and clear the dirty flag)
+    eng.execute(
+        "SELECT column_key FROM information_schema.columns "
+        "WHERE table_name = 'ks' AND column_name = 'id'"
+    )
+    eng.execute("ALTER TABLE ks ADD PRIMARY KEY (id)")
+    rows = eng.execute(
+        "SELECT column_key FROM information_schema.columns "
+        "WHERE table_name = 'ks' AND column_name = 'id'"
+    ).rows()
+    assert rows[0]["column_key"] == "PRI"
