@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "ev_pareto_share",
     "ev_attribution_touchpoints",
     "ev_attribution_time_decay",
+    "corpus_token_budget_plan",
 ]
 
 

@@ -426,3 +426,82 @@ def corpus_upsample_audit(spark: SparkSession, sf: str) -> DataFrame:
         epochs.alias("epochs"),
         (F.col("n_chars") * epochs).alias("upsampled_chars"),
     )
+
+
+@register(
+    "corpus_token_budget_plan",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+                 CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM s),
+    q AS (
+      SELECT source, n_tokens,
+             CAST((budget * n_tokens) // total AS BIGINT) AS fl,
+             CAST((budget * n_tokens) % total AS BIGINT) AS rem
+      FROM s, t),
+    l AS (SELECT CAST(MAX(budget) - (SELECT SUM(fl) FROM q) AS BIGINT)
+                 AS leftover FROM t),
+    r AS (SELECT source, n_tokens, fl, rem,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rn
+          FROM q)
+    SELECT source, n_tokens,
+           CAST(fl + CASE WHEN rn <= (SELECT leftover FROM l)
+                          THEN 1 ELSE 0 END AS BIGINT) AS quota_tokens
+    FROM r
+    """,
+    tags=("corpus", "planning", "integer-exact"),
+)
+def corpus_token_budget_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget apportionment: given a budget (half the corpus
+    total here; a constant in production), allocate a per-source token
+    quota by largest-remainder (Hamilton) apportionment — floor of the
+    proportional share, then the leftover units go to the largest
+    fractional remainders (rem DESC, source tiebreak). Pure BIGINT
+    arithmetic, so the quotas sum EXACTLY to the budget — no float
+    shares that round into an off-by-a-few plan. (budget*n_tokens
+    products fit BIGINT through ~3e9-token corpora per source at a
+    1e9 budget; the 100 TB shape swaps the two expressions to
+    DECIMAL(38,0) — same plan.)
+
+    Scale shape: the corpus scan reduces to one row per SOURCE before
+    any global step; the 1-row total/budget and leftover aggregates
+    broadcast back; the remainder-ranking window is source-cardinality
+    sized. Nothing downstream of the first aggregate scales with
+    corpus size (the corpus_domain_cap pattern)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    t = s.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        (F.sum("n_tokens") / 2).cast("long").alias("budget"),
+    )
+    q = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_tokens",
+        F.expr("budget * n_tokens DIV total").alias("fl"),
+        ((F.col("budget") * F.col("n_tokens")) % F.col("total")).alias("rem"),
+        "budget",
+    )
+    l = q.agg((F.max("budget") - F.sum("fl")).cast("long").alias("leftover"))
+    rn = F.row_number().over(Window.orderBy(F.col("rem").desc(), "source"))
+    return (
+        q.select("source", "n_tokens", "fl", "rem")
+        .select("*", rn.alias("rn"))
+        .crossJoin(F.broadcast(l))
+        .select(
+            "source",
+            "n_tokens",
+            (
+                F.col("fl")
+                + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota_tokens"),
+        )
+    )

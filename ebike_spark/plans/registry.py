@@ -133,6 +133,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_pareto_share",
     "ev_attribution_touchpoints",
     "ev_attribution_time_decay",
+    "corpus_token_budget_plan",
     # relational core — external evidence stale since round 1
     # (continuously re-verified by the local driver-mirror suite; the
     # entries past the driver's ~50-row cut rotate back next round)

@@ -725,3 +725,24 @@ def test_sliding_funnel_dominates_first_anchor(spark):
     assert cum[1] == win.get(1, 0)
     for k in (2, 3):
         assert cum[k] >= win.get(k, 0)
+
+
+def test_token_budget_quotas_sum_exactly(spark):
+    """Largest-remainder apportionment is exact: quotas sum to the
+    budget (floor shares + remainder top-ups), never off-by-rounding."""
+    from ebike_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_DIR
+    import pyspark.sql.functions as F
+
+    df = REGISTRY["corpus_token_budget_plan"].fn(spark, SF_DIR)
+    agg = df.agg(
+        F.sum("quota_tokens").alias("q"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    assert agg["q"] == agg["t"] // 2
+    # every quota within 1 unit of its exact proportional share
+    rows = df.collect()
+    total = agg["t"]
+    budget = total // 2
+    for r in rows:
+        exact = budget * r["n_tokens"] / total
+        assert abs(r["quota_tokens"] - exact) < 1.0
