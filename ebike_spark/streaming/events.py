@@ -38,6 +38,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+import ebike_spark.plans.attribution  # noqa: F401  (registers the batch oracle this module reuses)
 from ebike_spark.plans.analytics import SESSION_GAP_SEC
 from ebike_spark.plans.registry import REGISTRY, register
 from ebike_spark.sources.registry import load_table
@@ -710,4 +711,90 @@ def stream_gap_alerts(spark: SparkSession, sf: str) -> DataFrame:
     return sink.groupBy("user_id").agg(
         F.count("*").alias("n_gaps"),
         F.max(F.col("gap_end") - F.col("gap_start")).alias("max_gap_us"),
+    )
+
+
+def make_last_touch_attributor(window_us: int):
+    """Custom stateful operator: per-user last-touch attribution via
+    applyInPandasWithState. State is the user's most recent (touch
+    time, touch type); each purchase is attributed against the state
+    AS OF strictly-earlier (t, event_id) order — exactly the batch
+    window's ROWS ... 1 PRECEDING frame, resumed across micro-batches
+    (staged replay keeps per-user ts non-decreasing across batches).
+    Closure-built; executors never import this package."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            lt_t, lt_type = state.get
+        else:
+            lt_t, lt_type = -1, ""
+        frames = [p[["t", "event_id", "event_type", "cents"]] for p in pdfs]
+        out: dict[str, tuple[int, int]] = {}
+        if frames:
+            ev = pd.concat(frames).sort_values(["t", "event_id"])
+            for tt, et, cents in zip(ev["t"], ev["event_type"], ev["cents"]):
+                if et == "purchase":
+                    if lt_t >= 0 and tt - lt_t <= window_us:
+                        touch = lt_type
+                    else:
+                        touch = "direct"
+                    n, c = out.get(touch, (0, 0))
+                    out[touch] = (n + 1, c + int(cents))
+                else:
+                    lt_t, lt_type = int(tt), et
+        state.update((int(lt_t), lt_type))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "touch_type": list(out),
+                    "n": [v[0] for v in out.values()],
+                    "cents": [v[1] for v in out.values()],
+                }
+            )
+
+    return fn
+
+
+def attribution_stream(ev: DataFrame) -> DataFrame:
+    from ebike_spark.plans.attribution import ATTR_WINDOW_US, CENTS
+
+    src = ev.where(F.col("event_type").isin("click", "view", "purchase")).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.expr(CENTS).alias("cents"),
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        make_last_touch_attributor(ATTR_WINDOW_US),
+        "touch_type string, n long, cents long",
+        "t long, typ string",
+        "update",
+        "NoTimeout",
+    )
+
+
+@register(
+    "stream_attribution_last_touch",
+    oracle=REGISTRY["ev_attribution_last_touch"].oracle,
+    tags=("streaming", "stateful", "attribution", "applyInPandasWithState"),
+)
+def stream_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming last-touch attribution: per-user (last touch time,
+    type) state carried across 4 micro-batches; every purchase is
+    attributed exactly once, in the batch it arrives — the per-batch
+    partial (touch_type, n, cents) emissions sum to the BATCH
+    ev_attribution_last_touch oracle (full value hash; the
+    stream_funnel precedent). Cents stay integer end-to-end (the CENTS
+    cast runs JVM-side before the Arrow transfer).
+
+    Scale shape: state is two scalars per user; per-batch work is the
+    user's batch events sorted once — the same per-user bound every
+    stateful operator here carries. The sink aggregate reduces
+    (touch_type)-keyed partials, 3 rows."""
+    staged = stage_stream_dir(spark, sf)
+    sink = run_to_table(attribution_stream(read_event_stream(spark, staged)), "update")
+    return sink.groupBy("touch_type").agg(
+        F.sum("n").alias("n_purchases"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
     )
