@@ -910,3 +910,55 @@ def ev_ewma_spike(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("n") * EWMA_SCALE > 2 * F.col("s_prev"))
         ).alias("is_spike"),
     )
+
+
+@register(
+    "ev_seasonality_profile",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3)
+    SELECT event_type, dow, hod, n,
+           CAST((n * 1000000) // SUM(n) OVER (PARTITION BY event_type)
+                AS BIGINT) AS share_ppm
+    FROM g
+    """,
+    tags=("events", "time", "seasonality", "integer-exact"),
+)
+def ev_seasonality_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly seasonality profile: event counts per (type, ISO
+    day-of-week, hour-of-day) cell with each cell's share of its
+    type's traffic in INTEGER parts-per-million (n*1e6 floor-div
+    total — exact in both engines; a float share could flip a
+    last-digit). Day-of-week is ISO (Mon=1): DuckDB isodow == Spark
+    weekday()+1 (Spark's dayofweek() counts Sun=1 — a cross-engine
+    trap pinned here).
+
+    Scale shape: the event scan partial-aggregates to at most
+    |types|x7x24 grid cells before anything global; the share window
+    runs over that grid, not events. One shuffle, grid-sized output."""
+    ev = load_table(spark, sf, "events")
+    g = ev.groupBy(
+        "event_type",
+        (F.weekday("ts") + 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy("event_type"))
+    return g.select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        F.expr("n * 1000000").cast("long").alias("__num"),
+        total.alias("__tot"),
+    ).select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        # integer DIV, never float-divide-then-cast: a double quotient
+        # can land a hair above the true ratio and truncate to a
+        # different floor than the oracle's BIGINT //
+        F.expr("__num DIV __tot").alias("share_ppm"),
+    )
