@@ -107,7 +107,13 @@ def test_hostile_session_is_normalized(spark, oracle):
         return ("s", str(v))
 
     try:
-        for name in ("ev_tumbling_window", "ev_scd2_intervals", "fn_conditional"):
+        for name in (
+            "ev_tumbling_window",
+            "ev_scd2_intervals",
+            "fn_conditional",
+            # hour() + weekday() — the most tz-sensitive surface
+            "ev_seasonality_profile",
+        ):
             spec = REGISTRY[name]
             sdf = spec.fn(spark, SF_DIR)
             scols = sorted(sdf.columns)
