@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "ev_attribution_time_decay",
     "corpus_token_budget_plan",
     "ev_seasonality_profile",
+    "corpus_dedup_survivor",
 ]
 
 

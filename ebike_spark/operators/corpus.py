@@ -505,3 +505,75 @@ def corpus_token_budget_plan(spark: SparkSession, sf: str) -> DataFrame:
             .alias("quota_tokens"),
         )
     )
+
+
+@register(
+    "corpus_dedup_survivor",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+    ),
+    cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+    m AS (
+      SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+             CAST(d.n_chars AS BIGINT) AS n_chars
+      FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+    r AS (
+      SELECT cluster_id, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size
+      FROM m)
+    SELECT cluster_id, doc_id AS survivor_id, n_chars, cluster_size
+    FROM r WHERE rn = 1
+    """,
+    tags=("dedup", "clustering", "curation", "survivor-pick"),
+)
+def corpus_dedup_survivor(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-BEST-per-cluster dedup manifest: every document lands in a
+    near-dup cluster (singletons form their own), and each cluster's
+    survivor is its highest-quality member — longest n_chars, doc_id
+    tiebreak — rather than dedup_cluster's keep-smallest-id policy.
+    This is the selection step a curation pipeline actually runs: the
+    output is one row per retained document with its cluster size (the
+    dedup audit trail).
+
+    Scale shape: reuses the persisted minhash->verify pair pipeline and
+    the size-adaptive connected components (nothing recomputed within a
+    session); the survivor pick is ONE cluster_id-partitioned window
+    over the document-count-sized membership table — both the argmax
+    and the size come from the same window pass, no join back."""
+    from pyspark.sql import Window
+
+    from ebike_spark.operators.dedup import minhash_verified_pairs
+
+    edges = minhash_verified_pairs(spark, sf).select("d1", "d2")
+    cl = components(edges)
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    m = docs.join(cl, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    w = Window.partitionBy("cluster_id")
+    r = m.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rn"),
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+    )
+    return r.where(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("survivor_id"),
+        "n_chars",
+        "cluster_size",
+    )
