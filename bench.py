@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "corpus_token_budget_plan",
     "ev_seasonality_profile",
     "corpus_dedup_survivor",
+    "ev_interarrival_histogram",
 ]
 
 

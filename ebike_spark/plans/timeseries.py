@@ -962,3 +962,54 @@ def ev_seasonality_profile(spark: SparkSession, sf: str) -> DataFrame:
         # different floor than the oracle's BIGINT //
         F.expr("__num DIV __tot").alias("share_ppm"),
     )
+
+
+@register(
+    "ev_interarrival_histogram",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+      FROM events)
+    SELECT event_type,
+           CAST(length(bin(gap)) AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n,
+           CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_us
+    FROM g WHERE gap IS NOT NULL AND gap > 0
+    GROUP BY 1, 2
+    """,
+    tags=("events", "time", "histogram", "integer-exact"),
+)
+def ev_interarrival_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-arrival (burstiness) profile: per-user event gaps bucketed
+    on a log2 scale — bucket = bit length of the gap in microseconds,
+    computed as length(bin(gap)), which is floor(log2)+1 in EXACT
+    integer arithmetic in both engines (a float log2 can land a hair
+    under a power-of-two boundary and flip the bucket). Zero gaps
+    (same-microsecond events) are excluded; ties order on event_id so
+    both engines see identical sequences. The latency-histogram shape
+    every ops dashboard wants, over ~40 buckets max for BIGINT gaps.
+
+    Scale shape: one user_id window shuffle (shared ordering with the
+    whole sessionize/funnel family), then a partial-aggregating groupBy
+    to |types|x40 cells. Nothing after the window scales with events."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    g = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap"),
+    )
+    return (
+        g.where(F.col("gap").isNotNull() & (F.col("gap") > 0))
+        .groupBy(
+            "event_type",
+            F.length(F.bin("gap")).cast("long").alias("log2_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("gap").cast("long").alias("min_gap_us"),
+            F.max("gap").cast("long").alias("max_gap_us"),
+        )
+    )
