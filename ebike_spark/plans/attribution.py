@@ -389,19 +389,45 @@ def ev_pareto_share(spark: SparkSession, sf: str) -> DataFrame:
     downstream division.
 
     Scale shape: the event scan partial-aggregates to one row per user
-    before anything global happens (users << events). The NTILE ranking
-    is a single-partition window — but over the USER aggregate, not the
-    event stream; at 1e9 users the distributed rank (per-partition
-    counts + offset prefix-sum, the ev_concurrency pattern) drops in,
-    keyed the same way. The decile rollup and {PARETO_BUCKETS}-row
-    cumulative window are constant-sized."""
+    before anything global happens (users << events), and the ranking
+    is the DISTRIBUTED rank, not a single-partition NTILE window:
+    repartitionByRange on the sort key spreads users across tasks in
+    global order, each task row_numbers its own range (a window keyed
+    by spark_partition_id), and the per-partition counts — one row per
+    task — prefix-sum into rank offsets (the ev_concurrency pattern on
+    the partition axis). NTILE's remainder semantics are reproduced
+    exactly from the global rank by closed form (first total%B buckets
+    get the extra row), verified against DuckDB's NTILE. The decile
+    rollup and {PARETO_BUCKETS}-row cumulative window are
+    constant-sized."""
     ev = load_table(spark, sf, "events")
     u = ev.groupBy("user_id").agg(F.count("*").alias("n"))
-    d = u.select(
-        "n",
-        F.ntile(PARETO_BUCKETS)
-        .over(Window.orderBy(F.col("n").desc(), "user_id"))
-        .alias("decile"),
+    ranked = u.repartitionByRange(32, F.col("n").desc(), F.col("user_id")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("pid").orderBy(F.col("n").desc(), "user_id")
+    local = ranked.withColumn("lrn", F.row_number().over(local_w))
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count("*").alias("c"))
+        .select("pid", F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off"))
+    )
+    tot = u.agg(F.count("*").alias("total"))
+    b = F.lit(PARETO_BUCKETS)
+    rn = F.col("off") + F.col("lrn")
+    qd = F.expr(f"total DIV {PARETO_BUCKETS}")
+    r = F.col("total") % b
+    # NTILE closed form: the first (total % B) buckets hold qd+1 rows
+    decile = F.when(
+        rn <= r * (qd + 1), F.expr(f"(off + lrn - 1) DIV (total DIV {PARETO_BUCKETS} + 1) + 1")
+    ).otherwise(
+        (r + F.expr(f"(off + lrn - 1 - (total % {PARETO_BUCKETS}) * (total DIV {PARETO_BUCKETS} + 1)) DIV (total DIV {PARETO_BUCKETS})") + 1)
+    )
+    d = (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select("n", decile.cast("int").alias("decile"))
     )
     a = d.groupBy("decile").agg(
         F.count("*").alias("n_users"), F.sum("n").alias("n_events")

@@ -635,14 +635,17 @@ def test_novelty_no_broadcast_of_vocab(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
 
-def test_pareto_ranks_user_aggregate_not_events(spark):
-    """ev_pareto_share's global NTILE runs over the per-user aggregate,
-    never the event stream: the Window must sit above a HashAggregate,
-    and no join anywhere."""
+def test_pareto_rank_is_distributed(spark):
+    """ev_pareto_share ranks users DISTRIBUTED: range repartition +
+    per-partition row_number + broadcast offsets — no single-partition
+    window over the user axis (the only global windows are the
+    partition-count offsets and the 10-row cumulative), and the only
+    joins are broadcasts."""
     plan = _physical(REGISTRY["ev_pareto_share"].fn(spark, SF_DIR))
-    assert "Join" not in plan
-    first_window = plan.index("Window")
-    assert "HashAggregate" in plan[first_window:]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
 
 
 def test_touchpoints_single_scan_single_user_shuffle(spark):
