@@ -19,16 +19,23 @@ from ebike_spark.sources.registry import load_table
 
 # ------------------------------------------------------- dup clustering
 
-_CLUSTER_ORACLE = f"""
-WITH RECURSIVE
+# Shared recursive-CTE block (pairs -> symmetric edges -> reachability
+# -> min-label cluster ids); the single source both cluster oracles
+# build on, so a semantics tweak can never leave one behind.
+_COMPONENTS_CTES = f"""
 pairs AS ({_JACCARD_PAIRS_SQL}),
 edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
 reach(u, r) AS (
   SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
   UNION
   SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
-)
-SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+),
+cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)"""
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE
+{_COMPONENTS_CTES}
+SELECT doc_id, cluster_id FROM cl
 """
 
 
@@ -473,13 +480,24 @@ def corpus_token_budget_plan(spark: SparkSession, sf: str) -> DataFrame:
     corpus size (the corpus_domain_cap pattern)."""
     from pyspark.sql import Window
 
+    from ebike_spark.operators.dedup import _persist_scoped
+
     docs = load_table(spark, sf, "documents")
-    s = docs.groupBy("source").agg(
-        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens")
+    # persisted: the tokenizing scan feeds four plan subtrees (total,
+    # both q consumers, leftover) — exchange reuse is not guaranteed
+    s = _persist_scoped(
+        spark,
+        "budget_source_tokens",
+        lambda: docs.groupBy("source").agg(
+            F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens")
+        ),
+        key=sf,
     )
-    t = s.agg(
-        F.sum("n_tokens").cast("long").alias("total"),
-        (F.sum("n_tokens") / 2).cast("long").alias("budget"),
+    # integer DIV for the budget, never float-divide-then-cast (the
+    # ev_seasonality_profile rule): above 2^53 tokens a double budget
+    # would round before the cast and drift off the oracle's //
+    t = s.agg(F.sum("n_tokens").cast("long").alias("total")).select(
+        "total", F.expr("total DIV 2").alias("budget")
     )
     q = s.crossJoin(F.broadcast(t)).select(
         "source",
@@ -511,14 +529,7 @@ def corpus_token_budget_plan(spark: SparkSession, sf: str) -> DataFrame:
     "corpus_dedup_survivor",
     oracle=f"""
     WITH RECURSIVE
-    pairs AS ({_JACCARD_PAIRS_SQL}),
-    edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
-    reach(u, r) AS (
-      SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
-      UNION
-      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
-    ),
-    cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+    {_COMPONENTS_CTES},
     m AS (
       SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
              CAST(d.n_chars AS BIGINT) AS n_chars
@@ -550,8 +561,6 @@ def corpus_dedup_survivor(spark: SparkSession, sf: str) -> DataFrame:
     over the document-count-sized membership table — both the argmax
     and the size come from the same window pass, no join back."""
     from pyspark.sql import Window
-
-    from ebike_spark.operators.dedup import minhash_verified_pairs
 
     edges = minhash_verified_pairs(spark, sf).select("d1", "d2")
     cl = components(edges)

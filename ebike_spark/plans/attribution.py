@@ -363,6 +363,13 @@ def ev_funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
 PARETO_BUCKETS = 10
 
 
+def _idiv(a, b):
+    """Integer floor division of two non-negative integer Columns (the
+    Python Column API has no DIV operator; the subtraction keeps the
+    double division exact)."""
+    return ((a - a % b) / b).cast("long")
+
+
 @register(
     "ev_pareto_share",
     oracle=f"""
@@ -400,13 +407,25 @@ def ev_pareto_share(spark: SparkSession, sf: str) -> DataFrame:
     get the extra row), verified against DuckDB's NTILE. The decile
     rollup and {PARETO_BUCKETS}-row cumulative window are
     constant-sized."""
+    from ebike_spark.operators.dedup import _persist_scoped
+
     ev = load_table(spark, sf, "events")
     u = ev.groupBy("user_id").agg(F.count("*").alias("n"))
     ranked = u.repartitionByRange(32, F.col("n").desc(), F.col("user_id")).withColumn(
         "pid", F.spark_partition_id()
     )
     local_w = Window.partitionBy("pid").orderBy(F.col("n").desc(), "user_id")
-    local = ranked.withColumn("lrn", F.row_number().over(local_w))
+    # PERSISTED, not recomputed: pid is an execution artifact — the
+    # range exchange samples its boundaries per physical instance, so
+    # the offsets branch and the join branch below MUST read the same
+    # materialization (exchange reuse alone is an optimizer courtesy,
+    # not a guarantee). One user-cardinality cache pins it.
+    local = _persist_scoped(
+        spark,
+        "pareto_local_ranks",
+        lambda: ranked.withColumn("lrn", F.row_number().over(local_w)),
+        key=sf,
+    )
     off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         local.groupBy("pid")
@@ -414,15 +433,14 @@ def ev_pareto_share(spark: SparkSession, sf: str) -> DataFrame:
         .select("pid", F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off"))
     )
     tot = u.agg(F.count("*").alias("total"))
-    b = F.lit(PARETO_BUCKETS)
-    rn = F.col("off") + F.col("lrn")
+    # NTILE closed form from the global rank, single source of truth:
+    # the first (total % B) buckets hold qd+1 rows, the rest qd
+    rn0 = F.col("off") + F.col("lrn") - 1  # 0-based global rank
     qd = F.expr(f"total DIV {PARETO_BUCKETS}")
-    r = F.col("total") % b
-    # NTILE closed form: the first (total % B) buckets hold qd+1 rows
-    decile = F.when(
-        rn <= r * (qd + 1), F.expr(f"(off + lrn - 1) DIV (total DIV {PARETO_BUCKETS} + 1) + 1")
-    ).otherwise(
-        (r + F.expr(f"(off + lrn - 1 - (total % {PARETO_BUCKETS}) * (total DIV {PARETO_BUCKETS} + 1)) DIV (total DIV {PARETO_BUCKETS})") + 1)
+    r = F.col("total") % PARETO_BUCKETS
+    big = r * (qd + 1)  # rows living in the (qd+1)-sized buckets
+    decile = F.when(rn0 < big, _idiv(rn0, qd + 1) + 1).otherwise(
+        r + _idiv(rn0 - big, qd) + 1
     )
     d = (
         local.join(F.broadcast(offsets), "pid")

@@ -59,7 +59,9 @@ def _load_all() -> None:
     import ebike_spark.operators.curation  # noqa: F401
     import ebike_spark.operators.joins  # noqa: F401
     import ebike_spark.sources.io  # noqa: F401
-    import ebike_spark.plans.attribution  # noqa: F401  (before streaming: oracle reuse)
+    # streaming.events itself imports plans.attribution at module level
+    # (it reads that module's registered oracle at import time), so no
+    # ordering constraint exists here
     import ebike_spark.streaming.events  # noqa: F401
     import ebike_spark.plans.analytics_late  # noqa: F401
     import ebike_spark.operators.semdedup  # noqa: F401

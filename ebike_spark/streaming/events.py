@@ -729,7 +729,12 @@ def make_last_touch_attributor(window_us: int):
         else:
             lt_t, lt_type = -1, ""
         frames = [p[["t", "event_id", "event_type", "cents"]] for p in pdfs]
-        out: dict[str, tuple[int, int]] = {}
+        # per touch_type: (purchases, cents_sum, any_non_null_cents) —
+        # a NULL-value purchase still counts but contributes no cents
+        # (Arrow hands NULL as NaN; int(NaN) would kill the query), and
+        # an all-NULL group emits NULL so the sink SUM matches the
+        # batch oracle's NULL-skipping SUM exactly
+        out: dict[str, tuple[int, int, bool]] = {}
         if frames:
             ev = pd.concat(frames).sort_values(["t", "event_id"])
             for tt, et, cents in zip(ev["t"], ev["event_type"], ev["cents"]):
@@ -738,8 +743,11 @@ def make_last_touch_attributor(window_us: int):
                         touch = lt_type
                     else:
                         touch = "direct"
-                    n, c = out.get(touch, (0, 0))
-                    out[touch] = (n + 1, c + int(cents))
+                    n, c, seen = out.get(touch, (0, 0, False))
+                    if pd.isna(cents):
+                        out[touch] = (n + 1, c, seen)
+                    else:
+                        out[touch] = (n + 1, c + int(cents), True)
                 else:
                     lt_t, lt_type = int(tt), et
         state.update((int(lt_t), lt_type))
@@ -748,7 +756,10 @@ def make_last_touch_attributor(window_us: int):
                 {
                     "touch_type": list(out),
                     "n": [v[0] for v in out.values()],
-                    "cents": [v[1] for v in out.values()],
+                    "cents": pd.array(
+                        [v[1] if v[2] else None for v in out.values()],
+                        dtype="Int64",
+                    ),
                 }
             )
 

@@ -290,3 +290,37 @@ def test_rollup_maintain_resumes_from_checkpoint(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_last_touch_attributor_handles_null_cents():
+    """A purchase with NULL value must count toward n but contribute no
+    cents (Arrow hands NULL as NaN — int(NaN) would kill the stream);
+    an all-NULL group emits NULL cents so the sink SUM matches the
+    batch oracle's NULL-skipping SUM."""
+    import pandas as pd
+
+    from ebike_spark.streaming.events import make_last_touch_attributor
+
+    class _State:
+        exists = False
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    fn = make_last_touch_attributor(7 * 24 * 3600 * 1_000_000)
+    batch = pd.DataFrame(
+        {
+            "t": [1_000, 2_000, 3_000, 4_000],
+            "event_id": [1, 2, 3, 4],
+            "event_type": ["click", "purchase", "purchase", "purchase"],
+            "cents": [None, float("nan"), 500.0, None],
+        }
+    )
+    out = pd.concat(list(fn((7,), iter([batch]), _State())))
+    row = out.set_index("touch_type").loc["click"]
+    assert int(row["n"]) == 3 and int(row["cents"]) == 500
+    # all-NULL group -> NULL cents, not 0
+    batch2 = batch.assign(cents=[None, None, None, None])
+    out2 = pd.concat(list(fn((8,), iter([batch2]), _State())))
+    row2 = out2.set_index("touch_type").loc["click"]
+    assert int(row2["n"]) == 3 and pd.isna(row2["cents"])
