@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "ev_seasonality_profile",
     "corpus_dedup_survivor",
     "ev_interarrival_histogram",
+    "text_crossdup_mass",
 ]
 
 

@@ -534,3 +534,51 @@ def text_novelty_incremental(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_crossdup_mass",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= {NOVELTY_N}),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+{NOVELTY_N - 1}], ' ') AS gram
+      FROM (SELECT doc_id, w,
+                   UNNEST(generate_series(1, len(w) - {NOVELTY_N - 1})) AS i
+            FROM tok)),
+    df AS (SELECT gram, COUNT(*) AS ddf FROM g GROUP BY 1)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS total_grams,
+           CAST(SUM(CASE WHEN df.ddf >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS shared_grams
+    FROM g JOIN df ON df.gram = g.gram
+    GROUP BY 1
+    """,
+    tags=("text", "ngram", "dedup", "curation"),
+)
+def text_crossdup_mass(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplication mass: of a doc's DISTINCT word
+    {NOVELTY_N}-grams, how many occur in at least one OTHER document?
+    The exact-substring dedup signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better") at gram granularity —
+    order-independent, unlike text_novelty_score's first-occurrence
+    credit: a doc can be 100% novel (first in) yet 100% shared (copied
+    later). Since per-doc grams are distinct, a gram's row count IS its
+    document frequency.
+
+    Scale shape: identical key discipline to text_novelty_score — one
+    gram-keyed doc-frequency shuffle (map-side partials,
+    vocabulary-sized result), one credit join on gram
+    (corpus-token-proportional, never all-pairs), one doc_id rollup;
+    no vocabulary-sized broadcast (AQE decides)."""
+    g = _novelty_gram_set(load_table(spark, sf, "documents"))
+    df = g.groupBy("gram").agg(F.count("*").alias("ddf"))
+    return (
+        g.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_grams"),
+            F.sum(F.when(F.col("ddf") >= 2, 1).otherwise(0)).alias("shared_grams"),
+        )
+    )

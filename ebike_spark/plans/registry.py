@@ -140,6 +140,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_seasonality_profile",
     "corpus_dedup_survivor",
     "ev_interarrival_histogram",
+    "text_crossdup_mass",
     # relational core — external evidence stale since round 1
     # (continuously re-verified by the local driver-mirror suite; the
     # entries past the driver's ~50-row cut rotate back next round)
