@@ -75,6 +75,7 @@ def _load_all() -> None:
     import ebike_spark.operators.text_late  # noqa: F401
     import ebike_spark.plans.timeseries  # noqa: F401
     import ebike_spark.operators.profiling  # noqa: F401
+    import ebike_spark.operators.kmeans  # noqa: F401
 
 
 # The external correctness harness checks a bounded PREFIX (~50 rows)

@@ -746,3 +746,38 @@ def test_token_budget_quotas_sum_exactly(spark):
     for r in rows:
         exact = budget * r["n_tokens"] / total
         assert abs(r["quota_tokens"] - exact) < 1.0
+
+
+def test_kmeans_lloyd_is_deterministic(spark):
+    """Integer arithmetic end-to-end: two independent runs produce
+    bit-identical cluster stats (float k-means never does)."""
+    from ebike_spark.operators.kmeans import embed_kmeans_lloyd
+
+    a = sorted(map(tuple, embed_kmeans_lloyd(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, embed_kmeans_lloyd(spark, SF_DIR).collect()))
+    assert a == b
+    assert len(a) == 8
+
+
+@pytest.mark.slow
+def test_kmeans_converged_reaches_fixed_point(spark):
+    """The converged variant terminates before the cap, partitions the
+    whole corpus, and its WSS is no worse than the 2-iteration run
+    (more Lloyd steps never end on a worse clustering here)."""
+    import pyspark.sql.functions as F
+
+    from ebike_spark.operators.kmeans import (
+        embed_kmeans_converged,
+        embed_kmeans_lloyd,
+    )
+    from ebike_spark.sources.registry import load_table
+
+    rows = embed_kmeans_converged(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    n_iter = rows[0]["n_iter"]
+    assert 2 <= n_iter < 25
+    n_total = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n_total
+    wss_conv = sum(r["wss"] for r in rows)
+    wss_2 = sum(r["wss"] for r in embed_kmeans_lloyd(spark, SF_DIR).collect())
+    assert 0 < wss_conv <= wss_2
