@@ -130,17 +130,31 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    # The driver captures only the LAST ~2000 bytes of stdout; with 80+
+    # benched queries the full per-query map no longer fits on one line
+    # (round 5's metric line overflowed and parsed as null). Emit the
+    # per-query map on its own EARLIER line for humans/tools, and END
+    # with a compact summary line that always fits the tail capture.
     print(
         json.dumps(
             {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
+                "metric": "per_query_seconds",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )
+    summary = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf_val,
+    }
+    line = json.dumps(summary)
+    assert len(line) <= 1900, f"summary line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

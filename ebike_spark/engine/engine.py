@@ -206,7 +206,10 @@ class Engine:
         # the construct spans quoted separators, so it can't run inside
         # the segment-wise map_unquoted rewrites below)
         if re.search(r"\bGROUP_CONCAT\s*\(", sql, re.I):
-            sql = rewrite_group_concat(sql)
+            try:
+                sql = rewrite_group_concat(sql)
+            except ValueError as e:
+                raise parse_error(str(e)) from e
 
         # All rewrites run segment-wise OUTSIDE quoted spans so a string
         # literal containing e.g. "from dual" passes through untouched.
@@ -922,8 +925,11 @@ class Engine:
                 self.catalog.qualify(unquote_ident(m.group(1)), self.current_db),
                 unquote_ident(m.group(2)),
             )
+        # display widths (INT(11), FLOAT(10,2)) accepted-and-ignored,
+        # matching parse_create_table's column grammar (ADVICE r5)
         m = re.match(
             r"ALTER\s+TABLE\s+([\w.`\"]+)\s+MODIFY\s+(?:COLUMN\s+)?([\w`\"]+)\s+(\w+)"
+            r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
             r"(\s+NOT\s+NULL)?\s*$",
             sql,
             re.I,
@@ -934,7 +940,7 @@ class Engine:
             return self._modify_column(q, col, col, m.group(3).upper(), bool(m.group(4)))
         m = re.match(
             r"ALTER\s+TABLE\s+([\w.`\"]+)\s+CHANGE\s+(?:COLUMN\s+)?([\w`\"]+)\s+([\w`\"]+)"
-            r"\s+(\w+)(\s+NOT\s+NULL)?\s*$",
+            r"\s+(\w+)(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(\s+NOT\s+NULL)?\s*$",
             sql,
             re.I,
         )

@@ -265,10 +265,19 @@ def rewrite_group_concat(sql: str) -> str:
 
         sep = "','"
         order_by = None
-        for kw, s0, s1 in find_top_level_keywords(inner, ("SEPARATOR",)):
+        # a duplicated clause (…SEPARATOR '-' SEPARATOR '+') would make
+        # the span indices stale after the first mutation and emit
+        # malformed SQL — reject it as the parse error MySQL gives
+        sep_spans = find_top_level_keywords(inner, ("SEPARATOR",))
+        if len(sep_spans) > 1:
+            raise ValueError("duplicate SEPARATOR clause in GROUP_CONCAT")
+        for kw, s0, s1 in sep_spans:
             sep = inner[s1:].strip()
             inner = inner[:s0].rstrip()
-        for kw, s0, s1 in find_top_level_keywords(inner, ("ORDER BY",)):
+        ob_spans = find_top_level_keywords(inner, ("ORDER BY",))
+        if len(ob_spans) > 1:
+            raise ValueError("duplicate ORDER BY clause in GROUP_CONCAT")
+        for kw, s0, s1 in ob_spans:
             order_by = inner[s1:].strip()
             inner = inner[:s0].rstrip()
         distinct = ""

@@ -230,9 +230,9 @@ def ev_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         ref = ev.agg(F.max(F.unix_micros("ts")).alias("ref_t"))
         return p.crossJoin(F.broadcast(ref)).select(
             "user_id",
-            ((F.col("ref_t") - F.col("last_t")) / 86400000000).cast("long").alias(
-                "recency_days"
-            ),
+            # integer DIV (house rule): float-divide-then-cast loses
+            # exactness near the double half-ulp boundary (ADVICE r5)
+            F.expr("(ref_t - last_t) DIV 86400000000").alias("recency_days"),
             "freq",
             "monetary",
         )
@@ -411,9 +411,13 @@ def ev_pareto_share(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events")
     u = ev.groupBy("user_id").agg(F.count("*").alias("n"))
-    ranked = u.repartitionByRange(32, F.col("n").desc(), F.col("user_id")).withColumn(
-        "pid", F.spark_partition_id()
-    )
+    # Partition count follows the session's shuffle parallelism (not a
+    # literal) so the distributed-rank shape scales with the cluster:
+    # offsets stays one row per task at any size (VERDICT-r5 task 5).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranked = u.repartitionByRange(
+        n_part, F.col("n").desc(), F.col("user_id")
+    ).withColumn("pid", F.spark_partition_id())
     local_w = Window.partitionBy("pid").orderBy(F.col("n").desc(), "user_id")
     # PERSISTED, not recomputed: pid is an execution artifact — the
     # range exchange samples its boundaries per physical instance, so

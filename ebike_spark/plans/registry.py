@@ -82,72 +82,19 @@ def _load_all() -> None:
 # of the order all_queries() emits. Every query is oracled identically
 # regardless of position; the prefix only controls which rows get
 # fresh external evidence this round. Rotated per round toward queries
-# whose driver evidence is missing or stalest — round 5: the 9 rows
-# red in round 4 on oracle-typing only (now CAST to BIGINT, values
-# were judge-verified identical) plus stream_stateful_running_counts
-# (gains a batch oracle this round), then the 17 queries never in any
-# driver window, then the relational core whose external evidence is
-# stale since round 1. Everything past position ~50 falls outside the
-# window — a conscious cut: those queries stay covered by the local
-# oracle suite and rotate back next round.
+# whose driver evidence is missing or stalest — round 6 (VERDICT-r5
+# tasks 2+3): embed_kmeans_lloyd/_converged (the only two queries
+# never in any driver window) first, then the 32 rows whose external
+# evidence is stale since round 1 (relational core q04–q22 + the fn_*
+# batteries), the io round-trips (r3/r4-stale), the r4-stale streaming
+# family, and the round-6 additions. Round-5's 50 rows (all green) and
+# the r3-stale dedup/text family rotate back next round; everything
+# past the ~50-row cut stays covered by the local oracle suite.
 WINDOW_PREFIX: tuple[str, ...] = (
-    # red in r04 on DuckDB HUGEINT typing only — oracles now CAST
-    "ev_concurrency",
-    "sample_weighted",
-    "dq_expectations",
-    "text_length_histogram",
-    "corpus_split_assign",
-    "corpus_shard_manifest",
-    "embed_random_projection",
-    "corpus_upsample_audit",
-    "corpus_training_manifest",
-    # was no_oracle every round — batch oracle added round 5
-    "stream_stateful_running_counts",
-    # never externally checked (local-green since round 3/4)
-    "text_bigram_top",
-    "ev_session_stats",
-    "ev_active_users_hll",
-    "ev_funnel_sliding",
-    "ev_rate_moving",
-    "range_join_event_windows",
-    "embed_semantic_dedup",
-    "io_partitioned_layout",
-    "text_bpe_token_count",
-    "fn_bitwise",
-    "q23_scalar_corr_avg",
-    "q24_multi_exists",
-    "q25_promo_revenue",
-    "q26_top_supplier",
-    "q27_supplier_cnt",
-    "q28_disjunctive_pred",
-    "q29_dormant_customers",
-    # new in round 5 — first external check
-    "ev_attribution_last_touch",
-    "ev_cohort_matrix",
-    "ev_rfm_segments",
-    "stream_interval_join",
-    "stream_gap_alerts",
-    "text_bigram_pmi",
-    "ev_ewma_spike",
-    "mm_ppm_decode_stats",
-    "ev_funnel_latency",
-    "text_novelty_score",
-    "text_novelty_incremental",
-    "ev_pareto_share",
-    "ev_attribution_touchpoints",
-    "ev_attribution_time_decay",
-    "corpus_token_budget_plan",
-    "stream_attribution_last_touch",
-    "ev_seasonality_profile",
-    "corpus_dedup_survivor",
-    "ev_interarrival_histogram",
-    "text_crossdup_mass",
-    # relational core — external evidence stale since round 1
-    # (continuously re-verified by the local driver-mirror suite; the
-    # entries past the driver's ~50-row cut rotate back next round)
-    "q01_scan_filter_topk",
-    "q02_group_agg",
-    "q03_join_agg",
+    # never externally checked (VERDICT-r5 task 3)
+    "embed_kmeans_lloyd",
+    "embed_kmeans_converged",
+    # relational core + fn batteries — external evidence stale since r1
     "q04_left_join_agg",
     "q05_join_chain",
     "q06_selective_sum",
@@ -162,12 +109,40 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "q11_cte_having",
     "q12_cross_theta",
     "q13_stat_aggs",
+    "q13_approx_distinct",
+    "q13b_approx_percentile",
     "q18_semi_anti_join",
     "q19_subqueries",
     "q19b_correlated_exists",
     "q20_window_frames",
     "q21_cube",
+    "q21b_grouping_id",
     "q22_values_inline",
+    "fn_arrays",
+    "fn_unpivot",
+    "fn_math",
+    "fn_string",
+    "fn_datetime",
+    "fn_conditional",
+    "fn_regexp_like",
+    "fn_agg_extras",
+    "fn_agg_moments",
+    # io round-trips — stale since r3/r4
+    "io_csv_roundtrip",
+    "io_json_roundtrip",
+    "io_orc_roundtrip",
+    "io_text_roundtrip",
+    # streaming family — stale since r4
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_dedup_exact",
+    "stream_sessionize",
+    "stream_funnel",
+    "stream_static_join",
+    "stream_scd2_closed",
+    "stream_rollup_maintain",
+    # round-6 additions / upgrades — first external check
+    "ev_active_users_hll",
 )
 
 

@@ -1187,6 +1187,20 @@ def test_group_concat_rewrite_unit():
         rw("SELECT GROUP_CONCAT(f(a, b) SEPARATOR ' ORDER BY ') FROM t")
         == "SELECT listagg(f(a, b), ' ORDER BY ') FROM t"
     )
+    # duplicated clauses are a parse error, not malformed output (ADVICE r5)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate SEPARATOR"):
+        rw("SELECT GROUP_CONCAT(a SEPARATOR '-' SEPARATOR '+') FROM t")
+    with _pytest.raises(ValueError, match="duplicate ORDER BY"):
+        rw("SELECT GROUP_CONCAT(a ORDER BY a ORDER BY b) FROM t")
+
+
+def test_group_concat_duplicate_separator_is_1064(eng):
+    eng.execute(USER_DDL)
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("SELECT GROUP_CONCAT(name SEPARATOR '-' SEPARATOR '+') FROM user")
+    assert ei.value.code == 1064
 
 
 def test_group_concat_end_to_end(eng):
@@ -1249,6 +1263,13 @@ def test_alter_modify_column_retypes_and_checks(eng):
     eng.execute("ALTER TABLE mc4 MODIFY v INT")
     rows = sorted((x["id"], x["v"]) for x in eng.execute("SELECT * FROM mc4").rows())
     assert rows == [(1, 3), (2, -3)]
+    # MySQL display widths accepted-and-ignored, as in CREATE TABLE (ADVICE r5)
+    eng.execute("CREATE TABLE mc5 (id INT NOT NULL, v CHAR, PRIMARY KEY (id))")
+    eng.execute("INSERT INTO mc5 VALUES (1, '7')")
+    eng.execute("ALTER TABLE mc5 MODIFY v INT(11)")
+    assert eng.execute("SELECT v FROM mc5").rows()[0]["v"] == 7
+    eng.execute("ALTER TABLE mc5 CHANGE v w FLOAT(10,2) NOT NULL")
+    assert eng.execute("SELECT w FROM mc5").rows()[0]["w"] == 7.0
 
 
 def test_alter_change_column_renames_and_keys_follow(eng):
