@@ -101,6 +101,13 @@ BENCH_QUERIES = [
     "corpus_dedup_survivor",
     "ev_interarrival_histogram",
     "text_crossdup_mass",
+    "ev_attribution_linear",
+    "ev_attribution_position",
+    "ev_anomaly_mad",
+    "ev_cohort_ltv",
+    "fn_window",
+    "text_ttr_profile",
+    "ev_active_users_hll",
 ]
 
 

@@ -126,3 +126,47 @@ def _register_qp() -> None:
 
 
 _register_qp()
+
+
+@register(
+    "text_ttr_profile",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    tk AS (SELECT source, w FROM tok WHERE w <> ''),
+    wc AS (SELECT source, w, COUNT(*) AS c FROM tk GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(MAX(c) AS BIGINT) AS max_word_freq
+    FROM wc GROUP BY 1
+    """,
+    tags=("text", "vocabulary", "corpus-stats"),
+)
+def text_ttr_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source lexical-diversity profile: token count, distinct
+    types, hapax legomena (words seen exactly once) and the modal
+    word's frequency — the type-token-ratio / hapax-rate inputs that
+    corpus-quality dashboards plot per data source (a source whose TTR
+    collapses is usually template spam; a hapax explosion is usually
+    encoding noise). Complements text_novelty_score (cross-corpus
+    first-occurrence) with the classic within-source summary.
+
+    Scale shape: explode → two cascaded aggregates, each with map-side
+    partials: (source, word) counts shuffle on the word-bearing key
+    (vocabulary-sized, the dedup-family gram discipline — never a
+    vocab broadcast), then collapse to one row per source. No window,
+    no join, no Python."""
+    d = load_table(spark, sf, "documents")
+    w = d.select(
+        "source", F.explode(tokens("text")).alias("w")
+    ).where(F.col("w") != "")
+    wc = w.groupBy("source", "w").agg(F.count("*").alias("c"))
+    return wc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.max("c").alias("max_word_freq"),
+    )

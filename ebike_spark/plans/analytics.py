@@ -471,3 +471,73 @@ def anomaly_zscore(ev: DataFrame, z_threshold: float = ANOMALY_Z) -> DataFrame:
         .where(F.abs(z) >= z_threshold)
         .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
     )
+
+
+MAD_K = 3  # flag days whose deviation from the median exceeds K × MAD
+
+
+@register(
+    "ev_anomaly_mad",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, median(n) AS med FROM d GROUP BY 1),
+    dev AS (
+      SELECT d.event_type, d.d, d.n, m.med, ABS(d.n - m.med) AS ad
+      FROM d JOIN m USING (event_type)),
+    md AS (SELECT event_type, median(ad) AS mad FROM dev GROUP BY 1)
+    SELECT dev.event_type,
+           CAST(epoch_us(dev.d) // 1000000 AS BIGINT) AS day_start,
+           CAST(dev.n AS BIGINT) AS n, dev.med, md.mad
+    FROM dev JOIN md USING (event_type)
+    WHERE ABS(dev.n - dev.med) > {MAD_K} * md.mad
+    """,
+    tags=("events", "anomaly", "robust-stats"),
+)
+def ev_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust daily-volume anomaly sweep: per event_type, days whose
+    event COUNT deviates from the type's median by more than
+    {MAD_K} × MAD (median absolute deviation). The z-score twin's
+    robust cousin — median/MAD shrug off the very outliers they hunt,
+    so a single burst day can't inflate the threshold and mask itself
+    (the classic failure of mean/σ on bursty telemetry). Both engines
+    interpolate the median identically (R-7) over INTEGER day counts,
+    so med/mad are exact binary fractions (k or k.5 / quarter steps)
+    and the strict comparison can't diverge on a ulp.
+
+    Scale shape: the raw scan reduces ONCE to types × days counts
+    (map-side partials — the only event-volume pass); both median
+    aggregates run over that calendar-bounded frame, and their
+    per-type outputs broadcast back onto it. No window over raw
+    events, no data-sized sort: Spark's exact percentile aggregates
+    types × days rows, which stays tiny at any event volume."""
+    from ebike_spark.operators.dedup import _persist_scoped
+
+    ev = load_table(spark, sf, "events")
+    # the tiny types×days frame feeds THREE consumers (median, MAD,
+    # output) — persist it so raw events scan exactly once
+    daily = _persist_scoped(
+        spark,
+        "anomaly_mad_daily",
+        lambda: ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+        ).agg(F.count("*").alias("n")),
+        key=sf,
+    )
+    med = daily.groupBy("event_type").agg(F.percentile("n", F.lit(0.5)).alias("med"))
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.abs(F.col("n") - F.col("med")) > MAD_K * F.col("mad"))
+        .select(
+            "event_type",
+            F.col("d").cast("long").alias("day_start"),
+            "n",
+            "med",
+            "mad",
+        )
+    )

@@ -711,3 +711,245 @@ def ev_attribution_time_decay(spark: SparkSession, sf: str) -> DataFrame:
         "stack(2, 'click', dc_click, tc_click, 'view', dc_view, tc_view)"
         " AS (channel, decayed_credit, touches)"
     )
+
+
+CREDIT_UNITS = 1_000_000  # micro-credits per conversion (exact integer)
+
+
+def _conversion_touch_pairs(spark: SparkSession, sf: str):
+    """Shared frame for fractional-credit attribution: one row per
+    (conversion, in-window touch), tagged with the conversion's touch
+    count k and the touch's recency rank rn (1 = most recent; ties on
+    identical timestamps break on event_id, so the rank is fully
+    deterministic in both engines). Returns (pairs, conv).
+
+    Scale shape: ONE equi-join shuffle on user_id (the range predicate
+    rides the sort-merge join as a post-condition), per-user pair
+    volume bounded by conversions × 7-day touch count — never a
+    corpus cross join. k and rn are windows over cid: conversion-sized
+    partitions (a handful of rows each), no global window anywhere."""
+    ev = load_table(spark, sf, "events").where(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    e = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    conv = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("cid"), F.col("t").alias("ct")
+    )
+    touch = e.where(F.col("event_type") != "purchase").select(
+        "user_id", "event_id", F.col("event_type").alias("channel"), "t"
+    )
+    in_window = (F.col("t") >= F.col("ct") - ATTR_WINDOW_US) & (
+        (F.col("t") < F.col("ct"))
+        | ((F.col("t") == F.col("ct")) & (F.col("event_id") < F.col("cid")))
+    )
+    joined = conv.join(touch, "user_id").where(in_window)
+    wk = Window.partitionBy("cid")
+    wr = Window.partitionBy("cid").orderBy(F.col("t").desc(), F.col("event_id").desc())
+    pairs = joined.select(
+        "cid",
+        "channel",
+        F.count("*").over(wk).alias("k"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return pairs, conv
+
+
+def _credit_rollup(pairs: DataFrame, conv: DataFrame, mc) -> DataFrame:
+    """Aggregate per-touch micro-credits `mc` to the 3-row channel
+    layout. ONE aggregate pass computes both channel sums, touch
+    counts, and the attributed-conversion count; 'direct' credit is
+    (total conversions − attributed conversions) × CREDIT_UNITS — no
+    second range join for the no-touch conversions. Constant 3-row
+    stack unpivot of the single aggregate row (house rule: never a
+    per-channel union that re-runs the join)."""
+    agg = pairs.select("cid", "channel", mc.alias("mc")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("channel") == "click", F.col("mc"))), F.lit(0)
+        ).cast("long").alias("click_mc"),
+        F.coalesce(
+            F.sum(F.when(F.col("channel") == "view", F.col("mc"))), F.lit(0)
+        ).cast("long").alias("view_mc"),
+        F.count(F.when(F.col("channel") == "click", 1)).alias("click_n"),
+        F.count(F.when(F.col("channel") == "view", 1)).alias("view_n"),
+        F.count_distinct("cid").alias("n_attr"),
+    )
+    nconv = conv.agg(F.count("*").alias("n_conv"))
+    return agg.crossJoin(F.broadcast(nconv)).selectExpr(
+        f"stack(3, 'click', click_mc, click_n,"
+        f" 'view', view_mc, view_n,"
+        f" 'direct', (n_conv - n_attr) * {CREDIT_UNITS}, CAST(0 AS BIGINT))"
+        " AS (channel, micro_credits, touches_credited)"
+    )
+
+
+_PAIRS_SQL = f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+    conv AS (SELECT user_id, event_id AS cid, t AS ct FROM e
+             WHERE event_type = 'purchase'),
+    touch AS (SELECT user_id, event_id, event_type AS channel, t FROM e
+              WHERE event_type IN ('click', 'view')),
+    pairs AS (
+      SELECT c.cid, tc.channel,
+             COUNT(*) OVER (PARTITION BY c.cid) AS k,
+             ROW_NUMBER() OVER (PARTITION BY c.cid
+                                ORDER BY tc.t DESC, tc.event_id DESC) AS rn
+      FROM conv c JOIN touch tc
+        ON c.user_id = tc.user_id
+       AND tc.t >= c.ct - {ATTR_WINDOW_US}
+       AND (tc.t < c.ct OR (tc.t = c.ct AND tc.event_id < c.cid)))
+"""
+
+_ROLLUP_SQL = f"""
+    agg AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN channel='click' THEN mc END), 0) AS BIGINT) AS click_mc,
+        CAST(COALESCE(SUM(CASE WHEN channel='view' THEN mc END), 0) AS BIGINT) AS view_mc,
+        CAST(COALESCE(SUM(CASE WHEN channel='click' THEN 1 END), 0) AS BIGINT) AS click_n,
+        CAST(COALESCE(SUM(CASE WHEN channel='view' THEN 1 END), 0) AS BIGINT) AS view_n,
+        COUNT(DISTINCT cid) AS n_attr
+      FROM credit),
+    nc AS (SELECT COUNT(*) AS n_conv FROM conv)
+    SELECT 'click' AS channel, click_mc AS micro_credits,
+           click_n AS touches_credited FROM agg
+    UNION ALL
+    SELECT 'view', view_mc, view_n FROM agg
+    UNION ALL
+    SELECT 'direct',
+           CAST((SELECT n_conv FROM nc) - n_attr AS BIGINT) * {CREDIT_UNITS},
+           CAST(0 AS BIGINT)
+    FROM agg
+"""
+
+
+@register(
+    "ev_attribution_linear",
+    oracle=_PAIRS_SQL
+    + f""",
+    credit AS (
+      SELECT cid, channel,
+             {CREDIT_UNITS} // k
+             + CASE WHEN rn <= {CREDIT_UNITS} % k THEN 1 ELSE 0 END AS mc
+      FROM pairs),
+    """
+    + _ROLLUP_SQL,
+    tags=("events", "attribution", "range-join"),
+)
+def ev_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear (equal-weight) multi-touch attribution with EXACT integer
+    credit: each conversion distributes {CREDIT_UNITS} micro-credits
+    equally over its trailing-7-day touches by Hamilton apportionment —
+    every touch gets units DIV k, the units % k most recent touches get
+    +1 — so per-conversion credit conserves exactly (sum of credits ==
+    conversions × {CREDIT_UNITS}, asserted in tests) and the channel
+    rollup is a BIGINT sum no float-summation order can perturb. The
+    fractional-credit report VERDICT r4/r5 asked for, in the
+    float-stable shape the integer-credit variants established;
+    conversions with no in-window touch credit 'direct' in full.
+
+    Scale shape: see _conversion_touch_pairs (one user_id shuffle,
+    window-bounded pair volume) and _credit_rollup (single aggregate
+    pass, constant 3-row unpivot)."""
+    pairs, conv = _conversion_touch_pairs(spark, sf)
+    mc = F.expr(
+        f"{CREDIT_UNITS} DIV k + IF(rn <= {CREDIT_UNITS} % k, 1, 0)"
+    )
+    return _credit_rollup(pairs, conv, mc)
+
+
+U_EDGE = 400_000  # U-shaped: 40% first touch, 40% last, 20% split middle
+U_MID = CREDIT_UNITS - 2 * U_EDGE
+
+
+@register(
+    "ev_attribution_position",
+    oracle=_PAIRS_SQL
+    + f""",
+    credit AS (
+      SELECT cid, channel,
+             CASE WHEN k = 1 THEN {CREDIT_UNITS}
+                  WHEN k = 2 THEN {CREDIT_UNITS // 2}
+                  WHEN rn = 1 OR rn = k THEN {U_EDGE}
+                  ELSE {U_MID} // (k - 2)
+                       + CASE WHEN rn - 1 <= {U_MID} % (k - 2) THEN 1 ELSE 0 END
+             END AS mc
+      FROM pairs),
+    """
+    + _ROLLUP_SQL,
+    tags=("events", "attribution", "range-join"),
+)
+def ev_attribution_position(spark: SparkSession, sf: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution,
+    integer-exact: first and last in-window touch each take {U_EDGE}
+    micro-credits, the middle touches split {U_MID} by Hamilton
+    apportionment (most recent middles take the remainder); k=1 takes
+    everything, k=2 splits evenly. Same conservation guarantee and
+    3-row channel rollup as ev_attribution_linear — the two queries
+    share the pair frame builder and differ only in the per-touch
+    credit expression, which is how a real attribution library should
+    factor (models = credit formulas over one canonical touch frame)."""
+    pairs, conv = _conversion_touch_pairs(spark, sf)
+    mc = F.expr(
+        f"CASE WHEN k = 1 THEN {CREDIT_UNITS}"
+        f" WHEN k = 2 THEN {CREDIT_UNITS // 2}"
+        f" WHEN rn = 1 OR rn = k THEN {U_EDGE}"
+        f" ELSE {U_MID} DIV (k - 2)"
+        f"      + IF(rn - 1 <= {U_MID} % (k - 2), 1, 0) END"
+    )
+    return _credit_rollup(pairs, conv, mc)
+
+
+@register(
+    "ev_cohort_ltv",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('week', MIN(ts))) AS BIGINT) AS cohort_week
+      FROM events GROUP BY 1),
+    rev AS (
+      SELECT user_id, CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS w,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase')
+    SELECT f.cohort_week,
+           (r.w - f.cohort_week) // {WEEK_SEC} AS age_weeks,
+           CAST(COUNT(DISTINCT r.user_id) AS BIGINT) AS payers,
+           CAST(SUM(r.cents) AS BIGINT) AS revenue_cents
+    FROM first_seen f JOIN rev r USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("events", "cohort", "ltv"),
+)
+def ev_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort lifetime value: purchase revenue (integer cents, house
+    money rule) bucketed by first-activity cohort week × weeks-since —
+    the revenue companion to ev_cohort_matrix's retention counts, and
+    together the standard LTV-curve input. Weekly grain matches
+    ev_cohort_matrix (Monday-truncated epoch seconds, exact integer
+    offset division — no calendar-month float anywhere).
+
+    Scale shape: first-seen is ONE user-keyed aggregate of the scan
+    (min ts per user — map-side partial); revenue filters to purchases
+    before joining, so the join's left side is purchase-sized, its
+    right side user-sized, both hash-partitioned on user_id once. The
+    final aggregate is cohorts × ages — calendar-bounded, tiny."""
+    ev = load_table(spark, sf, "events")
+    week = lambda c: F.date_trunc("week", c).cast("long")  # noqa: E731
+    first_seen = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    rev = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        week(F.col("ts")).alias("w"),
+        F.expr(CENTS).alias("cents"),
+    )
+    age = F.expr(f"(w - cohort_week) DIV {WEEK_SEC}")
+    return (
+        rev.join(first_seen, "user_id")
+        .select("cohort_week", age.alias("age_weeks"), "user_id", "cents")
+        .groupBy("cohort_week", "age_weeks")
+        .agg(
+            F.count_distinct("user_id").alias("payers"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )

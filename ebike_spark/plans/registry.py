@@ -143,6 +143,12 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "stream_rollup_maintain",
     # round-6 additions / upgrades — first external check
     "ev_active_users_hll",
+    "ev_attribution_linear",
+    "ev_attribution_position",
+    "ev_anomaly_mad",
+    "ev_cohort_ltv",
+    "fn_window",
+    "text_ttr_profile",
 )
 
 

@@ -781,3 +781,25 @@ def test_kmeans_converged_reaches_fixed_point(spark):
     wss_conv = sum(r["wss"] for r in rows)
     wss_2 = sum(r["wss"] for r in embed_kmeans_lloyd(spark, SF_DIR).collect())
     assert 0 < wss_conv <= wss_2
+
+
+def test_fractional_attribution_conserves_credit(spark):
+    """Hamilton apportionment is exact: total micro-credits across the
+    3 channels equals conversions × CREDIT_UNITS for both models (the
+    invariant float credit can't hold under summation order)."""
+    import pyspark.sql.functions as F
+
+    from ebike_spark.plans.attribution import CREDIT_UNITS
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+    from ebike_spark.sources.registry import load_table
+
+    _load_all()
+    n_conv = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    for name in ("ev_attribution_linear", "ev_attribution_position"):
+        rows = REGISTRY[name].fn(spark, SF_DIR).collect()
+        assert len(rows) == 3
+        assert sum(r["micro_credits"] for r in rows) == n_conv * CREDIT_UNITS
