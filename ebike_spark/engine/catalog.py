@@ -139,6 +139,19 @@ class Catalog:
             props.append(f"'{PROP_PK}' = '{','.join(ct.primary_key)}'")
         for uname, ucols in ct.uniques:
             props.append(f"'{PROP_UNIQUE_PREFIX}{uname}' = '{','.join(ucols)}'")
+        # inline KEY items: recorded as clustering indexes (the table is
+        # empty, so there is nothing to physically re-cluster yet; the
+        # DML paths maintain advertised clusterings on write)
+        known = {c.name for c in ct.columns}
+        seen_keys = {u for u, _ in ct.uniques}
+        for iname, icols in ct.indexes:
+            for c in icols:
+                if c not in known:
+                    raise EbikeError(1072, f"Key column '{c}' doesn't exist in table")
+            if iname in seen_keys:
+                raise EbikeError(1061, f"Duplicate key name '{iname}'")
+            seen_keys.add(iname)
+            props.append(f"'{PROP_CLUSTER_PREFIX}{iname}' = '{','.join(icols)}'")
         ine = "IF NOT EXISTS " if ct.if_not_exists else ""
         self._ensure_fresh_location(qualified)
         self.spark.sql(
@@ -224,10 +237,12 @@ class Catalog:
         _, _, tname = qualified.rpartition(".")
         lines = []
         nn = set(self.not_null_cols(qualified))
+        ai = self.auto_increment_col(qualified)
         for name, typ in self.column_types(qualified):
             sql_t = SQL_TYPE_NAME.get(typ, typ)
             null = " NOT NULL" if name in nn else ""
-            lines.append(f"  `{name}` {sql_t}{null}")
+            extra = " AUTO_INCREMENT" if name == ai else ""
+            lines.append(f"  `{name}` {sql_t}{null}{extra}")
         pk = self.primary_key(qualified)
         if pk:
             lines.append("  PRIMARY KEY (" + ", ".join(f"`{c}`" for c in pk) + ")")

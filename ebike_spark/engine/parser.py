@@ -356,6 +356,7 @@ class CreateTable:
     columns: list[ColumnDef]
     primary_key: list[str] = field(default_factory=list)
     uniques: list[tuple[str, list[str]]] = field(default_factory=list)  # (name, cols)
+    indexes: list[tuple[str, list[str]]] = field(default_factory=list)  # KEY (cluster)
     if_not_exists: bool = False
 
 
@@ -419,6 +420,17 @@ def parse_create_table(sql: str) -> CreateTable:
             cols = [unquote_ident(c) for c in split_top_level(uq.group(3))]
             uname = unquote_ident(uq.group(1) or uq.group(2) or "_".join(cols))
             ct.uniques.append((uname, cols))
+            continue
+        # plain KEY/INDEX item → clustering index (same semantics as
+        # CREATE INDEX), so SHOW CREATE TABLE output round-trips
+        kx = re.match(r"(?:KEY|INDEX)\s+([\w`\"]+)\s*\((.*)\)\s*$", item, re.I | re.S)
+        if kx:
+            ct.indexes.append(
+                (
+                    unquote_ident(kx.group(1)),
+                    [unquote_ident(c) for c in split_top_level(kx.group(2))],
+                )
+            )
             continue
         cm = re.match(
             rf"([\w`\"]+)\s+{_TYPE_RE}(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(.*)$",

@@ -1351,3 +1351,47 @@ def test_key_ddl_refreshes_information_schema(eng):
         "WHERE table_name = 'ks' AND column_name = 'id'"
     ).rows()
     assert rows[0]["column_key"] == "PRI"
+
+
+def test_show_create_table_round_trip_fidelity(eng):
+    """SHOW CREATE TABLE output re-executes through Engine.execute into
+    a table whose own SHOW CREATE TABLE is byte-identical (fixed
+    point), and the constraints survive BEHAVIORALLY: PK/UNIQUE still
+    raise 1062, AUTO_INCREMENT still mints, KEY still lists as a
+    clustering index (VERDICT-r5 task 7)."""
+    ddls = [
+        "CREATE TABLE rt1 (id INT NOT NULL, name CHAR, score FLOAT, PRIMARY KEY (id))",
+        "CREATE TABLE rt2 (a INT AUTO_INCREMENT, b CHAR NOT NULL, "
+        "PRIMARY KEY (a), UNIQUE KEY ub (b))",
+        "CREATE TABLE rt3 (x INT, y FLOAT, z CHAR)",
+        "CREATE TABLE rt4 (id INT NOT NULL, v FLOAT, PRIMARY KEY (id), KEY ix (v))",
+    ]
+    for i, ddl in enumerate(ddls, 1):
+        t = f"rt{i}"
+        eng.execute(ddl)
+        ct = eng.execute(f"SHOW CREATE TABLE {t}").rows()[0]["Create Table"]
+        eng.execute(f"DROP TABLE {t}")
+        eng.execute(ct)  # the round trip
+        ct2 = eng.execute(f"SHOW CREATE TABLE {t}").rows()[0]["Create Table"]
+        assert ct2 == ct, f"{t}: SHOW CREATE TABLE is not a fixed point"
+    # constraints survived the trip behaviorally, not just textually
+    eng.execute("INSERT INTO rt2 (b) VALUES ('x'), ('y')")
+    assert sorted(r["a"] for r in eng.execute("SELECT a FROM rt2").rows()) == [1, 2]
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO rt2 (b) VALUES ('x')")
+    assert ei.value.code == 1062
+    eng.execute("INSERT INTO rt1 VALUES (1, 'a', 1.0)")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO rt1 VALUES (1, 'b', 2.0)")
+    assert ei.value.code == 1062
+    idx = eng.execute("SHOW INDEX FROM rt4").rows()
+    assert any(r["Key_name"] == "ix" for r in idx)
+
+
+def test_create_table_inline_key_validates(eng):
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("CREATE TABLE bad1 (a INT, KEY kx (nope))")
+    assert ei.value.code == 1072
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("CREATE TABLE bad2 (a INT, UNIQUE KEY k1 (a), KEY k1 (a))")
+    assert ei.value.code == 1061

@@ -12,6 +12,8 @@ import pytest
 
 from ebike_spark.engine import Engine
 
+pytestmark = pytest.mark.slow  # >5s drives; full suite remains the pre-commit gate
+
 SF01 = "/root/testdata/sf0.1"
 
 

