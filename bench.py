@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "fn_window",
     "text_ttr_profile",
     "ev_active_users_hll",
+    "ev_new_vs_returning",
+    "ev_stickiness_weekly",
+    "corpus_gate_waterfall",
 ]
 
 

@@ -561,6 +561,95 @@ def text_heuristic_filter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_GATE_RULES_SQL = f"""
+      SELECT CASE WHEN len(string_split(text, ' ')) >= {RULE_MIN_TOKENS}
+                  THEN 1 ELSE 0 END AS r1,
+             CASE WHEN length(replace(text, ' ', '')) * 1.0
+                       / len(string_split(text, ' ')) <= {RULE_MAX_MEAN_WLEN}
+                  THEN 1 ELSE 0 END AS r2,
+             CASE WHEN len(list_distinct(string_split(text, ' '))) * 1.0
+                       / len(string_split(text, ' ')) >= {RULE_MIN_DISTINCT_RATIO}
+                  THEN 1 ELSE 0 END AS r3,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                  w -> w IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) > 0
+                  THEN 1 ELSE 0 END AS r4
+      FROM documents
+"""
+
+
+@register(
+    "corpus_gate_waterfall",
+    oracle=f"""
+    WITH f AS ({_GATE_RULES_SQL}),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN r1=0 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+             CAST(SUM(CASE WHEN r1=1 AND r2=0 THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+             CAST(SUM(CASE WHEN r1=1 AND r2=1 AND r3=0 THEN 1 ELSE 0 END) AS BIGINT) AS x3,
+             CAST(SUM(CASE WHEN r1=1 AND r2=1 AND r3=1 AND r4=0 THEN 1 ELSE 0 END) AS BIGINT) AS x4
+      FROM f)
+    SELECT 1 AS stage, 'min_tokens' AS rule, x1 AS n_removed,
+           total - x1 AS n_surviving FROM agg
+    UNION ALL SELECT 2, 'mean_word_len', x2, total - x1 - x2 FROM agg
+    UNION ALL SELECT 3, 'distinct_ratio', x3, total - x1 - x2 - x3 FROM agg
+    UNION ALL SELECT 4, 'has_stopword', x4, total - x1 - x2 - x3 - x4 FROM agg
+    """,
+    tags=("corpus", "curation", "quality-rules", "waterfall"),
+)
+def corpus_gate_waterfall(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-gate WATERFALL: the same four hard rules as
+    text_heuristic_filter, applied in pipeline order with
+    first-failing-rule attribution — stage k reports how many documents
+    the k-th gate removes from what SURVIVED gates 1..k-1, and the
+    running survivor count. text_heuristic_filter answers "which rules
+    fire, marginally"; this answers the ablation question "which gate
+    actually removes how much, in the order we run them" — the report
+    that decides gate ordering and which rules are worth their cost
+    (every doc is attributed to exactly ONE removing gate, so the
+    stages sum to total − survivors exactly).
+
+    Scale shape: one scan, four Catalyst boolean expressions, ONE
+    aggregate row of first-fail counters (map-side partials), constant
+    4-row stack unpivot — never a per-stage re-scan of the corpus."""
+    docs = load_table(spark, sf, "documents")
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok)
+    r1 = (n_tok >= RULE_MIN_TOKENS).cast("int")
+    r2 = (
+        F.length(F.regexp_replace("text", " ", "")) * F.lit(1.0) / n_tok
+        <= RULE_MAX_MEAN_WLEN
+    ).cast("int")
+    r3 = (
+        F.size(F.array_distinct(tok)) * F.lit(1.0) / n_tok >= RULE_MIN_DISTINCT_RATIO
+    ).cast("int")
+    r4 = (F.size(F.filter(tok, lambda w: w.isin(*STOPWORDS))) > 0).cast("int")
+    f = docs.select(r1.alias("r1"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4"))
+    agg = f.agg(
+        F.count("*").alias("total"),
+        F.sum((F.col("r1") == 0).cast("long")).alias("x1"),
+        F.sum(((F.col("r1") == 1) & (F.col("r2") == 0)).cast("long")).alias("x2"),
+        F.sum(
+            ((F.col("r1") == 1) & (F.col("r2") == 1) & (F.col("r3") == 0)).cast("long")
+        ).alias("x3"),
+        F.sum(
+            (
+                (F.col("r1") == 1)
+                & (F.col("r2") == 1)
+                & (F.col("r3") == 1)
+                & (F.col("r4") == 0)
+            ).cast("long")
+        ).alias("x4"),
+    )
+    return agg.selectExpr(
+        "stack(4,"
+        " 1, 'min_tokens', x1, total - x1,"
+        " 2, 'mean_word_len', x2, total - x1 - x2,"
+        " 3, 'distinct_ratio', x3, total - x1 - x2 - x3,"
+        " 4, 'has_stopword', x4, total - x1 - x2 - x3 - x4)"
+        " AS (stage, rule, n_removed, n_surviving)"
+    )
+
+
 # ---------------------------------------- temperature-scaled sampling
 
 # Exponent for temperature sampling: stratum probability ∝ share^ALPHA

@@ -149,6 +149,9 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_cohort_ltv",
     "fn_window",
     "text_ttr_profile",
+    "ev_new_vs_returning",
+    "ev_stickiness_weekly",
+    "corpus_gate_waterfall",
 )
 
 

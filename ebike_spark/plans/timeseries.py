@@ -1065,3 +1065,100 @@ def ev_interarrival_histogram(spark: SparkSession, sf: str) -> DataFrame:
             F.max("gap").cast("long").alias("max_gap_us"),
         )
     )
+
+
+@register(
+    "ev_new_vs_returning",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS first_day
+      FROM events GROUP BY 1),
+    a AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+    SELECT CAST(epoch(a.d) AS BIGINT) AS day_start,
+           CAST(SUM(CASE WHEN a.d = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(SUM(CASE WHEN a.d <> f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1
+    """,
+    tags=("events", "time", "active-users", "acquisition"),
+)
+def ev_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily new-vs-returning split: each active (user, day) is 'new'
+    exactly on the user's first-ever day — the acquisition-vs-retention
+    decomposition of the DAU curve (new + returning = DAU, and
+    sum(new) over all days = total users, both good audit invariants).
+
+    Scale shape: the activity side pre-distincts to (user, day) — the
+    ev_active_users partial — and the first-day side is ONE min
+    aggregate per user; both hash-partition on user_id for the join,
+    then a calendar-sized day rollup. No window over raw events."""
+    ev = load_table(spark, sf, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(F.col("d").cast("long").alias("day_start"))
+        .agg(
+            F.sum((F.col("d") == F.col("first_day")).cast("long")).alias("new_users"),
+            F.sum((F.col("d") != F.col("first_day")).cast("long")).alias(
+                "returning_users"
+            ),
+        )
+    )
+
+
+@register(
+    "ev_stickiness_weekly",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+    dau AS (SELECT d, COUNT(*) AS n FROM ud GROUP BY 1),
+    wk AS (
+      SELECT CAST(epoch(date_trunc('week', d)) AS BIGINT) AS week_start,
+             CAST(SUM(n) AS BIGINT) AS dau_user_days,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM dau GROUP BY 1),
+    wau AS (
+      SELECT CAST(epoch(date_trunc('week', d)) AS BIGINT) AS week_start,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM ud GROUP BY 1)
+    SELECT week_start, dau_user_days, n_days, wau
+    FROM wk JOIN wau USING (week_start)
+    """,
+    tags=("events", "time", "active-users", "stickiness"),
+)
+def ev_stickiness_weekly(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly stickiness inputs: per ISO week, the summed daily DAU
+    (user-days), the day count, and WAU — stickiness = dau_user_days /
+    (n_days × wau) downstream (house rule: emit the exact integers, let
+    the dashboard divide). The DAU/MAU-style engagement-intensity
+    metric at weekly grain.
+
+    Scale shape: one distinct (user, day) reduction of the raw scan
+    feeds BOTH the day-count rollup and the weekly count-distinct —
+    the same compact-partial discipline as ev_active_users; outputs
+    are calendar-sized."""
+    from ebike_spark.operators.dedup import _persist_scoped
+
+    ev = load_table(spark, sf, "events")
+    ud = _persist_scoped(
+        spark,
+        "stickiness_user_day",
+        lambda: ev.select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+        ).distinct(),
+        key=sf,
+    )
+    week = F.date_trunc("week", F.col("d")).cast("long").alias("week_start")
+    dau = ud.groupBy("d").agg(F.count("*").alias("n"))
+    wk = dau.groupBy(week).agg(
+        F.sum("n").alias("dau_user_days"), F.count("*").alias("n_days")
+    )
+    wau = ud.groupBy(week).agg(F.count_distinct("user_id").alias("wau"))
+    return wk.join(wau, "week_start")

@@ -735,3 +735,30 @@ def test_ttr_profile_no_vocab_broadcast(spark):
     plan = _physical(df)
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_gate_waterfall_single_scan_no_join(spark):
+    """corpus_gate_waterfall: one documents scan, one aggregate row,
+    constant stack unpivot — no join, no per-stage re-scan."""
+    plan = _physical(REGISTRY["corpus_gate_waterfall"].fn(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_new_vs_returning_distincts_before_join(spark):
+    """ev_new_vs_returning joins the DISTINCT (user, day) frame to the
+    per-user min aggregate — both user-bounded — with no window over
+    raw events."""
+    df = REGISTRY["ev_new_vs_returning"].fn(spark, SF_DIR)
+    opt = _optimized(df)
+    join_pos = opt.index("Join")
+    assert "Aggregate" in opt[join_pos:]  # both sides reduce below the join
+    plan = _physical(df)
+    assert "Window" not in plan
+
+
+def test_stickiness_reuses_user_day_cache(spark):
+    """ev_stickiness_weekly's DAU and WAU branches both read the
+    persisted (user, day) frame instead of re-scanning events."""
+    plan = _physical(REGISTRY["ev_stickiness_weekly"].fn(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 2
