@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
-"queries": {...}, "sf": ...}.
+TWO JSON lines: first the full per-query map
+{"metric": "per_query_seconds", "queries": {...}, "sf": ...}, then a
+compact summary {"metric": "total_query_seconds", "value": N, ...} as
+the LAST line — the driver tail-captures ~2000 bytes of stdout, so the
+final line must stay small (asserted ≤1900 bytes below).
 
 Each query is executed as a full action (count of the result) after a
 warmup pass of the same plan shape; timings are wall-clock per query.

@@ -273,6 +273,13 @@ def rewrite_group_concat(sql: str) -> str:
             raise ValueError("duplicate SEPARATOR clause in GROUP_CONCAT")
         for kw, s0, s1 in sep_spans:
             sep = inner[s1:].strip()
+            # SEPARATOR takes exactly one string literal; anything
+            # trailing it (a misplaced ORDER BY, stray tokens) must be
+            # a parse error, not silently glued into the separator
+            if not re.fullmatch(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", sep):
+                raise ValueError(
+                    "SEPARATOR must be followed by a single string literal"
+                )
             inner = inner[:s0].rstrip()
         ob_spans = find_top_level_keywords(inner, ("ORDER BY",))
         if len(ob_spans) > 1:
@@ -422,15 +429,24 @@ def parse_create_table(sql: str) -> CreateTable:
             ct.uniques.append((uname, cols))
             continue
         # plain KEY/INDEX item → clustering index (same semantics as
-        # CREATE INDEX), so SHOW CREATE TABLE output round-trips
-        kx = re.match(r"(?:KEY|INDEX)\s+([\w`\"]+)\s*\((.*)\)\s*$", item, re.I | re.S)
+        # CREATE INDEX), so SHOW CREATE TABLE output round-trips.
+        # The name is optional, as in MySQL (auto-named after the first
+        # column below, once all names are known).
+        kx = re.match(
+            r"(?:KEY|INDEX)\s*(?:([\w`\"]+)\s*)?\((.*)\)\s*$", item, re.I | re.S
+        )
         if kx:
-            ct.indexes.append(
-                (
-                    unquote_ident(kx.group(1)),
-                    [unquote_ident(c) for c in split_top_level(kx.group(2))],
-                )
-            )
+            cols = [unquote_ident(c) for c in split_top_level(kx.group(2))]
+            # every entry must be a column IDENTIFIER — this is what
+            # separates `KEY ix (a)` from a column def using the
+            # reserved word, e.g. `key INT(11)`, which MySQL rejects
+            # as a syntax error (not an unknown-column 1072)
+            if not cols or not all(
+                re.fullmatch(r"[A-Za-z_]\w*", c) for c in cols
+            ):
+                raise ValueError(f"malformed KEY definition: {item!r}")
+            name = unquote_ident(kx.group(1)) if kx.group(1) else None
+            ct.indexes.append((name, cols))
             continue
         cm = re.match(
             rf"([\w`\"]+)\s+{_TYPE_RE}(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(.*)$",
@@ -453,6 +469,18 @@ def parse_create_table(sql: str) -> CreateTable:
         if ai:
             nullable = False  # MySQL: an auto column is implicitly NOT NULL
         ct.columns.append(ColumnDef(cname, ctype, nullable, auto_increment=ai))
+    # MySQL-style auto-naming for anonymous KEY items: first column,
+    # with a _2/_3… suffix on collision against every other key name
+    taken = {u for u, _ in ct.uniques} | {n for n, _ in ct.indexes if n}
+    resolved = []
+    for name, cols in ct.indexes:
+        if name is None:
+            name, k = cols[0], 2
+            while name in taken:
+                name, k = f"{cols[0]}_{k}", k + 1
+        taken.add(name)
+        resolved.append((name, cols))
+    ct.indexes = resolved
     return ct
 
 

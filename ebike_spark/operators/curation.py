@@ -488,35 +488,62 @@ RULE_MIN_TOKENS = 20  # Gopher: drop docs under a token floor
 RULE_MAX_MEAN_WLEN = 5.0  # Gopher: drop docs with abnormally long words
 RULE_MIN_DISTINCT_RATIO = 0.5  # C4/Gopher: drop low-lexical-diversity docs
 
+# The four hard gates, defined ONCE in pipeline order and PASS polarity
+# for BOTH engines — text_heuristic_filter counts their negations and
+# corpus_gate_waterfall their first failure, so a threshold or
+# tokenization change can never desynchronize the two reports.
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+GATE_RULES_SQL: tuple[tuple[str, str], ...] = (
+    ("min_tokens", f"len(string_split(text, ' ')) >= {RULE_MIN_TOKENS}"),
+    (
+        "mean_word_len",
+        "length(replace(text, ' ', '')) * 1.0"
+        f" / len(string_split(text, ' ')) <= {RULE_MAX_MEAN_WLEN}",
+    ),
+    (
+        "distinct_ratio",
+        "len(list_distinct(string_split(text, ' '))) * 1.0"
+        f" / len(string_split(text, ' ')) >= {RULE_MIN_DISTINCT_RATIO}",
+    ),
+    (
+        "has_stopword",
+        f"len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_LIST}))) > 0",
+    ),
+)
+
+# one flag row per document: p1..p4 = the gates in order, 1 = pass
+_GATE_FLAGS_SQL = "SELECT lang, " + ", ".join(
+    f"CASE WHEN {sql} THEN 1 ELSE 0 END AS p{i}"
+    for i, (_, sql) in enumerate(GATE_RULES_SQL, 1)
+) + " FROM documents"
+
+
+def gate_pass_cols():
+    """The same four gates as Catalyst boolean Columns, in
+    GATE_RULES_SQL order (pass polarity)."""
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok)
+    return [
+        n_tok >= RULE_MIN_TOKENS,
+        F.length(F.regexp_replace("text", " ", "")) * F.lit(1.0) / n_tok
+        <= RULE_MAX_MEAN_WLEN,
+        F.size(F.array_distinct(tok)) * F.lit(1.0) / n_tok
+        >= RULE_MIN_DISTINCT_RATIO,
+        F.size(F.filter(tok, lambda w: w.isin(*STOPWORDS))) > 0,
+    ]
+
 
 @register(
     "text_heuristic_filter",
     oracle=f"""
-    WITH t AS (
-      SELECT lang,
-             len(string_split(text, ' ')) AS n_tok,
-             length(replace(text, ' ', '')) * 1.0
-               / len(string_split(text, ' ')) AS mean_wlen,
-             len(list_distinct(string_split(text, ' '))) * 1.0
-               / len(string_split(text, ' ')) AS distinct_ratio,
-             len(list_filter(string_split(text, ' '),
-                 w -> w IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS n_stop
-      FROM documents),
-    r AS (
-      SELECT lang,
-             CASE WHEN n_tok < {RULE_MIN_TOKENS} THEN 1 ELSE 0 END AS r_short,
-             CASE WHEN mean_wlen > {RULE_MAX_MEAN_WLEN} THEN 1 ELSE 0 END AS r_longword,
-             CASE WHEN distinct_ratio < {RULE_MIN_DISTINCT_RATIO} THEN 1 ELSE 0 END AS r_lowdiv,
-             CASE WHEN n_stop = 0 THEN 1 ELSE 0 END AS r_nostop
-      FROM t)
+    WITH f AS ({_GATE_FLAGS_SQL})
     SELECT lang, COUNT(*) AS n_docs,
-           CAST(SUM(r_short) AS BIGINT) AS n_short,
-           CAST(SUM(r_longword) AS BIGINT) AS n_longword,
-           CAST(SUM(r_lowdiv) AS BIGINT) AS n_lowdiv,
-           CAST(SUM(r_nostop) AS BIGINT) AS n_nostop,
-           CAST(SUM(CASE WHEN r_short + r_longword + r_lowdiv + r_nostop = 0
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-    FROM r GROUP BY lang
+           CAST(SUM(1 - p1) AS BIGINT) AS n_short,
+           CAST(SUM(1 - p2) AS BIGINT) AS n_longword,
+           CAST(SUM(1 - p3) AS BIGINT) AS n_lowdiv,
+           CAST(SUM(1 - p4) AS BIGINT) AS n_nostop,
+           CAST(SUM(p1 * p2 * p3 * p4) AS BIGINT) AS n_kept
+    FROM f GROUP BY lang
     """,
     tags=("text", "curation", "quality-rules"),
 )
@@ -526,28 +553,22 @@ def text_heuristic_filter(spark: SparkSession, sf: str) -> DataFrame:
     floor, must-contain-a-stopword — with a per-language audit of how
     many documents each rule fires on and how many survive all of them.
     (This complements text_quality, which produces *soft scores*; these
-    are the *hard gates* a pipeline applies before scoring.)
+    are the *hard gates* a pipeline applies before scoring.) The rules
+    are the shared GATE_RULES_SQL / gate_pass_cols definitions this
+    operator counts in FAIL polarity.
 
     All four rules are pure Catalyst expressions over one scan; the
     groupBy ships 5 aggregate rows per language, not documents. Exact
     across engines: every ratio is an integer/integer double division,
     bit-identical in Spark and DuckDB."""
     docs = load_table(spark, sf, "documents")
-    tok = tokens(F.col("text"))
-    n_tok = F.size(tok)
-    mean_wlen = F.length(F.regexp_replace("text", " ", "")) * F.lit(1.0) / n_tok
-    distinct_ratio = F.size(F.array_distinct(tok)) * F.lit(1.0) / n_tok
-    n_stop = F.size(F.filter(tok, lambda w: w.isin(*STOPWORDS)))
-    r_short = (n_tok < RULE_MIN_TOKENS).cast("long")
-    r_longword = (mean_wlen > RULE_MAX_MEAN_WLEN).cast("long")
-    r_lowdiv = (distinct_ratio < RULE_MIN_DISTINCT_RATIO).cast("long")
-    r_nostop = (n_stop == 0).cast("long")
+    p1, p2, p3, p4 = gate_pass_cols()
     t = docs.select(
         "lang",
-        r_short.alias("r_short"),
-        r_longword.alias("r_longword"),
-        r_lowdiv.alias("r_lowdiv"),
-        r_nostop.alias("r_nostop"),
+        (~p1).cast("long").alias("r_short"),
+        (~p2).cast("long").alias("r_longword"),
+        (~p3).cast("long").alias("r_lowdiv"),
+        (~p4).cast("long").alias("r_nostop"),
     )
     return t.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -561,32 +582,16 @@ def text_heuristic_filter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_GATE_RULES_SQL = f"""
-      SELECT CASE WHEN len(string_split(text, ' ')) >= {RULE_MIN_TOKENS}
-                  THEN 1 ELSE 0 END AS r1,
-             CASE WHEN length(replace(text, ' ', '')) * 1.0
-                       / len(string_split(text, ' ')) <= {RULE_MAX_MEAN_WLEN}
-                  THEN 1 ELSE 0 END AS r2,
-             CASE WHEN len(list_distinct(string_split(text, ' '))) * 1.0
-                       / len(string_split(text, ' ')) >= {RULE_MIN_DISTINCT_RATIO}
-                  THEN 1 ELSE 0 END AS r3,
-             CASE WHEN len(list_filter(string_split(text, ' '),
-                  w -> w IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) > 0
-                  THEN 1 ELSE 0 END AS r4
-      FROM documents
-"""
-
-
 @register(
     "corpus_gate_waterfall",
     oracle=f"""
-    WITH f AS ({_GATE_RULES_SQL}),
+    WITH f AS ({_GATE_FLAGS_SQL}),
     agg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS total,
-             CAST(SUM(CASE WHEN r1=0 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
-             CAST(SUM(CASE WHEN r1=1 AND r2=0 THEN 1 ELSE 0 END) AS BIGINT) AS x2,
-             CAST(SUM(CASE WHEN r1=1 AND r2=1 AND r3=0 THEN 1 ELSE 0 END) AS BIGINT) AS x3,
-             CAST(SUM(CASE WHEN r1=1 AND r2=1 AND r3=1 AND r4=0 THEN 1 ELSE 0 END) AS BIGINT) AS x4
+             CAST(SUM(CASE WHEN p1=0 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+             CAST(SUM(CASE WHEN p1=1 AND p2=0 THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+             CAST(SUM(CASE WHEN p1=1 AND p2=1 AND p3=0 THEN 1 ELSE 0 END) AS BIGINT) AS x3,
+             CAST(SUM(CASE WHEN p1=1 AND p2=1 AND p3=1 AND p4=0 THEN 1 ELSE 0 END) AS BIGINT) AS x4
       FROM f)
     SELECT 1 AS stage, 'min_tokens' AS rule, x1 AS n_removed,
            total - x1 AS n_surviving FROM agg
@@ -598,11 +603,12 @@ _GATE_RULES_SQL = f"""
 )
 def corpus_gate_waterfall(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-gate WATERFALL: the same four hard rules as
-    text_heuristic_filter, applied in pipeline order with
-    first-failing-rule attribution — stage k reports how many documents
-    the k-th gate removes from what SURVIVED gates 1..k-1, and the
-    running survivor count. text_heuristic_filter answers "which rules
-    fire, marginally"; this answers the ablation question "which gate
+    text_heuristic_filter (shared GATE_RULES_SQL / gate_pass_cols
+    definitions), applied in pipeline order with first-failing-rule
+    attribution — stage k reports how many documents the k-th gate
+    removes from what SURVIVED gates 1..k-1, and the running survivor
+    count. text_heuristic_filter answers "which rules fire,
+    marginally"; this answers the ablation question "which gate
     actually removes how much, in the order we run them" — the report
     that decides gate ordering and which rules are worth their cost
     (every doc is attributed to exactly ONE removing gate, so the
@@ -612,31 +618,21 @@ def corpus_gate_waterfall(spark: SparkSession, sf: str) -> DataFrame:
     aggregate row of first-fail counters (map-side partials), constant
     4-row stack unpivot — never a per-stage re-scan of the corpus."""
     docs = load_table(spark, sf, "documents")
-    tok = tokens(F.col("text"))
-    n_tok = F.size(tok)
-    r1 = (n_tok >= RULE_MIN_TOKENS).cast("int")
-    r2 = (
-        F.length(F.regexp_replace("text", " ", "")) * F.lit(1.0) / n_tok
-        <= RULE_MAX_MEAN_WLEN
-    ).cast("int")
-    r3 = (
-        F.size(F.array_distinct(tok)) * F.lit(1.0) / n_tok >= RULE_MIN_DISTINCT_RATIO
-    ).cast("int")
-    r4 = (F.size(F.filter(tok, lambda w: w.isin(*STOPWORDS))) > 0).cast("int")
-    f = docs.select(r1.alias("r1"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4"))
+    p1, p2, p3, p4 = [p.cast("int") for p in gate_pass_cols()]
+    f = docs.select(p1.alias("p1"), p2.alias("p2"), p3.alias("p3"), p4.alias("p4"))
     agg = f.agg(
         F.count("*").alias("total"),
-        F.sum((F.col("r1") == 0).cast("long")).alias("x1"),
-        F.sum(((F.col("r1") == 1) & (F.col("r2") == 0)).cast("long")).alias("x2"),
+        F.sum((F.col("p1") == 0).cast("long")).alias("x1"),
+        F.sum(((F.col("p1") == 1) & (F.col("p2") == 0)).cast("long")).alias("x2"),
         F.sum(
-            ((F.col("r1") == 1) & (F.col("r2") == 1) & (F.col("r3") == 0)).cast("long")
+            ((F.col("p1") == 1) & (F.col("p2") == 1) & (F.col("p3") == 0)).cast("long")
         ).alias("x3"),
         F.sum(
             (
-                (F.col("r1") == 1)
-                & (F.col("r2") == 1)
-                & (F.col("r3") == 1)
-                & (F.col("r4") == 0)
+                (F.col("p1") == 1)
+                & (F.col("p2") == 1)
+                & (F.col("p3") == 1)
+                & (F.col("p4") == 0)
             ).cast("long")
         ).alias("x4"),
     )

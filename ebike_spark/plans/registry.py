@@ -152,6 +152,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_new_vs_returning",
     "ev_stickiness_weekly",
     "corpus_gate_waterfall",
+    "stream_new_vs_returning",
 )
 
 

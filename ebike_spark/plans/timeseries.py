@@ -793,11 +793,26 @@ def ev_active_users_hll(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     est = daily.unionByName(monthly)
-    exact_day = ev.groupBy(
-        F.date_trunc("day", F.col("ts")).alias("b")
-    ).agg(F.count_distinct("user_id").alias("n_active_exact"))
-    exact_month = ev.groupBy(
-        F.date_trunc("month", F.col("ts")).alias("b")
+    # the exact audit derives from ONE distinct (user, day) partial —
+    # the same persisted frame ev_active_users builds (shared cache
+    # tag), so the audit adds no extra raw-events scan: day exact is
+    # its row count per day, month exact its per-month user distinct
+    # (a monthly-active user necessarily has a day row)
+    from ebike_spark.operators.dedup import _persist_scoped
+
+    ud = _persist_scoped(
+        spark,
+        "active_users_user_day",
+        lambda: ev.select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+        ).distinct(),
+        key=sf,
+    )
+    exact_day = ud.groupBy(F.col("d").alias("b")).agg(
+        F.count("*").alias("n_active_exact")
+    )
+    exact_month = ud.groupBy(
+        F.date_trunc("month", F.col("d")).alias("b")
     ).agg(F.count_distinct("user_id").alias("n_active_exact"))
     exact = exact_day.select(
         F.lit("day").alias("level"),

@@ -39,6 +39,7 @@ from pyspark.sql.types import (
 )
 
 import ebike_spark.plans.attribution  # noqa: F401  (registers the batch oracle this module reuses)
+import ebike_spark.plans.timeseries  # noqa: F401  (ev_new_vs_returning's oracle, reused below)
 from ebike_spark.plans.analytics import SESSION_GAP_SEC
 from ebike_spark.plans.registry import REGISTRY, register
 from ebike_spark.sources.registry import load_table
@@ -808,4 +809,87 @@ def stream_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
     return sink.groupBy("touch_type").agg(
         F.sum("n").alias("n_purchases"),
         F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+def make_first_seen_tagger():
+    """Custom stateful operator: per-user first-seen day via
+    applyInPandasWithState. State is ONE epoch-day long per user —
+    constant memory per key at any stream length. Each batch emits one
+    row per (user, active-day-in-batch) tagged is_new = (day ==
+    first-seen day); correct across batches because the staged replay
+    delivers each user's events in non-decreasing ts order (range-
+    staged files), so the first batch that sees a user contains their
+    true first day. Closure-built; executors never import this
+    package."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        days = set()
+        for p in pdfs:
+            days.update(int(d) for d in p["d"])
+        if not days:
+            return
+        if state.exists:
+            (first,) = state.get
+        else:
+            first = min(days)
+        state.update((int(first),))
+        out_days = sorted(days)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_days),
+                "d": out_days,
+                "is_new": [d == first for d in out_days],
+            }
+        )
+
+    return fn
+
+
+FIRST_SEEN_OUT_SCHEMA = "user_id long, d long, is_new boolean"
+FIRST_SEEN_STATE_SCHEMA = "first_day long"
+
+
+def first_seen_stream(ev: DataFrame) -> DataFrame:
+    src = ev.select(
+        "user_id",
+        # epoch-day in seconds == date_trunc('day') in UTC
+        F.expr("unix_micros(ts) DIV 86400000000 * 86400").alias("d"),
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        make_first_seen_tagger(),
+        FIRST_SEEN_OUT_SCHEMA,
+        FIRST_SEEN_STATE_SCHEMA,
+        "update",
+        "NoTimeout",
+    )
+
+
+@register(
+    "stream_new_vs_returning",
+    oracle=REGISTRY["ev_new_vs_returning"].oracle,
+    tags=("streaming", "stateful", "applyInPandasWithState", "active-users"),
+)
+def stream_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of ev_new_vs_returning: the per-user first-seen
+    day is custom state advanced across micro-batches, each batch
+    emitting its active (user, day) rows tagged new/returning; the
+    day rollup of the DISTINCT sink rows must hash-match the batch
+    oracle exactly (a day spanning two micro-batches emits twice with
+    identical tags — distinct collapses the replays, the idempotent-
+    sink discipline). The production shape of the acquisition/
+    retention DAU split: state is one long per user, so a billion-user
+    stream carries ~8 GB of state across the cluster, and each batch
+    touches only its own users."""
+    staged = stage_stream_dir(spark, sf)
+    sink = run_to_table(first_seen_stream(read_event_stream(spark, staged)), "update")
+    return (
+        sink.select("user_id", "d", "is_new")
+        .distinct()
+        .groupBy(F.col("d").alias("day_start"))
+        .agg(
+            F.sum(F.col("is_new").cast("long")).alias("new_users"),
+            F.sum((~F.col("is_new")).cast("long")).alias("returning_users"),
+        )
     )

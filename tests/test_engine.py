@@ -1194,6 +1194,17 @@ def test_group_concat_rewrite_unit():
         rw("SELECT GROUP_CONCAT(a SEPARATOR '-' SEPARATOR '+') FROM t")
     with _pytest.raises(ValueError, match="duplicate ORDER BY"):
         rw("SELECT GROUP_CONCAT(a ORDER BY a ORDER BY b) FROM t")
+    # anything trailing the separator literal is a parse error too —
+    # never silently glued into the separator argument (review r6)
+    with _pytest.raises(ValueError, match="single string literal"):
+        rw("SELECT GROUP_CONCAT(a ORDER BY b SEPARATOR ',' ORDER BY c) FROM t")
+    with _pytest.raises(ValueError, match="single string literal"):
+        rw("SELECT GROUP_CONCAT(a SEPARATOR ',' garbage) FROM t")
+    # escaped quotes inside the literal still pass
+    assert (
+        rw("SELECT GROUP_CONCAT(a SEPARATOR 'it''s') FROM t")
+        == "SELECT listagg(a, 'it''s') FROM t"
+    )
 
 
 def test_group_concat_duplicate_separator_is_1064(eng):
@@ -1395,3 +1406,12 @@ def test_create_table_inline_key_validates(eng):
     with pytest.raises(EbikeError) as ei:
         eng.execute("CREATE TABLE bad2 (a INT, UNIQUE KEY k1 (a), KEY k1 (a))")
     assert ei.value.code == 1061
+    # anonymous KEY auto-names after its first column, MySQL-style
+    eng.execute("CREATE TABLE akey (a INT, b INT, KEY (a), KEY (a, b))")
+    names = {r["Key_name"] for r in eng.execute("SHOW INDEX FROM akey").rows()}
+    assert {"a", "a_2"} <= names
+    # a reserved-word column def can't masquerade as an index (1064,
+    # as MySQL gives, not a nonsense unknown-column 1072)
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("CREATE TABLE bad3 (key INT(11))")
+    assert ei.value.code == 1064
