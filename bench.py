@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "ev_new_vs_returning",
     "ev_stickiness_weekly",
     "corpus_gate_waterfall",
+    "ev_forecast_snaive_backtest",
+    "text_doc_keywords",
 ]
 
 

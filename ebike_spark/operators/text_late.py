@@ -16,7 +16,7 @@ for this corpus' character set.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ebike_spark.functions.textfns import tokens
 from ebike_spark.plans.registry import register
@@ -169,4 +169,60 @@ def text_ttr_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_types"),
         F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
         F.max("c").alias("max_word_freq"),
+    )
+
+
+DOC_KEYWORDS_K = 3
+
+
+@register(
+    "text_doc_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term <> '' GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    r AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rnk
+      FROM tf JOIN df USING (term))
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+    FROM r WHERE rnk <= {DOC_KEYWORDS_K}
+    """,
+    tags=("text", "keywords", "tfidf"),
+)
+def text_doc_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document keyword extraction, integer-rank variant: the top
+    {DOC_KEYWORDS_K} terms per doc ordered by term frequency DESC then
+    document frequency ASC (rarer wins ties) then term — the tf-idf
+    ranking with idf's monotone role played by the raw df ORDER
+    instead of ln(N/df), which keeps the ranking EXACT across engines
+    (libm log ulps can swap near-tied keywords; an integer sort key
+    cannot). The per-doc tagging complement of text_tfidf_top_terms'
+    corpus-level list.
+
+    Scale shape: (doc, term) tf aggregate with map-side partials; df
+    is a term-keyed aggregate of THAT frame (vocabulary-sized, the
+    gram discipline — no broadcast); the credit join re-shuffles on
+    term; the rank window partitions per doc (distinct-term-sized
+    partitions). All shuffles corpus-token-proportional or smaller."""
+    d = load_table(spark, sf, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), "term"
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= DOC_KEYWORDS_K)
+        .select("doc_id", "rnk", "term", "tf", "df")
     )

@@ -153,6 +153,8 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_stickiness_weekly",
     "corpus_gate_waterfall",
     "stream_new_vs_returning",
+    "ev_forecast_snaive_backtest",
+    "text_doc_keywords",
 )
 
 

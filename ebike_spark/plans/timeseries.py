@@ -1177,3 +1177,65 @@ def ev_stickiness_weekly(spark: SparkSession, sf: str) -> DataFrame:
     )
     wau = ud.groupBy(week).agg(F.count_distinct("user_id").alias("wau"))
     return wk.join(wau, "week_start")
+
+
+SNAIVE_LAG_SEC = 7 * 24 * 3600  # seasonal-naive lag: same weekday last week
+
+
+@register(
+    "ev_forecast_snaive_backtest",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(ABS(a.n - f.n)) AS BIGINT) AS total_abs_err,
+           CAST(SUM(a.n) AS BIGINT) AS total_actual
+    FROM d a JOIN d f
+      ON f.event_type = a.event_type AND f.d = a.d - {SNAIVE_LAG_SEC}
+    GROUP BY 1
+    """,
+    tags=("events", "time", "forecast", "backtest"),
+)
+def ev_forecast_snaive_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's per-type
+    event count with the same weekday's count one week earlier, and
+    score the whole history — days scored, summed absolute error, and
+    summed actuals (MAE = err/n and WAPE = err/actual are downstream
+    division; the house integer rule keeps the backtest hash-exact).
+    Seasonal-naive is THE baseline every forecasting system must beat
+    (the M-competition yardstick) — shipping the backtest as a query
+    makes 'is the fancy model better than lag-7' a one-liner.
+
+    Scale shape: the raw scan reduces ONCE to the types×days count
+    frame; the lag join is a self-equi-join on (type, day−7) over that
+    calendar-bounded frame (tiny at any event volume — Spark may
+    broadcast it); final rollup is one row per type."""
+    from ebike_spark.operators.dedup import _persist_scoped
+
+    ev = load_table(spark, sf, "events")
+    daily = _persist_scoped(
+        spark,
+        "snaive_daily_counts",
+        lambda: ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("long").alias("d"),
+        ).agg(F.count("*").alias("n")),
+        key=sf,
+    )
+    f = daily.select(
+        "event_type",
+        (F.col("d") + SNAIVE_LAG_SEC).alias("d"),
+        F.col("n").alias("n_forecast"),
+    )
+    return (
+        daily.join(f, ["event_type", "d"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days_scored"),
+            F.sum(F.abs(F.col("n") - F.col("n_forecast"))).alias("total_abs_err"),
+            F.sum("n").alias("total_actual"),
+        )
+    )

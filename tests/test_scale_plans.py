@@ -762,3 +762,22 @@ def test_stickiness_reuses_user_day_cache(spark):
     persisted (user, day) frame instead of re-scanning events."""
     plan = _physical(REGISTRY["ev_stickiness_weekly"].fn(spark, SF_DIR))
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_snaive_backtest_reuses_daily_cache(spark):
+    """ev_forecast_snaive_backtest's actual and lag-7 branches both
+    read the persisted types×days frame — raw events scan once."""
+    plan = _physical(REGISTRY["ev_forecast_snaive_backtest"].fn(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "Window" not in plan
+
+
+def test_doc_keywords_gram_discipline(spark):
+    """text_doc_keywords: df joins back on the term key with no forced
+    broadcast and no cartesian; the rank window partitions per doc."""
+    df = REGISTRY["text_doc_keywords"].fn(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Window" in plan
