@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "corpus_gate_waterfall",
     "ev_forecast_snaive_backtest",
     "text_doc_keywords",
+    "q30_lateral_topk",
 ]
 
 

@@ -78,18 +78,20 @@ def _load_all() -> None:
     import ebike_spark.operators.kmeans  # noqa: F401
 
 
-# The external correctness harness checks a bounded PREFIX (~50 rows)
+# The external correctness harness checks a bounded PREFIX (exactly 50
+# rows each round so far — every CORRECTNESS_r*.json has 50 entries)
 # of the order all_queries() emits. Every query is oracled identically
 # regardless of position; the prefix only controls which rows get
-# fresh external evidence this round. Rotated per round toward queries
-# whose driver evidence is missing or stalest — round 6 (VERDICT-r5
-# tasks 2+3): embed_kmeans_lloyd/_converged (the only two queries
-# never in any driver window) first, then the 32 rows whose external
-# evidence is stale since round 1 (relational core q04–q22 + the fn_*
-# batteries), the io round-trips (r3/r4-stale), the r4-stale streaming
-# family, and the round-6 additions. Round-5's 50 rows (all green) and
-# the r3-stale dedup/text family rotate back next round; everything
-# past the ~50-row cut stays covered by the local oracle suite.
+# fresh external evidence this round, and entries past position 50 get
+# none. Round 6 spends the budget exactly as VERDICT-r5 tasks 2+3+6
+# mandate: embed_kmeans_lloyd/_converged (the only two queries never
+# in any driver window) first, then the 32 rows stale since round 1
+# (relational core q04–q22 + the fn_* batteries), the io round-trips,
+# the r4-stale streaming family, the upgraded ev_active_users_hll, and
+# three of the round-6 additions. The REMAINING round-6 additions
+# (ev_cohort_ltv onward, listed after position 50) are local-green
+# only this round and lead the round-7 rotation, alongside the
+# r3-stale dedup/text family.
 WINDOW_PREFIX: tuple[str, ...] = (
     # never externally checked (VERDICT-r5 task 3)
     "embed_kmeans_lloyd",
@@ -127,12 +129,12 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "fn_regexp_like",
     "fn_agg_extras",
     "fn_agg_moments",
-    # io round-trips — stale since r3/r4
+    # io round-trips — stale since r3/r4 (VERDICT-r5 task 2)
     "io_csv_roundtrip",
     "io_json_roundtrip",
     "io_orc_roundtrip",
     "io_text_roundtrip",
-    # streaming family — stale since r4
+    # streaming family — stale since r4 (VERDICT-r5 task 2)
     "stream_tumbling_window",
     "stream_sliding_window",
     "stream_dedup_exact",
@@ -141,11 +143,14 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "stream_static_join",
     "stream_scd2_closed",
     "stream_rollup_maintain",
-    # round-6 additions / upgrades — first external check
+    # round-6 upgrade + additions — first external check (these four
+    # fill the 50-row budget; positions 47-50)
     "ev_active_users_hll",
     "ev_attribution_linear",
     "ev_attribution_position",
     "ev_anomaly_mad",
+    # --- external budget exhausted: everything below is local-green
+    # only this round and leads the round-7 window rotation ---
     "ev_cohort_ltv",
     "fn_window",
     "text_ttr_profile",
@@ -155,6 +160,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "stream_new_vs_returning",
     "ev_forecast_snaive_backtest",
     "text_doc_keywords",
+    "q30_lateral_topk",
 )
 
 

@@ -256,3 +256,41 @@ def q29_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q30_lateral_topk",
+    oracle="""
+    SELECT n.n_name, s.s_name, s.s_acctbal
+    FROM nation n,
+    LATERAL (SELECT s_name, s_acctbal FROM supplier
+             WHERE s_nationkey = n.n_nationkey
+             ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+    """,
+    tags=("relational", "lateral", "topk-per-group"),
+)
+def q30_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery: per nation, the top-2 suppliers by
+    account balance — the top-k-per-group idiom in its SQL-standard
+    LATERAL spelling (DataFrame.lateralJoin + .outer() correlation,
+    Spark 4.0's lateral-join API). Beyond-reference relational surface:
+    DataFusion 6.0 had no lateral/correlated derived tables (SURVEY
+    §2.B row 31's subquery family); modern warehouses lean on them for
+    exactly this shape. Ties break on s_name, so the top-2 set is
+    fully deterministic.
+
+    Scale shape: Catalyst DECORRELATES the per-row subquery — the
+    physical plan is a rank-over-window per nation key plus one join,
+    not a nested-loop re-execution per outer row (plan-asserted: no
+    NestedLoop/Cartesian). That rewrite is the difference between
+    O(outer × inner) and one shuffle at 100 TB, and it is the whole
+    reason to express top-k-per-group declaratively."""
+    n = _t(spark, sf, "nation")
+    s = _t(spark, sf, "supplier")
+    top2 = (
+        s.where(F.col("s_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("s_acctbal").desc(), "s_name")
+        .limit(2)
+        .select("s_name", "s_acctbal")
+    )
+    return n.lateralJoin(top2).select("n_name", "s_name", "s_acctbal")

@@ -781,3 +781,12 @@ def test_doc_keywords_gram_discipline(spark):
     plan = _physical(df)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "Window" in plan
+
+
+def test_lateral_topk_is_decorrelated(spark):
+    """q30_lateral_topk's correlated LATERAL subquery must compile to
+    a decorrelated rank-per-group plan — no nested-loop re-execution
+    per outer row."""
+    plan = _physical(REGISTRY["q30_lateral_topk"].fn(spark, SF_DIR))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
