@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "ev_forecast_snaive_backtest",
     "text_doc_keywords",
     "q30_lateral_topk",
+    "embed_pca_audit",
 ]
 
 

@@ -76,6 +76,7 @@ def _load_all() -> None:
     import ebike_spark.plans.timeseries  # noqa: F401
     import ebike_spark.operators.profiling  # noqa: F401
     import ebike_spark.operators.kmeans  # noqa: F401
+    import ebike_spark.operators.pca  # noqa: F401
 
 
 # The external correctness harness checks a bounded PREFIX (exactly 50
@@ -161,6 +162,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_forecast_snaive_backtest",
     "text_doc_keywords",
     "q30_lateral_topk",
+    "embed_pca_audit",
 )
 
 

