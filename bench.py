@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "text_doc_keywords",
     "q30_lateral_topk",
     "embed_pca_audit",
+    "corpus_bloom_decontaminate",
 ]
 
 

@@ -102,6 +102,121 @@ def text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Deterministic cross-engine Bloom filter for decontamination at scale:
+# m bits, k md5-derived hash positions per gram — both engines compute
+# the IDENTICAL filter (md5_long / md5_long_sql parity), so even the
+# false positives hash-match and the oracle is FULL, not verdict-only.
+BLOOM_M = 16384  # bits
+BLOOM_K = 3  # hash functions (seeds 1..K)
+
+
+def _bloom_pos(g, seed: int):
+    from ebike_spark.functions.textfns import md5_long
+
+    return md5_long(F.concat(F.lit(f"{seed}:"), g)) % BLOOM_M
+
+
+@register(
+    "corpus_bloom_decontaminate",
+    oracle=None,  # assembled below (needs the md5 twin + ngram SQL)
+    tags=("curation", "decontamination", "bloom", "sketch"),
+)
+def corpus_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination — the 100 TB shape of
+    text_decontaminate: instead of broadcasting the eval split's exact
+    n-gram SET (memory ∝ eval grams × bytes/gram), broadcast its
+    {BLOOM_M}-bit Bloom filter ({BLOOM_K} md5-seeded positions per
+    gram) and flag any training gram whose every position is set.
+    Guaranteed no false negatives; false positives are the price, and
+    because both engines derive positions from the SAME md5 hash the
+    filter — including its false positives — is bit-identical, so this
+    query carries a FULL value oracle (n_grams / n_bloom_flagged /
+    n_exact_hits per training doc; flagged ≥ exact row-wise is the
+    no-false-negative audit, asserted in tests).
+
+    Scale shape: the eval pass shingles ~1% of the corpus (predicate
+    pushed to the scan) and reduces to ≤{BLOOM_M} distinct positions —
+    a broadcast BOUNDED BY THE FILTER SIZE no matter how large the
+    eval set grows (the exact-set broadcast of text_decontaminate has
+    no such bound). Training grams explode to {BLOOM_K} position rows,
+    stream through the broadcast join at scan speed, and a gram is
+    flagged when all {BLOOM_K} rows survive. The exact-hit audit
+    column reuses the exact-set join at test scale; production drops
+    it."""
+    docs = load_table(spark, sf, "documents")
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_g = _ngrams(docs.where(is_eval), DECON_N).select("g").distinct()
+    train_g = (
+        _ngrams(docs.where(~is_eval), DECON_N).select("doc_id", "g").distinct()
+    )
+    pos_arr = F.array(*[_bloom_pos(F.col("g"), s) for s in range(1, BLOOM_K + 1)])
+    eval_pos = (
+        eval_g.select(F.explode(pos_arr).alias("p")).distinct()
+    )
+    tp = train_g.select("doc_id", "g", F.explode(pos_arr).alias("p"))
+    flag = (
+        tp.join(F.broadcast(eval_pos), "p")
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") == BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_flag"))
+    )
+    per_doc = train_g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    ex = (
+        train_g.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_ex"))
+    )
+    return (
+        per_doc.join(flag, "doc_id", "left")
+        .join(ex, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_flag", F.lit(0)).cast("long").alias("n_bloom_flagged"),
+            F.coalesce("n_ex", F.lit(0)).cast("long").alias("n_exact_hits"),
+        )
+    )
+
+
+def _bloom_oracle() -> str:
+    from ebike_spark.functions.textfns import md5_long_sql
+
+    pos = md5_long_sql("CAST(s AS VARCHAR) || ':' || g")
+    seeds = ", ".join(str(s) for s in range(1, BLOOM_K + 1))
+    return f"""
+    WITH ng AS ({_ngram_sql(DECON_N)}),
+    eval_g AS (SELECT DISTINCT g FROM ng WHERE doc_id % {EVAL_MOD} = 0),
+    train_g AS (SELECT DISTINCT doc_id, g FROM ng WHERE doc_id % {EVAL_MOD} <> 0),
+    seeds AS (SELECT UNNEST([{seeds}]) AS s),
+    eval_pos AS (SELECT DISTINCT {pos} % {BLOOM_M} AS p FROM eval_g, seeds),
+    tp AS (SELECT doc_id, g, {pos} % {BLOOM_M} AS p FROM train_g, seeds),
+    flag AS (SELECT doc_id, g FROM tp JOIN eval_pos USING (p)
+             GROUP BY doc_id, g HAVING COUNT(*) = {BLOOM_K}),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM train_g GROUP BY 1),
+    bf AS (SELECT doc_id, COUNT(*) AS n_flag FROM flag GROUP BY 1),
+    ex AS (SELECT t.doc_id, COUNT(*) AS n_ex FROM train_g t
+           JOIN eval_g e USING (g) GROUP BY 1)
+    SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(bf.n_flag, 0) AS BIGINT) AS n_bloom_flagged,
+           CAST(COALESCE(ex.n_ex, 0) AS BIGINT) AS n_exact_hits
+    FROM per_doc p LEFT JOIN bf USING (doc_id) LEFT JOIN ex USING (doc_id)
+    """
+
+
+from ebike_spark.plans.registry import REGISTRY as _REG2  # noqa: E402
+
+_bspec = _REG2["corpus_bloom_decontaminate"]
+_REG2["corpus_bloom_decontaminate"] = type(_bspec)(
+    name=_bspec.name,
+    fn=_bspec.fn,
+    oracle=_bloom_oracle(),
+    tags=_bspec.tags,
+    doc=_bspec.doc,
+)
+
+
 # ------------------------------------------------- repetition scoring
 
 

@@ -163,6 +163,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "text_doc_keywords",
     "q30_lateral_topk",
     "embed_pca_audit",
+    "corpus_bloom_decontaminate",
 )
 
 

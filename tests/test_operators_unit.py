@@ -829,3 +829,19 @@ def test_pca_audit_properties(spark):
     assert np.all(np.diff(w) <= 1e-12)
     spectrum_share = w[:PCA_K].sum() / w.sum()
     assert 0.15 < spectrum_share < 0.6
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Row-wise flagged >= exact (Bloom guarantee), totals agree with
+    text_decontaminate's exact hit count, and the test corpus actually
+    exercises false positives (flagged > exact somewhere) so the
+    filter semantics are observable, not vacuous."""
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["corpus_bloom_decontaminate"].fn(spark, SF_DIR).collect()
+    assert all(r["n_bloom_flagged"] >= r["n_exact_hits"] for r in rows)
+    exact_total = sum(r["n_exact_hits"] for r in rows)
+    dec = REGISTRY["text_decontaminate"].fn(spark, SF_DIR).collect()
+    assert exact_total == sum(r["n_hits"] for r in dec)
+    assert sum(r["n_bloom_flagged"] for r in rows) > exact_total

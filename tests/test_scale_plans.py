@@ -790,3 +790,12 @@ def test_lateral_topk_is_decorrelated(spark):
     plan = _physical(REGISTRY["q30_lateral_topk"].fn(spark, SF_DIR))
     assert "Window" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_bloom_decontaminate_broadcasts_filter_not_set(spark):
+    """corpus_bloom_decontaminate streams training grams through
+    broadcast joins (the position filter is bounded by BLOOM_M at any
+    eval size); no gram-keyed shuffle join, no cartesian."""
+    plan = _physical(REGISTRY["corpus_bloom_decontaminate"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
