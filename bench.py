@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "q30_lateral_topk",
     "embed_pca_audit",
     "corpus_bloom_decontaminate",
+    "text_heavy_hitters_cms",
 ]
 
 

@@ -164,6 +164,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "q30_lateral_topk",
     "embed_pca_audit",
     "corpus_bloom_decontaminate",
+    "text_heavy_hitters_cms",
 )
 
 

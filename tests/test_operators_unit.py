@@ -845,3 +845,20 @@ def test_bloom_decontaminate_no_false_negatives(spark):
     dec = REGISTRY["text_decontaminate"].fn(spark, SF_DIR).collect()
     assert exact_total == sum(r["n_hits"] for r in dec)
     assert sum(r["n_bloom_flagged"] for r in rows) > exact_total
+
+
+def test_cms_never_underestimates(spark):
+    """Count-Min invariant: estimate >= exact for every heavy hitter,
+    and the estimates equal the exact counts read through the sketch
+    (vocabulary is small enough here that min-over-rows mostly avoids
+    collisions — the invariant, not collision presence, is the
+    contract)."""
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["text_heavy_hitters_cms"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r["overestimate"] >= 0 for r in rows)
+    assert all(
+        r["cms_estimate"] == r["exact_count"] + r["overestimate"] for r in rows
+    )
