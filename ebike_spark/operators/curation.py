@@ -116,9 +116,34 @@ def _bloom_pos(g, seed: int):
     return md5_long(F.concat(F.lit(f"{seed}:"), g)) % BLOOM_M
 
 
+def _bloom_oracle() -> str:
+    from ebike_spark.functions.textfns import md5_long_sql
+
+    pos = md5_long_sql("CAST(s AS VARCHAR) || ':' || g")
+    seeds = ", ".join(str(s) for s in range(1, BLOOM_K + 1))
+    return f"""
+    WITH ng AS ({_ngram_sql(DECON_N)}),
+    eval_g AS (SELECT DISTINCT g FROM ng WHERE doc_id % {EVAL_MOD} = 0),
+    train_g AS (SELECT DISTINCT doc_id, g FROM ng WHERE doc_id % {EVAL_MOD} <> 0),
+    seeds AS (SELECT UNNEST([{seeds}]) AS s),
+    eval_pos AS (SELECT DISTINCT {pos} % {BLOOM_M} AS p FROM eval_g, seeds),
+    tp AS (SELECT doc_id, g, {pos} % {BLOOM_M} AS p FROM train_g, seeds),
+    flag AS (SELECT doc_id, g FROM tp JOIN eval_pos USING (p)
+             GROUP BY doc_id, g HAVING COUNT(*) = {BLOOM_K}),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM train_g GROUP BY 1),
+    bf AS (SELECT doc_id, COUNT(*) AS n_flag FROM flag GROUP BY 1),
+    ex AS (SELECT t.doc_id, COUNT(*) AS n_ex FROM train_g t
+           JOIN eval_g e USING (g) GROUP BY 1)
+    SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(bf.n_flag, 0) AS BIGINT) AS n_bloom_flagged,
+           CAST(COALESCE(ex.n_ex, 0) AS BIGINT) AS n_exact_hits
+    FROM per_doc p LEFT JOIN bf USING (doc_id) LEFT JOIN ex USING (doc_id)
+    """
+
+
 @register(
     "corpus_bloom_decontaminate",
-    oracle=None,  # assembled below (needs the md5 twin + ngram SQL)
+    oracle=_bloom_oracle(),
     tags=("curation", "decontamination", "bloom", "sketch"),
 )
 def corpus_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
@@ -178,43 +203,6 @@ def corpus_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("n_ex", F.lit(0)).cast("long").alias("n_exact_hits"),
         )
     )
-
-
-def _bloom_oracle() -> str:
-    from ebike_spark.functions.textfns import md5_long_sql
-
-    pos = md5_long_sql("CAST(s AS VARCHAR) || ':' || g")
-    seeds = ", ".join(str(s) for s in range(1, BLOOM_K + 1))
-    return f"""
-    WITH ng AS ({_ngram_sql(DECON_N)}),
-    eval_g AS (SELECT DISTINCT g FROM ng WHERE doc_id % {EVAL_MOD} = 0),
-    train_g AS (SELECT DISTINCT doc_id, g FROM ng WHERE doc_id % {EVAL_MOD} <> 0),
-    seeds AS (SELECT UNNEST([{seeds}]) AS s),
-    eval_pos AS (SELECT DISTINCT {pos} % {BLOOM_M} AS p FROM eval_g, seeds),
-    tp AS (SELECT doc_id, g, {pos} % {BLOOM_M} AS p FROM train_g, seeds),
-    flag AS (SELECT doc_id, g FROM tp JOIN eval_pos USING (p)
-             GROUP BY doc_id, g HAVING COUNT(*) = {BLOOM_K}),
-    per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM train_g GROUP BY 1),
-    bf AS (SELECT doc_id, COUNT(*) AS n_flag FROM flag GROUP BY 1),
-    ex AS (SELECT t.doc_id, COUNT(*) AS n_ex FROM train_g t
-           JOIN eval_g e USING (g) GROUP BY 1)
-    SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
-           CAST(COALESCE(bf.n_flag, 0) AS BIGINT) AS n_bloom_flagged,
-           CAST(COALESCE(ex.n_ex, 0) AS BIGINT) AS n_exact_hits
-    FROM per_doc p LEFT JOIN bf USING (doc_id) LEFT JOIN ex USING (doc_id)
-    """
-
-
-from ebike_spark.plans.registry import REGISTRY as _REG2  # noqa: E402
-
-_bspec = _REG2["corpus_bloom_decontaminate"]
-_REG2["corpus_bloom_decontaminate"] = type(_bspec)(
-    name=_bspec.name,
-    fn=_bspec.fn,
-    oracle=_bloom_oracle(),
-    tags=_bspec.tags,
-    doc=_bspec.doc,
-)
 
 
 # ------------------------------------------------- repetition scoring

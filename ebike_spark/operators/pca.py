@@ -108,10 +108,15 @@ def pca_model(spark: SparkSession, emb: DataFrame):
         _gram_partials_fn(), _GRAM_SCHEMA
     ).collect()
     n = sum(r["cnt"] for r in rows)
+    if n == 0:
+        # an empty input would NaN the covariance and crash eigh with
+        # an opaque LinAlgError — fail with the actual cause instead
+        raise ValueError("embed_pca_audit: embeddings table is empty")
     d = PCA_DIM
-    # fixed reduce order (sorted by cnt, then first sum component) so
-    # the float combine is run-to-run identical for identical inputs
-    rows = sorted(rows, key=lambda r: (r["cnt"], r["s"][0]))
+    # fixed reduce order (sorted by the FULL partial content) so the
+    # float combine is run-to-run identical for identical inputs even
+    # when two partials tie on count and leading sums
+    rows = sorted(rows, key=lambda r: (r["cnt"], tuple(r["s"])))
     S = np.zeros(d)
     G = np.zeros((d, d))
     for r in rows:

@@ -233,19 +233,47 @@ CMS_W = 64  # buckets per row
 CMS_TOPK = 10
 
 
+def _cms_oracle() -> str:
+    from ebike_spark.functions.textfns import md5_long_sql
+
+    pos = md5_long_sql("CAST(s AS VARCHAR) || '#' || t")
+    seeds = ", ".join(str(s) for s in range(1, CMS_D + 1))
+    # portable form: every position is computed in a plain comma-join
+    # CTE's SELECT and joined via USING — no implicit-lateral ON-clause
+    # references (ANSI/Postgres reject those; DuckDB merely tolerates)
+    return f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+    tc AS (SELECT t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY 1),
+    seeds AS (SELECT UNNEST([{seeds}]) AS s),
+    cells AS (
+      SELECT s, {pos} % {CMS_W} AS b, CAST(SUM(c) AS BIGINT) AS cell
+      FROM tc, seeds GROUP BY 1, 2),
+    topk AS (SELECT t, c FROM tc ORDER BY c DESC, t LIMIT {CMS_TOPK}),
+    kp AS (SELECT t, c, s, {pos} % {CMS_W} AS b FROM topk, seeds),
+    est AS (
+      SELECT kp.t, kp.c, MIN(cl.cell) AS cms_est
+      FROM kp JOIN cells cl USING (s, b)
+      GROUP BY 1, 2)
+    SELECT t AS term, CAST(c AS BIGINT) AS exact_count,
+           CAST(cms_est AS BIGINT) AS cms_estimate,
+           CAST(cms_est - c AS BIGINT) AS overestimate
+    FROM est
+    """
+
+
 @register(
     "text_heavy_hitters_cms",
-    oracle=None,  # assembled below (md5 twin)
+    oracle=_cms_oracle(),
     tags=("text", "sketch", "count-min", "heavy-hitters"),
 )
 def text_heavy_hitters_cms(spark: SparkSession, sf: str) -> DataFrame:
     """Count-Min-sketch heavy hitters with a cross-engine-EXACT
-    sketch: the corpus token stream folds into a {CMS_D}×{CMS_W}
+    sketch: the corpus token stream folds into a {CMS_D}x{CMS_W}
     integer cell grid (md5-seeded bucket per row — the same
     determinism trick as corpus_bloom_decontaminate), and the true
     top-{CMS_TOPK} terms are read back through the sketch
     (estimate = min over rows of their cell). CMS's guarantee —
-    estimate ≥ exact, overestimate bounded by collisions — is emitted
+    estimate >= exact, overestimate bounded by collisions — is emitted
     as integer columns and hash-matches DuckDB because both engines
     build the IDENTICAL sketch. The audit shape a pipeline uses to
     size W before trusting the sketch for unbounded-vocabulary
@@ -253,11 +281,11 @@ def text_heavy_hitters_cms(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: term counts aggregate with map-side partials
     (vocabulary-keyed shuffle, the gram discipline); the sketch is a
-    SECOND aggregate of that frame down to {CMS_D}×{CMS_W} cells —
+    SECOND aggregate of that frame down to {CMS_D}x{CMS_W} cells —
     constant-size regardless of vocabulary, which is the whole point
     of CMS (the cells, not the vocab, are what a streaming/merging
     pipeline ships). Top-k is a TakeOrdered over the count frame;
-    the estimate join touches k×{CMS_D} rows against the broadcast
+    the estimate join touches k x {CMS_D} rows against the broadcast
     cell grid."""
     from ebike_spark.functions.textfns import md5_long
 
@@ -292,41 +320,3 @@ def text_heavy_hitters_cms(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cms_est").alias("cms_estimate"),
         (F.col("cms_est") - F.col("c")).alias("overestimate"),
     )
-
-
-def _cms_oracle() -> str:
-    from ebike_spark.functions.textfns import md5_long_sql
-
-    pos = md5_long_sql("CAST(s AS VARCHAR) || '#' || t")
-    kpos = md5_long_sql("CAST(sd.s AS VARCHAR) || '#' || k.t")
-    seeds = ", ".join(str(s) for s in range(1, CMS_D + 1))
-    return f"""
-    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
-    tc AS (SELECT t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY 1),
-    seeds AS (SELECT UNNEST([{seeds}]) AS s),
-    cells AS (
-      SELECT s, {pos} % {CMS_W} AS b, CAST(SUM(c) AS BIGINT) AS cell
-      FROM tc, seeds GROUP BY 1, 2),
-    topk AS (SELECT t, c FROM tc ORDER BY c DESC, t LIMIT {CMS_TOPK}),
-    est AS (
-      SELECT k.t, k.c, MIN(cl.cell) AS cms_est
-      FROM topk k, seeds sd
-      JOIN cells cl ON cl.s = sd.s AND cl.b = ({kpos}) % {CMS_W}
-      GROUP BY 1, 2)
-    SELECT t AS term, CAST(c AS BIGINT) AS exact_count,
-           CAST(cms_est AS BIGINT) AS cms_estimate,
-           CAST(cms_est - c AS BIGINT) AS overestimate
-    FROM est
-    """
-
-
-from ebike_spark.plans.registry import REGISTRY as _REG3  # noqa: E402
-
-_cspec = _REG3["text_heavy_hitters_cms"]
-_REG3["text_heavy_hitters_cms"] = type(_cspec)(
-    name=_cspec.name,
-    fn=_cspec.fn,
-    oracle=_cms_oracle(),
-    tags=_cspec.tags,
-    doc=_cspec.doc,
-)

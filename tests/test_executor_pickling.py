@@ -30,7 +30,7 @@ spark.sparkContext.setLogLevel("ERROR")
 from ebike_spark.plans.registry import all_queries
 qs = all_queries()
 # every query whose plan ships Python to executors
-for name in ["mm_feature_extract", "dedup_embedding_cosine", "dedup_minhash_lsh", "embed_pca_audit"]:
+for name in ["mm_feature_extract", "dedup_embedding_cosine", "dedup_minhash_lsh", "embed_pca_audit", "embed_kmeans_lloyd"]:
     n = qs[name](spark, {SF_DIR!r}).count()
     print(name, "rows", n)
 print("PICKLING_OK")
