@@ -851,8 +851,96 @@ class Engine:
         return EngineResult("count", affected=0)
 
     def _alter_table(self, sql: str) -> EngineResult:
+        """ALTER TABLE dispatch. MySQL allows a comma-separated clause
+        list in one statement (``ADD COLUMN a INT, DROP COLUMN b, ADD
+        KEY k (a)``) applied atomically; the reference's dispatcher
+        handles only single-clause ALTERs (execution.rs:894-1279), so
+        the multi-clause path is beyond-reference dialect surface."""
+        from ebike_spark.engine.parser import split_top_level
+
+        m = re.match(r"ALTER\s+TABLE\s+([\w.`\"]+)\s+([\s\S]+?)\s*$", sql, re.I)
+        if m:
+            rest = m.group(2)
+            if rest.rstrip().endswith(","):
+                # a trailing comma is a dangling empty clause, not a
+                # licence to ignore it (recurring review-bug shape)
+                raise parse_error("near ',' (empty ALTER TABLE clause)")
+            clauses = split_top_level(rest)
+            if len(clauses) > 1:
+                return self._alter_table_multi(m.group(1), clauses)
+        return self._alter_table_single(sql)
+
+    def _alter_table_multi(self, tbl_tok: str, clauses: list[str]) -> EngineResult:
+        """Comma-separated ALTER TABLE, atomic like MySQL 8.0: every
+        clause is applied to a staged copy of the table (data + ebike.*
+        properties), and only a fully-successful run swaps the stage
+        into place — a failing clause leaves the original untouched.
+        A RENAME [TO|AS] clause is applied last (MySQL processes the
+        rename with the rebuild; other clauses name the old table).
+
+        The copy cost is acceptable at engine-table scale: any ALTER
+        list containing a column clause rewrites the data anyway, and
+        the engine's managed tables are the OLTP-ish surface, not the
+        100 TB analytics parquet."""
+        import uuid as _uuid
+
+        q = self.catalog.qualify(unquote_ident(tbl_tok), self.current_db)
+        self.catalog.require_table(q)
+        rename_to: str | None = None
+        body: list[str] = []
+        for cl in clauses:
+            if not cl:
+                raise parse_error("near ',' (empty ALTER TABLE clause)")
+            rm = re.match(r"RENAME\s+(?:TO\s+|AS\s+)?([\w.`\"]+)\s*$", cl, re.I)
+            if rm:
+                if rename_to is not None:
+                    raise parse_error("multiple RENAME clauses in one ALTER TABLE")
+                rename_to = rm.group(1)
+                continue
+            if not re.match(r"(?:ADD|DROP|MODIFY|CHANGE)\b", cl, re.I):
+                # reject garbage clauses before paying for the stage copy
+                raise parse_error(f"near '{cl.split()[0]}'")
+            body.append(cl)
+        if rename_to is not None:
+            # pre-check the rename target so a late 1050/unsupported
+            # can't strand an already-applied clause list
+            dst = self.catalog.qualify(unquote_ident(rename_to), self.current_db)
+            src_db, _, _ = q.rpartition(".")
+            dst_db, _, _ = dst.rpartition(".")
+            if dst_db != src_db:
+                raise unsupported("cross-database RENAME TABLE")
+            if self.catalog.table_exists(dst):
+                raise EbikeError(1050, f"Table '{dst}' already exists")
+        db, _, _ = q.rpartition(".")
+        stage = f"{db}.__ebike_alter_{_uuid.uuid4().hex[:12]}"
+        self.spark.table(q).write.saveAsTable(stage)
+        props = {
+            k: v for k, v in self.catalog.properties(q).items() if k.startswith("ebike.")
+        }
+        try:
+            if props:
+                props_ddl = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+                self.spark.sql(f"ALTER TABLE {bq(stage)} SET TBLPROPERTIES ({props_ddl})")
+            for cl in body:
+                self._alter_table_single(f"ALTER TABLE {stage} {cl}")
+            # swap (same crash window as _recreate_table's, documented)
+            self.spark.sql(f"DROP TABLE {bq(q)}")
+            self.spark.sql(f"ALTER TABLE {bq(stage)} RENAME TO {bq(q)}")
+        except Exception:
+            self.spark.sql(f"DROP TABLE IF EXISTS {bq(stage)}")
+            raise
+        finally:
+            self._info_schema_dirty = True
+        if rename_to is not None:
+            return self._rename_tables(f"RENAME TABLE {tbl_tok} TO {rename_to}")
+        return EngineResult("count", affected=0)
+
+    def _alter_table_single(self, sql: str) -> EngineResult:
         m = re.match(
-            r"ALTER\s+TABLE\s+([\w.`\"]+)\s+ADD\s+(?:COLUMN\s+)?([\w`\"]+)\s+(\w+)\s*$", sql, re.I
+            r"ALTER\s+TABLE\s+([\w.`\"]+)\s+ADD\s+(?:COLUMN\s+)?([\w`\"]+)\s+(\w+)"
+            r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*$",
+            sql,
+            re.I,
         )
         if m:
             q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)

@@ -1307,6 +1307,67 @@ def test_alter_change_column_renames_and_keys_follow(eng):
     assert ei.value.code == 1054
 
 
+def test_alter_multi_clause_applies_in_order(eng):
+    eng.execute("CREATE TABLE ma (id INT NOT NULL, v CHAR, w CHAR, PRIMARY KEY (id))")
+    eng.execute("INSERT INTO ma VALUES (1, '10', 'x'), (2, '20', 'y')")
+    eng.execute(
+        "ALTER TABLE ma ADD COLUMN a INT, DROP COLUMN w, MODIFY v INT, ADD KEY k (v)"
+    )
+    rows = sorted((x["id"], x["v"], x["a"]) for x in eng.execute("SELECT * FROM ma").rows())
+    assert rows == [(1, 10, None), (2, 20, None)]
+    ct = eng.execute("SHOW CREATE TABLE ma").rows()[0]["Create Table"]
+    assert "KEY `k` (`v`)" in ct and "`w`" not in ct
+    # display width on ADD COLUMN accepted-and-ignored (as MODIFY/CREATE)
+    eng.execute("ALTER TABLE ma ADD COLUMN b INT(11)")
+    assert "b" in [r["Field"] for r in eng.execute("SHOW COLUMNS FROM ma").rows()]
+
+
+def test_alter_multi_clause_is_atomic(eng):
+    eng.execute("CREATE TABLE mb (id INT NOT NULL, v CHAR, PRIMARY KEY (id))")
+    eng.execute("INSERT INTO mb VALUES (1, 'abc')")
+    # second clause fails (1366 cast) → first clause must NOT persist
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("ALTER TABLE mb ADD COLUMN a INT, MODIFY v INT")
+    assert ei.value.code == 1366
+    cols = [r["Field"] for r in eng.execute("SHOW COLUMNS FROM mb").rows()]
+    assert cols == ["id", "v"]
+    assert eng.execute("SELECT v FROM mb").rows()[0]["v"] == "abc"
+    # unknown column mid-list → same rollback
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("ALTER TABLE mb ADD COLUMN a INT, DROP COLUMN nope")
+    assert ei.value.code == 1091
+    assert [r["Field"] for r in eng.execute("SHOW COLUMNS FROM mb").rows()] == ["id", "v"]
+    # no stage table leaked by the rolled-back attempts
+    leftovers = [
+        r for r in eng.execute("SHOW TABLES").rows() if "__ebike_alter_" in str(r)
+    ]
+    assert leftovers == []
+
+
+def test_alter_multi_clause_rename_applies_last(eng):
+    eng.execute("CREATE TABLE mr (id INT NOT NULL, PRIMARY KEY (id))")
+    eng.execute("INSERT INTO mr VALUES (1)")
+    eng.execute("ALTER TABLE mr ADD COLUMN a INT, RENAME TO mr2")
+    assert eng.execute("SELECT id, a FROM mr2").rows()[0]["id"] == 1
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("SELECT * FROM mr")
+    assert ei.value.code == 1146
+    # rename-target collision is pre-checked: nothing applied
+    eng.execute("CREATE TABLE mr3 (id INT NOT NULL, PRIMARY KEY (id))")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("ALTER TABLE mr3 ADD COLUMN a INT, RENAME TO mr2")
+    assert ei.value.code == 1050
+    assert [r["Field"] for r in eng.execute("SHOW COLUMNS FROM mr3").rows()] == ["id"]
+    # trailing comma / garbage clause are clean 1064s
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("ALTER TABLE mr3 ADD COLUMN b INT,")
+    assert ei.value.code == 1064
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("ALTER TABLE mr3 ADD COLUMN b INT, FROBNICATE c")
+    assert ei.value.code == 1064
+    assert [r["Field"] for r in eng.execute("SHOW COLUMNS FROM mr3").rows()] == ["id"]
+
+
 def test_show_create_table_lists_cluster_keys(eng):
     eng.execute(USER_DDL)
     eng.execute("CREATE INDEX ix ON user (stature)")
