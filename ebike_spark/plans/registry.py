@@ -165,6 +165,8 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "embed_pca_audit",
     "corpus_bloom_decontaminate",
     "text_heavy_hitters_cms",
+    "ev_markov_sessions",
+    "ev_user_paths_topk",
 )
 
 

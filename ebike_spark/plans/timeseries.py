@@ -334,6 +334,165 @@ def ev_path_transitions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "ev_markov_sessions",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+                       OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, event_type, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g),
+    seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER ws AS prev,
+             LEAD(event_type) OVER ws AS next
+      FROM s WINDOW ws AS (PARTITION BY user_id, sid ORDER BY t, event_id)),
+    tr AS (
+      SELECT COALESCE(prev, 'START') AS from_state, event_type AS to_state FROM seq
+      UNION ALL
+      SELECT event_type, 'END' FROM seq WHERE next IS NULL)
+    SELECT from_state, to_state, COUNT(*) AS n,
+           COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY from_state) AS p
+    FROM tr GROUP BY 1, 2
+    """,
+    tags=("events", "time", "markov", "sessions"),
+)
+def ev_markov_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-bounded first-order Markov chain with virtual START/END
+    states: transitions never cross a 30-minute session gap (same rule
+    as ev_sessionize), each session contributes a START→first-event
+    entry edge and a last-event→END exit edge. Unlike
+    ev_path_transitions (corpus-wide LEAD, no boundaries), this yields
+    the entry/exit distribution clickstream models actually train on.
+
+    Scale shape: the gap test, the session-id running sum, and the
+    within-session LAG/LEAD all share ONE user_id hash exchange
+    (HashPartitioning(user_id) satisfies the (user_id, sid) clustering
+    requirement — only a local re-sort is added). Each event emits its
+    1-2 transition edges through ONE explode of a per-row array — no
+    UNION re-windowing, no second scan. The count groupBy collapses to
+    at most (types+1)² rows; the normalizing window runs over that
+    constant-sized frame. p = n / total is a single IEEE division of
+    two exact BIGINTs — bit-identical across engines, no rounding.
+    (The oracle's UNION ALL re-reads a CTE; DuckDB-side cost only.)"""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    g = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
+    ).withColumn(
+        "new_s",
+        F.when(
+            (F.col("t") - F.lag("t").over(w) > 1800 * 1_000_000)
+            | F.lag("t").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("t", "event_id")
+    seq = s.select(
+        "event_type",
+        F.lag("event_type").over(ws).alias("prev"),
+        F.lead("event_type").over(ws).alias("next"),
+    )
+    entry_edge = F.struct(
+        F.coalesce("prev", F.lit("START")).alias("from_state"),
+        F.col("event_type").alias("to_state"),
+    )
+    exit_edge = F.when(
+        F.col("next").isNull(),
+        F.struct(
+            F.col("event_type").alias("from_state"), F.lit("END").alias("to_state")
+        ),
+    )
+    tr = seq.select(
+        F.explode(F.array_compact(F.array(entry_edge, exit_edge))).alias("e")
+    ).select("e.from_state", "e.to_state")
+    counts = tr.groupBy("from_state", "to_state").agg(F.count("*").alias("n"))
+    norm = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.col("n") / F.sum("n").over(norm)).alias("p"),
+    )
+
+
+@register(
+    "ev_user_paths_topk",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+                       OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, event_type, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g),
+    paths AS (
+      SELECT user_id, sid,
+             STRING_AGG(event_type, '>' ORDER BY t, event_id) AS path
+      FROM s GROUP BY 1, 2)
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY 1
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+    tags=("events", "time", "sessions", "paths"),
+)
+def ev_user_paths_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 user journeys: the most frequent full session paths
+    ('view>cart>purchase'), sessions cut at the 30-minute gap. The
+    product-analytics staple behind journey-discovery dashboards;
+    deterministic tiebreak on the path string.
+
+    Scale shape: sessionization shares the one user_id exchange as
+    above; the per-session path is built by sorting each session's
+    OWN events (array_sort over a struct array — per-session memory,
+    bounded by session length, never a global sort); the path groupBy
+    shuffles one row per session (not per event), and the final top-10
+    is a TakeOrderedAndProject, never a full sort."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    g = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
+    ).withColumn(
+        "new_s",
+        F.when(
+            (F.col("t") - F.lag("t").over(w) > 1800 * 1_000_000)
+            | F.lag("t").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paths = s.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "event_id", "event_type"))),
+                lambda e: e.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
+
+
+@register(
     "ev_gapfill_interp",
     oracle="""
     WITH bounds AS (

@@ -799,3 +799,34 @@ def test_bloom_decontaminate_broadcasts_filter_not_set(spark):
     plan = _physical(REGISTRY["corpus_bloom_decontaminate"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_markov_sessions_shares_one_user_exchange(spark):
+    """ev_markov_sessions' three window passes (gap lag, sid running
+    sum, within-session lag/lead) must share ONE user_id exchange —
+    HashPartitioning(user_id) satisfies the (user_id, sid) clustering
+    requirement, so the session window adds only a local re-sort. The
+    remaining exchanges run over the collapsed states^2 frame."""
+    plan = _physical(REGISTRY["ev_markov_sessions"].fn(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    user_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+    ]
+    assert len(user_ex) == 1, user_ex
+    # transition edges come from one explode, never a UNION re-scan
+    assert "Union" not in plan
+
+
+def test_user_paths_topk_takeordered_one_session_shuffle(spark):
+    """ev_user_paths_topk: per-session paths aggregate on the existing
+    user_id partitioning (partial collect_list, no extra exchange);
+    the top-10 is TakeOrderedAndProject, never a global sort."""
+    plan = _physical(REGISTRY["ev_user_paths_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") == 1
+    user_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+    ]
+    assert len(user_ex) == 1, user_ex
