@@ -580,3 +580,82 @@ def fn_window(spark: SparkSession, sf: str) -> DataFrame:
         F.lag("o_orderkey", 2, -1).over(w).alias("lag2"),
         F.lead("o_orderkey", 3, -1).over(w).alias("lead3"),
     )
+
+
+@register(
+    "fn_maps",
+    oracle="""
+    WITH pn AS (
+      SELECT n.n_regionkey, n.n_name, COUNT(*) AS cnt
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2)
+    SELECT r.r_name AS region,
+           COUNT(*) AS n_nations,
+           STRING_AGG(pn.n_name, ',' ORDER BY pn.n_name) AS nations,
+           CAST(SUM(pn.cnt) AS BIGINT) AS n_suppliers,
+           COUNT(*) FILTER (WHERE pn.cnt >= 4) AS n_big,
+           CAST(2 * SUM(pn.cnt) AS BIGINT) AS doubled,
+           CAST(SUM(pn.cnt * LENGTH(pn.n_name)) AS BIGINT) AS zip_checksum,
+           CAST(-1 AS BIGINT) AS sentinel
+    FROM pn JOIN region r ON pn.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("functions", "maps"),
+)
+def fn_maps(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-typed function family (beyond-reference — DataFusion 6.0 had
+    no map type, SURVEY §2.B): map_from_entries, map_keys, map_values,
+    map_filter, transform_values, map_zip_with, map_concat,
+    element_at, cardinality — all Catalyst HOFs over maps built from
+    per-region nation→count entries. The ORACLE computes the same
+    scalars relationally (DuckDB's MAP semantics differ; only the
+    emitted values must agree).
+
+    Scale shape: the maps are bounded by nations-per-region (constant
+    ≤25 entries) — never data-proportional; the supplier→nation join
+    broadcasts the 25-row dim, and the final region join broadcasts
+    the 5-row dim."""
+    n = load_table(spark, sf, "nation")
+    s = load_table(spark, sf, "supplier")
+    r = load_table(spark, sf, "region")
+    per_nation = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.count("*").alias("cnt"))
+    )
+    entry = F.struct(F.col("n_name").alias("k"), F.col("cnt").alias("v"))
+    len_entry = F.struct(
+        F.col("n_name").alias("k"), F.length("n_name").cast("long").alias("v")
+    )
+    m = per_nation.groupBy("n_regionkey").agg(
+        F.map_from_entries(F.array_sort(F.collect_list(entry))).alias("cnt_map"),
+        F.map_from_entries(F.array_sort(F.collect_list(len_entry))).alias("len_map"),
+    )
+    zero = F.lit(0).cast("long")
+    total = F.aggregate(F.map_values("cnt_map"), zero, lambda a, x: a + x)
+    doubled = F.aggregate(
+        F.map_values(F.transform_values("cnt_map", lambda k, v: v * 2)),
+        zero,
+        lambda a, x: a + x,
+    )
+    zip_ck = F.aggregate(
+        F.map_values(F.map_zip_with("cnt_map", "len_map", lambda k, c, ln: c * ln)),
+        zero,
+        lambda a, x: a + x,
+    )
+    sentinel = F.element_at(
+        F.map_concat(
+            "cnt_map", F.create_map(F.lit("__sentinel__"), F.lit(-1).cast("long"))
+        ),
+        F.lit("__sentinel__"),
+    )
+    return m.join(F.broadcast(r), m.n_regionkey == r.r_regionkey).select(
+        F.col("r_name").alias("region"),
+        F.cardinality("cnt_map").cast("long").alias("n_nations"),
+        F.array_join(F.array_sort(F.map_keys("cnt_map")), ",").alias("nations"),
+        total.alias("n_suppliers"),
+        F.cardinality(F.map_filter("cnt_map", lambda k, v: v >= 4)).cast("long").alias("n_big"),
+        doubled.alias("doubled"),
+        zip_ck.alias("zip_checksum"),
+        sentinel.alias("sentinel"),
+    )
