@@ -541,3 +541,236 @@ def ev_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
             "mad",
         )
     )
+
+
+@register(
+    "ev_survival_hazard",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS ft, MAX(epoch_us(ts)) AS lt
+      FROM events GROUP BY 1),
+    g AS (SELECT MAX(epoch_us(ts)) AS gmax FROM events),
+    lab AS (
+      SELECT (lt - ft) // 86400000000 AS d,
+             CASE WHEN lt > g.gmax - 7 * 86400000000 THEN 1 ELSE 0 END AS cens
+      FROM u, g),
+    byday AS (
+      SELECT d,
+             CAST(COUNT(*) FILTER (WHERE cens = 0) AS BIGINT) AS deaths,
+             CAST(COUNT(*) FILTER (WHERE cens = 1) AS BIGINT) AS censored,
+             COUNT(*) AS ending
+      FROM lab GROUP BY 1),
+    r AS (
+      SELECT d, deaths, censored,
+             CAST(SUM(ending) OVER (ORDER BY d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS at_risk
+      FROM byday)
+    SELECT CAST(d AS BIGINT) AS day, at_risk, deaths, censored,
+           deaths / at_risk AS hazard
+    FROM r
+    """,
+    tags=("events", "survival", "churn"),
+)
+def ev_survival_hazard(spark: SparkSession, sf: str) -> DataFrame:
+    """Discrete-time survival/churn table (Kaplan-Meier style): each
+    user's observed lifetime is last-event - first-event in whole days;
+    users whose last event falls within 7 days of the corpus horizon
+    are right-CENSORED (still alive), everyone else "dies" on their
+    lifetime day. Emits the life table per day: at-risk count (users
+    whose lifetime reaches the day), deaths, censored exits, and the
+    discrete hazard deaths/at_risk. The KM survival curve is the
+    running product of (1 - hazard) downstream; the hazard itself is
+    ONE IEEE division of two exact BIGINTs per row — bit-identical
+    across engines (the repo's integer-exact house rule), which a
+    cumulative float product would not be.
+
+    Scale shape: the event scan partial-aggregates to one row per user
+    (min/max — map-side combine, users << events); the horizon is a
+    1-row broadcast; the life table collapses to the lifetime-day axis
+    (bounded by corpus span, ~constant), so the reverse-cumulative
+    at-risk window runs over a constant-sized frame — the same
+    bounded-axis discipline as ev_pareto_share's decile window."""
+    ev = load_table(spark, sf, "events")
+    t = F.unix_micros(F.col("ts"))
+    u = ev.groupBy("user_id").agg(
+        F.min(t).alias("ft"), F.max(t).alias("lt")
+    )
+    g = ev.agg(F.max(t).alias("gmax"))
+    day_us = 86_400_000_000
+    lab = u.crossJoin(F.broadcast(g)).select(
+        F.expr(f"(lt - ft) DIV {day_us}").alias("d"),
+        F.when(F.col("lt") > F.col("gmax") - 7 * day_us, 1).otherwise(0).alias("cens"),
+    )
+    byday = lab.groupBy("d").agg(
+        F.count(F.when(F.col("cens") == 0, 1)).alias("deaths"),
+        F.count(F.when(F.col("cens") == 1, 1)).alias("censored"),
+        F.count("*").alias("ending"),
+    )
+    w = Window.orderBy(F.col("d").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    return byday.select(
+        F.col("d").alias("day"),
+        F.sum("ending").over(w).alias("at_risk"),
+        "deaths",
+        "censored",
+        (F.col("deaths") / F.sum("ending").over(w)).alias("hazard"),
+    )
+
+
+@register(
+    "ev_ab_test_ztest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1),
+    lab AS (
+      SELECT CASE WHEN (user_id * 2654435761) % 4294967296 >= 2147483648
+                  THEN 1 ELSE 0 END AS v,
+             conv
+      FROM u),
+    agg AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE v = 0) AS BIGINT) AS n_a,
+             CAST(SUM(conv) FILTER (WHERE v = 0) AS BIGINT) AS conv_a,
+             CAST(COUNT(*) FILTER (WHERE v = 1) AS BIGINT) AS n_b,
+             CAST(SUM(conv) FILTER (WHERE v = 1) AS BIGINT) AS conv_b
+      FROM lab)
+    SELECT n_a, conv_a, n_b, conv_b,
+           conv_a / n_a AS rate_a, conv_b / n_b AS rate_b,
+           (conv_a / n_a - conv_b / n_b)
+             / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                    * (1.0 - (conv_a + conv_b) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)) AS z_score
+    FROM agg
+    """,
+    tags=("events", "experiment", "ab-test"),
+)
+def ev_ab_test_ztest(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test for a hash-split A/B experiment: each user
+    is assigned a variant by the TOP bit of a 32-bit Knuth
+    multiplicative hash (the low bit of user_id * odd would just be
+    user_id's own parity — the classic bucketing mistake), conversion
+    is any 'purchase' event, and the emitted z-score is the pooled
+    two-proportion statistic. Every input to the float expression is
+    an exact BIGINT and the expression tree is written identically on
+    both engines (divisions, one sqrt) — deterministic IEEE, so the
+    z-score itself hash-matches, not just the counts.
+
+    Scale shape: one user-keyed partial aggregate (MAX of a predicate
+    — map-side combine), the variant label is a pure projection, and
+    the final aggregate collapses to a single row via conditional
+    counts. No window, no join; at 10⁹ users this is the cheapest
+    possible two-pass shape."""
+    ev = load_table(spark, sf, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    )
+    lab = u.select(
+        F.when(
+            (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)
+            >= F.lit(2147483648),
+            1,
+        )
+        .otherwise(0)
+        .alias("v"),
+        "conv",
+    )
+    agg = lab.agg(
+        F.count(F.when(F.col("v") == 0, 1)).alias("n_a"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv"))).alias("conv_a"),
+        F.count(F.when(F.col("v") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("v") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    rate_a = F.col("conv_a") / F.col("n_a")
+    rate_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        ((rate_a - rate_b) / se).alias("z_score"),
+    )
+
+
+@register(
+    "ev_trend_theil_sen",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.event_type, (b.n - a.n) / (b.day - a.day) AS slope
+      FROM d a JOIN d b ON a.event_type = b.event_type AND b.day > a.day),
+    s AS (
+      SELECT event_type, median(slope) AS slope_med,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM p GROUP BY 1),
+    i AS (
+      SELECT d.event_type, median(d.n - s.slope_med * d.day) AS intercept_med
+      FROM d JOIN s USING (event_type) GROUP BY 1)
+    SELECT s.event_type, s.n_pairs, s.slope_med, i.intercept_med
+    FROM s JOIN i USING (event_type)
+    """,
+    tags=("events", "trend", "robust"),
+)
+def ev_trend_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the median of all
+    pairwise day-over-day slopes of the daily count series (and the
+    median intercept given that slope) — the estimator that shrugs off
+    the outlier days OLS would chase, the standard robust-trend readout
+    for volume monitoring. Each pairwise slope is ONE IEEE division of
+    two exact BIGINTs; the median is Spark's exact R-7 percentile over
+    those deterministic doubles (the ev_anomaly_mad parity pattern), so
+    the result hash-matches DuckDB's median exactly.
+
+    Scale shape: events collapse to the types × days frame FIRST
+    (map-side partials — the only event-volume pass, shared via
+    persist); the quadratic pair join runs on the bounded DAY axis
+    (span² pairs per type, ~constant), never on events. Same
+    bounded-axis discipline as the survival life table."""
+    from ebike_spark.operators.dedup import _persist_scoped
+
+    ev = load_table(spark, sf, "events")
+    daily = _persist_scoped(
+        spark,
+        "theil_sen_daily",
+        lambda: ev.groupBy(
+            "event_type",
+            # integer DIV, never float-divide-then-cast (house rule)
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+        ).agg(F.count("*").alias("n")),
+        key=sf,
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.n") - F.col("a.n")) / (F.col("b.day") - F.col("a.day"))).alias(
+            "slope"
+        ),
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.percentile("slope", F.lit(0.5)).alias("slope_med"),
+        F.count("*").alias("n_pairs"),
+    )
+    i = (
+        daily.join(s, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(
+                F.col("n") - F.col("slope_med") * F.col("day"), F.lit(0.5)
+            ).alias("intercept_med")
+        )
+    )
+    return s.join(i, "event_type").select(
+        "event_type", "n_pairs", "slope_med", "intercept_med"
+    )
