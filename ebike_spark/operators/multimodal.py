@@ -377,3 +377,178 @@ def mm_ppm_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     return media.mapInPandas(make_ppm_stats(), PPM_STATS_SCHEMA)
+
+
+# ------------------------------------------------- real WAV codec path
+#
+# Same discipline as the PPM section: RIFF/WAVE PCM is a chunked header
+# + raw little-endian int16 samples — decodable in pure numpy/struct.
+# Stage 1 ENCODES a mono 16 kHz WAV per sampled document, stage 2 walks
+# the RIFF chunk list (fmt validation + data extraction — a real
+# parser, not an offset guess), then computes the audio features a
+# speech-corpus curation pipeline actually gates on: peak amplitude,
+# energy (sum |s| and sum s²), and zero-crossing count. Every number is
+# integer-exact with a closed-form SQL oracle (samples follow a
+# documented modular formula of the index).
+
+WAV_RATE = 16_000  # Hz, mono, 16-bit PCM
+WAV_FRAME = 160  # 10 ms at 16 kHz; payload length = WAV_FRAME * (4 + doc_id % 8)
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("peak", LongType(), True),
+        StructField("sum_abs", LongType(), True),
+        StructField("sum_sq", LongType(), True),
+        StructField("zero_crossings", LongType(), True),
+    ]
+)
+
+
+def make_wav_encoder(rate: int = WAV_RATE, frame: int = WAV_FRAME):
+    """mapInPandas stage 1: (doc_id) -> (doc_id, payload) RIFF/WAVE
+    bytes. Sample k is ((doc_id % 97) * (k+1) * 2654435761) % 65536 -
+    32768 — a full-range int16 signal the SQL oracle reproduces.
+    Closure-built; executors never import this package."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def enc(doc_id: int) -> bytes:
+            n = frame * (4 + doc_id % 8)
+            k = np.arange(n, dtype=np.int64)
+            v = ((doc_id % 97) * (k + 1) * 2654435761) % 65536 - 32768
+            pcm = v.astype("<i2").tobytes()
+            hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            return hdr + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["doc_id"].map(lambda d: enc(int(d))),
+                }
+            )
+
+    return encode
+
+
+def make_wav_stats():
+    """mapInPandas stage 2: RIFF chunk walk (fmt must be PCM mono
+    16-bit; data chunk located by id, never by fixed offset — WAVs in
+    the wild carry LIST/fact chunks), then vectorized int64 feature
+    math. Zero-crossing uses the sign convention sign(s) = (s >= 0), so
+    a 0-sample counts as positive (matches the oracle's (val >= 0)
+    flip test). Closure-built for executor pickling."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def decode(payload: bytes) -> np.ndarray:
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            i, samples = 12, None
+            while i + 8 <= len(payload):
+                cid = payload[i : i + 4]
+                sz = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+                if cid == b"fmt ":
+                    fmt_tag, ch, _, _, _, bits = struct.unpack(
+                        "<HHIIHH", payload[i + 8 : i + 24]
+                    )
+                    if (fmt_tag, ch, bits) != (1, 1, 16):
+                        raise ValueError("only PCM mono 16-bit supported")
+                elif cid == b"data":
+                    samples = np.frombuffer(payload, np.int16, sz // 2, i + 8)
+                i += 8 + sz + (sz & 1)  # chunks are word-aligned
+            if samples is None:
+                raise ValueError("no data chunk")
+            return samples.astype(np.int64)
+
+        for pdf in batches:
+            ids, ns, pk, sa, sq, zc = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = decode(bytes(payload))
+                pos = s >= 0
+                ids.append(int(doc_id))
+                ns.append(len(s))
+                pk.append(int(np.abs(s).max()))
+                sa.append(int(np.abs(s).sum()))
+                sq.append(int((s * s).sum()))
+                zc.append(int(np.count_nonzero(pos[1:] != pos[:-1])))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "peak": pd.Series(pk, dtype="int64"),
+                    "sum_abs": pd.Series(sa, dtype="int64"),
+                    "sum_sq": pd.Series(sq, dtype="int64"),
+                    "zero_crossings": pd.Series(zc, dtype="int64"),
+                }
+            )
+
+    return stats
+
+
+@register(
+    "mm_wav_decode_stats",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {WAV_FRAME} * (4 + doc_id % 8) AS n
+      FROM documents WHERE doc_id % 10 = 0),
+    s AS (SELECT doc_id, unnest(range(n)) AS k FROM docs),
+    v AS (
+      SELECT doc_id, k,
+             ((doc_id % 97) * (k + 1) * 2654435761) % 65536 - 32768 AS val
+      FROM s),
+    lagged AS (
+      SELECT doc_id, val,
+             LAG(val) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+      FROM v)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(val)) AS BIGINT) AS peak,
+           CAST(SUM(ABS(val)) AS BIGINT) AS sum_abs,
+           CAST(SUM(val * val) AS BIGINT) AS sum_sq,
+           CAST(COUNT(*) FILTER (WHERE pv IS NOT NULL AND (val >= 0) != (pv >= 0)) AS BIGINT)
+             AS zero_crossings
+    FROM lagged GROUP BY 1
+    """,
+    tags=("multimodal", "audio", "decode", "pandas-udf"),
+)
+def mm_wav_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode in the multimodal path: stage 1 encodes a
+    mono 16 kHz RIFF/WAVE PCM payload per sampled document (struct +
+    numpy — WAV needs no codec library), stage 2 walks the RIFF chunk
+    list, validates the fmt chunk, extracts the int16 PCM buffer, and
+    emits the integer audio features speech-corpus curation gates on
+    (peak, |s| and s² energy sums, zero-crossing count — the classic
+    silence/clipping/noisiness triage). The SQL oracle reproduces every
+    sample value in closed form, so the chunk parser, the int16
+    interpretation, and the feature math are all value-checked. This is
+    the audio sibling of mm_ppm_decode_stats — together they replace
+    the generic decode stub with two real codec paths.
+
+    Scale shape: encode→decode chain in ONE task (no shuffle anywhere
+    in the plan — the oracle's per-sample LAG window exists only on the
+    DuckDB side); the doc_id % 10 sample bounds payload volume; at
+    100 TB stage 1 is replaced by reading real payload bytes from the
+    parquet binary column and the decode stage is unchanged. Feature
+    math is vectorized int64 numpy inside Arrow batches, never per-row
+    Python."""
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") % 10 == 0)
+    media = docs.select("doc_id").mapInPandas(
+        make_wav_encoder(),
+        StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("payload", BinaryType(), True),
+            ]
+        ),
+    )
+    return media.mapInPandas(make_wav_stats(), WAV_STATS_SCHEMA)
