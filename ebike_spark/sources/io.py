@@ -138,3 +138,51 @@ def io_text(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(md5_long(F.col("value")) % 1_000_000_007).alias("content_check"),
     )
+
+
+@register(
+    "io_schema_evolution",
+    oracle="""
+    WITH sim AS (
+      SELECT event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN user_id % 2 = 1 THEN value END AS value,
+             CASE WHEN user_id % 2 = 1 THEN user_id END AS user_id
+      FROM events)
+    SELECT event_type, COUNT(*) AS n,
+           CAST(COUNT(value) AS BIGINT) AS n_valued,
+           ROUND(SUM(value), 2) AS total,
+           CAST(SUM(ts_us % 1000000007) AS BIGINT) AS ts_check
+    FROM sim GROUP BY event_type
+    """,
+    tags=("io", "parquet", "schema-evolution"),
+)
+def io_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet schema evolution: batch 1 is written with the ORIGINAL
+    narrow schema (event_id, ts_us, event_type), batch 2 with two added
+    columns (user_id, value) — the additive-column evolution every
+    long-lived ingestion pipeline goes through. One read with
+    mergeSchema=true must unify the file schemas, null-filling the old
+    files — the aggregate counts non-null values per type so a reader
+    that drops either the old or the new columns fails the value hash.
+
+    Scale shape: mergeSchema reconciles FILE FOOTERS (schema-sized
+    metadata, not data); each file still prunes to the columns it has.
+    The two batches land under one root as subdirectories, the layout
+    partition discovery expects. At 100 TB the same read works across
+    years of drifting daily drops — additive evolution needs no
+    rewrite of old files."""
+    path = _scratch("evolve")
+    ev = _events_flat(spark, sf)
+    old = ev.where(F.col("user_id") % 2 == 0).select("event_id", "ts_us", "event_type")
+    new = ev.where(F.col("user_id") % 2 == 1).select(
+        "event_id", "ts_us", "event_type", "user_id", "value"
+    )
+    old.write.parquet(os.path.join(path, "batch=1"))
+    new.write.parquet(os.path.join(path, "batch=2"))
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count("value").alias("n_valued"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.sum(F.col("ts_us") % 1_000_000_007).cast("long").alias("ts_check"),
+    )

@@ -893,3 +893,104 @@ def stream_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
             F.sum((~F.col("is_new")).cast("long")).alias("returning_users"),
         )
     )
+
+
+def make_cdc_upserter():
+    """Custom stateful CDC applier (applyInPandasWithState): state is
+    the latest change per key by (ts, event_id) — last-write-wins upsert
+    semantics, 'error' rows acting as tombstones that stay IN state (a
+    later upsert must be able to resurrect the key). Emits the current
+    state row each batch (update mode); the final table filters
+    tombstones batch-side. Closure-built for executor pickling; constant
+    memory per key."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            t, eid, typ, cents = state.get
+        else:
+            t, eid, typ, cents = -1, -1, "", 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            top = pdf.sort_values(["t", "event_id"]).iloc[-1]
+            if (int(top["t"]), int(top["event_id"])) > (t, eid):
+                t, eid = int(top["t"]), int(top["event_id"])
+                typ, cents = str(top["event_type"]), int(top["cents"])
+        state.update((t, eid, typ, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "last_ts_us": [t],
+                "last_event_id": [eid],
+                "last_type": [typ],
+                "last_cents": [cents],
+            }
+        )
+
+    return fn
+
+
+CDC_OUT_SCHEMA = "user_id long, last_ts_us long, last_event_id long, last_type string, last_cents long"
+CDC_STATE_SCHEMA = "t long, eid long, typ string, cents long"
+
+
+@register(
+    "stream_cdc_upsert",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, t AS last_ts_us, event_id AS last_event_id,
+           event_type AS last_type, cents AS last_cents
+    FROM latest WHERE rn = 1 AND event_type != 'error'
+    """,
+    tags=("streaming", "stateful", "cdc", "applyInPandasWithState"),
+)
+def stream_cdc_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC changelog apply: the event stream is read as a change feed
+    keyed by user_id — every row is an upsert carrying the new state,
+    'error' rows are delete tombstones — and a custom stateful operator
+    maintains the CURRENT TABLE per key (last write by (ts, event_id)
+    wins). The final materialized table must equal the batch
+    latest-row-per-key answer with tombstoned keys absent — the
+    foreachBatch-MERGE production pattern expressed as bounded
+    per-key state. Tombstones stay in state so later upserts resurrect
+    the key (delete-then-reinsert replays correctly).
+
+    Scale shape: state is ONE fixed-width row per live key (no history),
+    update-mode emissions are key-count-sized per batch, and the
+    batch-side max-struct fold is the same monotone-state trick as
+    stream_stateful_running_counts. At 100 TB the memory sink becomes a
+    Delta MERGE in foreachBatch; the state logic is unchanged. Monetary
+    state is integer cents (house rule: no float accumulators in
+    state)."""
+    staged = stage_stream_dir(spark, sf, n_files=3)
+    src = read_event_stream(spark, staged).select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    sink = run_to_table(
+        src.groupBy("user_id").applyInPandasWithState(
+            make_cdc_upserter(), CDC_OUT_SCHEMA, CDC_STATE_SCHEMA, "update", "NoTimeout"
+        ),
+        "update",
+    )
+    final = sink.groupBy("user_id").agg(
+        F.max(
+            F.struct("last_ts_us", "last_event_id", "last_type", "last_cents")
+        ).alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.last_ts_us").alias("last_ts_us"),
+        F.col("s.last_event_id").alias("last_event_id"),
+        F.col("s.last_type").alias("last_type"),
+        F.col("s.last_cents").alias("last_cents"),
+    ).where(F.col("last_type") != "error")
