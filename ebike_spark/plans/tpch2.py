@@ -294,3 +294,113 @@ def q30_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
         .select("s_name", "s_acctbal")
     )
     return n.lateralJoin(top2).select("n_name", "s_name", "s_acctbal")
+
+
+@register(
+    "q31_recursive_spine",
+    oracle="""
+    WITH RECURSIVE spine(d) AS (
+      SELECT MIN(date_trunc('day', ts)) FROM events
+      UNION ALL
+      SELECT d + INTERVAL 1 DAY FROM spine
+      WHERE d < (SELECT MAX(date_trunc('day', ts)) FROM events)
+    ),
+    daily AS (
+      SELECT date_trunc('day', ts) AS d, COUNT(*) AS n FROM events GROUP BY 1)
+    SELECT CAST(epoch_us(spine.d) // 1000000 AS BIGINT) AS day_start,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+    tags=("recursive-cte", "beyond-reference", "gapfill"),
+)
+def q31_recursive_spine(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE #1 — complete day spine (WITH RECURSIVE, new in
+    Spark 4.0; DataFusion 6.0 had no recursion at all, SURVEY §2.B):
+    generate every calendar day between the corpus MIN and MAX
+    event-day, then left-join daily counts so silent zero-volume days
+    appear as explicit 0 rows — the completeness guarantee gap-fill
+    and anomaly monitors need (a missing day is invisible to a plain
+    GROUP BY).
+
+    Scale shape: the recursion generates one row per DAY (corpus-span-
+    sized, ~constant — each step is a trivial localized union, never
+    data-proportional); the daily aggregate is one scan with map-side
+    partials; the spine join broadcasts the day axis. Recursion depth
+    = days, bounded by the anchor/termination subqueries which Spark
+    computes once as scalar subqueries."""
+    from ebike_spark.sources.registry import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+          SELECT MIN(date_trunc('DAY', ts)) FROM events
+          UNION ALL
+          SELECT d + INTERVAL 1 DAY FROM spine
+          WHERE d < (SELECT MAX(date_trunc('DAY', ts)) FROM events)
+        ),
+        daily AS (
+          SELECT date_trunc('DAY', ts) AS d, COUNT(*) AS n FROM events GROUP BY 1)
+        SELECT CAST(unix_micros(spine.d) DIV 1000000 AS BIGINT) AS day_start,
+               COALESCE(daily.n, 0) AS n_events
+        FROM spine LEFT JOIN daily ON spine.d = daily.d
+        """
+    )
+
+
+@register(
+    "q32_recursive_reach",
+    oracle="""
+    WITH RECURSIVE hops(state, hop) AS (
+      SELECT 'signup', 0
+      UNION ALL
+      SELECT e.to_state, h.hop + 1
+      FROM hops h
+      JOIN (SELECT DISTINCT prev AS from_state, event_type AS to_state FROM (
+              SELECT event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events) sub WHERE prev IS NOT NULL) e
+        ON e.from_state = h.state
+      WHERE h.hop < 3
+    )
+    SELECT state, CAST(MIN(hop) AS BIGINT) AS min_hops FROM hops GROUP BY state
+    """,
+    tags=("recursive-cte", "beyond-reference", "graph"),
+)
+def q32_recursive_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE #2 — BFS reachability over the event-transition
+    graph: distinct (prev → next) edges per user stream, then minimum
+    hop count from 'signup' to every reachable state (bounded depth 3).
+    The iterative-graph-traversal shape SQL engines historically
+    couldn't express; MIN(hop) over the frontier union makes the answer
+    order- and duplicate-insensitive, so both engines' different
+    frontier evaluation strategies agree exactly.
+
+    Scale shape: the edge list collapses to ≤types² rows before any
+    recursion (one user-keyed window pass + DISTINCT); each recursive
+    step joins the constant-sized frontier against the constant-sized
+    edge list — the recursion never touches raw events again. Depth is
+    hard-bounded; at web-graph scale the same plan becomes frontier
+    joins against a bucketed edge table."""
+    from ebike_spark.sources.registry import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        WITH RECURSIVE hops(state, hop) AS (
+          SELECT 'signup', 0
+          UNION ALL
+          SELECT e.to_state, h.hop + 1
+          FROM hops h
+          JOIN (SELECT DISTINCT prev AS from_state, event_type AS to_state FROM (
+                  SELECT event_type,
+                         LAG(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS prev
+                  FROM events) WHERE prev IS NOT NULL) e
+            ON e.from_state = h.state
+          WHERE h.hop < 3
+        )
+        SELECT state, CAST(MIN(hop) AS BIGINT) AS min_hops FROM hops GROUP BY state
+        """
+    )
