@@ -586,3 +586,70 @@ def corpus_dedup_survivor(spark: SparkSession, sf: str) -> DataFrame:
         "n_chars",
         "cluster_size",
     )
+
+
+@register(
+    "corpus_manifest_diff",
+    oracle=f"""
+    WITH snap_a AS (
+      SELECT doc_id, {md5_long_sql("text")} AS h
+      FROM documents WHERE doc_id % 13 != 0),
+    snap_b AS (
+      SELECT doc_id,
+             {md5_long_sql("CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END")} AS h
+      FROM documents WHERE doc_id % 11 != 0)
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           a.h AS hash_a, b.h AS hash_b
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+    WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h != b.h
+    """,
+    tags=("corpus", "manifest", "diff", "incremental"),
+)
+def corpus_manifest_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot manifest diff — the change feed between two corpus
+    versions that an incremental training-data pipeline consumes
+    (reprocess only added/changed docs, retract removed ones). Snapshot
+    A simulates the previous release (missing every 13th doc); snapshot
+    B the current one (every 7th doc re-edited, every 11th dropped). A full
+    outer join on doc_id classifies added / removed / changed by
+    null-side and content-hash inequality; unchanged rows are filtered
+    out so the diff is delta-sized, not corpus-sized.
+
+    Scale shape: both manifests reduce to (doc_id, 56-bit digest)
+    before the join — fixed-width rows, never document text — and the
+    full outer join shuffles on doc_id with both sides manifest-sized.
+    In production the manifests are stored artifacts of each release
+    (written once at snapshot time), so the diff never rescans either
+    corpus; here both derive from the one documents table for the
+    oracle's sake."""
+    docs = load_table(spark, sf, "documents")
+    snap_a = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id", md5_long(F.col("text")).alias("h")
+    )
+    snap_b = docs.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        md5_long(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    a = snap_a.alias("a")
+    b = snap_b.alias("b")
+    j = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    return j.where(
+        F.col("a.doc_id").isNull()
+        | F.col("b.doc_id").isNull()
+        | (F.col("a.h") != F.col("b.h"))
+    ).select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+        F.col("a.h").alias("hash_a"),
+        F.col("b.h").alias("hash_b"),
+    )

@@ -538,3 +538,113 @@ def embed_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     return emb.select(
         "vec_id", F.explode(F.array(*projections)).alias("kp")
     ).select("vec_id", "kp.dim", "kp.p")
+
+
+ANN_FILTER_LABEL = 3
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS cos
+    FROM embeddings, q
+    WHERE vec_id != {QUERY_VEC_ID} AND label = {ANN_FILTER_LABEL}
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+    tags=("similarity", "ann", "filtered", "topk"),
+)
+def ann_filtered_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTERED vector search: top-k cosine restricted to a metadata
+    predicate (label = {ANN_FILTER_LABEL}) — the retrieval shape every
+    RAG/vector store actually serves (filter + similarity, not
+    similarity alone). The predicate is a plain parquet column filter,
+    so it evaluates BEFORE any scoring: Catalyst pushes it to the scan
+    (PushedFilters, plan-asserted) and the cosine HOF runs only on
+    survivors — pre-filtering, not the post-filter-then-hope-k-survive
+    mistake. Cost scales with the filtered subset.
+
+    Scale shape: same single codegen'd scan + TakeOrderedAndProject as
+    ann_cosine_topk; with the corpus partitioned/bucketed on the label
+    column the filter also prunes whole files. Composes with the
+    LSH/IVF pruners: their bucket predicate ANDs with this one."""
+    qv = F.lit(_query_vec(spark, sf)).cast("array<double>")
+    e = load_table(spark, sf, "embeddings").where(
+        (F.col("vec_id") != QUERY_VEC_ID) & (F.col("label") == ANN_FILTER_LABEL)
+    )
+    cos = cosine_sim(F.col("embedding").cast("array<double>"), qv)
+    return (
+        e.select("vec_id", cos.alias("_c"))
+        .orderBy(F.desc("_c"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", F.round("_c", 4).alias("cos"))
+    )
+
+
+DRIFT_SCALE = 1_000_000  # fixed-point quantum for exact per-dim sums
+
+
+@register(
+    "embed_drift_by_dim",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id % 2 AS s, unnest(range(len(embedding))) AS dim,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    f AS (
+      SELECT s, dim,
+             CAST(FLOOR(v[CAST(dim + 1 AS BIGINT)] * {DRIFT_SCALE}) AS BIGINT) AS q
+      FROM e),
+    g AS (
+      SELECT CAST(dim AS BIGINT) AS dim,
+             CAST(COUNT(*) FILTER (WHERE s = 0) AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (WHERE s = 1) AS BIGINT) AS n_b,
+             CAST(SUM(q) FILTER (WHERE s = 0) AS BIGINT) AS sum_a,
+             CAST(SUM(q) FILTER (WHERE s = 1) AS BIGINT) AS sum_b
+      FROM f GROUP BY 1)
+    SELECT dim, n_a, n_b, sum_a, sum_b,
+           sum_a / n_a - sum_b / n_b AS drift_scaled
+    FROM g
+    """,
+    tags=("embedding", "drift", "monitoring"),
+)
+def embed_drift_by_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-distribution drift monitor: the corpus is split into
+    two slices (vec_id parity standing in for time windows / model
+    versions) and the per-DIMENSION mean shift between slices is
+    emitted — the input a drift alert thresholds on (a retrained
+    encoder or upstream content shift moves per-dim means long before
+    topline metrics notice). Components quantize to fixed-point
+    ({DRIFT_SCALE} quantum) BEFORE summation, so every aggregate is an
+    exact BIGINT — no float-sum partition-order sensitivity anywhere —
+    and the drift itself is two exact-int divisions and one subtraction
+    of deterministic doubles (house integer-exact rule).
+
+    Scale shape: posexplode fans each vector into D rows and the
+    groupBy(dim) shuffle carries map-side partial sums — the exchange
+    moves O(partitions × D) partial rows, not corpus × D; output is
+    D rows regardless of corpus size. The same frame extends to
+    variance (sum q²) without changing shape."""
+    e = load_table(spark, sf, "embeddings").select(
+        (F.col("vec_id") % 2).alias("s"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    f = e.select(
+        "s", F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("v") * DRIFT_SCALE).cast("long").alias("q"),
+    )
+    g = f.groupBy("dim").agg(
+        F.count(F.when(F.col("s") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("s") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("s") == 0, F.col("q"))).alias("sum_a"),
+        F.sum(F.when(F.col("s") == 1, F.col("q"))).alias("sum_b"),
+    )
+    return g.select(
+        "dim", "n_a", "n_b", "sum_a", "sum_b",
+        (F.col("sum_a") / F.col("n_a") - F.col("sum_b") / F.col("n_b")).alias(
+            "drift_scaled"
+        ),
+    )
