@@ -167,6 +167,18 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "text_heavy_hitters_cms",
     "ev_markov_sessions",
     "ev_user_paths_topk",
+    "fn_maps",
+    "mm_wav_decode_stats",
+    "ev_survival_hazard",
+    "ev_ab_test_ztest",
+    "stream_cdc_upsert",
+    "io_schema_evolution",
+    "q31_recursive_spine",
+    "q32_recursive_reach",
+    "ann_filtered_topk",
+    "embed_drift_by_dim",
+    "corpus_manifest_diff",
+    "ev_trend_theil_sen",
 )
 
 

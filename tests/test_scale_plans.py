@@ -830,3 +830,75 @@ def test_user_paths_topk_takeordered_one_session_shuffle(spark):
         if "Exchange hashpartitioning" in ln and "user_id" in ln
     ]
     assert len(user_ex) == 1, user_ex
+
+
+def test_wav_pipeline_has_no_shuffle(spark):
+    """mm_wav_decode_stats chains encode→decode mapInPandas stages in
+    one task, same discipline as the PPM path: zero Exchange anywhere
+    (the per-sample LAG window exists only in the DuckDB oracle)."""
+    plan = _physical(REGISTRY["mm_wav_decode_stats"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
+
+
+def test_survival_hazard_user_partial_agg_and_bounded_window(spark):
+    """ev_survival_hazard: one scan, one user-keyed exchange with
+    map-side partial aggregation; the reverse-cumulative at-risk
+    window runs single-partition ONLY over the bounded lifetime-day
+    axis (corpus-span-sized), mirroring the Pareto decile discipline."""
+    plan = _physical(REGISTRY["ev_survival_hazard"].fn(spark, SF_DIR))
+    assert plan.count("Scan parquet") <= 2  # user agg + 1-row horizon
+    assert "partial_min" in plan or "partial_count" in plan or "HashAggregate" in plan
+    user_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+    ]
+    assert len(user_ex) == 1, user_ex
+
+
+def test_ab_test_no_window_no_join(spark):
+    """ev_ab_test_ztest collapses via two hash aggregates (user, then
+    global single-row); no window, no join anywhere in the plan."""
+    plan = _physical(REGISTRY["ev_ab_test_ztest"].fn(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_filtered_ann_pushes_label_filter(spark):
+    """ann_filtered_topk: the metadata predicate must reach the parquet
+    scan (PushedFilters) — pre-filter, never post-filter; top-k stays
+    TakeOrderedAndProject."""
+    plan = _physical(REGISTRY["ann_filtered_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    import re
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("label" in p for p in pushed), pushed
+
+
+def test_drift_by_dim_partial_aggregates(spark):
+    """embed_drift_by_dim: the dim-keyed exchange must carry partial
+    sums (map-side combine), so it moves O(partitions × D) rows."""
+    plan = _physical(REGISTRY["embed_drift_by_dim"].fn(spark, SF_DIR))
+    assert "partial" in plan.lower()
+    assert plan.count("Exchange") == 1
+
+
+def test_manifest_diff_joins_digests_not_text(spark):
+    """corpus_manifest_diff: the full-outer join operates on (doc_id,
+    digest) manifests — the text column must be projected away below
+    the join (no 'text' in the join output schema)."""
+    df = REGISTRY["corpus_manifest_diff"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan
+    assert "text" not in df.columns
+
+
+def test_theil_sen_pairs_on_collapsed_frame(spark):
+    """ev_trend_theil_sen: the quadratic self-join must consume the
+    persisted types×days frame — every daily-frame consumer (pair
+    sides + intercept branch) reads InMemoryTableScan. (Raw 'Scan
+    parquet' strings also appear INSIDE the InMemoryRelation's stored
+    build plan, so counting them is meaningless here.)"""
+    plan = _physical(REGISTRY["ev_trend_theil_sen"].fn(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 3, plan.count("InMemoryTableScan")
