@@ -912,23 +912,43 @@ class Engine:
             if self.catalog.table_exists(dst):
                 raise EbikeError(1050, f"Table '{dst}' already exists")
         db, _, _ = q.rpartition(".")
-        stage = f"{db}.__ebike_alter_{_uuid.uuid4().hex[:12]}"
+        # "__ebike_stage" prefix: the SHOW/information_schema filters hide
+        # internal staging tables by that literal prefix, so a crash leak
+        # stays invisible to users (review finding: a distinct prefix
+        # bypassed all three filters)
+        stage = f"{db}.__ebike_stage_alter_{_uuid.uuid4().hex[:12]}"
         self.spark.table(q).write.saveAsTable(stage)
         props = {
             k: v for k, v in self.catalog.properties(q).items() if k.startswith("ebike.")
         }
         try:
+            # phase 1 — build the altered copy; the original is untouched,
+            # so rollback here is simply dropping the stage
             if props:
                 props_ddl = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
                 self.spark.sql(f"ALTER TABLE {bq(stage)} SET TBLPROPERTIES ({props_ddl})")
             for cl in body:
                 self._alter_table_single(f"ALTER TABLE {stage} {cl}")
-            # swap (same crash window as _recreate_table's, documented)
-            self.spark.sql(f"DROP TABLE {bq(q)}")
-            self.spark.sql(f"ALTER TABLE {bq(stage)} RENAME TO {bq(q)}")
         except Exception:
             self.spark.sql(f"DROP TABLE IF EXISTS {bq(stage)}")
+            self._info_schema_dirty = True
             raise
+        # phase 2 — swap (same crash window as _recreate_table's,
+        # documented). Once the original is dropped the stage is the ONLY
+        # copy of the data: a failed RENAME must PRESERVE it, never drop
+        # it (review finding: the old single rollback handler deleted the
+        # survivor on a transient rename failure — total data loss).
+        try:
+            self.spark.sql(f"DROP TABLE {bq(q)}")
+            try:
+                self.spark.sql(f"ALTER TABLE {bq(stage)} RENAME TO {bq(q)}")
+            except Exception as exc:
+                raise EbikeError(
+                    1105,
+                    f"ALTER TABLE swap failed after dropping '{q}'; the fully-"
+                    f"altered data is preserved in '{stage}' — rename it back "
+                    f"manually ({exc})",
+                ) from exc
         finally:
             self._info_schema_dirty = True
         if rename_to is not None:

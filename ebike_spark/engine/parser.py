@@ -276,7 +276,13 @@ def rewrite_group_concat(sql: str) -> str:
             # SEPARATOR takes exactly one string literal; anything
             # trailing it (a misplaced ORDER BY, stray tokens) must be
             # a parse error, not silently glued into the separator
-            if not re.fullmatch(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", sep):
+            # accept BOTH escape styles the lexer (_skip_quoted) accepts:
+            # doubled quotes ('it''s') and backslash escapes ('it\'s') —
+            # rejecting backslash style regressed statements MySQL
+            # clients emit by default (review finding)
+            if not re.fullmatch(
+                r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\"", sep
+            ):
                 raise ValueError(
                     "SEPARATOR must be followed by a single string literal"
                 )

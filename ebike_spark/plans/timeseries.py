@@ -1321,9 +1321,12 @@ def ev_stickiness_weekly(spark: SparkSession, sf: str) -> DataFrame:
     from ebike_spark.operators.dedup import _persist_scoped
 
     ev = load_table(spark, sf, "events")
+    # SAME tag as ev_active_users/_hll: the frame is identical, so a
+    # session running the family shares one scan + one cache (review
+    # finding: a private tag duplicated both)
     ud = _persist_scoped(
         spark,
-        "stickiness_user_day",
+        "active_users_user_day",
         lambda: ev.select(
             "user_id", F.date_trunc("day", F.col("ts")).alias("d")
         ).distinct(),

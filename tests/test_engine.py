@@ -1200,10 +1200,16 @@ def test_group_concat_rewrite_unit():
         rw("SELECT GROUP_CONCAT(a ORDER BY b SEPARATOR ',' ORDER BY c) FROM t")
     with _pytest.raises(ValueError, match="single string literal"):
         rw("SELECT GROUP_CONCAT(a SEPARATOR ',' garbage) FROM t")
-    # escaped quotes inside the literal still pass
+    # escaped quotes inside the literal still pass — BOTH styles the
+    # lexer accepts: doubled ('it''s') and backslash ('it\'s'), the
+    # default MySQL-client escape (review r6: backslash was rejected)
     assert (
         rw("SELECT GROUP_CONCAT(a SEPARATOR 'it''s') FROM t")
         == "SELECT listagg(a, 'it''s') FROM t"
+    )
+    assert (
+        rw("SELECT GROUP_CONCAT(a SEPARATOR 'it\\'s') FROM t")
+        == "SELECT listagg(a, 'it\\'s') FROM t"
     )
 
 
@@ -1337,11 +1343,17 @@ def test_alter_multi_clause_is_atomic(eng):
         eng.execute("ALTER TABLE mb ADD COLUMN a INT, DROP COLUMN nope")
     assert ei.value.code == 1091
     assert [r["Field"] for r in eng.execute("SHOW COLUMNS FROM mb").rows()] == ["id", "v"]
-    # no stage table leaked by the rolled-back attempts
+    # no stage table leaked by the rolled-back attempts — checked at the
+    # Spark catalog level because the __ebike_stage prefix is hidden from
+    # SHOW TABLES by design (a leak would be invisible there)
     leftovers = [
-        r for r in eng.execute("SHOW TABLES").rows() if "__ebike_alter_" in str(r)
+        t.name
+        for t in eng.spark.catalog.listTables(eng.current_db)
+        if t.name.startswith("__ebike_stage_alter_")
     ]
     assert leftovers == []
+    # and the hidden prefix never reaches user-visible SHOW output
+    assert not any("__ebike_" in str(r) for r in eng.execute("SHOW TABLES").rows())
 
 
 def test_alter_multi_clause_rename_applies_last(eng):
