@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "embed_drift_by_dim",
     "corpus_manifest_diff",
     "ev_trend_theil_sen",
+    "io_csv_malformed",
 ]
 
 

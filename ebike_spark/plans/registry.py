@@ -179,6 +179,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "embed_drift_by_dim",
     "corpus_manifest_diff",
     "ev_trend_theil_sen",
+    "io_csv_malformed",
 )
 
 

@@ -186,3 +186,69 @@ def io_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total"),
         F.sum(F.col("ts_us") % 1_000_000_007).cast("long").alias("ts_check"),
     )
+
+
+@register(
+    "io_csv_malformed",
+    oracle="""
+    WITH g AS (
+      SELECT COUNT(*) AS n_good,
+             CAST(SUM(epoch_us(ts) % 1000000007) AS BIGINT) AS ts_check
+      FROM events)
+    SELECT CAST(n_good AS BIGINT) AS n_good,
+           CAST(n_good // 50 AS BIGINT) AS n_bad,
+           ts_check
+    FROM g
+    """,
+    tags=("io", "csv", "malformed", "robustness"),
+)
+def io_csv_malformed(spark: SparkSession, sf: str) -> DataFrame:
+    """Malformed-input robustness: the CSV drop is polluted with one
+    unparseable line per 50 real rows (wrong arity + non-numeric key —
+    the torn/garbage lines every real ingestion eventually meets), then
+    read back in PERMISSIVE mode with a columnNameOfCorruptRecord
+    column. The reader must (a) keep every good row intact — checked by
+    the modular ts digest — and (b) route every bad line to the corrupt
+    column, never silently drop it (DROPMALFORMED's failure mode) or
+    abort the job (FAILFAST's). n_bad is corpus-proportional so the
+    check scales with SF instead of pinning a constant.
+
+    Scale shape: quarantining happens per-task at parse time (no extra
+    pass, no shuffle); the cache() before filtering on the corrupt
+    column is a documented Spark requirement (the internal column can't
+    be referenced by a post-hoc filter over the lazy parse) and holds
+    scratch-sized data. At 100 TB the corrupt rows land in a dead-letter
+    sink from the same single read."""
+    path = _scratch("badcsv")
+    flat = _events_flat(spark, sf)
+    # headerless on purpose: with header=true the reader would swallow
+    # the FIRST line of every file — including the corrupt file's first
+    # pollution line — as a header
+    flat.write.csv(path)
+    n_bad = flat.count() // 50  # bounded driver scalar, sizes the pollution
+    bad = spark.range(n_bad).select(
+        F.concat(F.lit("corrupt,line,number,"), F.col("id").cast("string")).alias(
+            "value"
+        )
+    )
+    bad.coalesce(1).write.mode("append").text(path)
+    schema = (
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string, _bad string"
+    )
+    back = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema(schema)
+        .csv(path)
+        .cache()
+    )
+    good = back.where(F.col("_bad").isNull())
+    return good.agg(
+        F.count("*").alias("n_good"),
+        F.sum(F.col("ts_us") % 1_000_000_007).cast("long").alias("ts_check"),
+    ).crossJoin(
+        F.broadcast(
+            back.where(F.col("_bad").isNotNull()).agg(F.count("*").alias("n_bad"))
+        )
+    ).select("n_good", "n_bad", "ts_check")

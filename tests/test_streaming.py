@@ -98,7 +98,7 @@ def test_streaming_dedup_with_watermark(spark):
     emit each exactly once (state bounded by the watermark)."""
     import shutil
 
-    staged = stage_stream_dir(spark, SF_DIR, n_files=2)
+    staged = stage_stream_dir(spark, SF_DIR, n_files=2, shared=False)
     # duplicate every file (same rows, later mtimes → replayed again)
     for f in sorted(os.listdir(staged)):
         if f.endswith(".parquet"):
