@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "corpus_manifest_diff",
     "ev_trend_theil_sen",
     "io_csv_malformed",
+    "io_compact_small_files",
 ]
 
 

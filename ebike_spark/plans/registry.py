@@ -180,6 +180,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "corpus_manifest_diff",
     "ev_trend_theil_sen",
     "io_csv_malformed",
+    "io_compact_small_files",
 )
 
 

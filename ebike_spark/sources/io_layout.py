@@ -30,6 +30,12 @@ from ebike_spark.sources.registry import load_table
 LAYOUT_LANGS = ("en", "fr")  # the read-back probe prunes to these
 
 
+def _scratch_dir(tag: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"ebike_layout_{tag}_{uuid.uuid4().hex[:10]}"
+    )
+
+
 @register(
     "io_partitioned_layout",
     oracle=f"""
@@ -63,4 +69,64 @@ def io_partitioned_layout(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("doc_id") % 1_000_003).cast("long").alias("id_check"),
         F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+COMPACT_BEFORE = 64  # small-file explosion to simulate
+COMPACT_AFTER = 4  # range-compacted target file count
+
+
+@register(
+    "io_compact_small_files",
+    oracle=f"""
+    SELECT CAST({COMPACT_BEFORE} AS BIGINT) AS files_before,
+           CAST({COMPACT_AFTER} AS BIGINT) AS files_after,
+           COUNT(*) AS n_rows,
+           CAST(SUM(epoch_us(ts) % 1000000007) AS BIGINT) AS ts_check
+    FROM events
+    """,
+    tags=("io", "layout", "compaction"),
+)
+def io_compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction — the other half of the layout story: an
+    ingestion that lands {COMPACT_BEFORE} tiny parquet files (the
+    micro-batch/many-writer explosion every lake hits) is rewritten by
+    repartitionByRange(ts) into {COMPACT_AFTER} range-clustered files.
+    The emitted audit carries both file counts (read from the directory
+    listings — bounded driver metadata, never data) plus the row count
+    and modular ts digest of the COMPACTED copy, so a compaction that
+    drops/duplicates rows fails the value hash, and one that doesn't
+    actually reduce file count fails the count columns. Both counts are
+    deterministic: round-robin repartition(n) fills every partition at
+    n ≤ rows, and repartitionByRange(n) yields exactly n non-empty
+    ranges.
+
+    Scale shape: compaction is one scan + one range exchange sized by
+    the TARGET layout; range clustering on ts additionally buys
+    min/max row-group skipping for time-predicate reads (the zone-map
+    story io_partitioned_layout proves for hive partitioning). At
+    100 TB this runs per-partition-directory as a maintenance job, not
+    corpus-wide."""
+    small = _scratch_dir("compact_small")
+    packed = _scratch_dir("compact_packed")
+    ev = load_table(spark, sf, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    ev.repartition(COMPACT_BEFORE).write.parquet(small)
+    spark.read.parquet(small).repartitionByRange(
+        COMPACT_AFTER, "ts_us"
+    ).write.parquet(packed)
+
+    def _nfiles(d: str) -> int:
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    back = spark.read.parquet(packed)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("ts_us") % 1_000_000_007).cast("long").alias("ts_check"),
+    ).select(
+        F.lit(_nfiles(small)).cast("long").alias("files_before"),
+        F.lit(_nfiles(packed)).cast("long").alias("files_after"),
+        "n_rows",
+        "ts_check",
     )
