@@ -29,8 +29,12 @@ spark = (SparkSession.builder.master("local[4]")
 spark.sparkContext.setLogLevel("ERROR")
 from ebike_spark.plans.registry import all_queries
 qs = all_queries()
-# every query whose plan ships Python to executors
-for name in ["mm_feature_extract", "dedup_embedding_cosine", "dedup_minhash_lsh", "embed_pca_audit", "embed_kmeans_lloyd"]:
+# one query per Python-shipping family: mapInPandas feature extraction,
+# mapInPandas partials + broadcast-model projection, pyspark.ml + closure
+# assignment. (dedup_minhash_lsh / dedup_embedding_cosine were dropped:
+# their plans are pure Catalyst HOFs — no Python ever ships — and each
+# cost ~5 s of subprocess wall for zero pickling coverage.)
+for name in ["mm_feature_extract", "embed_pca_audit", "embed_kmeans_lloyd"]:
     n = qs[name](spark, {SF_DIR!r}).count()
     print(name, "rows", n)
 print("PICKLING_OK")
