@@ -236,12 +236,19 @@ def io_csv_malformed(spark: SparkSession, sf: str) -> DataFrame:
         "event_id long, ts_us long, user_id long, event_type string, "
         "value double, props string, _bad string"
     )
-    back = (
-        spark.read.option("mode", "PERMISSIVE")
+    # _persist_scoped, never a bare .cache(): keyed by the fresh scratch
+    # path so each invocation releases the previous run's cached copy
+    # (the session-lifetime leak rule from operators/dedup.py)
+    from ebike_spark.operators.dedup import _persist_scoped
+
+    back = _persist_scoped(
+        spark,
+        "io_csv_malformed_back",
+        lambda: spark.read.option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_bad")
         .schema(schema)
-        .csv(path)
-        .cache()
+        .csv(path),
+        key=path,
     )
     good = back.where(F.col("_bad").isNull())
     return good.agg(

@@ -55,7 +55,7 @@ def io_partitioned_layout(spark: SparkSession, sf: str) -> DataFrame:
     produced by the executors that own it (no tiny-file explosion); the
     read-back filter becomes a PartitionFilter (directory pruning), so
     the scan never opens the other languages' files."""
-    path = os.path.join(tempfile.gettempdir(), f"ebike_layout_{uuid.uuid4().hex[:10]}")
+    path = _scratch_dir("hive")
     docs = load_table(spark, sf, "documents")
     (
         docs.repartition("lang")

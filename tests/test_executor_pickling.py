@@ -29,12 +29,12 @@ spark = (SparkSession.builder.master("local[4]")
 spark.sparkContext.setLogLevel("ERROR")
 from ebike_spark.plans.registry import all_queries
 qs = all_queries()
-# one query per Python-shipping family: mapInPandas feature extraction,
-# mapInPandas partials + broadcast-model projection, pyspark.ml + closure
-# assignment. (dedup_minhash_lsh / dedup_embedding_cosine were dropped:
-# their plans are pure Catalyst HOFs — no Python ever ships — and each
-# cost ~5 s of subprocess wall for zero pickling coverage.)
-for name in ["mm_feature_extract", "embed_pca_audit", "embed_kmeans_lloyd"]:
+# every query family whose plan ships Python to executors: mapInPandas
+# feature extraction, the fused minhash/embedding LSH banders (closure
+# factories in dedup.py — the exact 'bit twice' bug class), mapInPandas
+# PCA partials + broadcast-model projection, pyspark.ml + closure
+# assignment
+for name in ["mm_feature_extract", "dedup_minhash_lsh", "dedup_embedding_cosine", "embed_pca_audit", "embed_kmeans_lloyd"]:
     n = qs[name](spark, {SF_DIR!r}).count()
     print(name, "rows", n)
 print("PICKLING_OK")

@@ -119,7 +119,10 @@ def test_checkpoint_restart_exactly_once(spark):
     import tempfile
     import uuid as _uuid
 
-    staged = stage_stream_dir(spark, SF_DIR, n_files=4)
+    # shared=False: this test MUTATES the staged dir (moves files out and
+    # back) — a mid-test failure must never half-empty the process-wide
+    # cached copy every other streaming drive reads
+    staged = stage_stream_dir(spark, SF_DIR, n_files=4, shared=False)
     parts = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
     held_back = os.path.join(tempfile.gettempdir(), f"held_{_uuid.uuid4().hex[:8]}")
     os.makedirs(held_back)
