@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "ev_trend_theil_sen",
     "io_csv_malformed",
     "io_compact_small_files",
+    "fn_structs",
+    "ev_lifecycle_stages",
 ]
 
 

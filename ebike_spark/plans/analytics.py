@@ -774,3 +774,59 @@ def ev_trend_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
     return s.join(i, "event_type").select(
         "event_type", "n_pairs", "slope_med", "intercept_med"
     )
+
+
+@register(
+    "ev_lifecycle_stages",
+    oracle="""
+    WITH g AS (SELECT MAX(epoch_us(ts)) AS gmax FROM events),
+    u AS (
+      SELECT user_id,
+             (g.gmax - MAX(epoch_us(ts))) // 86400000000 AS rec_d,
+             (g.gmax - MIN(epoch_us(ts))) // 86400000000 AS age_d,
+             COUNT(*) AS n
+      FROM events, g GROUP BY user_id, g.gmax),
+    lab AS (
+      SELECT CASE WHEN age_d < 7 THEN 'new'
+                  WHEN rec_d < 7 THEN 'active'
+                  WHEN rec_d < 14 THEN 'at_risk'
+                  ELSE 'churned' END AS stage,
+             n
+      FROM u)
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM lab GROUP BY stage
+    """,
+    tags=("events", "lifecycle", "retention"),
+)
+def ev_lifecycle_stages(spark: SparkSession, sf: str) -> DataFrame:
+    """User lifecycle classification — the stage split every retention
+    dashboard opens with: 'new' (first seen within 7 days of the
+    horizon), 'active' (seen within 7 days), 'at_risk' (7-14 days
+    silent), 'churned' (older). Recency and age are integer day DIVs
+    from the corpus horizon (one broadcast scalar), so the
+    classification is exact; stage counts and event mass are plain
+    BIGINTs.
+
+    Scale shape: one user-keyed partial aggregate (MIN/MAX/COUNT
+    map-side combine — the only event-volume pass), a 1-row horizon
+    broadcast, then a constant-4-row groupBy. Same two-aggregate shape
+    as ev_ab_test_ztest."""
+    ev = load_table(spark, sf, "events")
+    t = F.unix_micros(F.col("ts"))
+    day_us = 86_400_000_000
+    u = ev.groupBy("user_id").agg(
+        F.min(t).alias("ft"), F.max(t).alias("lt"), F.count("*").alias("n")
+    )
+    g = ev.agg(F.max(t).alias("gmax"))
+    lab = u.crossJoin(F.broadcast(g)).select(
+        F.when(F.expr(f"(gmax - ft) DIV {day_us}") < 7, "new")
+        .when(F.expr(f"(gmax - lt) DIV {day_us}") < 7, "active")
+        .when(F.expr(f"(gmax - lt) DIV {day_us}") < 14, "at_risk")
+        .otherwise("churned")
+        .alias("stage"),
+        "n",
+    )
+    return lab.groupBy("stage").agg(
+        F.count("*").alias("n_users"), F.sum("n").alias("n_events")
+    )

@@ -659,3 +659,69 @@ def fn_maps(spark: SparkSession, sf: str) -> DataFrame:
         zip_ck.alias("zip_checksum"),
         sentinel.alias("sentinel"),
     )
+
+
+@register(
+    "fn_structs",
+    oracle="""
+    WITH s AS (
+      SELECT n.n_nationkey, n.n_name, r.r_name,
+             (SELECT COUNT(*) FROM supplier sp WHERE sp.s_nationkey = n.n_nationkey)
+               AS n_sup
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey)
+    SELECT r_name AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_name) AS first_nation,
+           MAX(n_name) AS last_nation,
+           CAST(MAX(n_sup) AS BIGINT) AS max_sup,
+           STRING_AGG(n_name || ':' || CAST(n_sup AS VARCHAR), ',' ORDER BY n_sup DESC, n_name)
+             AS ranked
+    FROM s GROUP BY r_name
+    """,
+    tags=("functions", "structs"),
+)
+def fn_structs(spark: SparkSession, sf: str) -> DataFrame:
+    """Struct-typed function family (completing the nested-type trio
+    with fn_arrays and fn_maps — DataFusion 6.0 had none of the three,
+    SURVEY §2.B): named_struct construction, dotted field access,
+    struct ORDERING (array_sort over structs sorts lexicographically by
+    field position — the repo's standard argmin/argmax trick, here
+    exercised as the ranked string), and min/max over struct-extracted
+    fields. The ORACLE computes the same scalars relationally.
+
+    Scale shape: structs are per-row values (no fan-out); the only
+    aggregation axis is nations-per-region (≤25, constant); both
+    dimension joins broadcast."""
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    s = load_table(spark, sf, "supplier")
+    per_nation = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            s.groupBy("s_nationkey").agg(F.count("*").alias("n_sup")),
+            n.n_nationkey == F.col("s_nationkey"),
+            "left",
+        )
+        .select(
+            "r_name",
+            "n_name",
+            F.coalesce(F.col("n_sup"), F.lit(0)).cast("long").alias("n_sup"),
+        )
+    )
+    # struct sort key: (-n_sup, n_name) descends by count, then name —
+    # array_sort over structs orders by field position
+    entry = F.struct((-F.col("n_sup")).alias("neg"), F.col("n_name").alias("nm"),
+                     F.col("n_sup").alias("cnt"))
+    return per_nation.groupBy(F.col("r_name").alias("region")).agg(
+        F.count("*").alias("n_nations"),
+        F.min(F.struct(F.col("n_name").alias("nm")))["nm"].alias("first_nation"),
+        F.max(F.struct(F.col("n_name").alias("nm")))["nm"].alias("last_nation"),
+        F.max("n_sup").alias("max_sup"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(entry)),
+                lambda e: F.concat(e.nm, F.lit(":"), e.cnt.cast("string")),
+            ),
+            ",",
+        ).alias("ranked"),
+    )

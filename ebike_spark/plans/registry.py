@@ -181,6 +181,8 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_trend_theil_sen",
     "io_csv_malformed",
     "io_compact_small_files",
+    "fn_structs",
+    "ev_lifecycle_stages",
 )
 
 

@@ -902,3 +902,17 @@ def test_theil_sen_pairs_on_collapsed_frame(spark):
     build plan, so counting them is meaningless here.)"""
     plan = _physical(REGISTRY["ev_trend_theil_sen"].fn(spark, SF_DIR))
     assert plan.count("InMemoryTableScan") >= 3, plan.count("InMemoryTableScan")
+
+
+def test_lifecycle_stages_two_aggregate_shape(spark):
+    """ev_lifecycle_stages: one user-keyed exchange with map-side
+    partials, a 1-row broadcast horizon, then a constant-4-row groupBy
+    — no window anywhere."""
+    plan = _physical(REGISTRY["ev_lifecycle_stages"].fn(spark, SF_DIR))
+    assert "Window" not in plan
+    user_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+    ]
+    assert len(user_ex) == 1, user_ex
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
