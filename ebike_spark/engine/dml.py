@@ -608,3 +608,103 @@ def _order_cols(order_by: str) -> list:
         else:
             cols.append(F.expr(e.strip()))
     return cols
+
+
+def load_data(
+    spark: SparkSession,
+    catalog: Catalog,
+    sql: str,
+    current_db: str,
+    session: dict | None = None,
+) -> int:
+    """LOAD DATA [LOCAL] INFILE — MySQL's bulk CSV loader (the
+    reference's dispatcher 1105s it; beyond-reference dialect surface,
+    same category as REPLACE/INSERT IGNORE). Supported subset:
+    ``FIELDS TERMINATED BY 'x'`` (MySQL default tab), ``IGNORE 1
+    LINES`` (the header-skip everyone actually uses — per-file exact
+    via the csv header option; other counts raise 1105), an optional
+    target column list, and the REPLACE / IGNORE duplicate-handling
+    keywords routed to the same code paths as REPLACE INTO / INSERT
+    IGNORE. Values cast through the table's declared types; a failed
+    cast lands NULL and is caught by NOT NULL enforcement rather than
+    MySQL's silent zero-coercion (strict mode, consistent with
+    MODIFY COLUMN).
+
+    Scale shape: the file streams through Spark's distributed csv
+    reader straight into the constraint checks — no driver-side row
+    loop; a directory or glob of files parallelizes for free."""
+    import os as _os
+    import re as _re
+
+    m = _re.match(
+        r"LOAD\s+DATA\s+(?:LOCAL\s+)?INFILE\s+'([^']+)'\s*"
+        r"(REPLACE|IGNORE)?\s*INTO\s+TABLE\s+([\w.`\"]+)([\s\S]*)$",
+        sql,
+        _re.I,
+    )
+    if not m:
+        raise EbikeError(1064, "malformed LOAD DATA INFILE")
+    path, mode, tbl_tok, rest = m.group(1), (m.group(2) or "").upper(), m.group(3), m.group(4)
+    from ebike_spark.engine.parser import unquote_ident
+
+    qualified = catalog.qualify(unquote_ident(tbl_tok), current_db)
+    catalog.require_table(qualified)
+    if not _os.path.exists(path):
+        raise EbikeError(29, f"File '{path}' not found")
+
+    sep = "\t"  # MySQL default field terminator
+    fm = _re.search(r"FIELDS\s+TERMINATED\s+BY\s+'((?:[^'\\]|\\.)*)'", rest, _re.I)
+    if fm:
+        sep = fm.group(1).encode().decode("unicode_escape")
+    skip_header = False
+    im = _re.search(r"IGNORE\s+(\d+)\s+LINES", rest, _re.I)
+    if im:
+        if int(im.group(1)) != 1:
+            raise EbikeError(1105, "only IGNORE 1 LINES is supported")
+        skip_header = True
+    cl = _re.search(r"\(([^()]*)\)\s*$", rest.strip())
+    col_types = catalog.column_types(qualified)
+    names = [n for n, _ in col_types]
+    types = dict(col_types)
+    target = (
+        [unquote_ident(c.strip()) for c in cl.group(1).split(",")] if cl else names
+    )
+    unknown = [c for c in target if c not in types]
+    if unknown:
+        raise EbikeError(1054, f"Unknown column '{unknown[0]}' in 'field list'")
+
+    raw = (
+        spark.read.option("header", skip_header)
+        .option("sep", sep)
+        .schema(" ".join(f"`_c{i}` string," for i in range(len(target))).rstrip(","))
+        .csv(path)
+    )
+    n_rows = raw.count()
+    df = raw.select(
+        *[
+            (
+                F.col(f"_c{target.index(name)}").cast(types[name])
+                if name in target
+                else F.lit(None).cast(types[name])
+            ).alias(name)
+            for name in names
+        ]
+    )
+    ai = catalog.auto_increment_col(qualified)
+    if ai is not None:
+        df, first_id = _mint_auto_increment(spark, qualified, df, ai, types[ai])
+        if first_id is not None and session is not None:
+            session["last_insert_id"] = first_id
+
+    if mode == "REPLACE":
+        class _Shim:  # _replace reads only len(ins.rows)
+            rows = range(n_rows)
+
+        return _replace(spark, catalog, qualified, df, _Shim())
+    if mode == "IGNORE":
+        return _insert_ignore(spark, catalog, qualified, df)
+    _check_constraints(spark, catalog, qualified, df)
+    if catalog.has_rowid(qualified):
+        df = df.withColumn(ROWID, F.expr("uuid()")).select(*spark.table(qualified).columns)
+    df.write.insertInto(qualified, overwrite=False)
+    return n_rows

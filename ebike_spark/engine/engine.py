@@ -152,6 +152,15 @@ class Engine:
             return self._delete(sql)
         if kw == "TRUNCATE":
             return self._truncate(sql)
+        if kw == "LOAD" and kw2 == "DATA":
+            # LOAD DATA [LOCAL] INFILE — bulk CSV load (reference 1105s it)
+            from ebike_spark.engine import dml as _dml
+
+            state: dict = {}
+            n = _dml.load_data(self.spark, self.catalog, sql, self.current_db, state)
+            if "last_insert_id" in state:
+                self.last_insert_id = state["last_insert_id"]
+            return EngineResult("count", affected=n)
         if kw == "RENAME" and kw2 == "TABLE":
             return self._rename_tables(sql)
         if kw == "COMMIT":

@@ -1488,3 +1488,62 @@ def test_create_table_inline_key_validates(eng):
     with pytest.raises(EbikeError) as ei:
         eng.execute("CREATE TABLE bad3 (key INT(11))")
     assert ei.value.code == 1064
+
+
+def test_load_data_infile_basic(eng, tmp_path):
+    eng.execute("CREATE TABLE ld (id INT NOT NULL, name CHAR, score FLOAT, PRIMARY KEY (id))")
+    f = tmp_path / "in.csv"
+    f.write_text("1,alice,3.5\n2,bob,4.0\n3,carol,1.25\n")
+    r = eng.execute(f"LOAD DATA INFILE '{f}' INTO TABLE ld FIELDS TERMINATED BY ','")
+    assert r.affected == 3
+    rows = sorted((x["id"], x["name"], x["score"]) for x in eng.execute("SELECT * FROM ld").rows())
+    assert rows == [(1, "alice", 3.5), (2, "bob", 4.0), (3, "carol", 1.25)]
+    # duplicate key on a second load → 1062, nothing applied
+    with pytest.raises(EbikeError) as ei:
+        eng.execute(f"LOAD DATA INFILE '{f}' INTO TABLE ld FIELDS TERMINATED BY ','")
+    assert ei.value.code == 1062
+    assert eng.execute("SELECT COUNT(*) AS n FROM ld").rows()[0]["n"] == 3
+
+
+def test_load_data_infile_header_columns_and_modes(eng, tmp_path):
+    eng.execute("CREATE TABLE ld2 (id INT NOT NULL, name CHAR, PRIMARY KEY (id))")
+    f = tmp_path / "h.csv"
+    f.write_text("id,name\n1,alice\n2,bob\n")
+    r = eng.execute(
+        f"LOAD DATA LOCAL INFILE '{f}' INTO TABLE ld2 FIELDS TERMINATED BY ',' "
+        f"IGNORE 1 LINES (id, name)"
+    )
+    assert r.affected == 2
+    # IGNORE mode skips the stored-dup row, loads the new one
+    g = tmp_path / "g.csv"
+    g.write_text("2,BOB2\n3,carol\n")
+    r = eng.execute(f"LOAD DATA INFILE '{g}' IGNORE INTO TABLE ld2 FIELDS TERMINATED BY ','")
+    assert r.affected == 1
+    assert eng.execute("SELECT name FROM ld2 WHERE id = 2").rows()[0]["name"] == "bob"
+    # REPLACE mode evicts the stored conflict
+    h = tmp_path / "r.csv"
+    h.write_text("3,CAROL3\n")
+    r = eng.execute(f"LOAD DATA INFILE '{h}' REPLACE INTO TABLE ld2 FIELDS TERMINATED BY ','")
+    assert r.affected == 2  # 1 insert + 1 delete, MySQL accounting
+    assert eng.execute("SELECT name FROM ld2 WHERE id = 3").rows()[0]["name"] == "CAROL3"
+    # tab is the MySQL default separator
+    t = tmp_path / "t.tsv"
+    t.write_text("9\tzed\n")
+    assert eng.execute(f"LOAD DATA INFILE '{t}' INTO TABLE ld2").affected == 1
+
+
+def test_load_data_infile_errors(eng, tmp_path):
+    eng.execute("CREATE TABLE ld3 (id INT NOT NULL, PRIMARY KEY (id))")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("LOAD DATA INFILE '/nope/missing.csv' INTO TABLE ld3")
+    assert ei.value.code == 29
+    f = tmp_path / "bad.csv"
+    f.write_text("notanint\n")
+    # strict mode: a failed cast lands NULL and trips NOT NULL (1048),
+    # never MySQL's silent zero-coercion
+    with pytest.raises(EbikeError) as ei:
+        eng.execute(f"LOAD DATA INFILE '{f}' INTO TABLE ld3 FIELDS TERMINATED BY ','")
+    assert ei.value.code == 1048
+    with pytest.raises(EbikeError) as ei:
+        eng.execute(f"LOAD DATA INFILE '{f}' INTO TABLE ld3 IGNORE 3 LINES")
+    assert ei.value.code == 1105
