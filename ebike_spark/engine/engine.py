@@ -166,6 +166,15 @@ class Engine:
         if kw == "COMMIT":
             # autocommit semantics: accepted no-op (execution.rs:1265-1267)
             return EngineResult("ok")
+        if kw == "BEGIN" or (kw == "START" and kw2 == "TRANSACTION"):
+            # autocommit world: transactions open as no-ops (COMMIT is the
+            # accepted close; ROLLBACK still 1105s like the reference) —
+            # the mysqldump --single-transaction preamble
+            return EngineResult("ok")
+        if kw in ("LOCK", "UNLOCK") and kw2 in ("TABLES", "TABLE"):
+            # mysqldump wraps each table in LOCK/UNLOCK TABLES; parquet
+            # snapshots need no locks — acknowledged no-op
+            return EngineResult("ok")
         if kw in ("ANALYZE", "CACHE", "UNCACHE", "REFRESH"):
             # Spark-native admin statements (beyond the reference's
             # surface): ANALYZE TABLE feeds CBO statistics — the stats
@@ -366,6 +375,10 @@ class Engine:
         body = sql.split(None, 1)[1].strip()
         if re.match(r"NAMES\b", body, re.I):
             return EngineResult("ok")  # execution.rs:884-886: acknowledged
+        if re.match(r"(?:GLOBAL\s+|SESSION\s+)?TRANSACTION\b", body, re.I):
+            # SET [SESSION] TRANSACTION ISOLATION LEVEL ... — acknowledged
+            # no-op (single-writer parquet engine; mysqldump preamble)
+            return EngineResult("ok")
         from ebike_spark.engine.parser import split_top_level
 
         for assign in split_top_level(body, ","):
@@ -446,6 +459,10 @@ class Engine:
             # SESSION (default) = this session's variables
             scope = {**DEFAULT_SYS_VARS, **GLOBAL_VARS} if m.group(1) else self.sys_vars
             return rows(show.show_variables(spark, scope, m.group(2)))
+        if up.startswith("WARNINGS") or up.startswith("ERRORS") or re.match(
+            r"COUNT\(\*\)\s+(?:WARNINGS|ERRORS)", up
+        ):
+            return rows(show.show_warnings(spark))
         if up.startswith("ENGINES"):
             return rows(show.show_engines(spark))
         if up.startswith("CHARACTER SET") or up.startswith("CHARSET"):

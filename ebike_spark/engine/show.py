@@ -155,3 +155,13 @@ def show_privileges(spark: SparkSession) -> DataFrame:
             ("Create", "Databases,Tables", "To create new databases and tables"),
             ("Drop", "Databases,Tables", "To drop databases and tables")]
     return spark.createDataFrame(rows, "Privilege string, Context string, Comment string")
+
+
+def show_warnings(spark: SparkSession) -> DataFrame:
+    """SHOW WARNINGS / SHOW ERRORS: always the empty set — the engine
+    raises hard errors instead of accumulating warnings (strict-mode
+    stance: failed casts are 1366/1048, never silent coercion + warning),
+    so the diagnostics area is empty by construction. Clients and ORMs
+    poll this after most statements; answering the empty set keeps them
+    functional."""
+    return spark.createDataFrame([], "Level string, Code int, Message string")

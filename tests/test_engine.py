@@ -1547,3 +1547,27 @@ def test_load_data_infile_errors(eng, tmp_path):
     with pytest.raises(EbikeError) as ei:
         eng.execute(f"LOAD DATA INFILE '{f}' INTO TABLE ld3 IGNORE 3 LINES")
     assert ei.value.code == 1105
+
+
+def test_mysqldump_preamble_compat(eng):
+    """The statement sequence mysqldump / client libraries emit must be
+    acknowledged: SET TRANSACTION ISOLATION, START TRANSACTION/BEGIN,
+    LOCK/UNLOCK TABLES, SHOW WARNINGS (empty set). ROLLBACK stays 1105
+    (reference parity — no transaction log exists to roll back)."""
+    eng.execute("SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+    eng.execute("START TRANSACTION")
+    eng.execute("BEGIN")
+    eng.execute("CREATE TABLE lk (id INT NOT NULL, PRIMARY KEY (id))")
+    eng.execute("LOCK TABLES lk WRITE")
+    eng.execute("INSERT INTO lk VALUES (1)")
+    eng.execute("UNLOCK TABLES")
+    eng.execute("COMMIT")
+    assert eng.execute("SELECT COUNT(*) AS n FROM lk").rows()[0]["n"] == 1
+    w = eng.execute("SHOW WARNINGS")
+    assert w.rows() == []
+    assert [f.name for f in w.df.schema.fields] == ["Level", "Code", "Message"]
+    assert eng.execute("SHOW ERRORS").rows() == []
+    assert eng.execute("SHOW COUNT(*) WARNINGS").rows() == []
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("ROLLBACK")
+    assert ei.value.code == 1105
