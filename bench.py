@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "io_compact_small_files",
     "fn_structs",
     "ev_lifecycle_stages",
+    "fn_datetime_arith",
+    "fn_nullsafe",
 ]
 
 

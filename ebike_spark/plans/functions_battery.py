@@ -725,3 +725,95 @@ def fn_structs(spark: SparkSession, sf: str) -> DataFrame:
             ",",
         ).alias("ranked"),
     )
+
+
+@register(
+    "fn_datetime_arith",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+      FROM orders WHERE o_orderkey % 37 = 0)
+    SELECT o_orderkey,
+           CAST(epoch_us(CAST(od + INTERVAL 1 MONTH AS TIMESTAMP)) // 86400000000
+                AS BIGINT) AS add1m_day,
+           CAST(epoch_us(CAST(last_day(od) AS TIMESTAMP)) // 86400000000
+                AS BIGINT) AS lastday_day,
+           CAST(date_diff('day', DATE '1995-01-01', od) AS BIGINT) AS days_since,
+           CAST(quarter(od) AS BIGINT) AS qtr,
+           CAST(weekofyear(od) AS BIGINT) AS iso_week,
+           CAST(dayofweek(od) + 1 AS BIGINT) AS dow_sun1,
+           CAST(epoch_us(CAST(od + CASE WHEN (8 - isodow(od)) % 7 = 0 THEN 7
+                                        ELSE (8 - isodow(od)) % 7 END
+                              * INTERVAL 1 DAY AS TIMESTAMP)) // 86400000000
+                AS BIGINT) AS next_monday_day
+    FROM d
+    """,
+    tags=("functions", "datetime", "arithmetic"),
+)
+def fn_datetime_arith(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-arithmetic battery extending fn_datetime: add_months
+    (END-OF-MONTH CLAMP — Jan 31 + 1 month = Feb 29, matched exactly by
+    DuckDB's month interval), last_day, datediff against an anchor,
+    quarter, ISO weekofyear, dayofweek (Spark is 1=Sunday, DuckDB is
+    0=Sunday — pinned by the +1), and next_day('Mon') (strictly-after
+    semantics, reproduced in the oracle via isodow modular arithmetic).
+    All emitted values are BIGINT epoch-days or small ints — no date
+    string formatting in the hash.
+
+    Scale shape: pure per-row projection over a pushed-down key filter
+    — scan-bound, no shuffle."""
+    o = load_table(spark, sf, "orders").where(F.col("o_orderkey") % 37 == 0)
+    od = F.to_date("o_orderdate")
+    day = lambda c: F.unix_date(c).cast("long")  # noqa: E731 — epoch-day
+    return o.select(
+        "o_orderkey",
+        day(F.add_months(od, 1)).alias("add1m_day"),
+        day(F.last_day(od)).alias("lastday_day"),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
+        F.quarter(od).cast("long").alias("qtr"),
+        F.weekofyear(od).cast("long").alias("iso_week"),
+        F.dayofweek(od).cast("long").alias("dow_sun1"),
+        day(F.next_day(od, "Mon")).alias("next_monday_day"),
+    )
+
+
+@register(
+    "fn_nullsafe",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_custkey END AS a,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END AS b
+      FROM orders WHERE o_orderkey % 11 = 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE a IS NOT DISTINCT FROM b) AS BIGINT) AS eq_ns,
+           CAST(COUNT(*) FILTER (WHERE a IS DISTINCT FROM b) AS BIGINT) AS ne_ns,
+           CAST(COUNT(*) FILTER (WHERE a = b) AS BIGINT) AS eq_plain,
+           CAST(COUNT(*) FILTER (WHERE a IS NULL AND b IS NULL) AS BIGINT) AS both_null
+    FROM p
+    """,
+    tags=("functions", "null-semantics"),
+)
+def fn_nullsafe(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe comparison semantics: ``<=>`` (NULL <=> NULL is TRUE,
+    NULL <=> x is FALSE) against plain ``=`` (NULL-propagating) and the
+    IS [NOT] DISTINCT FROM spellings — the three-valued-logic corner
+    every MySQL migration trips on. The counts pin all four truth
+    tables; eq_ns - eq_plain - both_null == 0 by construction, so a
+    drift in either engine's NULL handling breaks the hash.
+
+    Scale shape: one scan, one conditional aggregate — no shuffle past
+    the map-side partials."""
+    o = load_table(spark, sf, "orders").where(F.col("o_orderkey") % 11 == 0)
+    p = o.select(
+        F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(F.col("o_custkey")).alias("a"),
+        F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(F.col("o_custkey")).alias("b"),
+    )
+    ns_eq = F.col("a").eqNullSafe(F.col("b"))
+    return p.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(ns_eq, 1)).alias("eq_ns"),
+        F.count(F.when(~ns_eq, 1)).alias("ne_ns"),
+        F.count(F.when(F.col("a") == F.col("b"), 1)).alias("eq_plain"),
+        F.count(F.when(F.col("a").isNull() & F.col("b").isNull(), 1)).alias("both_null"),
+    )

@@ -183,6 +183,8 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "io_compact_small_files",
     "fn_structs",
     "ev_lifecycle_stages",
+    "fn_datetime_arith",
+    "fn_nullsafe",
 )
 
 
