@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "ev_lifecycle_stages",
     "fn_datetime_arith",
     "fn_nullsafe",
+    "corpus_dup_rate_by_source",
 ]
 
 

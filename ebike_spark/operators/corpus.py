@@ -653,3 +653,57 @@ def corpus_manifest_diff(spark: SparkSession, sf: str) -> DataFrame:
         F.col("a.h").alias("hash_a"),
         F.col("b.h").alias("hash_b"),
     )
+
+
+_DUP_RATE_BY_SOURCE_SQL = (
+    # the shared exact-pair SQL (a full WITH...SELECT) nests as a
+    # parenthesized subquery — DuckDB allows CTEs inside derived tables
+    "WITH pairs AS (SELECT * FROM (\n"
+    + _JACCARD_PAIRS_SQL
+    + """
+    ) _p),
+    dup AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs) u)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(dup.doc_id) AS BIGINT) AS n_dup_docs,
+           COUNT(dup.doc_id) / COUNT(*) AS dup_rate
+    FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+    GROUP BY d.source
+    """
+)
+
+
+@register(
+    "corpus_dup_rate_by_source",
+    oracle=_DUP_RATE_BY_SOURCE_SQL,
+    tags=("corpus", "dedup", "curation", "per-source"),
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate contamination rate PER SOURCE — the curation
+    readout that decides which feeds get down-weighted or dropped: the
+    share of each source's documents that participate in at least one
+    verified near-dup pair (minhash→LSH→exact-verify ≥0.8, the shared
+    persisted pipeline). A source whose dup_rate spikes is re-crawling
+    itself or mirroring another feed.
+
+    Scale shape: consumes the ALREADY-PERSISTED verified pair set
+    (near-dup-pairs-sized, tiny) — zero marginal sketch work when the
+    dedup family has run; the distinct-participant frame is pair-
+    bounded, the source rollup is a broadcast-sized semi-join onto the
+    documents scan. dup_rate is one exact-BIGINT division."""
+    pairs = minhash_verified_pairs(spark, sf)
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    dup = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .unionAll(pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    j = docs.join(dup, "doc_id", "left")
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("__dup").alias("n_dup_docs"),
+        (F.count("__dup") / F.count("*")).alias("dup_rate"),
+    )

@@ -185,6 +185,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_lifecycle_stages",
     "fn_datetime_arith",
     "fn_nullsafe",
+    "corpus_dup_rate_by_source",
 )
 
 
