@@ -140,6 +140,9 @@ BENCH_QUERIES = [
     "fn_datetime_arith",
     "fn_nullsafe",
     "corpus_dup_rate_by_source",
+    "fn_regex_extended",
+    "embed_norm_histogram",
+    "ev_error_budget_burn",
 ]
 
 

@@ -648,3 +648,44 @@ def embed_drift_by_dim(spark: SparkSession, sf: str) -> DataFrame:
             "drift_scaled"
         ),
     )
+
+
+NORM_BUCKETS = 10  # decibucket width on the fixed-point L2 norm
+
+
+@register(
+    "embed_norm_histogram",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, len(embedding) AS d
+      FROM embeddings),
+    n AS (
+      SELECT vec_id,
+             CAST(FLOOR(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+                        * {NORM_BUCKETS}) AS BIGINT) AS bucket
+      FROM e)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM n GROUP BY bucket
+    """,
+    tags=("embedding", "quality", "histogram"),
+)
+def embed_norm_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """L2-norm distribution of the embedding corpus — the first QC
+    chart after any encoder run (collapsed or exploding norms mean a
+    broken checkpoint; un-normalized vectors break cosine≈dot
+    shortcuts). The norm is sqrt of the HOF-folded sum of squares —
+    both engines fold IN ARRAY ORDER (Spark F.aggregate and DuckDB
+    list_aggregate are sequential left folds), so the double is
+    bit-identical and the floor-bucketing cannot straddle an ulp.
+
+    Scale shape: pure per-row projection + a {NORM_BUCKETS}-ary
+    groupBy with map-side partials — scan-bound at any corpus size."""
+    e = load_table(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    ssq = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    bucket = F.floor(F.sqrt(ssq) * NORM_BUCKETS).cast("long")
+    return (
+        e.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )

@@ -817,3 +817,61 @@ def fn_nullsafe(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.when(F.col("a") == F.col("b"), 1)).alias("eq_plain"),
         F.count(F.when(F.col("a").isNull() & F.col("b").isNull(), 1)).alias("both_null"),
     )
+
+
+@register(
+    "fn_regex_extended",
+    oracle="""
+    WITH subj AS (
+      SELECT doc_id,
+             'Doc ' || CAST(doc_id AS VARCHAR) || ' v' || CAST(doc_id % 13 AS VARCHAR)
+               || ' ' || upper(substr(text, 1, 1)) || substr(text, 2, 60) AS s,
+             text
+      FROM documents WHERE doc_id % 17 = 0)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(s, '[0-9]+')) AS BIGINT) AS n_numbers,
+           regexp_extract(s, '[0-9]+') AS first_number,
+           -- DuckDB's array_to_string maps the empty list to NULL; Spark's
+           -- array_join gives '' — pin the '' convention
+           COALESCE(array_to_string(regexp_extract_all(s, '[A-Z][a-z]+'), '|'), '')
+             AS capwords,
+           CAST(len(regexp_extract_all(text, '\\b[a-z]{4}\\b')) AS BIGINT) AS n_four,
+           regexp_replace(text, '[aeiou]', '*', 'g') LIKE '%**%' AS has_double_vowel
+    FROM subj
+    """,
+    tags=("functions", "regex"),
+)
+def fn_regex_extended(spark: SparkSession, sf: str) -> DataFrame:
+    """Extended regex battery beyond fn_regexp_like: regexp_extract_all
+    (all matches, deterministically joined), regexp_count, first-match
+    extract, word-boundary classes, and global regexp_replace. The
+    subject line is constructed ('Doc <id> v<rev> <Capitalized text>')
+    because the synthetic corpus is all-lowercase digit-free — every
+    pattern must match a VARYING value or the battery tests nothing.
+    Patterns stay in the Java∩RE2 common dialect (character classes,
+    quantifiers, \\b) so Spark's java.util.regex and DuckDB's RE2 agree
+    on every match; the empty-match-list join is pinned to ''.
+
+    Scale shape: per-row projection over a pushed-down key filter —
+    regex runs inside codegen'd expressions, scan-bound."""
+    d = load_table(spark, sf, "documents").where(F.col("doc_id") % 17 == 0)
+    subj = F.concat(
+        F.lit("Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" v"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit(" "),
+        F.upper(F.substring("text", 1, 1)),
+        F.substring("text", 2, 60),
+    )
+    d = d.select("doc_id", subj.alias("s"), "text")
+    return d.select(
+        "doc_id",
+        F.regexp_count("s", F.lit("[0-9]+")).cast("long").alias("n_numbers"),
+        F.regexp_extract("s", "[0-9]+", 0).alias("first_number"),
+        F.array_join(
+            F.regexp_extract_all("s", F.lit("[A-Z][a-z]+"), 0), "|"
+        ).alias("capwords"),
+        F.regexp_count("text", F.lit(r"\b[a-z]{4}\b")).cast("long").alias("n_four"),
+        F.regexp_replace("text", "[aeiou]", "*").like("%**%").alias("has_double_vowel"),
+    )

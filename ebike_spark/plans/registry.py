@@ -186,6 +186,9 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "fn_datetime_arith",
     "fn_nullsafe",
     "corpus_dup_rate_by_source",
+    "fn_regex_extended",
+    "embed_norm_histogram",
+    "ev_error_budget_burn",
 )
 
 

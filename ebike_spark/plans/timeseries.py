@@ -1401,3 +1401,57 @@ def ev_forecast_snaive_backtest(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n").alias("total_actual"),
         )
     )
+
+
+@register(
+    "ev_error_budget_burn",
+    oracle="""
+    WITH h AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS err,
+             CAST(COUNT(*) AS BIGINT) AS tot
+      FROM events GROUP BY 1),
+    s AS (
+      SELECT hr // 6 AS six, CAST(SUM(err) AS BIGINT) AS err6,
+             CAST(SUM(tot) AS BIGINT) AS tot6
+      FROM h GROUP BY 1)
+    SELECT CAST(h.hr AS BIGINT) AS hr, h.err AS err_1h, h.tot AS tot_1h,
+           s.err6 AS err_6h, s.tot6 AS tot_6h,
+           h.err / h.tot AS rate_1h,
+           (h.err * 2 > h.tot AND s.err6 * 2 > s.tot6) AS page_alert
+    FROM h JOIN s ON h.hr // 6 = s.six
+    """,
+    tags=("events", "sre", "sli", "alerting"),
+)
+def ev_error_budget_burn(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-window error-budget burn alert (the SRE workbook rule): an
+    hourly error-rate SLI plus its 6-hour rollup, paging only when BOTH
+    windows burn faster than 2× budget — the short window gives speed,
+    the long window kills flappy pages. With a 50%-error budget the
+    burn>2× predicate reduces to the INTEGER cross-multiplication
+    err*2 > tot, so the alert boolean is exact (never a float-boundary
+    flip); the emitted rate is one exact-BIGINT division.
+
+    Scale shape: one scan collapses to the hour axis (map-side
+    partials); the 6-hour rollup and the join both run on that bounded
+    axis — corpus-days × 24 rows, constant at any event volume."""
+    ev = load_table(spark, sf, "events")
+    h = ev.groupBy(F.expr("unix_micros(ts) DIV 3600000000").alias("hr")).agg(
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("err"),
+        F.count("*").alias("tot"),
+    )
+    s = h.groupBy(F.expr("hr DIV 6").alias("six")).agg(
+        F.sum("err").alias("err6"), F.sum("tot").alias("tot6")
+    )
+    j = h.join(s, F.expr("hr DIV 6") == F.col("six"))
+    return j.select(
+        "hr",
+        F.col("err").alias("err_1h"),
+        F.col("tot").alias("tot_1h"),
+        F.col("err6").alias("err_6h"),
+        F.col("tot6").alias("tot_6h"),
+        (F.col("err") / F.col("tot")).alias("rate_1h"),
+        ((F.col("err") * 2 > F.col("tot")) & (F.col("err6") * 2 > F.col("tot6"))).alias(
+            "page_alert"
+        ),
+    )
