@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "fn_regex_extended",
     "embed_norm_histogram",
     "ev_error_budget_burn",
+    "fn_null_ordering",
 ]
 
 

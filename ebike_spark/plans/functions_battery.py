@@ -875,3 +875,47 @@ def fn_regex_extended(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_count("text", F.lit(r"\b[a-z]{4}\b")).cast("long").alias("n_four"),
         F.regexp_replace("text", "[aeiou]", "*").like("%**%").alias("has_double_vowel"),
     )
+
+
+@register(
+    "fn_null_ordering",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders WHERE o_orderkey % 9 = 0)
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY k ASC NULLS FIRST, o_orderkey) AS rn_asc_nf,
+           ROW_NUMBER() OVER (ORDER BY k ASC NULLS LAST, o_orderkey) AS rn_asc_nl,
+           ROW_NUMBER() OVER (ORDER BY k DESC NULLS FIRST, o_orderkey) AS rn_desc_nf,
+           ROW_NUMBER() OVER (ORDER BY k DESC NULLS LAST, o_orderkey) AS rn_desc_nl
+    FROM p
+    """,
+    tags=("functions", "null-ordering", "window"),
+)
+def fn_null_ordering(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL placement in ORDER BY — the silent cross-engine divergence:
+    Spark defaults to NULLS FIRST on ASC, DuckDB to NULLS LAST, so any
+    ranking over a nullable key that omits the modifier gives different
+    answers. All four explicit (direction × placement) combinations are
+    pinned via row numbers over a NULL-bearing key; relying on either
+    engine's default would hash-mismatch by construction.
+
+    Scale shape: single-partition windows over a key-filtered subset —
+    a battery, not a scale pattern (the scalable per-group form is
+    every other ranking query in the registry)."""
+    o = load_table(spark, sf, "orders").where(F.col("o_orderkey") % 9 == 0)
+    p = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 4 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+    )
+    w = lambda key: Window.orderBy(key, "o_orderkey")  # noqa: E731
+    return p.select(
+        "o_orderkey",
+        F.row_number().over(w(F.col("k").asc_nulls_first())).alias("rn_asc_nf"),
+        F.row_number().over(w(F.col("k").asc_nulls_last())).alias("rn_asc_nl"),
+        F.row_number().over(w(F.col("k").desc_nulls_first())).alias("rn_desc_nf"),
+        F.row_number().over(w(F.col("k").desc_nulls_last())).alias("rn_desc_nl"),
+    )

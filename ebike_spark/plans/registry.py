@@ -189,6 +189,8 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "fn_regex_extended",
     "embed_norm_histogram",
     "ev_error_budget_burn",
+    "fn_null_ordering",
+    "stream_error_budget_burn",
 )
 
 

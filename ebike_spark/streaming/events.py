@@ -1011,3 +1011,50 @@ def stream_cdc_upsert(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s.last_type").alias("last_type"),
         F.col("s.last_cents").alias("last_cents"),
     ).where(F.col("last_type") != "error")
+
+
+@register(
+    "stream_error_budget_burn",
+    oracle=REGISTRY["ev_error_budget_burn"].oracle,
+    tags=("streaming", "window-agg", "sre", "alerting"),
+)
+def stream_error_budget_burn(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of the SRE burn alert: the hourly SLI counters
+    maintain as a streaming tumbling-window aggregate (complete mode
+    over the staged replay); the 6-hour rollup, the exact rate, and the
+    integer cross-multiplied page predicate fold batch-side off the
+    final counter table — exactly how a monitoring pipeline runs it
+    (streaming maintains the small counter state; alert evaluation
+    reads counters, never raw events). Must hash-match the batch
+    ev_error_budget_burn oracle.
+
+    Scale shape: streaming state is one (hour) → (err, tot) pair per
+    bucket — calendar-bounded; the fold work is counter-table-sized."""
+    staged = stage_stream_dir(spark, sf)
+    ev = read_event_stream(spark, staged)
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("err"),
+            F.count("*").alias("tot"),
+        )
+        .select(
+            F.expr("unix_micros(w.start) DIV 3600000000").alias("hr"), "err", "tot"
+        )
+    )
+    h = run_to_table(hourly, "complete")
+    s = h.groupBy(F.expr("hr DIV 6").alias("six")).agg(
+        F.sum("err").alias("err6"), F.sum("tot").alias("tot6")
+    )
+    j = h.join(s, F.expr("hr DIV 6") == F.col("six"))
+    return j.select(
+        "hr",
+        F.col("err").alias("err_1h"),
+        F.col("tot").alias("tot_1h"),
+        F.col("err6").alias("err_6h"),
+        F.col("tot6").alias("tot_6h"),
+        (F.col("err") / F.col("tot")).alias("rate_1h"),
+        ((F.col("err") * 2 > F.col("tot")) & (F.col("err6") * 2 > F.col("tot6"))).alias(
+            "page_alert"
+        ),
+    )
