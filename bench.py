@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     "embed_norm_histogram",
     "ev_error_budget_burn",
     "fn_null_ordering",
+    "q31b_sequence_spine",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 
@@ -155,6 +158,19 @@ def main() -> None:
 
     # Warmup: spin up executors/codegen on a trivial job.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # Host-speed canary (VERDICT-r6 task 8): a fixed CPU-bound job whose
+    # cost is independent of the repo's queries. This microVM host has
+    # measured up to 4x run-to-run drift; the canary lets round-over-
+    # round totals be read against host speed instead of forensically
+    # reconstructed. Best of 2 after warmup.
+    canary = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id % 97)").collect()
+        dt = time.perf_counter() - t0
+        canary = dt if canary is None else min(canary, dt)
+    canary = round(canary, 3)
 
     # Per-query: one untimed warm run (plan compilation, code gen, JIT),
     # then the timed steady-state run — the throughput a resident engine
@@ -193,6 +209,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
+        "canary_seconds": canary,
         "sf": sf_val,
     }
     line = json.dumps(summary)

@@ -277,13 +277,33 @@ class Catalog:
             gv, "variable_name string, variable_value string"
         ).write.mode("overwrite").saveAsTable("performance_schema.global_variables")
 
-    def refresh_information_schema(self) -> None:
-        """Materialize information_schema.{schemata,tables,columns} as
-        real tables (the reference persists these as sled rows,
+    INFO_SCHEMA_TABLES = (
+        "schemata", "tables", "columns", "table_constraints",
+        "key_column_usage", "statistics", "views",
+        "check_constraints", "referential_constraints",
+    )
+
+    def refresh_information_schema(self, only: set[str] | None = None) -> None:
+        """Materialize information_schema.* as real tables (the
+        reference persists these as sled rows,
         /root/reference/src/meta/initial.rs:682-1111; here they're tiny
-        overwrite-on-demand parquet tables rebuilt lazily after DDL)."""
+        overwrite-on-demand parquet tables rebuilt lazily after DDL).
+
+        ``only`` limits the rebuild to the named tables (the engine
+        passes the set a SELECT actually references) — each overwrite
+        is a Spark write job plus a metastore round-trip, so rebuilding
+        all nine for a query that reads one was the dominant cost of
+        the engine test family. Unknown names are ignored; None means
+        everything."""
         spark = self.spark
+        want = set(self.INFO_SCHEMA_TABLES) if only is None else (
+            set(only) & set(self.INFO_SCHEMA_TABLES)
+        )
+        if not want:
+            return
         spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
+        key_tables = {"columns", "table_constraints", "key_column_usage", "statistics"}
+        walk_tables = key_tables | {"tables", "views"}
         dbs = [d.name for d in spark.catalog.listDatabases()]
         schemata = [(  # information_schema.rs:11-35 column shape
             "def", d, "utf8mb4", "utf8mb4_0900_ai_ci") for d in dbs]
@@ -293,7 +313,7 @@ class Catalog:
         kcu_rows = []
         stat_rows = []
         views_rows = []
-        for db in dbs:
+        for db in dbs if want & walk_tables else []:
             if db == "information_schema":
                 continue
             for t in spark.catalog.listTables(db):
@@ -305,7 +325,10 @@ class Catalog:
                 if ttype == "VIEW":
                     # views carry their definition (MySQL
                     # information_schema.views shape) but no stored
-                    # columns/constraints here
+                    # columns/constraints here; SHOW CREATE is a
+                    # metastore round-trip per view, so only when asked
+                    if "views" not in want:
+                        continue
                     try:
                         ddl = spark.sql(f"SHOW CREATE TABLE {bq(qualified)}").collect()[0][0]
                         m = re.search(r"\bAS\s+(.*)\Z", ddl, re.S | re.I)
@@ -314,21 +337,24 @@ class Catalog:
                         definition = ""
                     views_rows.append(("def", db, t.name, definition, "NONE", "YES", "root@%"))
                     continue
+                if not (want & key_tables):
+                    continue
                 try:
                     nn = set(self.not_null_cols(qualified))
                     pk = self.primary_key(qualified)
                     uniques = self.unique_keys(qualified)
                 except Exception:
                     nn, pk, uniques = set(), [], []
-                for pos, (cname, ctyp) in enumerate(self.column_types(qualified), start=1):
-                    columns_rows.append(
-                        (
-                            "def", db, t.name, cname, pos,
-                            "NO" if cname in nn else "YES",
-                            SQL_TYPE_NAME.get(ctyp, ctyp),
-                            "PRI" if cname in pk else "",
+                if "columns" in want:
+                    for pos, (cname, ctyp) in enumerate(self.column_types(qualified), start=1):
+                        columns_rows.append(
+                            (
+                                "def", db, t.name, cname, pos,
+                                "NO" if cname in nn else "YES",
+                                SQL_TYPE_NAME.get(ctyp, ctyp),
+                                "PRI" if cname in pk else "",
+                            )
                         )
-                    )
                 # table_constraints / key_column_usage / statistics —
                 # the reference persists these per declared PRIMARY/
                 # UNIQUE key (information_schema.rs:36-158)
@@ -340,50 +366,58 @@ class Catalog:
                     for seq, c in enumerate(kcols, start=1):
                         kcu_rows.append(("def", db, kname, "def", db, t.name, c, seq))
                         stat_rows.append(("def", db, t.name, 0, db, kname, seq, c))
-        for t in ("schemata", "tables", "columns", "table_constraints", "key_column_usage", "statistics", "views"):
+        payloads = {
+            "views": (
+                views_rows or [("def", "", "", "", "", "", "")],
+                "table_catalog string, table_schema string, table_name string, "
+                "view_definition string, check_option string, is_updatable string, definer string",
+            ),
+            "schemata": (
+                schemata,
+                "catalog_name string, schema_name string, default_character_set_name string, default_collation_name string",
+            ),
+            "tables": (
+                tables_rows or [("def", "", "", "", "")],
+                "table_catalog string, table_schema string, table_name string, table_type string, engine string",
+            ),
+            "columns": (
+                columns_rows or [("def", "", "", "", 0, "", "", "")],
+                "table_catalog string, table_schema string, table_name string, column_name string, "
+                "ordinal_position long, is_nullable string, data_type string, column_key string",
+            ),
+            "table_constraints": (
+                constraint_rows or [("def", "", "", "", "", "")],
+                "constraint_catalog string, constraint_schema string, constraint_name string, "
+                "table_schema string, table_name string, constraint_type string",
+            ),
+            "key_column_usage": (
+                kcu_rows or [("def", "", "", "def", "", "", "", 0)],
+                "constraint_catalog string, constraint_schema string, constraint_name string, "
+                "table_catalog string, table_schema string, table_name string, "
+                "column_name string, ordinal_position long",
+            ),
+            "statistics": (
+                stat_rows or [("def", "", "", 0, "", "", 0, "")],
+                "table_catalog string, table_schema string, table_name string, non_unique long, "
+                "index_schema string, index_name string, seq_in_index long, column_name string",
+            ),
+            # check_constraints / referential_constraints exist but are
+            # always empty — the reference consumes only PRIMARY/UNIQUE
+            # (/root/reference/src/store/reader/reader_util.rs:331-376)
+            "check_constraints": (
+                [],
+                "constraint_catalog string, constraint_schema string, constraint_name string, check_clause string",
+            ),
+            "referential_constraints": (
+                [],
+                "constraint_catalog string, constraint_schema string, constraint_name string, unique_constraint_name string, table_name string, referenced_table_name string",
+            ),
+        }
+        for t in self.INFO_SCHEMA_TABLES:
+            if t not in want:
+                continue
+            rows_t, schema_t = payloads[t]
             self._ensure_fresh_location(f"information_schema.{t}")
-        spark.createDataFrame(
-            views_rows or [("def", "", "", "", "", "", "")],
-            "table_catalog string, table_schema string, table_name string, "
-            "view_definition string, check_option string, is_updatable string, definer string",
-        ).write.mode("overwrite").saveAsTable("information_schema.views")
-        spark.createDataFrame(
-            schemata,
-            "catalog_name string, schema_name string, default_character_set_name string, default_collation_name string",
-        ).write.mode("overwrite").saveAsTable("information_schema.schemata")
-        spark.createDataFrame(
-            tables_rows or [("def", "", "", "", "")],
-            "table_catalog string, table_schema string, table_name string, table_type string, engine string",
-        ).write.mode("overwrite").saveAsTable("information_schema.tables")
-        spark.createDataFrame(
-            columns_rows or [("def", "", "", "", 0, "", "", "")],
-            "table_catalog string, table_schema string, table_name string, column_name string, "
-            "ordinal_position long, is_nullable string, data_type string, column_key string",
-        ).write.mode("overwrite").saveAsTable("information_schema.columns")
-        spark.createDataFrame(
-            constraint_rows or [("def", "", "", "", "", "")],
-            "constraint_catalog string, constraint_schema string, constraint_name string, "
-            "table_schema string, table_name string, constraint_type string",
-        ).write.mode("overwrite").saveAsTable("information_schema.table_constraints")
-        spark.createDataFrame(
-            kcu_rows or [("def", "", "", "def", "", "", "", 0)],
-            "constraint_catalog string, constraint_schema string, constraint_name string, "
-            "table_catalog string, table_schema string, table_name string, "
-            "column_name string, ordinal_position long",
-        ).write.mode("overwrite").saveAsTable("information_schema.key_column_usage")
-        spark.createDataFrame(
-            stat_rows or [("def", "", "", 0, "", "", 0, "")],
-            "table_catalog string, table_schema string, table_name string, non_unique long, "
-            "index_schema string, index_name string, seq_in_index long, column_name string",
-        ).write.mode("overwrite").saveAsTable("information_schema.statistics")
-        # check_constraints / referential_constraints exist but are
-        # always empty — the reference consumes only PRIMARY/UNIQUE
-        # (/root/reference/src/store/reader/reader_util.rs:331-376)
-        for t, schema in (
-            ("check_constraints", "constraint_catalog string, constraint_schema string, constraint_name string, check_clause string"),
-            ("referential_constraints", "constraint_catalog string, constraint_schema string, constraint_name string, unique_constraint_name string, table_name string, referenced_table_name string"),
-        ):
-            self._ensure_fresh_location(f"information_schema.{t}")
-            spark.createDataFrame([], schema).write.mode("overwrite").saveAsTable(
+            spark.createDataFrame(rows_t, schema_t).write.mode("overwrite").saveAsTable(
                 f"information_schema.{t}"
             )

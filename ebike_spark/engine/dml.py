@@ -28,11 +28,19 @@ from functools import reduce
 from operator import and_, or_
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ebike_spark.engine.catalog import ROWID, Catalog
 from ebike_spark.engine.errors import EbikeError, duplicate_entry
 from ebike_spark.engine.parser import Delete, Insert, Update
+
+# INSERT IGNORE into a table with MULTIPLE unique indexes replays
+# MySQL's order-dependent first-wins interleave on the driver (see
+# _insert_ignore's docstring for why that path can't be distributed);
+# this caps the rows that replay may collect. VALUES batches are
+# orders of magnitude below it; only a multi-index bulk LOAD DATA
+# IGNORE can hit it.
+_IGNORE_REPLAY_CAP = 100_000
 
 
 def _values_df(spark: SparkSession, ins: Insert, col_types: list[tuple[str, str]]) -> DataFrame:
@@ -299,9 +307,18 @@ def _insert_ignore(spark: SparkSession, catalog: Catalog, qualified: str, new_df
     type errors to warnings with implicit defaults — here those still
     error (1048), matching this engine's strict-constraint stance.
 
-    Scale shape: the intra-batch replay walks VALUES-sized key tuples
-    on the driver; the stored side is one left-anti join per statement
-    that AQE broadcasts (the batch is statement-sized)."""
+    Scale shape: with a single unique index (the common bulk-load
+    case) the whole resolution is distributed — one row_number window
+    for the intra-batch first-wins plus one anti-join against the
+    stored side; nothing data-sized touches the driver, so LOAD DATA
+    IGNORE streams through at any file size. With MULTIPLE unique
+    indexes the first-wins interleave is inherently sequential
+    (acceptance of a row depends recursively on whether its earlier
+    colliders were themselves accepted, and reject-chains can be
+    arbitrarily long), so that path keeps MySQL's row-by-row replay on
+    the driver and is capped at ``_IGNORE_REPLAY_CAP`` rows — a bulk
+    load over the cap raises 1105 suggesting REPLACE (fully
+    distributed) or a single-index target."""
     for col in catalog.not_null_cols(qualified):
         if new_df.where(F.col(col).isNull()).limit(1).count() > 0:
             raise EbikeError(1048, f"Column '{col}' cannot be null")
@@ -309,7 +326,39 @@ def _insert_ignore(spark: SparkSession, catalog: Catalog, qualified: str, new_df
     keys = ([("PRIMARY", pk)] if pk else []) + list(catalog.unique_keys(qualified))
     has_rowid = catalog.has_rowid(qualified)
     existing = spark.table(qualified)
-    if keys:
+    if len(keys) == 1:
+        # Single unique index: stored-conflict status depends only on
+        # the key VALUE, so every occurrence of a tuple shares it and
+        # "first non-stored-clashed occurrence wins" reduces to first
+        # occurrence per tuple, anti-joined against the stored keys.
+        # NULL key components never conflict (partition alone).
+        _, cols = keys[0]
+        tagged = new_df.withColumn("__vidx", F.monotonically_increasing_id())
+        key_null = reduce(or_, [F.col(c).isNull() for c in cols])
+        w = Window.partitionBy(
+            *[F.col(c) for c in cols],
+            F.when(key_null, F.col("__vidx")).otherwise(F.lit(0)),
+        ).orderBy(F.col("__vidx").asc())
+        firsts = (
+            tagged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__vidx")
+        )
+        stored = existing.select(*[F.col(c).alias(f"__e_{c}") for c in cols])
+        key_match = reduce(and_, [F.col(c) == F.col(f"__e_{c}") for c in cols])
+        surviving = firsts.join(stored, key_match, "left_anti")
+        n = surviving.count()
+    elif keys:
+        if new_df.limit(_IGNORE_REPLAY_CAP + 1).count() > _IGNORE_REPLAY_CAP:
+            raise EbikeError(
+                1105,
+                "INSERT IGNORE / LOAD DATA IGNORE into a table with "
+                f"multiple unique indexes is capped at {_IGNORE_REPLAY_CAP} "
+                "rows per statement (MySQL's first-wins interleave across "
+                "several indexes is order-dependent and replays on the "
+                "driver); split the load, use REPLACE, or target a "
+                "single-index table",
+            )
         # Row-by-row replay, interleaving STORED conflicts: a row MySQL
         # skips for a stored-index conflict never enters the index, so
         # it must not suppress later batch rows either — e.g. stored
@@ -376,10 +425,20 @@ def _replace(spark: SparkSession, catalog: Catalog, qualified: str, new_df, ins:
     degrades to plain INSERT (MySQL-identical). MySQL applies the batch
     row-by-row, so intra-batch key collisions resolve in statement
     order — a later row REPLACEs an earlier batch row exactly as it
-    replaces a stored one; the driver-side simulation below (key
-    columns of a VALUES-sized batch only, never data-sized) picks the
-    same survivors, and each evicted earlier row counts one delete in
-    affected-rows."""
+    replaces a stored one.
+
+    The intra-batch resolution is fully DISTRIBUTED (one row_number
+    window per unique index — no driver-side key collection), which is
+    what lets LOAD DATA route bulk files through this path without a
+    driver-memory ceiling. It is provably equivalent to MySQL's
+    row-by-row replay: a batch row survives iff NO later batch row
+    collides with it DIRECTLY on some key. (Replay ⇒ rule: if a later
+    row Y collides with X, then at Y's turn X is either already
+    evicted or Y evicts it — dead either way. Rule ⇒ replay: eviction
+    only ever comes from a direct later collider, and an evicted row
+    never re-enters `live`, so with no later collider X survives.)
+    Each non-survivor is evicted exactly once, so the intra-batch
+    delete count is n_batch − n_survivors."""
     pk = catalog.primary_key(qualified)
     keys = ([("PRIMARY", pk)] if pk else []) + list(catalog.unique_keys(qualified))
     has_rowid = catalog.has_rowid(qualified)
@@ -397,41 +456,32 @@ def _replace(spark: SparkSession, catalog: Catalog, qualified: str, new_df, ins:
         if new_df.where(F.col(col).isNull()).limit(1).count() > 0:
             raise EbikeError(1048, f"Column '{col}' cannot be null")
 
-    # Intra-batch collisions: replay MySQL's row-by-row algorithm over
-    # the batch's key tuples (statement-sized driver loop). Each row
-    # evicts every earlier surviving row it collides with on ANY key
-    # (NULL key components never conflict — unique-index semantics).
-    key_cols = sorted({c for _, cols in keys for c in cols})
+    # Intra-batch collisions, resolved distributively: survivor = the
+    # LAST batch row per non-null key tuple, simultaneously for every
+    # unique index (see the docstring proof). Rows with a NULL key
+    # component never conflict on that index (unique-index semantics),
+    # so they partition alone via the __vidx disambiguator.
+    # monotonically_increasing_id is (partition << 33) + offset and the
+    # csv/VALUES partition order follows statement/file order, so it
+    # IS the statement position.
     tagged = new_df.withColumn("__vidx", F.monotonically_increasing_id())
-    batch_keys = [
-        (r["__vidx"], r) for r in tagged.select("__vidx", *key_cols).collect()
-    ]
-    batch_keys.sort(key=lambda p: p[0])
-    live: dict[int, dict] = {}
-    intra_deleted = 0
-    for vidx, row in batch_keys:
-        evict = []
-        for ov, orow in live.items():
-            for _, cols in keys:
-                if all(row[c] is not None and row[c] == orow[c] for c in cols):
-                    evict.append(ov)
-                    break
-        for ov in evict:
-            del live[ov]
-            intra_deleted += 1
-        live[vidx] = row
+    ranked = tagged
+    for i, (_, cols) in enumerate(keys):
+        key_null = reduce(or_, [F.col(c).isNull() for c in cols])
+        w = Window.partitionBy(
+            *[F.col(c) for c in cols],
+            F.when(key_null, F.col("__vidx")).otherwise(F.lit(0)),
+        ).orderBy(F.col("__vidx").desc())
+        ranked = ranked.withColumn(f"__rn{i}", F.row_number().over(w))
+    keep = reduce(and_, [F.col(f"__rn{i}") == 1 for i in range(len(keys))])
+    rn_cols = [f"__rn{i}" for i in range(len(keys))]
     # Stored-conflict deletion uses the FULL batch: an evicted batch
     # row still deleted its stored conflicts while it was live (MySQL
     # processes it before the later row replaces it) — a stored row
     # never "comes back". Only the survivors are inserted.
     full_batch = tagged.drop("__vidx")
-    if intra_deleted:
-        survivor_ids = sorted(live)
-        new_df = (
-            tagged.where(F.col("__vidx").isin(survivor_ids)).drop("__vidx")
-        )
-    else:
-        new_df = full_batch
+    new_df = ranked.where(keep).drop("__vidx", *rn_cols)
+    intra_deleted = len(ins.rows) - new_df.count()
 
     existing = spark.table(qualified)
     batch = full_batch.select(*[F.col(c).alias(f"__new_{c}") for c in full_batch.columns])
@@ -630,9 +680,21 @@ def load_data(
     MySQL's silent zero-coercion (strict mode, consistent with
     MODIFY COLUMN).
 
+    Path safety: reads are gated by the ``secure_file_priv`` system
+    variable exactly like MySQL's --secure-file-priv option — when it
+    holds a directory, only files under that directory (after symlink
+    resolution) load, anything else raises 1290; when it is the empty
+    string (this engine's default, a real MySQL configuration) any
+    server-readable path loads. Documented divergence: the LOCAL
+    keyword is accepted but still reads the SERVER filesystem (there
+    is no client channel in-process), and the same secure_file_priv
+    gate applies to it.
+
     Scale shape: the file streams through Spark's distributed csv
     reader straight into the constraint checks — no driver-side row
-    loop; a directory or glob of files parallelizes for free."""
+    loop (REPLACE resolves intra-file conflicts via distributed
+    row_number windows, see _replace); a directory or glob of files
+    parallelizes for free."""
     import os as _os
     import re as _re
 
@@ -649,6 +711,17 @@ def load_data(
 
     qualified = catalog.qualify(unquote_ident(tbl_tok), current_db)
     catalog.require_table(qualified)
+    priv_dir = str((session or {}).get("secure_file_priv", "") or "")
+    if priv_dir:
+        allowed = _os.path.realpath(priv_dir)
+        real = _os.path.realpath(path)
+        if not (real == allowed or real.startswith(allowed.rstrip(_os.sep) + _os.sep)):
+            raise EbikeError(
+                1290,
+                "The ebike-spark server is running with the "
+                "--secure-file-priv option so it cannot execute this "
+                "statement",
+            )
     if not _os.path.exists(path):
         raise EbikeError(29, f"File '{path}' not found")
 
@@ -672,6 +745,11 @@ def load_data(
     unknown = [c for c in target if c not in types]
     if unknown:
         raise EbikeError(1054, f"Unknown column '{unknown[0]}' in 'field list'")
+    dupes = [c for c in target if target.count(c) > 1]
+    if dupes:
+        # MySQL 1110: column specified twice (target.index() would
+        # silently map every duplicate to the first CSV field)
+        raise EbikeError(1110, f"Column '{dupes[0]}' specified twice")
 
     raw = (
         spark.read.option("header", skip_header)

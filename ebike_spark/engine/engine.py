@@ -51,6 +51,11 @@ DEFAULT_SYS_VARS: dict[str, object] = {
     "transaction_isolation": "REPEATABLE-READ",
     "wait_timeout": 28800,
     "interactive_timeout": 28800,
+    # LOAD DATA path gate (MySQL --secure-file-priv): '' = any
+    # server-readable path (a real MySQL configuration and this
+    # engine's default); a directory restricts loads to it; settable
+    # per-session/global via SET for deployments that need the fence
+    "secure_file_priv": "",
 }
 
 # SET GLOBAL scope: shared across every Engine (session) on this
@@ -89,6 +94,8 @@ class Engine:
         self._stmts: dict[int, _Prepared] = {}
         self._next_stmt_id = 1
         self._info_schema_dirty = True
+        # system tables rebuilt since the last DDL (see _select)
+        self._fresh_sys_tables: set[str] = set()
 
     # ------------------------------------------------------------ dispatch
 
@@ -156,7 +163,9 @@ class Engine:
             # LOAD DATA [LOCAL] INFILE — bulk CSV load (reference 1105s it)
             from ebike_spark.engine import dml as _dml
 
-            state: dict = {}
+            state: dict = {
+                "secure_file_priv": self.sys_vars.get("secure_file_priv", "")
+            }
             n = _dml.load_data(self.spark, self.catalog, sql, self.current_db, state)
             if "last_insert_id" in state:
                 self.last_insert_id = state["last_insert_id"]
@@ -332,12 +341,39 @@ class Engine:
         return df.toDF(*tmp).select(*kept).toDF(*names)
 
     def _select(self, sql: str) -> EngineResult:
-        if self._info_schema_dirty and re.search(
-            r"\b(information_schema|performance_schema|mysql)\s*\.", sql, re.I
-        ):
-            self.catalog.refresh_information_schema()
-            self.catalog.refresh_system_schemas(self.sys_vars)
-            self._info_schema_dirty = False
+        # Targeted system-schema refresh: rebuild ONLY the system tables
+        # this SELECT references (each rebuild is a Spark write job +
+        # metastore round-trips — rebuilding all nine info-schema tables
+        # plus mysql/performance_schema for a query that reads one was
+        # the dominant cost of the engine test family). Freshness is
+        # tracked per table; any DDL flips _info_schema_dirty, which
+        # invalidates the whole set on the next system-schema read.
+        refs = {
+            f"{s.lower()}.{t.lower()}"
+            for s, t in re.findall(
+                r"\b(information_schema|performance_schema|mysql)`?\s*\.\s*`?(\w+)",
+                sql,
+                re.I,
+            )
+        }
+        if refs:
+            if self._info_schema_dirty:
+                self._fresh_sys_tables = set()
+                self._info_schema_dirty = False
+            need = refs - self._fresh_sys_tables
+            info_need = {
+                st.split(".", 1)[1]
+                for st in need
+                if st.startswith("information_schema.")
+            }
+            if info_need:
+                self.catalog.refresh_information_schema(only=info_need)
+            if any(
+                st.startswith(("mysql.", "performance_schema.")) for st in need
+            ):
+                self.catalog.refresh_system_schemas(self.sys_vars)
+                need |= {"mysql.users", "performance_schema.global_variables"}
+            self._fresh_sys_tables |= need
         self.spark.catalog.setCurrentDatabase(self.current_db)
         try:
             df = self.spark.sql(self._fix_select(sql))
@@ -459,9 +495,12 @@ class Engine:
             # SESSION (default) = this session's variables
             scope = {**DEFAULT_SYS_VARS, **GLOBAL_VARS} if m.group(1) else self.sys_vars
             return rows(show.show_variables(spark, scope, m.group(2)))
-        if up.startswith("WARNINGS") or up.startswith("ERRORS") or re.match(
-            r"COUNT\(\*\)\s+(?:WARNINGS|ERRORS)", up
-        ):
+        m = re.match(r"COUNT\(\*\)\s+(WARNINGS|ERRORS)", up)
+        if m:
+            # single-row single-int-column shape (clients read row[0][0])
+            kind = "warning" if m.group(1) == "WARNINGS" else "error"
+            return rows(show.show_warning_count(spark, kind))
+        if up.startswith("WARNINGS") or up.startswith("ERRORS"):
             return rows(show.show_warnings(spark))
         if up.startswith("ENGINES"):
             return rows(show.show_engines(spark))
@@ -1235,62 +1274,31 @@ class Engine:
                 f"VALUES ({', '.join(vals)}){m.group(4) or ''}"
             )
         if not re.search(r"\bVALUES\b", fixed, re.I):
-            # INSERT INTO ... SELECT: hand to Spark (beyond-reference;
-            # constraint checks apply only to the VALUES path, as in the
-            # reference which only implements VALUES, insert.rs:48-224)
-            if re.match(r"\s*INSERT\s+IGNORE\b", fixed, re.I):
-                # duplicate-skip needs the VALUES-path key replay; an
-                # IGNORE+SELECT would otherwise reach raw spark.sql(),
-                # which raises an unwrapped ParseException on IGNORE
-                raise unsupported("INSERT IGNORE ... SELECT")
+            # INSERT [IGNORE] INTO ... SELECT / REPLACE INTO ... SELECT:
+            # build the casted source frame and route it through the
+            # SAME set-oriented constraint / duplicate handling as the
+            # VALUES path (beyond-reference — the reference only
+            # implements VALUES, insert.rs:48-224 — and a round-7
+            # upgrade over the earlier raw passthrough, which enforced
+            # no PK/UNIQUE/NOT NULL on SELECT sources). All checks are
+            # joins/aggregates, so they scale to any source volume.
             self.spark.catalog.setCurrentDatabase(self.current_db)
             m = re.match(
-                r"\s*INSERT\s+INTO\s+([\w.`\"]+)\s*(?:\(([^)]*)\)\s*)?(SELECT\b[\s\S]*)$",
+                r"\s*(?:INSERT(\s+IGNORE)?|(REPLACE))\s+INTO\s+([\w.`\"]+)\s*"
+                r"(?:\(([^)]*)\)\s*)?(SELECT\b[\s\S]*)$",
                 fixed,
                 re.I,
             )
             if m:
-                q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
-                if self.catalog.table_exists(q) and self.catalog.has_rowid(q):
-                    # the source SELECT provides the (listed or all) user
-                    # columns positionally; unlisted columns become NULL;
-                    # the hidden rowid is minted here — the column-list
-                    # form must NOT fall through to plain spark.sql, which
-                    # would write NULL rowids (round-2 advice)
-                    import pyspark.sql.functions as F
-
-                    from ebike_spark.engine.parser import split_top_level
-
-                    src = self.spark.sql(self._fix_select(m.group(3)))
-                    cols = self.catalog.column_types(q)
-                    types = dict(cols)
-                    listed = (
-                        [unquote_ident(c) for c in split_top_level(m.group(2))]
-                        if m.group(2)
-                        else [n for n, _ in cols]
+                q = self.catalog.qualify(unquote_ident(m.group(3)), self.current_db)
+                if self.catalog.table_exists(q):
+                    return self._insert_from_select(
+                        q,
+                        col_list=m.group(4),
+                        select_sql=m.group(5),
+                        ignore=bool(m.group(1)),
+                        replace=bool(m.group(2)),
                     )
-                    unknown = [c for c in listed if c not in types]
-                    if unknown:
-                        raise EbikeError(1054, f"Unknown column '{unknown[0]}' in 'field list'")
-                    if len(src.columns) != len(listed):
-                        raise EbikeError(1136, "Column count doesn't match value count")
-                    pos = {c: i for i, c in enumerate(listed)}
-                    out = (
-                        src.select(
-                            *[
-                                (
-                                    src[src.columns[pos[n]]]
-                                    if n in pos
-                                    else F.lit(None)
-                                ).cast(t).alias(n)
-                                for n, t in cols
-                            ]
-                        )
-                        .withColumn("rowid", F.expr("uuid()"))
-                        .select(*self.spark.table(q).columns)  # physical order
-                    )
-                    out.write.insertInto(q, overwrite=False)
-                    return EngineResult("count", affected=-1)
             self.spark.sql(fixed)
             return EngineResult("count", affected=-1)
         try:
@@ -1302,6 +1310,80 @@ class Engine:
         if "last_insert_id" in state:
             self.last_insert_id = state["last_insert_id"]
         return EngineResult("count", affected=n)
+
+    def _insert_from_select(
+        self,
+        qualified: str,
+        col_list: str | None,
+        select_sql: str,
+        ignore: bool,
+        replace: bool,
+    ) -> EngineResult:
+        """INSERT [IGNORE] / REPLACE ... SELECT: cast the source frame
+        to the target's declared types (listed or all columns
+        positionally, unlisted columns NULL), mint AUTO_INCREMENT and
+        hidden rowids, and hand off to the same dml helpers the VALUES
+        path uses — so PK/UNIQUE/NOT NULL, duplicate accounting, and
+        REPLACE/IGNORE semantics are identical whatever the row
+        source. Every check is a join/aggregate (no driver-side row
+        loop), so a 10⁸-row SELECT source costs the same plan shape as
+        a 3-row one."""
+        import pyspark.sql.functions as F
+
+        from ebike_spark.engine import dml as _dml
+        from ebike_spark.engine.parser import split_top_level
+
+        # hidden rowids of SOURCE tables never travel (SELECT * from a
+        # rowid table must behave as if the column didn't exist)
+        src = self._drop_hidden_rowid(self.spark.sql(self._fix_select(select_sql)))
+        cols = self.catalog.column_types(qualified)
+        types = dict(cols)
+        listed = (
+            [unquote_ident(c) for c in split_top_level(col_list)]
+            if col_list
+            else [n for n, _ in cols]
+        )
+        unknown = [c for c in listed if c not in types]
+        if unknown:
+            raise EbikeError(1054, f"Unknown column '{unknown[0]}' in 'field list'")
+        if len(src.columns) != len(listed):
+            raise EbikeError(1136, "Column count doesn't match value count")
+        pos = {c: i for i, c in enumerate(listed)}
+        df = src.select(
+            *[
+                (src[src.columns[pos[n]]] if n in pos else F.lit(None))
+                .cast(t)
+                .alias(n)
+                for n, t in cols
+            ]
+        )
+        ai = self.catalog.auto_increment_col(qualified)
+        if ai is not None:
+            df, first_id = _dml._mint_auto_increment(
+                self.spark, qualified, df, ai, types[ai]
+            )
+            if first_id is not None:
+                self.last_insert_id = first_id
+        if replace:
+            n_src = df.count()
+
+            class _Shim:  # _replace reads only len(ins.rows)
+                rows = range(n_src)
+
+            n = _dml._replace(self.spark, self.catalog, qualified, df, _Shim())
+            return EngineResult("count", affected=n)
+        if ignore:
+            n = _dml._insert_ignore(self.spark, self.catalog, qualified, df)
+            return EngineResult("count", affected=n)
+        _dml._check_constraints(self.spark, self.catalog, qualified, df)
+        # affected-rows counts the pre-rowid frame (column-pruned pass)
+        n_src = df.count()
+        if self.catalog.has_rowid(qualified):
+            df = df.withColumn(_dml.ROWID, F.expr("uuid()")).select(
+                *self.spark.table(qualified).columns
+            )
+        df.write.insertInto(qualified, overwrite=False)
+        return EngineResult("count", affected=n_src)
 
     def _update(self, sql: str) -> EngineResult:
         try:

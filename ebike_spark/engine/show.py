@@ -165,3 +165,12 @@ def show_warnings(spark: SparkSession) -> DataFrame:
     poll this after most statements; answering the empty set keeps them
     functional."""
     return spark.createDataFrame([], "Level string, Code int, Message string")
+
+
+def show_warning_count(spark: SparkSession, kind: str = "warning") -> DataFrame:
+    """SHOW COUNT(*) WARNINGS / ERRORS: MySQL returns ONE row with a
+    single integer column (clients parse row[0][0] after statements),
+    named like the @@session counter it mirrors — always 0 here, since
+    the engine raises hard errors instead of accumulating warnings."""
+    col = f"@@session.{kind}_count"
+    return spark.createDataFrame([(0,)], f"`{col}` int")

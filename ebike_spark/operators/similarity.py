@@ -77,6 +77,21 @@ def ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _exact_topk_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-{TOP_K} vec_ids — the recall baseline the
+    ANN verdict queries compare against (same plan as ann_cosine_topk,
+    ids only)."""
+    qv = F.lit(_query_vec(spark, sf)).cast("array<double>")
+    e = load_table(spark, sf, "embeddings").where(F.col("vec_id") != QUERY_VEC_ID)
+    cos = cosine_sim(F.col("embedding").cast("array<double>"), qv)
+    return (
+        e.select("vec_id", cos.alias("_c"))
+        .orderBy(F.desc("_c"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+
+
 def hyperplanes(dim: int = _DIM, planes: int = LSH_PLANES) -> np.ndarray:
     """Deterministic Gaussian hyperplane directions (seeded)."""
     return np.random.RandomState(42).standard_normal((planes, dim))
@@ -97,22 +112,11 @@ IVF_CLUSTERS = 16
 IVF_PROBES = 4
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=None,  # approximate by design → rows-only; recall vs exact unit-tested
-    tags=("similarity", "ann", "ivf", "kmeans"),
-)
-def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer (pyspark.ml KMeans, seeded) →
-    assign every vector to its nearest centroid → probe the query's
-    {IVF_PROBES} nearest cells → exact cosine rerank.
-
-    Learned centroids adapt to the data distribution, which sign-LSH
-    cannot (see ann_lsh_topk's docstring math for why this corpus is
-    the hard regime). At scale: train on a sample, store the cell id as
-    a partition/cluster column, probe reads ~{IVF_PROBES}/{IVF_CLUSTERS}
-    of the corpus.
-    """
+def _ivf_topk_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """The IVF retrieval pipeline (top-{TOP_K} vec_ids): k-means coarse
+    quantizer (pyspark.ml KMeans, seeded) → assign every vector to its
+    nearest centroid → probe the query's {IVF_PROBES} nearest cells →
+    exact cosine rerank."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -139,7 +143,57 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", cos.alias("_c"))
         .orderBy(F.desc("_c"), "vec_id")
         .limit(TOP_K)
-        .select("vec_id", F.round("_c", 4).alias("cos"))
+        .select("vec_id")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    # The retrieved SET is approximation-specific, so the externally
+    # checked output is a bounds-checked verdict: recall-vs-brute-force
+    # and the probed fraction, each asserted against a fixed floor that
+    # every fixture SF clears (measured r7: recall 0.4/1.0/0.6 at
+    # sf0.001/0.01/0.1, probe fraction a constant 4/16). The oracle is
+    # trivially exact — the same constants and TRUEs. A quantizer
+    # regression (bad seed plumbing, probe-count drift, broken rerank)
+    # flips a boolean and fails the hash compare. Same verdict shape as
+    # ev_active_users_hll / embed_pca_audit (VERDICT-r6 task 5).
+    oracle=f"""
+    SELECT 'ivf' AS method, {TOP_K} AS k,
+           {IVF_PROBES} AS cells_probed, {IVF_CLUSTERS} AS cells_total,
+           TRUE AS recall_ge_40pct, TRUE AS probe_frac_le_half
+    """,
+    tags=("similarity", "ann", "ivf", "kmeans", "verdict"),
+)
+def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN verdict: run the k-means-quantized probe-and-rerank
+    pipeline (see _ivf_topk_ids), compare its top-{TOP_K} against the
+    exact brute-force top-{TOP_K}, and emit one bounds-checked row —
+    recall ≥ 0.4 and probed fraction ≤ 1/2.
+
+    Learned centroids adapt to the data distribution, which sign-LSH
+    cannot (see ann_lsh_topk's docstring math for why this corpus is
+    the hard regime). At scale: train on a sample, store the cell id as
+    a partition/cluster column, probe reads ~{IVF_PROBES}/{IVF_CLUSTERS}
+    of the corpus. The recall join is k-row-sized; the only driver
+    scalar is the bounded hit count."""
+    exact = _exact_topk_ids(spark, sf)
+    approx = _ivf_topk_ids(spark, sf)
+    hits = exact.join(approx, "vec_id", "inner").count()
+    recall = hits / TOP_K
+    return spark.createDataFrame(
+        [
+            (
+                "ivf",
+                TOP_K,
+                IVF_PROBES,
+                IVF_CLUSTERS,
+                recall >= 0.4,
+                IVF_PROBES / IVF_CLUSTERS <= 0.5,
+            )
+        ],
+        "method string, k int, cells_probed int, cells_total int, "
+        "recall_ge_40pct boolean, probe_frac_le_half boolean",
     )
 
 
@@ -178,17 +232,10 @@ def ann_range_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_lsh_topk",
-    oracle=None,  # approximate by design → rows-only check; recall vs exact is unit-tested
-    tags=("similarity", "ann", "lsh"),
-)
-def ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: score only vectors whose bucket is
-    within hamming ≤ LSH_PROBE_HAMMING of the query's bucket, then
-    exact-rerank. At scale the bucket filter is a pushable integer
-    predicate over a column that would be precomputed/partitioned-on in
-    the stored corpus."""
+def _lsh_probe(spark: SparkSession, sf: str):
+    """The LSH probe pipeline: (top-{TOP_K} ids DataFrame, probed-count
+    DataFrame, total-count DataFrame) — shared by the registered verdict
+    query and the recall unit tests."""
     planes = hyperplanes()
     qv_list = _query_vec(spark, sf)
     q_bucket = int(
@@ -200,12 +247,65 @@ def ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     near = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= LSH_PROBE_HAMMING
     qv = F.lit(qv_list).cast("array<double>")
     cos = cosine_sim(F.col("v"), qv)
-    return (
+    topk = (
         with_bucket.where(near)
         .select("vec_id", cos.alias("_c"))
         .orderBy(F.desc("_c"), "vec_id")
         .limit(TOP_K)
-        .select("vec_id", F.round("_c", 4).alias("cos"))
+        .select("vec_id")
+    )
+    return topk, with_bucket.where(near), with_bucket
+
+
+@register(
+    "ann_lsh_topk",
+    # Verdict shape (VERDICT-r6 task 5): the retrieved SET is
+    # approximation-specific, so the externally checked output asserts
+    # the honest LSH invariants instead — the probed bucket set is a
+    # bounded fraction of the corpus (< 1/2) AND is ENRICHED in true
+    # neighbors (recall strictly beats the probed fraction, which is
+    # exactly what random sampling would achieve), and recall > 0.
+    # Measured r7: recall 0.3/0.2/0.4 vs probed 0.19/0.17/0.22 at
+    # sf0.001/0.01/0.1 — all deterministic (seeded hyperplanes, exact
+    # integer bucket math). Oracle = the same constants and TRUEs.
+    oracle=f"""
+    SELECT 'lsh' AS method, {TOP_K} AS k,
+           TRUE AS probed_frac_lt_half,
+           TRUE AS recall_beats_probed_frac,
+           TRUE AS recall_gt_zero
+    """,
+    tags=("similarity", "ann", "lsh", "verdict"),
+)
+def ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN-via-random-hyperplane-LSH verdict: score only vectors whose
+    bucket is within hamming ≤ LSH_PROBE_HAMMING of the query's bucket,
+    exact-rerank, then emit one bounds-checked row comparing against
+    the brute-force top-{TOP_K}. In this corpus the true neighbors sit
+    at cos≈0.5 — barely above background, the hardest regime for
+    sign-LSH — so the verdict asserts ENRICHMENT (recall > probed
+    fraction) rather than a high absolute recall.
+
+    At scale the bucket filter is a pushable integer predicate over a
+    column precomputed/partitioned-on in the stored corpus. The only
+    driver scalars are three bounded counts (k-sized hit count, probed
+    count, corpus count)."""
+    topk, probed_df, all_df = _lsh_probe(spark, sf)
+    exact = _exact_topk_ids(spark, sf)
+    hits = exact.join(topk, "vec_id", "inner").count()
+    recall = hits / TOP_K
+    probed_frac = probed_df.count() / all_df.count()
+    return spark.createDataFrame(
+        [
+            (
+                "lsh",
+                TOP_K,
+                probed_frac < 0.5,
+                recall > probed_frac,
+                recall > 0,
+            )
+        ],
+        "method string, k int, probed_frac_lt_half boolean, "
+        "recall_beats_probed_frac boolean, recall_gt_zero boolean",
     )
 
 

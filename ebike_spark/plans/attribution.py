@@ -414,7 +414,12 @@ def ev_pareto_share(spark: SparkSession, sf: str) -> DataFrame:
     # Partition count follows the session's shuffle parallelism (not a
     # literal) so the distributed-rank shape scales with the cluster:
     # offsets stays one row per task at any size (VERDICT-r5 task 5).
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Some distributions set this conf to a non-numeric token ("auto");
+    # fall back to 32 rather than crash on the parse.
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except (ValueError, TypeError):
+        n_part = 32
     ranked = u.repartitionByRange(
         n_part, F.col("n").desc(), F.col("user_id")
     ).withColumn("pid", F.spark_partition_id())

@@ -84,74 +84,16 @@ def _load_all() -> None:
 # of the order all_queries() emits. Every query is oracled identically
 # regardless of position; the prefix only controls which rows get
 # fresh external evidence this round, and entries past position 50 get
-# none. Round 6 spends the budget exactly as VERDICT-r5 tasks 2+3+6
-# mandate: embed_kmeans_lloyd/_converged (the only two queries never
-# in any driver window) first, then the 32 rows stale since round 1
-# (relational core q04–q22 + the fn_* batteries), the io round-trips,
-# the r4-stale streaming family, the upgraded ev_active_users_hll, and
-# three of the round-6 additions. The REMAINING round-6 additions
-# (ev_cohort_ltv onward, listed after position 50) are local-green
-# only this round and lead the round-7 rotation, alongside the
-# r3-stale dedup/text family.
+# none. Round 7 spends the budget exactly as VERDICT-r6 task 1
+# mandates: the 39 queries that have NEVER had a driver correctness
+# row (the 13 r6 WINDOW_PREFIX stragglers first, then the late-r6
+# block), then 11 rows from the r3-stale dedup/ann/text family —
+# including the two ANN sketches whose verdict-shape upgrade
+# (VERDICT-r6 task 5) lands this round. The 24 remaining r3-stale
+# rows are listed after position 50 and lead the round-8 rotation.
 WINDOW_PREFIX: tuple[str, ...] = (
-    # never externally checked (VERDICT-r5 task 3)
-    "embed_kmeans_lloyd",
-    "embed_kmeans_converged",
-    # relational core + fn batteries — external evidence stale since r1
-    "q04_left_join_agg",
-    "q05_join_chain",
-    "q06_selective_sum",
-    "q07_count_distinct",
-    "q08a_intersect",
-    "q08b_except",
-    "q08c_union_all",
-    "q08d_intersect_all",
-    "q08e_except_all",
-    "q09_window_rank",
-    "q10_case_scalar_funcs",
-    "q11_cte_having",
-    "q12_cross_theta",
-    "q13_stat_aggs",
-    "q13_approx_distinct",
-    "q13b_approx_percentile",
-    "q18_semi_anti_join",
-    "q19_subqueries",
-    "q19b_correlated_exists",
-    "q20_window_frames",
-    "q21_cube",
-    "q21b_grouping_id",
-    "q22_values_inline",
-    "fn_arrays",
-    "fn_unpivot",
-    "fn_math",
-    "fn_string",
-    "fn_datetime",
-    "fn_conditional",
-    "fn_regexp_like",
-    "fn_agg_extras",
-    "fn_agg_moments",
-    # io round-trips — stale since r3/r4 (VERDICT-r5 task 2)
-    "io_csv_roundtrip",
-    "io_json_roundtrip",
-    "io_orc_roundtrip",
-    "io_text_roundtrip",
-    # streaming family — stale since r4 (VERDICT-r5 task 2)
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_dedup_exact",
-    "stream_sessionize",
-    "stream_funnel",
-    "stream_static_join",
-    "stream_scd2_closed",
-    "stream_rollup_maintain",
-    # round-6 upgrade + additions — first external check (these four
-    # fill the 50-row budget; positions 47-50)
-    "ev_active_users_hll",
-    "ev_attribution_linear",
-    "ev_attribution_position",
-    "ev_anomaly_mad",
-    # --- external budget exhausted: everything below is local-green
-    # only this round and leads the round-7 window rotation ---
+    # --- never externally checked: the 13 r6 stragglers (VERDICT-r6
+    # task 1, positions 1-13) ---
     "ev_cohort_ltv",
     "fn_window",
     "text_ttr_profile",
@@ -165,6 +107,8 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "embed_pca_audit",
     "corpus_bloom_decontaminate",
     "text_heavy_hitters_cms",
+    # --- never externally checked: the late-r6 block (positions
+    # 14-39) ---
     "ev_markov_sessions",
     "ev_user_paths_topk",
     "fn_maps",
@@ -174,6 +118,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "stream_cdc_upsert",
     "io_schema_evolution",
     "q31_recursive_spine",
+    "q31b_sequence_spine",
     "q32_recursive_reach",
     "ann_filtered_topk",
     "embed_drift_by_dim",
@@ -191,6 +136,47 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_error_budget_burn",
     "fn_null_ordering",
     "stream_error_budget_burn",
+    # --- r3-stale block, 11 fill slots (positions 40-50): the two
+    # verdict-shape-upgraded ANN sketches (VERDICT-r6 task 5) plus the
+    # core dedup family and stalest text/corpus rows ---
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_cluster",
+    "text_decontaminate",
+    "text_langid",
+    # --- external budget exhausted: new round-7 additions plus the
+    # remaining r3-stale rows lead the round-8 rotation ---
+    "stream_lifecycle_stages",
+    "corpus_pack_sequences",
+    "ann_cosine_topk",
+    "ann_range_search",
+    "corpus_domain_cap",
+    "corpus_mix_weights",
+    "embed_cluster_assign",
+    "embed_outliers",
+    "embed_quantize_int8",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_metadata_only",
+    "salted_join_parity",
+    "sample_deterministic",
+    "sample_stratified",
+    "text_chunk_windows",
+    "text_dup_spans",
+    "text_fingerprint",
+    "text_heuristic_filter",
+    "text_perplexity",
+    "text_quality",
+    "text_redact_pii",
+    "text_repetition",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_vocab_encode",
 )
 
 

@@ -300,7 +300,9 @@ def q30_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
     "q31_recursive_spine",
     oracle="""
     WITH RECURSIVE spine(d) AS (
-      SELECT MIN(date_trunc('day', ts)) FROM events
+      SELECT GREATEST(MIN(date_trunc('day', ts)),
+                      MAX(date_trunc('day', ts)) - INTERVAL 2 DAY)
+      FROM events
       UNION ALL
       SELECT d + INTERVAL 1 DAY FROM spine
       WHERE d < (SELECT MAX(date_trunc('day', ts)) FROM events)
@@ -314,27 +316,31 @@ def q30_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
     tags=("recursive-cte", "beyond-reference", "gapfill"),
 )
 def q31_recursive_spine(spark: SparkSession, sf: str) -> DataFrame:
-    """Recursive CTE #1 — complete day spine (WITH RECURSIVE, new in
+    """Recursive CTE #1 — WITH RECURSIVE dialect-parity demo (new in
     Spark 4.0; DataFusion 6.0 had no recursion at all, SURVEY §2.B):
-    generate every calendar day between the corpus MIN and MAX
-    event-day, then left-join daily counts so silent zero-volume days
-    appear as explicit 0 rows — the completeness guarantee gap-fill
-    and anomaly monitors need (a missing day is invisible to a plain
-    GROUP BY).
+    a complete day spine over the trailing 3 days of the corpus, then a
+    left join of daily counts so silent zero-volume days appear as
+    explicit 0 rows.
 
-    Scale shape: the recursion generates one row per DAY (corpus-span-
-    sized, ~constant — each step is a trivial localized union, never
-    data-proportional); the daily aggregate is one scan with map-side
-    partials; the spine join broadcasts the day axis. Recursion depth
-    = days, bounded by the anchor/termination subqueries which Spark
-    computes once as scalar subqueries."""
+    Deliberately BOUNDED (VERDICT-r6 task 2): Spark executes each
+    recursive step as a separate driver-coordinated job (~230 ms of
+    pure scheduling per step at any data size), so an unbounded
+    calendar recursion costs wall time proportional to the corpus
+    SPAN — ~3650 serialized steps ≈ 12 min for a 10-year corpus — and
+    no cluster makes it faster. The GREATEST anchor caps the depth at
+    3 days regardless of span, keeping this a constant-cost recursion
+    demo. The PRODUCTION full-span day spine is q31b_sequence_spine
+    (one explode(sequence(...)) — zero per-day scheduling), the same
+    shape ev_gapfill_locf uses."""
     from ebike_spark.sources.registry import register_views
 
     register_views(spark, sf)
     return spark.sql(
         """
         WITH RECURSIVE spine(d) AS (
-          SELECT MIN(date_trunc('DAY', ts)) FROM events
+          SELECT GREATEST(MIN(date_trunc('DAY', ts)),
+                          MAX(date_trunc('DAY', ts)) - INTERVAL 2 DAY)
+          FROM events
           UNION ALL
           SELECT d + INTERVAL 1 DAY FROM spine
           WHERE d < (SELECT MAX(date_trunc('DAY', ts)) FROM events)
@@ -345,6 +351,58 @@ def q31_recursive_spine(spark: SparkSession, sf: str) -> DataFrame:
                COALESCE(daily.n, 0) AS n_events
         FROM spine LEFT JOIN daily ON spine.d = daily.d
         """
+    )
+
+
+@register(
+    "q31b_sequence_spine",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(date_trunc('day', ts)) AS lo,
+             MAX(date_trunc('day', ts)) AS hi FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds
+    ),
+    daily AS (
+      SELECT date_trunc('day', ts) AS d, COUNT(*) AS n FROM events GROUP BY 1)
+    SELECT CAST(epoch_us(spine.d) // 1000000 AS BIGINT) AS day_start,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+    tags=("gapfill", "beyond-reference"),
+)
+def q31b_sequence_spine(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION full-span day spine (q31's successor,
+    VERDICT-r6 task 2): every calendar day between the corpus MIN and
+    MAX event-day materializes from ONE explode(sequence(lo, hi,
+    1 day)) over the 1-row bounds aggregate — the completeness
+    guarantee gap-fill and anomaly monitors need, without q31's
+    per-day driver-scheduled recursion steps.
+
+    Scale shape: the bounds aggregate is one scan with map-side
+    partials collapsing to a single row; sequence+explode generates
+    the span-sized day axis inside one task in one job (a 10-year
+    corpus is 3 650 rows — trivial); the daily aggregate is the same
+    single scan shape; the spine side broadcasts into the left join.
+    Wall-clock is two jobs at ANY span, vs one job per day for the
+    recursive form."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(F.date_trunc("DAY", "ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    spine = (
+        ev.agg(
+            F.min(F.date_trunc("DAY", "ts")).alias("lo"),
+            F.max(F.date_trunc("DAY", "ts")).alias("hi"),
+        )
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+        )
+    )
+    return spine.join(daily, "d", "left").select(
+        F.expr("CAST(unix_micros(d) DIV 1000000 AS BIGINT)").alias("day_start"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
     )
 
 

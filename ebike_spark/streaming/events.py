@@ -1058,3 +1058,88 @@ def stream_error_budget_burn(spark: SparkSession, sf: str) -> DataFrame:
             "page_alert"
         ),
     )
+
+
+def make_lifecycle_profiler():
+    """Custom stateful per-user PROFILE aggregate (applyInPandasWithState):
+    state is (first_ts_us, last_ts_us, n_events) — three longs per user,
+    the streaming form of the MIN/MAX/COUNT partial that
+    ev_lifecycle_stages computes batch-side. Each batch a user appears
+    in emits the user's updated profile; n is strictly increasing, so
+    the final profile per user is the max-n emission. Closure-built for
+    executor pickling; constant memory per key."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            ft, lt, n = state.get
+        else:
+            ft, lt, n = None, None, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            bmin, bmax = int(pdf["t"].min()), int(pdf["t"].max())
+            ft = bmin if ft is None else min(ft, bmin)
+            lt = bmax if lt is None else max(lt, bmax)
+            n += len(pdf)
+        state.update((ft, lt, n))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "ft": [ft], "lt": [lt], "n": [n]}
+        )
+
+    return fn
+
+
+LIFECYCLE_OUT_SCHEMA = "user_id long, ft long, lt long, n long"
+LIFECYCLE_STATE_SCHEMA = "ft long, lt long, n long"
+
+
+@register(
+    "stream_lifecycle_stages",
+    oracle=REGISTRY["ev_lifecycle_stages"].oracle,
+    tags=("streaming", "stateful", "applyInPandasWithState", "lifecycle"),
+)
+def stream_lifecycle_stages(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of ev_lifecycle_stages (VERDICT-r6 task 6): the
+    per-user (first_seen, last_seen, count) profile is custom state
+    advanced across micro-batches — a NON-overlapping state shape vs
+    the family's other twins (first-seen keeps one long; CDC keeps the
+    latest row; this keeps the min/max/count profile aggregate). The
+    stage classification (new/active/at_risk/churned by integer-day
+    recency/age from the horizon) folds batch-side off the final
+    profile table and must hash-match the batch oracle exactly.
+
+    Scale shape: state is three longs per user (~24 GB per billion
+    users across a cluster); each batch touches only its own users;
+    the fold work is user-count-sized, never event-volume-sized. The
+    horizon is the max last-seen over profiles — the same 1-row
+    broadcast as the batch plan."""
+    staged = stage_stream_dir(spark, sf)
+    ev = read_event_stream(spark, staged)
+    src = ev.select("user_id", F.unix_micros("ts").alias("t"))
+    profiles = src.groupBy("user_id").applyInPandasWithState(
+        make_lifecycle_profiler(),
+        LIFECYCLE_OUT_SCHEMA,
+        LIFECYCLE_STATE_SCHEMA,
+        "update",
+        "NoTimeout",
+    )
+    sink = run_to_table(profiles, "update")
+    # n strictly increases per emission, so max-n row = final profile
+    # (ft/lt are monotone too — min/max across emissions equal it)
+    final = sink.groupBy("user_id").agg(
+        F.min("ft").alias("ft"), F.max("lt").alias("lt"), F.max("n").alias("n")
+    )
+    day_us = 86_400_000_000
+    g = final.agg(F.max("lt").alias("gmax"))
+    lab = final.crossJoin(F.broadcast(g)).select(
+        F.when(F.expr(f"(gmax - ft) DIV {day_us}") < 7, "new")
+        .when(F.expr(f"(gmax - lt) DIV {day_us}") < 7, "active")
+        .when(F.expr(f"(gmax - lt) DIV {day_us}") < 14, "at_risk")
+        .otherwise("churned")
+        .alias("stage"),
+        "n",
+    )
+    return lab.groupBy("stage").agg(
+        F.count("*").alias("n_users"), F.sum("n").alias("n_events")
+    )

@@ -1153,12 +1153,32 @@ def test_alter_add_drop_keys(eng):
     assert ei.value.code == 1138
 
 
-def test_insert_ignore_select_rejected_cleanly(eng):
+def test_insert_replace_ignore_from_select(eng):
+    """INSERT IGNORE / REPLACE with a SELECT source route through the
+    same duplicate handling as VALUES (round-7 upgrade; this used to be
+    a 1105 for IGNORE and an unwrapped parse crash for REPLACE)."""
     eng.execute(USER_DDL)
     eng.execute("CREATE TABLE src (id INT, name CHAR, stature FLOAT)")
+    eng.execute("INSERT INTO src VALUES (1, 'a', 1.0), (2, 'b', 2.0), (2, 'b', 9.0)")
+    eng.execute("INSERT INTO user VALUES (1, 'a', 5.0)")
+    # IGNORE: stored (1,a) skipped; exactly ONE of the two (2,b) source
+    # rows lands (a SELECT source has no defined row order — MySQL's
+    # "first" is whatever the scan produced, so assert the set, not
+    # which duplicate won)
+    r = eng.execute("INSERT IGNORE INTO user SELECT * FROM src")
+    assert r.affected == 1
+    got = eng.execute("SELECT stature FROM user WHERE id = 2").rows()[0]["stature"]
+    assert got in (2.0, 9.0)
+    # REPLACE: evicts stored (1,a) and (2,b); one (2,b) survivor
+    r = eng.execute("REPLACE INTO user SELECT * FROM src")
+    assert r.affected == 6  # 3 inserts + 2 stored deletes + 1 intra-batch
+    assert eng.execute("SELECT COUNT(*) AS c FROM user").rows()[0]["c"] == 2
+    got = eng.execute("SELECT stature FROM user WHERE id = 1").rows()[0]["stature"]
+    assert got == 1.0  # the stored (1,a,5.0) was replaced by src's row
+    # plain INSERT...SELECT now enforces PK: re-inserting src is 1062
     with pytest.raises(EbikeError) as ei:
-        eng.execute("INSERT IGNORE INTO user SELECT * FROM src")
-    assert ei.value.code == 1105
+        eng.execute("INSERT INTO user SELECT * FROM src")
+    assert ei.value.code == 1062
 
 
 def test_group_concat_rewrite_unit():
@@ -1549,6 +1569,66 @@ def test_load_data_infile_errors(eng, tmp_path):
     assert ei.value.code == 1105
 
 
+def test_load_data_secure_file_priv_and_dup_columns(eng, tmp_path):
+    """secure_file_priv gates LOAD DATA paths (1290 outside the fence,
+    symlink-resolved); a duplicate name in the target column list is
+    1110, never a silent first-field remap."""
+    eng.execute("CREATE TABLE ldp (id INT NOT NULL, name CHAR, PRIMARY KEY (id))")
+    allowed = tmp_path / "allowed"
+    allowed.mkdir()
+    inside = allowed / "in.csv"
+    inside.write_text("1,alice\n")
+    outside = tmp_path / "out.csv"
+    outside.write_text("2,bob\n")
+    eng.execute(f"SET secure_file_priv = '{allowed}'")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute(f"LOAD DATA INFILE '{outside}' INTO TABLE ldp FIELDS TERMINATED BY ','")
+    assert ei.value.code == 1290
+    # a symlink inside the fence pointing outside is still rejected
+    link = allowed / "sneaky.csv"
+    link.symlink_to(outside)
+    with pytest.raises(EbikeError) as ei:
+        eng.execute(f"LOAD DATA INFILE '{link}' INTO TABLE ldp FIELDS TERMINATED BY ','")
+    assert ei.value.code == 1290
+    assert (
+        eng.execute(
+            f"LOAD DATA INFILE '{inside}' INTO TABLE ldp FIELDS TERMINATED BY ','"
+        ).affected
+        == 1
+    )
+    # back to unrestricted ('' is the engine default)
+    eng.execute("SET secure_file_priv = ''")
+    assert (
+        eng.execute(
+            f"LOAD DATA INFILE '{outside}' INTO TABLE ldp FIELDS TERMINATED BY ','"
+        ).affected
+        == 1
+    )
+    with pytest.raises(EbikeError) as ei:
+        eng.execute(
+            f"LOAD DATA INFILE '{inside}' IGNORE INTO TABLE ldp "
+            f"FIELDS TERMINATED BY ',' (id, id)"
+        )
+    assert ei.value.code == 1110
+
+
+def test_load_data_replace_intra_file_last_wins(eng, tmp_path):
+    """LOAD DATA REPLACE resolves intra-file key collisions
+    distributively with MySQL's last-wins semantics and per-eviction
+    delete accounting (the path that used to collect every key tuple
+    to the driver)."""
+    eng.execute("CREATE TABLE ldr (id INT NOT NULL, name CHAR, PRIMARY KEY (id))")
+    eng.execute("INSERT INTO ldr VALUES (1, 'stored')")
+    f = tmp_path / "dups.csv"
+    # id=1 collides stored AND repeats in-file; id=2 repeats in-file
+    f.write_text("1,first\n2,a\n1,second\n2,b\n")
+    r = eng.execute(f"LOAD DATA INFILE '{f}' REPLACE INTO TABLE ldr FIELDS TERMINATED BY ','")
+    # MySQL accounting: 4 inserts + 1 stored delete + 2 intra-file evictions
+    assert r.affected == 7
+    rows = sorted((x["id"], x["name"]) for x in eng.execute("SELECT * FROM ldr").rows())
+    assert rows == [(1, "second"), (2, "b")]
+
+
 def test_mysqldump_preamble_compat(eng):
     """The statement sequence mysqldump / client libraries emit must be
     acknowledged: SET TRANSACTION ISOLATION, START TRANSACTION/BEGIN,
@@ -1567,7 +1647,13 @@ def test_mysqldump_preamble_compat(eng):
     assert w.rows() == []
     assert [f.name for f in w.df.schema.fields] == ["Level", "Code", "Message"]
     assert eng.execute("SHOW ERRORS").rows() == []
-    assert eng.execute("SHOW COUNT(*) WARNINGS").rows() == []
+    # COUNT(*) form: ONE row, one int column (clients read row[0][0])
+    wc = eng.execute("SHOW COUNT(*) WARNINGS")
+    assert [tuple(r) for r in wc.rows()] == [(0,)]
+    assert [f.name for f in wc.df.schema.fields] == ["@@session.warning_count"]
+    ec = eng.execute("SHOW COUNT(*) ERRORS")
+    assert [tuple(r) for r in ec.rows()] == [(0,)]
+    assert [f.name for f in ec.df.schema.fields] == ["@@session.error_count"]
     with pytest.raises(EbikeError) as ei:
         eng.execute("ROLLBACK")
     assert ei.value.code == 1105

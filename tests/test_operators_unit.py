@@ -65,56 +65,48 @@ def test_lsh_ann_recall_beats_random(spark):
     ~0.3 recall). The honest invariant is that the probed bucket set is
     *enriched* in true neighbors: recall must clearly exceed the probed
     fraction (random sampling's expected recall), and be nonzero."""
-    import pyspark.sql.functions as F
-
-    from ebike_spark.operators.similarity import (
-        LSH_PROBE_HAMMING,
-        QUERY_VEC_ID,
-        _query_vec,
-        hyperplanes,
-        lsh_bucket,
-    )
+    from ebike_spark.operators.similarity import _exact_topk_ids, _lsh_probe
     from ebike_spark.plans.registry import REGISTRY, _load_all
-    from ebike_spark.sources.registry import load_table
 
     _load_all()
-    exact = [r["vec_id"] for r in REGISTRY["ann_cosine_topk"].fn(spark, SF_DIR).collect()]
-    approx = [r["vec_id"] for r in REGISTRY["ann_lsh_topk"].fn(spark, SF_DIR).collect()]
+    exact = [r["vec_id"] for r in _exact_topk_ids(spark, SF_DIR).collect()]
+    topk, probed_df, all_df = _lsh_probe(spark, SF_DIR)
+    approx = [r["vec_id"] for r in topk.collect()]
     recall = len(set(exact) & set(approx)) / len(exact)
-
-    import numpy as np
-
-    planes = hyperplanes()
-    qv = _query_vec(spark, SF_DIR)
-    q_bucket = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, p)) > 0))
-    e = load_table(spark, SF_DIR, "embeddings").where(F.col("vec_id") != QUERY_VEC_ID)
-    v = F.col("embedding").cast("array<double>")
-    bucketed = e.select(lsh_bucket(v, planes).alias("bucket"))
-    probed = bucketed.where(
-        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= LSH_PROBE_HAMMING
-    ).count()
-    total = bucketed.count()
-    probed_fraction = probed / total
+    probed_fraction = probed_df.count() / all_df.count()
     assert probed_fraction < 0.5, "probing most of the corpus isn't ANN"
     assert recall > probed_fraction, (recall, probed_fraction)
     assert recall > 0
+    # the registered verdict query asserts exactly these invariants
+    row = REGISTRY["ann_lsh_topk"].fn(spark, SF_DIR).collect()[0]
+    assert row["probed_frac_lt_half"] and row["recall_beats_probed_frac"]
+    assert row["recall_gt_zero"]
 
 
 def test_ivf_ann_recall_beats_lsh(spark):
     """IVF with learned centroids must beat sign-LSH in this corpus'
     near-background-similarity regime, and probe a bounded fraction."""
-    from ebike_spark.operators.similarity import IVF_CLUSTERS, IVF_PROBES
+    from ebike_spark.operators.similarity import (
+        IVF_CLUSTERS,
+        IVF_PROBES,
+        _exact_topk_ids,
+        _ivf_topk_ids,
+        _lsh_probe,
+    )
     from ebike_spark.plans.registry import REGISTRY, _load_all
 
     _load_all()
-    exact = [r["vec_id"] for r in REGISTRY["ann_cosine_topk"].fn(spark, SF_DIR).collect()]
-    ivf = [r["vec_id"] for r in REGISTRY["ann_ivf_topk"].fn(spark, SF_DIR).collect()]
-    lsh = [r["vec_id"] for r in REGISTRY["ann_lsh_topk"].fn(spark, SF_DIR).collect()]
+    exact = [r["vec_id"] for r in _exact_topk_ids(spark, SF_DIR).collect()]
+    ivf = [r["vec_id"] for r in _ivf_topk_ids(spark, SF_DIR).collect()]
+    lsh = [r["vec_id"] for r in _lsh_probe(spark, SF_DIR)[0].collect()]
     r_ivf = len(set(exact) & set(ivf)) / len(exact)
     r_lsh = len(set(exact) & set(lsh)) / len(exact)
     assert r_ivf >= r_lsh, (r_ivf, r_lsh)
     assert r_ivf >= 0.4, (r_ivf, ivf, exact)
     assert IVF_PROBES / IVF_CLUSTERS <= 0.5
+    # the registered verdict query asserts the same floors
+    row = REGISTRY["ann_ivf_topk"].fn(spark, SF_DIR).collect()[0]
+    assert row["recall_ge_40pct"] and row["probe_frac_le_half"]
 
 
 def test_multimodal_decode_is_stubbed():
