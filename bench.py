@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "q31b_sequence_spine",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "text_zipf_fit",
+    "io_zstd_roundtrip",
 ]
 
 

@@ -571,16 +571,25 @@ def update(spark: SparkSession, catalog: Catalog, upd: Update, current_db: str) 
         else:
             cols.append(F.col(name))
     new_df = t.select(*cols)
-    # Re-check key constraints when an assignment touches a key column —
-    # the reference silently corrupts its indexes here (SURVEY §3.3);
-    # we validate the post-image before swapping it in.
+    recheck_keys_after_update(spark, catalog, qualified, new_df, set(assigned))
+    _rewrite(spark, qualified, new_df)
+    return affected
+
+
+def recheck_keys_after_update(
+    spark: SparkSession, catalog: Catalog, qualified: str, new_df, assigned: set[str]
+) -> None:
+    """Re-check key constraints when an assignment touches a key column —
+    the reference silently corrupts its indexes here (SURVEY §3.3);
+    we validate the post-image before swapping it in. Shared by the
+    single-table and multi-table (JOIN) UPDATE paths."""
     keys = []
     pk = catalog.primary_key(qualified)
     if pk:
         keys.append(("PRIMARY", pk))
     keys.extend(catalog.unique_keys(qualified))
     for key_name, kcols in keys:
-        if not set(kcols) & set(assigned):
+        if not set(kcols) & assigned:
             continue
         cand = new_df
         if key_name != "PRIMARY":
@@ -592,8 +601,6 @@ def update(spark: SparkSession, catalog: Catalog, upd: Update, current_db: str) 
         if dup:
             val = "-".join(str(dup[0][c]) for c in kcols)
             raise duplicate_entry(val, key_name)
-    _rewrite(spark, qualified, new_df)
-    return affected
 
 
 def delete(spark: SparkSession, catalog: Catalog, dele: Delete, current_db: str) -> int:

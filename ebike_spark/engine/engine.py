@@ -1385,29 +1385,197 @@ class Engine:
         df.write.insertInto(qualified, overwrite=False)
         return EngineResult("count", affected=n_src)
 
+    # FROM-clause keywords that can precede an alias token without
+    # being the aliased table (multi-table DML alias resolution)
+    _JOIN_KEYWORDS = {
+        "JOIN", "ON", "AND", "OR", "INNER", "LEFT", "RIGHT", "CROSS",
+        "OUTER", "STRAIGHT_JOIN", "USING", "WHERE", "NATURAL", "AS",
+    }
+
+    def _resolve_alias_table(self, tgt: str, frm: str) -> str:
+        """Resolve a multi-table-DML target token (alias or table name)
+        to its underlying table within a FROM clause."""
+        m = re.search(
+            rf"([\w.`\"]+)\s+(?:AS\s+)?{re.escape(tgt)}\b", frm, re.I
+        )
+        if m and unquote_ident(m.group(1)).upper() not in self._JOIN_KEYWORDS:
+            return unquote_ident(m.group(1))
+        return tgt
+
     def _update(self, sql: str) -> EngineResult:
+        fixed = self._fix_dml_scalars(
+            substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS)
+        )
+        m = re.match(
+            r"\s*UPDATE\s+([\s\S]+?)\s+SET\s+([\s\S]+?)"
+            r"(?:\s+WHERE\s+([\s\S]+?))?\s*;?\s*$",
+            fixed,
+            re.I,
+        )
+        if m and re.search(r"\bJOIN\b", m.group(1), re.I):
+            return self._update_join(m.group(1), m.group(2), m.group(3))
         try:
-            upd = parse_update(
-                self._fix_dml_scalars(
-                    substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS)
-                )
-            )
+            upd = parse_update(fixed)
         except ValueError as e:
             raise parse_error(str(e)) from e
         n = dml.update(self.spark, self.catalog, upd, self.current_db)
         return EngineResult("count", affected=n)
 
-    def _delete(self, sql: str) -> EngineResult:
-        try:
-            dele = parse_delete(
-                self._fix_dml_scalars(
-                    substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS)
+    def _update_join(self, frm: str, set_clause: str, where: str | None) -> EngineResult:
+        """Multi-table UPDATE (MySQL `UPDATE t1 JOIN t2 ON ... SET
+        t1.c = <expr over both> [WHERE ...]`): the assignments may read
+        the joined tables' columns — the classic enrich-in-place
+        statement. Supported subset: every assignment targets ONE table
+        (MySQL allows several; 1105 otherwise), no ORDER BY/LIMIT
+        (MySQL also disallows them in the multi-table form).
+
+        Set-oriented plan: one join computes (rowid, new values) for
+        every matched target row; a row matched more than once keeps
+        the smallest new-value tuple (MySQL's result there is
+        processing-order-dependent — this pins a deterministic
+        representative); the post-image lands via the same staged
+        rewrite, changed-row accounting, and key re-check as the
+        single-table path. No driver-side row loop at any join size."""
+        from functools import reduce
+        from operator import or_ as _or
+
+        from pyspark.sql import Window
+
+        from ebike_spark.engine.parser import split_top_level
+
+        assigns: list[tuple[str | None, str, str]] = []  # (alias, col, rhs)
+        for a in split_top_level(set_clause):
+            am = re.match(
+                r"\s*(?:([\w`\"]+)\s*\.\s*)?([\w`\"]+)\s*=\s*([\s\S]+)$", a
+            )
+            if not am:
+                raise parse_error(f"near UPDATE ... SET: {a!r}")
+            assigns.append(
+                (
+                    unquote_ident(am.group(1)) if am.group(1) else None,
+                    unquote_ident(am.group(2)),
+                    am.group(3).strip(),
                 )
             )
+        aliases = {a for a, _, _ in assigns if a is not None}
+        if len(aliases) > 1:
+            raise unsupported(
+                "multi-table UPDATE assigning more than one table"
+            )
+        first_tok = re.match(r"\s*([\w.`\"]+)", frm)
+        tgt = next(iter(aliases)) if aliases else (
+            unquote_ident(first_tok.group(1)) if first_tok else ""
+        )
+        base = self._resolve_alias_table(tgt, frm)
+        qualified = self.catalog.qualify(base, self.current_db)
+        self.catalog.require_table(qualified)
+        if not self.catalog.has_rowid(qualified):
+            raise unsupported(
+                "multi-table UPDATE on a table without the hidden rowid"
+            )
+        types = dict(self.catalog.column_types(qualified))
+        for _, col, _ in assigns:
+            if col not in types:
+                raise EbikeError(1054, f"Unknown column '{col}' in 'field list'")
+        self.spark.catalog.setCurrentDatabase(self.current_db)
+        val_exprs = ", ".join(
+            f"({rhs}) AS __v{i}" for i, (_, _, rhs) in enumerate(assigns)
+        )
+        sel = (
+            f"SELECT {bq(tgt)}.`{dml.ROWID}` AS __rid, {val_exprs} FROM {frm}"
+            + (f" WHERE {where}" if where else "")
+        )
+        src = self.spark.sql(self._fix_select(sel))
+        w = Window.partitionBy("__rid").orderBy(
+            *[F.col(f"__v{i}") for i in range(len(assigns))]
+        )
+        vals = (
+            src.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        t = self.spark.table(qualified)
+        joined = t.join(vals, t[dml.ROWID] == vals["__rid"], "left")
+        matched = F.col("__rid").isNotNull()
+        new_vals = {
+            col: F.col(f"__v{i}").cast(types[col])
+            for i, (_, col, _) in enumerate(assigns)
+        }
+        changed = reduce(
+            _or,
+            [~new_vals[col].eqNullSafe(F.col(col)) for col in new_vals],
+        )
+        affected = joined.where(matched & changed).count()
+        if affected == 0:
+            return EngineResult("count", affected=0)
+        out_cols = []
+        for name in t.columns:
+            if name in new_vals:
+                out_cols.append(
+                    F.when(matched, new_vals[name]).otherwise(F.col(name)).alias(name)
+                )
+            else:
+                out_cols.append(t[name].alias(name))
+        new_df = joined.select(*out_cols)
+        dml.recheck_keys_after_update(
+            self.spark, self.catalog, qualified, new_df, set(new_vals)
+        )
+        dml._rewrite(self.spark, qualified, new_df)
+        return EngineResult("count", affected=affected)
+
+    def _delete(self, sql: str) -> EngineResult:
+        fixed = self._fix_dml_scalars(
+            substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS)
+        )
+        m = re.match(
+            r"\s*DELETE\s+(?:FROM\s+)?([\w`\"]+)(?:\.\*)?\s+(?:FROM|USING)\s+"
+            r"([\s\S]+?)(?:\s+WHERE\s+([\s\S]+?))?\s*;?\s*$",
+            fixed,
+            re.I,
+        )
+        if m:
+            return self._delete_join(m.group(1), m.group(2), m.group(3))
+        try:
+            dele = parse_delete(fixed)
         except ValueError as e:
             raise parse_error(str(e)) from e
         n = dml.delete(self.spark, self.catalog, dele, self.current_db)
         return EngineResult("count", affected=n)
+
+    def _delete_join(self, tgt_tok: str, frm: str, where: str | None) -> EngineResult:
+        """Multi-table DELETE (MySQL `DELETE t1 FROM t1 JOIN t2 ON ...
+        [WHERE ...]` and the `DELETE FROM t1 USING ...` spelling): remove
+        the target's rows that participate in the join — the classic
+        purge-by-reference statement.
+
+        Set-oriented plan: one join projects the DISTINCT doomed hidden
+        rowids, then one anti-join rewrites the target — two shuffles
+        at any size, no row loop. Affected-rows = distinct target rows
+        matched, exactly MySQL's accounting (a row matched by several
+        join partners still deletes once)."""
+        tgt = unquote_ident(tgt_tok)
+        base = self._resolve_alias_table(tgt, frm)
+        qualified = self.catalog.qualify(base, self.current_db)
+        self.catalog.require_table(qualified)
+        if not self.catalog.has_rowid(qualified):
+            raise unsupported(
+                "multi-table DELETE on a table without the hidden rowid"
+            )
+        self.spark.catalog.setCurrentDatabase(self.current_db)
+        sel = f"SELECT {bq(tgt)}.`{dml.ROWID}` AS __del_rid FROM {frm}" + (
+            f" WHERE {where}" if where else ""
+        )
+        doomed = self.spark.sql(self._fix_select(sel)).distinct()
+        affected = doomed.count()
+        if affected == 0:
+            return EngineResult("count", affected=0)
+        t = self.spark.table(qualified)
+        dml._rewrite(
+            self.spark,
+            qualified,
+            t.join(doomed, t[dml.ROWID] == doomed["__del_rid"], "left_anti"),
+        )
+        return EngineResult("count", affected=affected)
 
     # ------------------------------------------------------------ UDFs
 

@@ -233,9 +233,9 @@ def ann_range_search(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _lsh_probe(spark: SparkSession, sf: str):
-    """The LSH probe pipeline: (top-{TOP_K} ids DataFrame, probed-count
-    DataFrame, total-count DataFrame) — shared by the registered verdict
-    query and the recall unit tests."""
+    """The LSH probe pipeline: (top-{TOP_K} ids DataFrame, 1-row
+    counts DataFrame with `probed`/`total`) — shared by the registered
+    verdict query and the recall unit tests."""
     planes = hyperplanes()
     qv_list = _query_vec(spark, sf)
     q_bucket = int(
@@ -254,7 +254,14 @@ def _lsh_probe(spark: SparkSession, sf: str):
         .limit(TOP_K)
         .select("vec_id")
     )
-    return topk, with_bucket.where(near), with_bucket
+    # probed/total in ONE pass over the bucketed frame (the bucket is
+    # {LSH_PLANES} HOF dot products per row — the expensive expression;
+    # two separate counts would evaluate it twice more)
+    counts = with_bucket.agg(
+        F.count("*").alias("total"),
+        F.sum(near.cast("long")).alias("probed"),
+    )
+    return topk, counts
 
 
 @register(
@@ -289,11 +296,12 @@ def ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     column precomputed/partitioned-on in the stored corpus. The only
     driver scalars are three bounded counts (k-sized hit count, probed
     count, corpus count)."""
-    topk, probed_df, all_df = _lsh_probe(spark, sf)
+    topk, counts = _lsh_probe(spark, sf)
     exact = _exact_topk_ids(spark, sf)
     hits = exact.join(topk, "vec_id", "inner").count()
     recall = hits / TOP_K
-    probed_frac = probed_df.count() / all_df.count()
+    c = counts.collect()[0]
+    probed_frac = c["probed"] / c["total"]
     return spark.createDataFrame(
         [
             (

@@ -320,3 +320,77 @@ def text_heavy_hitters_cms(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cms_est").alias("cms_estimate"),
         (F.col("cms_est") - F.col("c")).alias("overestimate"),
     )
+
+
+ZIPF_TOPK = 100
+ZIPF_Q = 10_000  # ln-value fixed-point quantum (integer OLS below)
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+      SELECT term, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term != '' GROUP BY term),
+    ranked AS (
+      SELECT CAST(ROUND(ln(ROW_NUMBER() OVER (ORDER BY c DESC, term)) * {ZIPF_Q}) AS BIGINT) AS x,
+             CAST(ROUND(ln(c) * {ZIPF_Q}) AS BIGINT) AS y
+      FROM tf ORDER BY c DESC, term LIMIT {ZIPF_TOPK}),
+    s AS (
+      SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM ranked)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(k * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(k * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(k * sxy - sx * sy AS DOUBLE) / (k * sxx - sx * sx) AS zipf_slope
+    FROM s
+    """,
+    tags=("text", "zipf", "corpus-health"),
+)
+def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf rank-frequency fit — the corpus-health scalar every corpus
+    audit quotes: OLS slope of ln(frequency) on ln(rank) over the top
+    {ZIPF_TOPK} terms (natural language sits near −1; a synthetic or
+    heavily-duplicated corpus drifts). The regression runs in exact
+    INTEGER arithmetic: ln values quantize to {ZIPF_Q}ths (fixed
+    point), then slope = (kΣxy − ΣxΣy)/(kΣxx − (Σx)²) over BIGINTs —
+    order-insensitive and bit-identical across engines, so the emitted
+    double is the same division on both sides (the repo's float-parity
+    house rule; a float OLS would drift by summation order).
+
+    Scale shape: term frequencies are one gram-keyed shuffle with
+    map-side partials (vocabulary-sized result, no vocab broadcast);
+    the top-k is TakeOrderedAndProject; the regression input is a
+    constant {ZIPF_TOPK} rows."""
+    d = load_table(spark, sf, "documents")
+    tf = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    topk = tf.orderBy(F.col("c").desc(), "term").limit(ZIPF_TOPK)
+    w = Window.orderBy(F.col("c").desc(), "term")
+    ranked = topk.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * ZIPF_Q)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * ZIPF_Q).cast("long").alias("y"),
+    )
+    s = ranked.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("k").cast("long").alias("k"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        (num.cast("double") / den).alias("zipf_slope"),
+    )

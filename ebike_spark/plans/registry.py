@@ -152,6 +152,8 @@ WINDOW_PREFIX: tuple[str, ...] = (
     # --- external budget exhausted: new round-7 additions plus the
     # remaining r3-stale rows lead the round-8 rotation ---
     "stream_lifecycle_stages",
+    "text_zipf_fit",
+    "io_zstd_roundtrip",
     "corpus_pack_sequences",
     "ann_cosine_topk",
     "ann_range_search",

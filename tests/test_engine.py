@@ -1657,3 +1657,61 @@ def test_mysqldump_preamble_compat(eng):
     with pytest.raises(EbikeError) as ei:
         eng.execute("ROLLBACK")
     assert ei.value.code == 1105
+
+
+def test_multi_table_delete_join(eng):
+    """DELETE t1 FROM t1 JOIN t2 ... and DELETE FROM t1 USING ...:
+    rows of the target that participate in the join are removed; a row
+    matched by several partners still deletes (and counts) once."""
+    eng.execute("CREATE TABLE mdel (id INT NOT NULL, grp CHAR, PRIMARY KEY (id))")
+    eng.execute("CREATE TABLE mref (grp CHAR, tag CHAR)")
+    eng.execute("INSERT INTO mdel VALUES (1, 'a'), (2, 'b'), (3, 'a'), (4, 'c')")
+    eng.execute("INSERT INTO mref VALUES ('a', 'x'), ('a', 'y'), ('b', 'x')")
+    r = eng.execute(
+        "DELETE mdel FROM mdel JOIN mref ON mdel.grp = mref.grp WHERE mref.tag = 'x'"
+    )
+    assert r.affected == 3  # ids 1,3 (grp a) + 2 (grp b); double-match counts once
+    left = sorted(x["id"] for x in eng.execute("SELECT id FROM mdel").rows())
+    assert left == [4]
+    # USING spelling, alias form (MySQL: an aliased table is named by
+    # its alias in the DELETE list)
+    eng.execute("INSERT INTO mdel VALUES (5, 'b')")
+    r = eng.execute(
+        "DELETE FROM d USING mdel AS d JOIN mref r ON d.grp = r.grp"
+    )
+    assert r.affected == 1
+    assert sorted(x["id"] for x in eng.execute("SELECT id FROM mdel").rows()) == [4]
+
+
+def test_multi_table_update_join(eng):
+    """UPDATE t1 JOIN t2 ON ... SET t1.c = <expr over both>: the
+    enrich-in-place statement; changed-row accounting and key re-check
+    match the single-table path."""
+    eng.execute("CREATE TABLE mupd (id INT NOT NULL, grp CHAR, score FLOAT, PRIMARY KEY (id))")
+    eng.execute("CREATE TABLE mdim (grp CHAR, bonus FLOAT)")
+    eng.execute("INSERT INTO mupd VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    eng.execute("INSERT INTO mdim VALUES ('a', 10.0), ('b', 20.0)")
+    r = eng.execute(
+        "UPDATE mupd u JOIN mdim d ON u.grp = d.grp SET u.score = u.score + d.bonus"
+    )
+    assert r.affected == 2  # id 3 has no join partner
+    got = {x["id"]: x["score"] for x in eng.execute("SELECT id, score FROM mupd").rows()}
+    assert got == {1: 11.0, 2: 22.0, 3: 3.0}
+    # no-op assignment counts zero changed rows (MySQL accounting)
+    r = eng.execute(
+        "UPDATE mupd u JOIN mdim d ON u.grp = d.grp SET u.score = u.score + 0"
+    )
+    assert r.affected == 0
+    # multi-match rows pin a deterministic representative
+    eng.execute("INSERT INTO mdim VALUES ('a', 5.0)")
+    r = eng.execute(
+        "UPDATE mupd u JOIN mdim d ON u.grp = d.grp SET u.score = d.bonus"
+    )
+    got = {x["id"]: x["score"] for x in eng.execute("SELECT id, score FROM mupd").rows()}
+    assert got[1] == 5.0  # smallest new-value tuple wins, documented
+    # key-column assignment through the JOIN form still re-checks (1062)
+    eng.execute("CREATE TABLE mkey (id INT NOT NULL, grp CHAR, PRIMARY KEY (id))")
+    eng.execute("INSERT INTO mkey VALUES (1, 'a'), (2, 'a')")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("UPDATE mkey k JOIN mdim d ON k.grp = d.grp SET k.id = 9")
+    assert ei.value.code == 1062

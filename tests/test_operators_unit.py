@@ -70,10 +70,11 @@ def test_lsh_ann_recall_beats_random(spark):
 
     _load_all()
     exact = [r["vec_id"] for r in _exact_topk_ids(spark, SF_DIR).collect()]
-    topk, probed_df, all_df = _lsh_probe(spark, SF_DIR)
+    topk, counts = _lsh_probe(spark, SF_DIR)
     approx = [r["vec_id"] for r in topk.collect()]
     recall = len(set(exact) & set(approx)) / len(exact)
-    probed_fraction = probed_df.count() / all_df.count()
+    c = counts.collect()[0]
+    probed_fraction = c["probed"] / c["total"]
     assert probed_fraction < 0.5, "probing most of the corpus isn't ANN"
     assert recall > probed_fraction, (recall, probed_fraction)
     assert recall > 0

@@ -133,3 +133,30 @@ def test_hostile_session_is_normalized(spark, oracle):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_io_zstd_codec_lands_in_footers(spark):
+    """io_zstd_roundtrip's content check can't see the codec — assert
+    via the parquet footers that zstd actually landed (a silent
+    fallback to snappy would still round-trip)."""
+    import glob
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from ebike_spark.sources.io import _events_flat
+    from tests.conftest import SF_DIR
+
+    path = os.path.join(tempfile.gettempdir(), f"zstdchk_{uuid.uuid4().hex[:8]}")
+    _events_flat(spark, SF_DIR).write.option("compression", "zstd").parquet(path)
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert files
+    md = pq.ParquetFile(files[0]).metadata
+    codecs = {
+        md.row_group(g).column(c).compression
+        for g in range(md.num_row_groups)
+        for c in range(md.row_group(g).num_columns)
+    }
+    assert codecs == {"ZSTD"}, codecs
