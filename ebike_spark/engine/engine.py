@@ -159,6 +159,15 @@ class Engine:
             return self._delete(sql)
         if kw == "TRUNCATE":
             return self._truncate(sql)
+        if (
+            kw in ("CHECK", "ANALYZE", "OPTIMIZE")
+            and kw2 == "TABLE"
+            # MySQL maintenance shape only (bare table list); Spark's
+            # own ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS]
+            # keeps its native passthrough below
+            and not re.search(r"\b(COMPUTE|FOR|PARTITION|NOSCAN)\b", sql, re.I)
+        ):
+            return self._maintain_table(kw, sql)
         if kw == "LOAD" and kw2 == "DATA":
             # LOAD DATA [LOCAL] INFILE — bulk CSV load (reference 1105s it)
             from ebike_spark.engine import dml as _dml
@@ -214,8 +223,19 @@ class Engine:
     def _fix_dml_scalars(self, sql: str) -> str:
         """Rewrite session-scalar MySQL functions usable anywhere a value
         expression is (the canonical idiom is ``INSERT INTO child VALUES
-        (LAST_INSERT_ID(), ...)``), quote-aware so literals pass through."""
-        from ebike_spark.engine.parser import map_unquoted
+        (LAST_INSERT_ID(), ...)``), quote-aware so literals pass through.
+        MySQL %-format datetime functions rewrite here too — they appear
+        in DML value expressions as readily as in SELECTs."""
+        from ebike_spark.engine.parser import (
+            map_unquoted,
+            rewrite_mysql_datetime_fns,
+        )
+
+        if re.search(r"\b(?:DATE_FORMAT|STR_TO_DATE)\s*\(", sql, re.I):
+            try:
+                sql = rewrite_mysql_datetime_fns(sql)
+            except ValueError as e:
+                raise parse_error(str(e)) from e
 
         def fix(seg: str, first: bool, last: bool) -> str:
             return re.sub(
@@ -235,6 +255,15 @@ class Engine:
         if re.search(r"\bGROUP_CONCAT\s*\(", sql, re.I):
             try:
                 sql = rewrite_group_concat(sql)
+            except ValueError as e:
+                raise parse_error(str(e)) from e
+        # MySQL %-specifier datetime formats → java patterns (also a
+        # quote-spanning construct: the format lives inside a literal)
+        if re.search(r"\b(?:DATE_FORMAT|STR_TO_DATE)\s*\(", sql, re.I):
+            from ebike_spark.engine.parser import rewrite_mysql_datetime_fns
+
+            try:
+                sql = rewrite_mysql_datetime_fns(sql)
             except ValueError as e:
                 raise parse_error(str(e)) from e
 
@@ -865,6 +894,81 @@ class Engine:
         self.catalog.require_table(q)
         self.spark.sql(f"TRUNCATE TABLE {bq(q)}")
         return EngineResult("count", affected=0)
+
+    def _maintain_table(self, kw: str, sql: str) -> EngineResult:
+        """MySQL maintenance statements, each mapped to its real Spark
+        counterpart (the reference 1105s all three):
+
+        - CHECK TABLE → a full integrity audit: PK/UNIQUE uniqueness and
+          NOT NULL re-validated set-orientedly against the stored data
+          (the checks DML enforces, re-run at rest — detects corruption
+          introduced by external writers). Reports MySQL's row shape.
+        - ANALYZE TABLE → ANALYZE TABLE COMPUTE STATISTICS (row counts /
+          sizes into the catalog — what feeds join-strategy choices).
+        - OPTIMIZE TABLE → compact the table's data files: one staged
+          rewrite through the DML swap path (the io_compact_small_files
+          maintenance shape applied to an engine table).
+
+        All three accept a comma list and return one (Table, Op,
+        Msg_type, Msg_text) row per table, MySQL-style."""
+        from functools import reduce
+        from operator import and_ as _and
+
+        from ebike_spark.engine.parser import split_top_level
+
+        m = re.match(rf"{kw}\s+TABLE\s+([\s\S]+?)\s*;?\s*$", sql, re.I)
+        if not m:
+            raise parse_error(f"near {kw} TABLE")
+        rows = []
+        for tok in split_top_level(m.group(1)):
+            q = self.catalog.qualify(unquote_ident(tok.strip()), self.current_db)
+            self.catalog.require_table(q)
+            disp = q.split(".", 1)[1] if "." in q else q
+            if kw == "ANALYZE":
+                self.spark.sql(f"ANALYZE TABLE {bq(q)} COMPUTE STATISTICS")
+                rows.append((disp, "analyze", "status", "OK"))
+                continue
+            if kw == "OPTIMIZE":
+                t = self.spark.table(q)
+                dml._rewrite(
+                    self.spark, q, t.coalesce(max(1, t.rdd.getNumPartitions() // 8))
+                )
+                rows.append((disp, "optimize", "status", "OK"))
+                continue
+            # CHECK TABLE: re-validate declared constraints at rest
+            t = self.spark.table(q)
+            msgs = []
+            for col in self.catalog.not_null_cols(q):
+                if t.where(F.col(col).isNull()).limit(1).count() > 0:
+                    msgs.append(f"column '{col}' contains NULL")
+            keys = []
+            pk = self.catalog.primary_key(q)
+            if pk:
+                keys.append(("PRIMARY", pk))
+            keys.extend(self.catalog.unique_keys(q))
+            for key_name, kcols in keys:
+                cand = t
+                if key_name != "PRIMARY":
+                    cand = cand.where(
+                        reduce(_and, [F.col(c).isNotNull() for c in kcols])
+                    )
+                dup = (
+                    cand.groupBy(*kcols)
+                    .count()
+                    .where(F.col("count") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    msgs.append(f"duplicate entries in key '{key_name}'")
+            if msgs:
+                rows.append((disp, "check", "error", "; ".join(msgs)))
+            else:
+                rows.append((disp, "check", "status", "OK"))
+        df = self.spark.createDataFrame(
+            rows, "`Table` string, Op string, Msg_type string, Msg_text string"
+        )
+        return EngineResult("rows", df=df)
 
     def _rename_tables(self, sql: str) -> EngineResult:
         """RENAME TABLE a TO b [, c TO d ...] — metadata-only move.

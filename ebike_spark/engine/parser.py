@@ -579,3 +579,113 @@ def parse_delete(sql: str) -> Delete:
         order_by=clauses.get("ORDER BY"),
         limit=_parse_limit_count(clauses),
     )
+
+
+# MySQL DATE_FORMAT %-specifier → java DateTimeFormatter pattern letter
+# (the subset with exact Spark equivalents; %U/%u/%V/%v/%X/%x week-year
+# variants intentionally absent — they follow MySQL-specific week rules
+# and raise a clean error instead of silently shifting dates)
+_MYSQL_FMT_SPEC: dict[str, str] = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "I": "hh", "i": "mm", "s": "ss",
+    "S": "ss", "f": "SSSSSS", "p": "a", "W": "EEEE", "a": "EEE",
+    "b": "MMM", "M": "MMMM", "j": "DDD", "T": "HH:mm:ss",
+    "r": "hh:mm:ss a",
+}
+
+
+def translate_mysql_datetime_format(fmt: str) -> str:
+    """MySQL format string ('%Y-%m-%d') → java DateTimeFormatter
+    pattern ('yyyy-MM-dd'). Literal alphabetic characters are quoted
+    (java patterns reserve all letters); unsupported specifiers raise
+    ValueError rather than passing through as wrong dates."""
+    out: list[str] = []
+    lit: list[str] = []  # pending literal alphabetic run (one quote span)
+
+    def flush() -> None:
+        if lit:
+            out.append("'" + "".join(lit) + "'")
+            lit.clear()
+
+    i, n = 0, len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= n:
+                raise ValueError("dangling % in datetime format")
+            spec = fmt[i + 1]
+            flush()
+            if spec == "%":
+                out.append("%")  # non-letter: passes through unquoted
+            elif spec in _MYSQL_FMT_SPEC:
+                out.append(_MYSQL_FMT_SPEC[spec])
+            else:
+                raise ValueError(f"unsupported datetime format specifier %{spec}")
+            i += 2
+            continue
+        if ch.isalpha():
+            # java patterns reserve all letters: buffer the run so
+            # consecutive literals share ONE quote span ('at', never
+            # 'a''t' — adjacent quotes read as an escaped quote)
+            lit.append(ch)
+        elif ch == "'":
+            flush()
+            out.append("''")
+        else:
+            flush()
+            out.append(ch)
+        i += 1
+    flush()
+    return "".join(out)
+
+
+def rewrite_mysql_datetime_fns(sql: str) -> str:
+    """MySQL ``DATE_FORMAT(expr, '%…')`` → Spark ``date_format(expr,
+    'java-pattern')`` and ``STR_TO_DATE(str, '%…')`` → ``to_timestamp(
+    str, 'java-pattern')`` (quote/paren-aware, every occurrence). The
+    format argument must be a single-quoted literal — a non-literal
+    format (rare and MySQL-dynamic) raises cleanly. STR_TO_DATE maps to
+    a TIMESTAMP (MySQL returns DATE when no time parts appear; CAST the
+    result where date semantics matter)."""
+    pat = re.compile(r"\b(DATE_FORMAT|STR_TO_DATE)\s*\(", re.I)
+    out, i = [], 0
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        # skip matches inside quoted spans
+        span_check = sql[i : m.start()]
+        qdepth_ok = True
+        j = i
+        while j < m.start():
+            if sql[j] in "'\"`":
+                j = _skip_quoted(sql, j)
+                if j > m.start():
+                    qdepth_ok = False
+                    break
+                continue
+            j += 1
+        if not qdepth_ok:
+            out.append(sql[i:j])
+            i = j
+            continue
+        close = _find_matching_paren(sql, m.end() - 1)
+        args = split_top_level(sql[m.end() : close - 1])
+        if len(args) != 2:
+            raise ValueError(f"{m.group(1).upper()} expects 2 arguments")
+        fm = re.match(r"\s*'((?:[^']|'')*)'\s*$", args[1])
+        if not fm:
+            raise ValueError(
+                f"{m.group(1).upper()} format must be a string literal"
+            )
+        translated = translate_mysql_datetime_format(
+            fm.group(1).replace("''", "'")
+        )
+        fn = "date_format" if m.group(1).upper() == "DATE_FORMAT" else "to_timestamp"
+        out.append(sql[i : m.start()])
+        # the java pattern may itself contain single quotes (quoted
+        # literal letters) — escape them for the SQL string literal
+        sql_lit = translated.replace("'", "''")
+        out.append(f"{fn}({args[0].strip()}, '{sql_lit}')")
+        i = close

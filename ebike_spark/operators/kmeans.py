@@ -230,8 +230,22 @@ def embed_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "embed_kmeans_converged",
-    oracle=None,  # iterative-until-stable: not SQL-expressible; unit-tested
-    tags=("embeddings", "clustering", "iterative"),
+    # Verdict shape (round 7 — was the repo's last rows-only query):
+    # the converged centroids aren't SQL-expressible, but their
+    # INVARIANTS are — the assignment is a partition of the corpus
+    # (cluster sizes sum to the exact vector count: a dropped or
+    # double-assigned vector breaks it), the loop reached a fixed
+    # point/2-cycle before the 25-iteration ceiling, and k cluster
+    # rows exist. The oracle emits the same exact count and constant
+    # TRUEs; per-cluster stats under fixed centroids stay fully
+    # oracled in embed_kmeans_lloyd.
+    oracle=f"""
+    SELECT CAST({K} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           TRUE AS converged
+    FROM embeddings
+    """,
+    tags=("embeddings", "clustering", "iterative", "verdict"),
 )
 def embed_kmeans_converged(spark: SparkSession, sf: str) -> DataFrame:
     """Lloyd's iterated to a fixed point: stop when the integer
@@ -239,16 +253,31 @@ def embed_kmeans_converged(spark: SparkSession, sf: str) -> DataFrame:
     short limit cycles possible — a fixed point in the reals can round
     to two alternating integer lattices), or at 25 iterations. Exact
     cycle detection is possible ONLY because the update is integer
-    arithmetic — float centroids never bit-repeat. Emits the final
-    per-cluster stats plus the iteration count on every row."""
+    arithmetic — float centroids never bit-repeat. Emits one
+    bounds-checked verdict row (see the oracle note)."""
+    stats, _, converged = converged_cluster_stats(spark, sf)
+    return stats.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_members").cast("long").alias("n_assigned"),
+        F.lit(converged).alias("converged"),
+    )
+
+
+def converged_cluster_stats(spark: SparkSession, sf: str):
+    """Run Lloyd's to its fixed point / 2-cycle / 25-iter cap and return
+    (per-cluster stats DataFrame, n_iter, converged) — the full-detail
+    surface the unit tests assert on (WSS monotonicity, partition
+    completeness); the registered query reduces it to the verdict row."""
     xq = _quantized(spark, sf)
     cents = _seed_centroids(spark, sf)
     prev: list[tuple[int, list[int]]] | None = None
     n_iter = 0
+    converged = False
     for _ in range(25):
         _, nxt = _iterate(spark, xq, cents)
         n_iter += 1
         if nxt == cents or nxt == prev:
+            converged = True
             break
         prev, cents = cents, nxt
-    return _cluster_stats(xq, cents, spark).withColumn("n_iter", F.lit(n_iter))
+    return _cluster_stats(xq, cents, spark), n_iter, converged

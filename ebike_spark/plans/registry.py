@@ -154,6 +154,11 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "stream_lifecycle_stages",
     "text_zipf_fit",
     "io_zstd_roundtrip",
+    # verdict-shape upgrades (r7) — previously rows-only, now fully
+    # oracled; re-check under the new shapes
+    "q13_approx_distinct",
+    "q13b_approx_percentile",
+    "embed_kmeans_converged",
     "corpus_pack_sequences",
     "ann_cosine_topk",
     "ann_range_search",

@@ -389,31 +389,83 @@ def q13_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q13_approx_distinct",
-    oracle=None,  # HLL estimates differ across engines by design → rows-only check
-    tags=("aggregate", "approx"),
+    # Verdict shape (the ev_active_users_hll / ANN discipline, round 7 —
+    # was rows-only): the HLL++ ESTIMATE is engine-specific, so the
+    # externally checked output is the exact distinct count plus a
+    # boolean asserting the estimate landed within ±5% (default
+    # rsd=0.05; measured r7 deviation 2.4-2.7% at all three fixture
+    # SFs — deterministic, the sketch has no randomness at fixed data).
+    # The oracle is trivially exact. In the 100 TB production shape the
+    # exact branch is dropped and the estimate stands alone.
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS est_within_5pct
+    FROM lineitem
+    """,
+    tags=("aggregate", "approx", "verdict"),
 )
 def q13_approx(spark: SparkSession, sf: str) -> DataFrame:
-    """approx_count_distinct (HLL++). Sketches merge associatively →
-    constant memory per partition at any scale; estimate is engine-
-    specific so no value oracle."""
+    """approx_count_distinct (HLL++) with a bounds-checked verdict.
+    Sketches merge associatively → constant memory per partition at any
+    scale; the exact audit twin exists for external checkability and is
+    what a pipeline drops first at scale."""
     li = _t(spark, sf, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    r = li.agg(
+        F.approx_count_distinct("l_partkey").alias("a"),
+        F.count_distinct("l_partkey").alias("e"),
+    )
+    return r.select(
+        F.col("e").cast("long").alias("exact_parts"),
+        (F.abs(F.col("a") - F.col("e")) <= 0.05 * F.col("e")).alias(
+            "est_within_5pct"
+        ),
+    )
 
 
 @register(
     "q13b_approx_percentile",
-    oracle=None,  # sketch quantiles are engine-specific → rows-only;
-    # exact percentiles are oracle-checked in fn_agg_extras
-    tags=("aggregate", "approx"),
+    # Verdict shape (round 7 — was rows-only): sketch quantiles are
+    # engine-specific, so the checked output is the exact interpolated
+    # percentiles (quantile_cont parity proven by fn_agg_extras) plus
+    # one boolean per group asserting every approx quantile is within
+    # ±1% of its exact twin (accuracy=10000 measured ≤0.1% at all
+    # three fixture SFs).
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.5)  AS DOUBLE), 4) AS p50_exact,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.9)  AS DOUBLE), 4) AS p90_exact,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 4) AS p99_exact,
+           TRUE AS approx_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "approx", "verdict"),
 )
 def q13b_approx_pct(spark: SparkSession, sf: str) -> DataFrame:
-    """approx_percentile (DF6 parity: approx_percentile_cont) — the
-    mergeable-sketch quantile for high-cardinality groups where the
-    exact per-group sort (fn_agg_extras) stops being affordable."""
+    """approx_percentile (DF6 parity: approx_percentile_cont) with a
+    bounds-checked verdict — the mergeable-sketch quantile for
+    high-cardinality groups where the exact per-group sort
+    (fn_agg_extras) stops being affordable. The exact branch is the
+    test-scale audit twin."""
     li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
-    ).select("l_returnflag", F.col("pcts")[0].alias("p50"), F.col("pcts")[1].alias("p90"), F.col("pcts")[2].alias("p99"))
+    r = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("ap"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))"
+        ).alias("ex"),
+    )
+    within = F.forall(
+        F.zip_with(
+            "ap", "ex", lambda a, e: F.abs(a - e) <= 0.01 * F.abs(e)
+        ),
+        lambda x: x,
+    )
+    return r.select(
+        "l_returnflag",
+        F.round(F.col("ex")[0], 4).alias("p50_exact"),
+        F.round(F.col("ex")[1], 4).alias("p90_exact"),
+        F.round(F.col("ex")[2], 4).alias("p99_exact"),
+        within.alias("approx_within_1pct"),
+    )
 
 
 Q23_BRAND = "Brand#4"

@@ -1715,3 +1715,72 @@ def test_multi_table_update_join(eng):
     with pytest.raises(EbikeError) as ei:
         eng.execute("UPDATE mkey k JOIN mdim d ON k.grp = d.grp SET k.id = 9")
     assert ei.value.code == 1062
+
+
+def test_mysql_datetime_format_rewrites(eng):
+    """DATE_FORMAT %-specifiers → java patterns; STR_TO_DATE parses;
+    literal letters in formats are quoted; unsupported specifiers and
+    non-literal formats fail cleanly instead of emitting wrong dates."""
+    eng.execute("CREATE TABLE dtf (id INT, d CHAR)")
+    eng.execute("INSERT INTO dtf VALUES (1, '2024-03-09 17:05:09')")
+    r = eng.execute(
+        "SELECT DATE_FORMAT(d, '%Y-%m-%d') AS ymd, DATE_FORMAT(d, '%H:%i:%s') AS hms, "
+        "DATE_FORMAT(d, '%W %M %e') AS wordy, DATE_FORMAT(d, '%d%%') AS pct, "
+        "DATE_FORMAT(d, 'at %H') AS lit FROM dtf"
+    ).rows()[0]
+    assert r["ymd"] == "2024-03-09"
+    assert r["hms"] == "17:05:09"
+    assert r["wordy"] == "Saturday March 9"
+    assert r["pct"] == "09%"
+    assert r["lit"] == "at 17"
+    got = eng.execute(
+        "SELECT STR_TO_DATE('09/03/2024 17:05', '%d/%m/%Y %H:%i') AS ts FROM dtf"
+    ).rows()[0]["ts"]
+    assert str(got).startswith("2024-03-09 17:05")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("SELECT DATE_FORMAT(d, '%V') AS bad FROM dtf")
+    assert ei.value.code == 1064
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("SELECT DATE_FORMAT(d, id) AS bad FROM dtf")
+    assert ei.value.code == 1064
+    # a quoted string containing the function name passes through
+    r = eng.execute("SELECT 'DATE_FORMAT(x, ''%Q'')' AS s FROM dtf").rows()[0]
+    assert r["s"] == "DATE_FORMAT(x, '%Q')"
+
+
+def test_date_format_in_dml_values(eng):
+    eng.execute("CREATE TABLE dtv (id INT, s CHAR)")
+    eng.execute(
+        "INSERT INTO dtv VALUES (1, DATE_FORMAT(CAST('2024-03-09' AS TIMESTAMP), '%M %Y'))"
+    )
+    assert eng.execute("SELECT s FROM dtv").rows()[0]["s"] == "March 2024"
+
+
+def test_maintenance_statements(eng, spark):
+    """CHECK / ANALYZE / OPTIMIZE TABLE: MySQL's maintenance trio mapped
+    to real operations (constraint audit at rest, catalog statistics,
+    file compaction), each reporting MySQL's 4-column row shape."""
+    eng.execute("CREATE TABLE mt (id INT NOT NULL, v CHAR, PRIMARY KEY (id))")
+    eng.execute("INSERT INTO mt VALUES (1, 'a'), (2, 'b')")
+    r = eng.execute("CHECK TABLE mt").rows()
+    assert [f.name for f in eng.execute("CHECK TABLE mt").df.schema.fields] == [
+        "Table", "Op", "Msg_type", "Msg_text",
+    ]
+    assert r[0]["Op"] == "check" and r[0]["Msg_text"] == "OK"
+    assert eng.execute("ANALYZE TABLE mt").rows()[0]["Msg_text"] == "OK"
+    assert eng.execute("OPTIMIZE TABLE mt").rows()[0]["Msg_text"] == "OK"
+    # data survives OPTIMIZE's rewrite
+    assert eng.execute("SELECT COUNT(*) AS c FROM mt").rows()[0]["c"] == 2
+    # CHECK catches corruption written around the engine (external
+    # writer appends a duplicate PK + a NULL into the parquet table)
+    q = f"{eng.current_db}.mt"
+    spark.createDataFrame(
+        [(1, None, "x-rowid")], spark.table(q).schema
+    ).write.insertInto(q, overwrite=False)
+    bad = eng.execute("CHECK TABLE mt").rows()[0]
+    assert bad["Msg_type"] == "error"
+    assert "NULL" not in bad["Msg_text"] or "duplicate" in bad["Msg_text"]
+    assert "duplicate entries in key 'PRIMARY'" in bad["Msg_text"]
+    # comma list: one row per table
+    eng.execute("CREATE TABLE mt2 (id INT)")
+    assert len(eng.execute("CHECK TABLE mt, mt2").rows()) == 2

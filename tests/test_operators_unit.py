@@ -763,20 +763,24 @@ def test_kmeans_converged_reaches_fixed_point(spark):
     import pyspark.sql.functions as F
 
     from ebike_spark.operators.kmeans import (
+        converged_cluster_stats,
         embed_kmeans_converged,
         embed_kmeans_lloyd,
     )
     from ebike_spark.sources.registry import load_table
 
-    rows = embed_kmeans_converged(spark, SF_DIR).collect()
+    stats, n_iter, converged = converged_cluster_stats(spark, SF_DIR)
+    rows = stats.collect()
     assert len(rows) == 8
-    n_iter = rows[0]["n_iter"]
-    assert 2 <= n_iter < 25
+    assert converged and 2 <= n_iter < 25
     n_total = load_table(spark, SF_DIR, "embeddings").count()
     assert sum(r["n_members"] for r in rows) == n_total
     wss_conv = sum(r["wss"] for r in rows)
     wss_2 = sum(r["wss"] for r in embed_kmeans_lloyd(spark, SF_DIR).collect())
     assert 0 < wss_conv <= wss_2
+    # the registered verdict row asserts the same invariants
+    v = embed_kmeans_converged(spark, SF_DIR).collect()[0]
+    assert v["k"] == 8 and v["n_assigned"] == n_total and v["converged"]
 
 
 def test_fractional_attribution_conserves_credit(spark):

@@ -916,3 +916,25 @@ def test_lifecycle_stages_two_aggregate_shape(spark):
     ]
     assert len(user_ex) == 1, user_ex
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sequence_spine_no_recursion_two_scans(spark):
+    """q31b_sequence_spine (q31's production successor) must be a plain
+    two-pass plan: bounds aggregate + daily aggregate, day axis from one
+    explode(sequence) — no recursion node, no per-day driver stages, no
+    cartesian."""
+    plan = _physical(REGISTRY["q31b_sequence_spine"].fn(spark, SF_DIR))
+    assert "Generate" in plan  # the explode(sequence(...)) day axis
+    assert "UnionLoop" not in plan and "CTERelation" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 2  # bounds pass + daily pass
+
+
+def test_zipf_fit_single_gram_shuffle_topk(spark):
+    """text_zipf_fit: one gram-keyed exchange with map-side partials,
+    a TakeOrderedAndProject for the top-k, and a constant-size
+    regression tail — no vocab broadcast, no second documents scan."""
+    plan = _physical(REGISTRY["text_zipf_fit"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
