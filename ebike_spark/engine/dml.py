@@ -576,6 +576,32 @@ def update(spark: SparkSession, catalog: Catalog, upd: Update, current_db: str) 
     return affected
 
 
+def declared_keys(catalog: Catalog, qualified: str) -> list[tuple[str, list[str]]]:
+    """The table's PRIMARY + UNIQUE key list in check order — the one
+    definition every duplicate probe shares."""
+    keys: list[tuple[str, list[str]]] = []
+    pk = catalog.primary_key(qualified)
+    if pk:
+        keys.append(("PRIMARY", pk))
+    keys.extend(catalog.unique_keys(qualified))
+    return keys
+
+
+def duplicate_key_probe(df, keys):
+    """Yield (key_name, duplicated_row) for each key with at least one
+    duplicated tuple in ``df``. Non-PRIMARY keys get MySQL's NULL
+    exemption (any number of NULLs in a unique index). ONE definition
+    of 'duplicate' shared by the UPDATE post-image re-check and
+    CHECK TABLE — so a semantics fix lands in both."""
+    for key_name, kcols in keys:
+        cand = df
+        if key_name != "PRIMARY":
+            cand = cand.where(reduce(and_, [F.col(c).isNotNull() for c in kcols]))
+        dup = cand.groupBy(*kcols).count().where(F.col("count") > 1).limit(1).collect()
+        if dup:
+            yield key_name, dup[0]
+
+
 def recheck_keys_after_update(
     spark: SparkSession, catalog: Catalog, qualified: str, new_df, assigned: set[str]
 ) -> None:
@@ -583,24 +609,15 @@ def recheck_keys_after_update(
     the reference silently corrupts its indexes here (SURVEY §3.3);
     we validate the post-image before swapping it in. Shared by the
     single-table and multi-table (JOIN) UPDATE paths."""
-    keys = []
-    pk = catalog.primary_key(qualified)
-    if pk:
-        keys.append(("PRIMARY", pk))
-    keys.extend(catalog.unique_keys(qualified))
-    for key_name, kcols in keys:
-        if not set(kcols) & assigned:
-            continue
-        cand = new_df
-        if key_name != "PRIMARY":
-            # same NULL exemption as _check_constraints/_upsert: MySQL
-            # allows any number of NULLs in a non-PRIMARY unique index,
-            # so UPDATE t SET u = NULL over many rows is not a 1062
-            cand = cand.where(reduce(and_, [F.col(c).isNotNull() for c in kcols]))
-        dup = cand.groupBy(*kcols).count().where(F.col("count") > 1).limit(1).collect()
-        if dup:
-            val = "-".join(str(dup[0][c]) for c in kcols)
-            raise duplicate_entry(val, key_name)
+    keys = [
+        (name, kcols)
+        for name, kcols in declared_keys(catalog, qualified)
+        if set(kcols) & assigned
+    ]
+    for key_name, dup in duplicate_key_probe(new_df, keys):
+        kcols = dict(keys)[key_name]
+        val = "-".join(str(dup[c]) for c in kcols)
+        raise duplicate_entry(val, key_name)
 
 
 def delete(spark: SparkSession, catalog: Catalog, dele: Delete, current_db: str) -> int:
@@ -700,8 +717,10 @@ def load_data(
     Scale shape: the file streams through Spark's distributed csv
     reader straight into the constraint checks — no driver-side row
     loop (REPLACE resolves intra-file conflicts via distributed
-    row_number windows, see _replace); a directory or glob of files
-    parallelizes for free."""
+    row_number windows, see _replace); in unrestricted mode a DIRECTORY
+    of files parallelizes for free (under a secure_file_priv fence only
+    regular files load — per-entry symlinks inside a directory could
+    escape the fence)."""
     import os as _os
     import re as _re
 
@@ -722,7 +741,16 @@ def load_data(
     if priv_dir:
         allowed = _os.path.realpath(priv_dir)
         real = _os.path.realpath(path)
-        if not (real == allowed or real.startswith(allowed.rstrip(_os.sep) + _os.sep)):
+        # MySQL-faithful under the fence: the path must be a REGULAR
+        # FILE inside the directory after symlink resolution. A
+        # directory is rejected here even if it sits inside the fence —
+        # its entries could be symlinks escaping it, and Spark's reader
+        # follows them per-file (the directory-of-files convenience is
+        # an unrestricted-mode extension only).
+        if not (
+            (real == allowed or real.startswith(allowed.rstrip(_os.sep) + _os.sep))
+            and _os.path.isfile(real)
+        ):
             raise EbikeError(
                 1290,
                 "The ebike-spark server is running with the "

@@ -247,7 +247,12 @@ class Engine:
 
         return map_unquoted(sql, fix)
 
-    def _fix_select(self, sql: str) -> str:
+    def _fix_select(self, sql: str, datetime_fns: bool = True) -> str:
+        """``datetime_fns=False`` is for callers whose text already went
+        through _fix_dml_scalars: the %-format rewrite is NOT idempotent
+        (a second pass re-reads the emitted java pattern as MySQL
+        %-format — 'yyyy-MM' would re-quote, 'dd%' would raise a
+        spurious dangling-%), so it must run exactly once per text."""
         sql = substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS)
         # MySQL GROUP_CONCAT → Spark listagg (quote/paren-aware pass —
         # the construct spans quoted separators, so it can't run inside
@@ -259,7 +264,9 @@ class Engine:
                 raise parse_error(str(e)) from e
         # MySQL %-specifier datetime formats → java patterns (also a
         # quote-spanning construct: the format lives inside a literal)
-        if re.search(r"\b(?:DATE_FORMAT|STR_TO_DATE)\s*\(", sql, re.I):
+        if datetime_fns and re.search(
+            r"\b(?:DATE_FORMAT|STR_TO_DATE)\s*\(", sql, re.I
+        ):
             from ebike_spark.engine.parser import rewrite_mysql_datetime_fns
 
             try:
@@ -911,9 +918,6 @@ class Engine:
 
         All three accept a comma list and return one (Table, Op,
         Msg_type, Msg_text) row per table, MySQL-style."""
-        from functools import reduce
-        from operator import and_ as _and
-
         from ebike_spark.engine.parser import split_top_level
 
         m = re.match(rf"{kw}\s+TABLE\s+([\s\S]+?)\s*;?\s*$", sql, re.I)
@@ -936,31 +940,17 @@ class Engine:
                 rows.append((disp, "optimize", "status", "OK"))
                 continue
             # CHECK TABLE: re-validate declared constraints at rest
+            # through the SAME probe the UPDATE post-image re-check
+            # uses (dml.duplicate_key_probe — one 'duplicate' semantics)
             t = self.spark.table(q)
             msgs = []
             for col in self.catalog.not_null_cols(q):
                 if t.where(F.col(col).isNull()).limit(1).count() > 0:
                     msgs.append(f"column '{col}' contains NULL")
-            keys = []
-            pk = self.catalog.primary_key(q)
-            if pk:
-                keys.append(("PRIMARY", pk))
-            keys.extend(self.catalog.unique_keys(q))
-            for key_name, kcols in keys:
-                cand = t
-                if key_name != "PRIMARY":
-                    cand = cand.where(
-                        reduce(_and, [F.col(c).isNotNull() for c in kcols])
-                    )
-                dup = (
-                    cand.groupBy(*kcols)
-                    .count()
-                    .where(F.col("count") > 1)
-                    .limit(1)
-                    .count()
-                )
-                if dup:
-                    msgs.append(f"duplicate entries in key '{key_name}'")
+            for key_name, _dup in dml.duplicate_key_probe(
+                t, dml.declared_keys(self.catalog, q)
+            ):
+                msgs.append(f"duplicate entries in key '{key_name}'")
             if msgs:
                 rows.append((disp, "check", "error", "; ".join(msgs)))
             else:
@@ -1439,7 +1429,9 @@ class Engine:
 
         # hidden rowids of SOURCE tables never travel (SELECT * from a
         # rowid table must behave as if the column didn't exist)
-        src = self._drop_hidden_rowid(self.spark.sql(self._fix_select(select_sql)))
+        src = self._drop_hidden_rowid(
+            self.spark.sql(self._fix_select(select_sql, datetime_fns=False))
+        )
         cols = self.catalog.column_types(qualified)
         types = dict(cols)
         listed = (
@@ -1510,14 +1502,29 @@ class Engine:
         fixed = self._fix_dml_scalars(
             substitute_vars(sql, self.sys_vars, self.user_vars, GLOBAL_VARS)
         )
-        m = re.match(
-            r"\s*UPDATE\s+([\s\S]+?)\s+SET\s+([\s\S]+?)"
-            r"(?:\s+WHERE\s+([\s\S]+?))?\s*;?\s*$",
-            fixed,
-            re.I,
+        # Multi-table form detection must be quote/paren-aware: a SET /
+        # JOIN / WHERE inside a string literal or subquery must not
+        # split the statement (find_top_level_keywords skips both).
+        from ebike_spark.engine.parser import (
+            find_top_level_keywords,
+            split_tail_clauses,
         )
-        if m and re.search(r"\bJOIN\b", m.group(1), re.I):
-            return self._update_join(m.group(1), m.group(2), m.group(3))
+
+        body_m = re.match(r"\s*UPDATE\s+([\s\S]+?)\s*;?\s*$", fixed, re.I)
+        if body_m:
+            body = body_m.group(1)
+            set_spans = find_top_level_keywords(body, ("SET",))
+            if set_spans:
+                frm = body[: set_spans[0][1]].strip()
+                if find_top_level_keywords(frm, ("JOIN",)):
+                    tail = body[set_spans[0][2] :]
+                    try:
+                        set_clause, clauses = split_tail_clauses(tail, ("WHERE",))
+                    except ValueError as e:
+                        raise parse_error(str(e)) from e
+                    return self._update_join(
+                        frm, set_clause, clauses.get("WHERE")
+                    )
         try:
             upd = parse_update(fixed)
         except ValueError as e:
@@ -1589,7 +1596,7 @@ class Engine:
             f"SELECT {bq(tgt)}.`{dml.ROWID}` AS __rid, {val_exprs} FROM {frm}"
             + (f" WHERE {where}" if where else "")
         )
-        src = self.spark.sql(self._fix_select(sel))
+        src = self.spark.sql(self._fix_select(sel, datetime_fns=False))
         w = Window.partitionBy("__rid").orderBy(
             *[F.col(f"__v{i}") for i in range(len(assigns))]
         )
@@ -1633,12 +1640,20 @@ class Engine:
         )
         m = re.match(
             r"\s*DELETE\s+(?:FROM\s+)?([\w`\"]+)(?:\.\*)?\s+(?:FROM|USING)\s+"
-            r"([\s\S]+?)(?:\s+WHERE\s+([\s\S]+?))?\s*;?\s*$",
+            r"([\s\S]+?)\s*;?\s*$",
             fixed,
             re.I,
         )
         if m:
-            return self._delete_join(m.group(1), m.group(2), m.group(3))
+            # the WHERE tail splits quote/paren-aware (a literal
+            # containing ' WHERE ' in the ON clause must not split)
+            from ebike_spark.engine.parser import split_tail_clauses
+
+            try:
+                frm, clauses = split_tail_clauses(m.group(2), ("WHERE",))
+            except ValueError as e:
+                raise parse_error(str(e)) from e
+            return self._delete_join(m.group(1), frm, clauses.get("WHERE"))
         try:
             dele = parse_delete(fixed)
         except ValueError as e:
@@ -1669,7 +1684,9 @@ class Engine:
         sel = f"SELECT {bq(tgt)}.`{dml.ROWID}` AS __del_rid FROM {frm}" + (
             f" WHERE {where}" if where else ""
         )
-        doomed = self.spark.sql(self._fix_select(sel)).distinct()
+        doomed = self.spark.sql(
+            self._fix_select(sel, datetime_fns=False)
+        ).distinct()
         affected = doomed.count()
         if affected == 0:
             return EngineResult("count", affected=0)

@@ -655,7 +655,6 @@ def rewrite_mysql_datetime_fns(sql: str) -> str:
             out.append(sql[i:])
             return "".join(out)
         # skip matches inside quoted spans
-        span_check = sql[i : m.start()]
         qdepth_ok = True
         j = i
         while j < m.start():
@@ -687,5 +686,10 @@ def rewrite_mysql_datetime_fns(sql: str) -> str:
         # the java pattern may itself contain single quotes (quoted
         # literal letters) — escape them for the SQL string literal
         sql_lit = translated.replace("'", "''")
-        out.append(f"{fn}({args[0].strip()}, '{sql_lit}')")
+        # recurse into the value argument: MySQL datetime fns nest
+        # (DATE_FORMAT(STR_TO_DATE(...), ...)) and the outer jump to
+        # `close` would otherwise skip the inner call untranslated
+        inner = rewrite_mysql_datetime_fns(args[0].strip())
+        out.append(f"{fn}({inner}, '{sql_lit}')")
         i = close
+

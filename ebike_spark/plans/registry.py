@@ -85,12 +85,14 @@ def _load_all() -> None:
 # regardless of position; the prefix only controls which rows get
 # fresh external evidence this round, and entries past position 50 get
 # none. Round 7 spends the budget exactly as VERDICT-r6 task 1
-# mandates: the 39 queries that have NEVER had a driver correctness
+# mandates: the 40 queries that have NEVER had a driver correctness
 # row (the 13 r6 WINDOW_PREFIX stragglers first, then the late-r6
-# block), then 11 rows from the r3-stale dedup/ann/text family —
-# including the two ANN sketches whose verdict-shape upgrade
-# (VERDICT-r6 task 5) lands this round. The 24 remaining r3-stale
-# rows are listed after position 50 and lead the round-8 rotation.
+# block including the new q31b_sequence_spine), then 10 rows from the
+# r3-stale dedup/ann/text family — including the two ANN sketches
+# whose verdict-shape upgrade (VERDICT-r6 task 5) lands this round.
+# The cut falls exactly at position 50 (text_langid); the 25 remaining
+# r3-stale rows plus the later round-7 additions are listed after it
+# and lead the round-8 rotation.
 WINDOW_PREFIX: tuple[str, ...] = (
     # --- never externally checked: the 13 r6 stragglers (VERDICT-r6
     # task 1, positions 1-13) ---
@@ -107,8 +109,8 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "embed_pca_audit",
     "corpus_bloom_decontaminate",
     "text_heavy_hitters_cms",
-    # --- never externally checked: the late-r6 block (positions
-    # 14-39) ---
+    # --- never externally checked: the late-r6 block + the new
+    # q31b (positions 14-40) ---
     "ev_markov_sessions",
     "ev_user_paths_topk",
     "fn_maps",
@@ -136,9 +138,9 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_error_budget_burn",
     "fn_null_ordering",
     "stream_error_budget_burn",
-    # --- r3-stale block, 11 fill slots (positions 40-50): the two
+    # --- r3-stale block, 10 fill slots (positions 41-50): the two
     # verdict-shape-upgraded ANN sketches (VERDICT-r6 task 5) plus the
-    # core dedup family and stalest text/corpus rows ---
+    # core dedup family and stalest text rows ---
     "ann_lsh_topk",
     "ann_ivf_topk",
     "dedup_exact",

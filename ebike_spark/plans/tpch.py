@@ -430,11 +430,15 @@ def q13_approx(spark: SparkSession, sf: str) -> DataFrame:
     # one boolean per group asserting every approx quantile is within
     # ±1% of its exact twin (accuracy=10000 measured ≤0.1% at all
     # three fixture SFs).
+    # percentiles emit UNROUNDED (float-parity house rule: both
+    # engines interpolate a + (b-a)*frac over bit-identical doubles, so
+    # the results are identical doubles — a trailing ROUND would
+    # reintroduce the near-half divergence the rule exists to avoid)
     oracle="""
     SELECT l_returnflag,
-           ROUND(CAST(quantile_cont(l_extendedprice, 0.5)  AS DOUBLE), 4) AS p50_exact,
-           ROUND(CAST(quantile_cont(l_extendedprice, 0.9)  AS DOUBLE), 4) AS p90_exact,
-           ROUND(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 4) AS p99_exact,
+           CAST(quantile_cont(l_extendedprice, 0.5)  AS DOUBLE) AS p50_exact,
+           CAST(quantile_cont(l_extendedprice, 0.9)  AS DOUBLE) AS p90_exact,
+           CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE) AS p99_exact,
            TRUE AS approx_within_1pct
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -461,9 +465,9 @@ def q13b_approx_pct(spark: SparkSession, sf: str) -> DataFrame:
     )
     return r.select(
         "l_returnflag",
-        F.round(F.col("ex")[0], 4).alias("p50_exact"),
-        F.round(F.col("ex")[1], 4).alias("p90_exact"),
-        F.round(F.col("ex")[2], 4).alias("p99_exact"),
+        F.col("ex")[0].alias("p50_exact"),
+        F.col("ex")[1].alias("p90_exact"),
+        F.col("ex")[2].alias("p99_exact"),
         within.alias("approx_within_1pct"),
     )
 

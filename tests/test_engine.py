@@ -1784,3 +1784,65 @@ def test_maintenance_statements(eng, spark):
     # comma list: one row per table
     eng.execute("CREATE TABLE mt2 (id INT)")
     assert len(eng.execute("CHECK TABLE mt, mt2").rows()) == 2
+
+
+def test_datetime_rewrite_once_in_insert_select_and_join_dml(eng):
+    """Review fences: the %-format rewrite must apply exactly ONCE per
+    statement text (it is not idempotent), nested datetime fns
+    translate, and a ' WHERE ' inside a string literal must not split
+    multi-table DML."""
+    eng.execute("CREATE TABLE dt1 (id INT, s CHAR)")
+    eng.execute("CREATE TABLE dt2 (id INT, d CHAR)")
+    eng.execute("INSERT INTO dt2 VALUES (1, '2024-03-09 17:05:09')")
+    # INSERT...SELECT goes through _fix_dml_scalars AND _fix_select —
+    # the rewrite must not double-apply ('%d%%' would raise dangling-%)
+    eng.execute(
+        "INSERT INTO dt1 SELECT id, DATE_FORMAT(d, '%Y-%m %d%%') FROM dt2"
+    )
+    assert eng.execute("SELECT s FROM dt1").rows()[0]["s"] == "2024-03 09%"
+    # nested datetime functions translate inside out
+    got = eng.execute(
+        "SELECT DATE_FORMAT(STR_TO_DATE('09/03/2024', '%d/%m/%Y'), '%Y') AS y "
+        "FROM dt2"
+    ).rows()[0]["y"]
+    assert got == "2024"
+    # multi-table UPDATE with a literal containing ' WHERE ' and
+    # a DATE_FORMAT in the assignment — single rewrite, no mis-split
+    eng.execute("CREATE TABLE dt3 (id INT, grp CHAR, note CHAR)")
+    eng.execute("INSERT INTO dt3 VALUES (1, 'g', '')")
+    eng.execute("CREATE TABLE dt4 (grp CHAR, d CHAR)")
+    eng.execute("INSERT INTO dt4 VALUES ('g', '2024-03-09')")
+    eng.execute(
+        "UPDATE dt3 a JOIN dt4 b ON a.grp = b.grp "
+        "SET a.note = concat('x WHERE y ', DATE_FORMAT(CAST(b.d AS TIMESTAMP), '%M'))"
+    )
+    assert eng.execute("SELECT note FROM dt3").rows()[0]["note"] == "x WHERE y March"
+
+
+def test_secure_file_priv_rejects_directories(eng, tmp_path):
+    """Under the fence only regular files load: a directory inside the
+    fence could contain symlinks escaping it (per-entry resolution is
+    what Spark's reader does, not us)."""
+    allowed = tmp_path / "fence"
+    sub = allowed / "sub"
+    sub.mkdir(parents=True)
+    (sub / "a.csv").write_text("1,x\n")
+    eng.execute("CREATE TABLE sfd (id INT, v CHAR)")
+    eng.execute(f"SET secure_file_priv = '{allowed}'")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute(f"LOAD DATA INFILE '{sub}' INTO TABLE sfd FIELDS TERMINATED BY ','")
+    assert ei.value.code == 1290
+    # a plain file inside still loads; unrestricted mode loads the dir
+    assert (
+        eng.execute(
+            f"LOAD DATA INFILE '{sub / 'a.csv'}' INTO TABLE sfd FIELDS TERMINATED BY ','"
+        ).affected
+        == 1
+    )
+    eng.execute("SET secure_file_priv = ''")
+    assert (
+        eng.execute(
+            f"LOAD DATA INFILE '{sub}' INTO TABLE sfd FIELDS TERMINATED BY ','"
+        ).affected
+        == 1
+    )
