@@ -1367,32 +1367,38 @@ class Engine:
                 f"{m.group(1)} INTO {m.group(2)} ({', '.join(cols)}) "
                 f"VALUES ({', '.join(vals)}){m.group(4) or ''}"
             )
-        if not re.search(r"\bVALUES\b", fixed, re.I):
-            # INSERT [IGNORE] INTO ... SELECT / REPLACE INTO ... SELECT:
-            # build the casted source frame and route it through the
-            # SAME set-oriented constraint / duplicate handling as the
-            # VALUES path (beyond-reference — the reference only
-            # implements VALUES, insert.rs:48-224 — and a round-7
-            # upgrade over the earlier raw passthrough, which enforced
-            # no PK/UNIQUE/NOT NULL on SELECT sources). All checks are
-            # joins/aggregates, so they scale to any source volume.
+        # INSERT [IGNORE] INTO ... SELECT / REPLACE INTO ... SELECT:
+        # build the casted source frame and route it through the SAME
+        # set-oriented constraint / duplicate handling as the VALUES
+        # path (beyond-reference — the reference only implements
+        # VALUES, insert.rs:48-224 — and a round-7 upgrade over the
+        # earlier raw passthrough, which enforced no PK/UNIQUE/NOT NULL
+        # on SELECT sources). All checks are joins/aggregates, so they
+        # scale to any source volume. Detected STRUCTURALLY (SELECT
+        # right after the table/column list) — a bare \bVALUES\b probe
+        # would misroute `... SELECT ... ON DUPLICATE KEY UPDATE
+        # v = VALUES(v)` into the VALUES-clause parser.
+        m = re.match(
+            r"\s*(?:INSERT(\s+IGNORE)?|(REPLACE))\s+INTO\s+([\w.`\"]+)\s*"
+            r"(?:\(([^)]*)\)\s*)?(SELECT\b[\s\S]*)$",
+            fixed,
+            re.I,
+        )
+        if m:
             self.spark.catalog.setCurrentDatabase(self.current_db)
-            m = re.match(
-                r"\s*(?:INSERT(\s+IGNORE)?|(REPLACE))\s+INTO\s+([\w.`\"]+)\s*"
-                r"(?:\(([^)]*)\)\s*)?(SELECT\b[\s\S]*)$",
-                fixed,
-                re.I,
-            )
-            if m:
-                q = self.catalog.qualify(unquote_ident(m.group(3)), self.current_db)
-                if self.catalog.table_exists(q):
-                    return self._insert_from_select(
-                        q,
-                        col_list=m.group(4),
-                        select_sql=m.group(5),
-                        ignore=bool(m.group(1)),
-                        replace=bool(m.group(2)),
-                    )
+            q = self.catalog.qualify(unquote_ident(m.group(3)), self.current_db)
+            if self.catalog.table_exists(q):
+                return self._insert_from_select(
+                    q,
+                    col_list=m.group(4),
+                    select_sql=m.group(5),
+                    ignore=bool(m.group(1)),
+                    replace=bool(m.group(2)),
+                )
+        if not re.search(r"\bVALUES\b", fixed, re.I):
+            # remaining non-VALUES forms (e.g. INSERT INTO ... TABLE
+            # src) pass through to Spark untouched
+            self.spark.catalog.setCurrentDatabase(self.current_db)
             self.spark.sql(fixed)
             return EngineResult("count", affected=-1)
         try:
@@ -1425,7 +1431,30 @@ class Engine:
         import pyspark.sql.functions as F
 
         from ebike_spark.engine import dml as _dml
-        from ebike_spark.engine.parser import split_top_level
+        from ebike_spark.engine.parser import split_tail_clauses, split_top_level
+
+        # INSERT ... SELECT ... ON DUPLICATE KEY UPDATE: the upsert
+        # clause rides after the SELECT; split it off top-level
+        # (quote/paren-aware — an ON inside the SELECT's joins never
+        # matches the full four-word phrase)
+        try:
+            select_sql, tail_clauses = split_tail_clauses(
+                select_sql, ("ON DUPLICATE KEY UPDATE",)
+            )
+        except ValueError as e:
+            raise parse_error(str(e)) from e
+        on_dup: list[tuple[str, str]] | None = None
+        if "ON DUPLICATE KEY UPDATE" in tail_clauses:
+            if ignore or replace:
+                raise parse_error(
+                    "ON DUPLICATE KEY UPDATE cannot combine with IGNORE/REPLACE"
+                )
+            on_dup = []
+            for a in split_top_level(tail_clauses["ON DUPLICATE KEY UPDATE"]):
+                am = re.match(r"\s*([\w`\"]+)\s*=\s*([\s\S]+)$", a)
+                if not am:
+                    raise parse_error(f"near ON DUPLICATE KEY UPDATE: {a!r}")
+                on_dup.append((unquote_ident(am.group(1)), am.group(2).strip()))
 
         # hidden rowids of SOURCE tables never travel (SELECT * from a
         # rowid table must behave as if the column didn't exist)
@@ -1460,6 +1489,15 @@ class Engine:
             )
             if first_id is not None:
                 self.last_insert_id = first_id
+        if on_dup is not None:
+            n_src = df.count()
+
+            class _UShim:  # _upsert reads on_dup_update + len(rows)
+                rows = range(n_src)
+                on_dup_update = on_dup
+
+            n = _dml._upsert(self.spark, self.catalog, qualified, df, _UShim())
+            return EngineResult("count", affected=n)
         if replace:
             n_src = df.count()
 

@@ -919,3 +919,44 @@ def fn_null_ordering(spark: SparkSession, sf: str) -> DataFrame:
         F.row_number().over(w(F.col("k").desc_nulls_first())).alias("rn_desc_nf"),
         F.row_number().over(w(F.col("k").desc_nulls_last())).alias("rn_desc_nl"),
     )
+
+
+@register(
+    "fn_string_mysql",
+    oracle="""
+    SELECT n_name,
+           array_to_string(string_split(n_name, 'A')[1:2], 'A') AS v_subidx_pos,
+           array_to_string(string_split(n_name, 'A')[-2:], 'A') AS v_subidx_neg,
+           ['red', 'green', 'blue'][CAST(n_nationkey % 3 AS INT) + 1] AS v_elt,
+           CAST(levenshtein(n_name, 'CANADA') AS BIGINT) AS v_lev
+    FROM nation
+    """,
+    tags=("functions", "string", "mysql-dialect"),
+)
+def fn_string_mysql(spark: SparkSession, sf: str) -> DataFrame:
+    """MySQL-flavored string functions Spark carries natively:
+    SUBSTRING_INDEX with POSITIVE and NEGATIVE counts (the
+    URL/domain-parsing staple — the negative form takes the LAST n
+    delimiter-separated parts, and a count exceeding the part count
+    returns the whole string), ELT (1-based list pick), LEVENSHTEIN
+    (edit distance — the fuzzy-match primitive). DuckDB has no
+    substring_index/elt, so the oracle reconstructs both from
+    string_split list slices — slice-beyond-length and negative-slice
+    semantics line up with MySQL's whole-string fallback exactly.
+
+    Scale shape: per-row scalar expressions over a constant 25-row
+    dim — whole-stage codegen, no Python, no shuffle beyond the scan."""
+    n = load_table(spark, sf, "nation")
+    nm = F.col("n_name")
+    return n.select(
+        "n_name",
+        F.substring_index(nm, "A", 2).alias("v_subidx_pos"),
+        F.substring_index(nm, "A", -2).alias("v_subidx_neg"),
+        F.elt(
+            (F.col("n_nationkey") % 3 + 1).cast("int"),
+            F.lit("red"),
+            F.lit("green"),
+            F.lit("blue"),
+        ).alias("v_elt"),
+        F.levenshtein(nm, F.lit("CANADA")).cast("long").alias("v_lev"),
+    )

@@ -156,6 +156,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "stream_lifecycle_stages",
     "text_zipf_fit",
     "io_zstd_roundtrip",
+    "fn_string_mysql",
     # verdict-shape upgrades (r7) — previously rows-only, now fully
     # oracled; re-check under the new shapes
     "q13_approx_distinct",

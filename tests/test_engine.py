@@ -1846,3 +1846,26 @@ def test_secure_file_priv_rejects_directories(eng, tmp_path):
         ).affected
         == 1
     )
+
+
+def test_insert_select_on_duplicate_key_update(eng):
+    """INSERT...SELECT...ON DUPLICATE KEY UPDATE routes through the same
+    set-oriented upsert as the VALUES form (VALUES(col) references the
+    incoming row; affected = 1/insert + 2/changed-update)."""
+    eng.execute("CREATE TABLE ods (id INT NOT NULL, v FLOAT, PRIMARY KEY (id))")
+    eng.execute("CREATE TABLE osrc (id INT, v FLOAT)")
+    eng.execute("INSERT INTO osrc VALUES (1, 10.0), (2, 20.0)")
+    eng.execute("INSERT INTO ods VALUES (1, 1.0)")
+    r = eng.execute(
+        "INSERT INTO ods SELECT id, v FROM osrc "
+        "ON DUPLICATE KEY UPDATE v = v + VALUES(v)"
+    )
+    assert r.affected == 3  # id=2 inserted (1) + id=1 updated-changed (2)
+    got = {x["id"]: x["v"] for x in eng.execute("SELECT id, v FROM ods").rows()}
+    assert got == {1: 11.0, 2: 20.0}
+    with pytest.raises(EbikeError) as ei:
+        eng.execute(
+            "INSERT IGNORE INTO ods SELECT id, v FROM osrc "
+            "ON DUPLICATE KEY UPDATE v = 0"
+        )
+    assert ei.value.code == 1064
