@@ -33,13 +33,30 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # host-speed canary (same job as bench.py's): totals from different
+    # runs/rounds are only comparable after dividing by the canary ratio
+    canary = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id % 97)").collect()
+        dt = time.perf_counter() - t0
+        canary = dt if canary is None else min(canary, dt)
+    print(f"canary_seconds: {canary:.3f}")
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    # streaming/io queries time their harness, not the plan — exclude
+    # streaming/io queries time their harness, not the plan — exclude.
+    # VERDICT-shaped queries (tag "verdict") are excluded from the
+    # RATIO and listed separately: their Spark side runs the full
+    # pipeline PLUS an exact audit twin while their oracle is only the
+    # audit (sometimes a constant row), so a Spark/DuckDB ratio there
+    # compares different computations and would silently inflate the
+    # headline the moment a sketch gains a verdict shape.
     skip = {n for n in REGISTRY if n.startswith(("stream_", "io_"))}
     rows = []
+    verdict_rows = []
     for name, spec in sorted(REGISTRY.items()):
         if spec.oracle is None or name in skip:
             continue
@@ -54,12 +71,20 @@ def main() -> None:
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).count()
         t_spark = time.perf_counter() - t0
-        rows.append((name, t_spark, t_duck))
-        print(f"| {name} | {t_spark:.3f} | {t_duck:.3f} | {t_spark / max(t_duck, 1e-9):.1f}× |", flush=True)
+        bucket = verdict_rows if "verdict" in spec.tags else rows
+        bucket.append((name, t_spark, t_duck))
+        tag = " (verdict — not in ratio)" if "verdict" in spec.tags else ""
+        print(f"| {name} | {t_spark:.3f} | {t_duck:.3f} | {t_spark / max(t_duck, 1e-9):.1f}×{tag} |", flush=True)
 
     ts = sum(r[1] for r in rows)
     td = sum(r[2] for r in rows)
-    print(f"| **total ({len(rows)} queries)** | **{ts:.2f}** | **{td:.2f}** | **{ts / td:.1f}×** |")
+    print(f"| **total ({len(rows)} equivalent-computation queries)** | **{ts:.2f}** | **{td:.2f}** | **{ts / td:.1f}×** |")
+    if verdict_rows:
+        vs = sum(r[1] for r in verdict_rows)
+        print(
+            f"| verdict-shaped ({len(verdict_rows)} queries, Spark pipeline+audit vs audit-only oracle) "
+            f"| {vs:.2f} | — | — |"
+        )
 
 
 if __name__ == "__main__":
