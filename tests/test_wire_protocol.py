@@ -1,0 +1,329 @@
+"""MySQL wire-protocol server end-to-end: a MINIMAL client implemented
+here from the public protocol (no client library exists in this
+container) drives the real TCP server — handshake v10, COM_QUERY text
+resultsets, OK/ERR packets with MySQL error codes, COM_INIT_DB,
+COM_PING, and the binary prepared-statement protocol
+(COM_STMT_PREPARE/EXECUTE with NULL bitmap + typed params).
+
+This closes the two components SURVEY §7 had declared out of scope
+(the reference's handle.rs / mysql_util.rs surface)."""
+
+from __future__ import annotations
+
+import socket
+import struct
+import uuid
+
+import pytest
+
+from ebike_spark.server import EbikeServer
+
+pytestmark = pytest.mark.slow  # real TCP server + Spark per statement
+
+
+# ------------------------------------------------------- minimal client
+
+
+class MiniClient:
+    """Just enough of the public protocol to be a real conformance
+    check: framing, handshake response, text/binary resultset decode."""
+
+    def __init__(self, port: int, database: str | None = None):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        self.seq = 0
+        self._handshake(database)
+
+    # framing ---------------------------------------------------------
+    def _recv_exact(self, n: int) -> bytes:
+        out = b""
+        while len(out) < n:
+            chunk = self.sock.recv(n - len(out))
+            if not chunk:
+                raise ConnectionError("server closed")
+            out += chunk
+        return out
+
+    def read_packet(self) -> bytes:
+        header = self._recv_exact(4)
+        (length,) = struct.unpack("<I", header[:3] + b"\x00")
+        self.seq = header[3]
+        return self._recv_exact(length)
+
+    def write_packet(self, payload: bytes) -> None:
+        self.seq = (self.seq + 1) % 256
+        self.sock.sendall(
+            struct.pack("<I", len(payload))[:3] + bytes([self.seq]) + payload
+        )
+
+    def send_command(self, cmd: int, body: bytes = b"") -> None:
+        self.seq = 255  # commands start a new sequence at 0
+        self.write_packet(bytes([cmd]) + body)
+
+    # handshake -------------------------------------------------------
+    def _handshake(self, database: str | None) -> None:
+        greeting = self.read_packet()
+        assert greeting[0] == 0x0A  # protocol version 10
+        ver_end = greeting.index(b"\x00", 1)
+        self.server_version = greeting[1:ver_end].decode()
+        caps = 0x00000200 | 0x00008000 | 0x00080000  # 41 | secure | plugin_auth
+        if database:
+            caps |= 0x00000008
+        resp = (
+            struct.pack("<I", caps)
+            + struct.pack("<I", 1 << 24)
+            + bytes([45])  # utf8mb4
+            + b"\x00" * 23
+            + b"root\x00"
+            + b"\x00"  # empty auth response (1-byte length form)
+            + ((database.encode() + b"\x00") if database else b"")
+            + b"mysql_native_password\x00"
+        )
+        self.write_packet(resp)
+        ok = self.read_packet()
+        assert ok[0] == 0x00, f"handshake failed: {ok!r}"
+
+    # value decode ----------------------------------------------------
+    @staticmethod
+    def _lenenc(buf: bytes, pos: int) -> tuple[int, int]:
+        first = buf[pos]
+        if first < 0xFB:
+            return first, pos + 1
+        if first == 0xFC:
+            return struct.unpack_from("<H", buf, pos + 1)[0], pos + 3
+        if first == 0xFD:
+            return struct.unpack("<I", buf[pos + 1 : pos + 4] + b"\x00")[0], pos + 4
+        return struct.unpack_from("<Q", buf, pos + 1)[0], pos + 9
+
+    def _read_columns(self, n_cols: int) -> list[tuple[str, int]]:
+        cols = []
+        for _ in range(n_cols):
+            pkt = self.read_packet()
+            pos = 0
+            vals = []
+            for _ in range(6):  # catalog..org_name lenenc strings
+                ln, pos = self._lenenc(pkt, pos)
+                vals.append(pkt[pos : pos + ln])
+                pos += ln
+            pos += 1 + 2 + 4  # filler, charset, length
+            type_code = pkt[pos]
+            cols.append((vals[4].decode(), type_code))
+        eof = self.read_packet()
+        assert eof[0] == 0xFE
+        return cols
+
+    # command surface -------------------------------------------------
+    def query(self, sql: str):
+        """COM_QUERY → ('ok', affected) | ('err', code, msg) |
+        ('rows', columns, rows-as-strings)."""
+        self.send_command(0x03, sql.encode())
+        first = self.read_packet()
+        if first[0] == 0x00:
+            affected, _ = self._lenenc(first, 1)
+            return ("ok", affected)
+        if first[0] == 0xFF:
+            code = struct.unpack_from("<H", first, 1)[0]
+            return ("err", code, first[9:].decode("utf-8", "replace"))
+        n_cols, _ = self._lenenc(first, 0)
+        cols = self._read_columns(n_cols)
+        rows = []
+        while True:
+            pkt = self.read_packet()
+            if pkt[0] == 0xFE and len(pkt) < 9:
+                break
+            pos, row = 0, []
+            for _ in cols:
+                if pkt[pos] == 0xFB:
+                    row.append(None)
+                    pos += 1
+                else:
+                    ln, pos = self._lenenc(pkt, pos)
+                    row.append(pkt[pos : pos + ln].decode())
+                    pos += ln
+            rows.append(row)
+        return ("rows", cols, rows)
+
+    def prepare(self, sql: str) -> tuple[int, int]:
+        self.send_command(0x16, sql.encode())
+        first = self.read_packet()
+        assert first[0] == 0x00, f"prepare failed: {first!r}"
+        stmt_id = struct.unpack_from("<I", first, 1)[0]
+        n_cols = struct.unpack_from("<H", first, 5)[0]
+        n_params = struct.unpack_from("<H", first, 7)[0]
+        if n_params:
+            for _ in range(n_params):
+                self.read_packet()
+            assert self.read_packet()[0] == 0xFE
+        if n_cols:
+            self._read_columns(n_cols)
+        return stmt_id, n_params
+
+    def execute(self, stmt_id: int, params: list):
+        """COM_STMT_EXECUTE with typed binary params; decodes a binary
+        resultset or OK/ERR."""
+        n = len(params)
+        body = struct.pack("<I", stmt_id) + b"\x00" + struct.pack("<I", 1)
+        if n:
+            null_bitmap = bytearray((n + 7) // 8)
+            types = b""
+            values = b""
+            for i, p in enumerate(params):
+                if p is None:
+                    null_bitmap[i // 8] |= 1 << (i % 8)
+                    types += bytes([0x06, 0])  # NULL
+                elif isinstance(p, bool):
+                    types += bytes([0x01, 0])
+                    values += struct.pack("<b", 1 if p else 0)
+                elif isinstance(p, int):
+                    types += bytes([0x08, 0])  # LONGLONG
+                    values += struct.pack("<q", p)
+                elif isinstance(p, float):
+                    types += bytes([0x05, 0])  # DOUBLE
+                    values += struct.pack("<d", p)
+                else:
+                    b = str(p).encode()
+                    types += bytes([0xFD, 0])  # VAR_STRING
+                    values += bytes([len(b)]) if len(b) < 251 else b""
+                    if len(b) >= 251:
+                        values += b"\xfc" + struct.pack("<H", len(b))
+                    values += b
+            body += bytes(null_bitmap) + b"\x01" + types + values
+        self.send_command(0x17, body)
+        first = self.read_packet()
+        if first[0] == 0x00 and len(first) < 9:
+            affected, _ = self._lenenc(first, 1)
+            return ("ok", affected)
+        if first[0] == 0xFF:
+            code = struct.unpack_from("<H", first, 1)[0]
+            return ("err", code, first[9:].decode("utf-8", "replace"))
+        n_cols, _ = self._lenenc(first, 0)
+        cols = self._read_columns(n_cols)
+        rows = []
+        while True:
+            pkt = self.read_packet()
+            if pkt[0] == 0xFE and len(pkt) < 9:
+                break
+            # binary row: 0x00 header + null bitmap (2-bit offset) + values
+            assert pkt[0] == 0x00
+            nb_len = (len(cols) + 7 + 2) // 8
+            null_bitmap = pkt[1 : 1 + nb_len]
+            pos = 1 + nb_len
+            row = []
+            for i, (_, tcode) in enumerate(cols):
+                if null_bitmap[(i + 2) // 8] & (1 << ((i + 2) % 8)):
+                    row.append(None)
+                    continue
+                if tcode == 0x08:
+                    row.append(struct.unpack_from("<q", pkt, pos)[0])
+                    pos += 8
+                elif tcode == 0x05:
+                    row.append(struct.unpack_from("<d", pkt, pos)[0])
+                    pos += 8
+                elif tcode == 0x01:
+                    row.append(struct.unpack_from("<b", pkt, pos)[0])
+                    pos += 1
+                else:
+                    ln, pos = self._lenenc(pkt, pos)
+                    row.append(pkt[pos : pos + ln].decode())
+                    pos += ln
+            rows.append(row)
+        return ("rows", cols, rows)
+
+    def ping(self) -> bool:
+        self.send_command(0x0E)
+        return self.read_packet()[0] == 0x00
+
+    def init_db(self, db: str) -> bool:
+        self.send_command(0x02, db.encode())
+        return self.read_packet()[0] == 0x00
+
+    def close(self) -> None:
+        try:
+            self.send_command(0x01)  # COM_QUIT
+        except OSError:
+            pass
+        self.sock.close()
+
+
+# ------------------------------------------------------------ the tests
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    s = EbikeServer(spark).start()
+    yield s.port
+    s.stop()
+
+
+def test_handshake_query_dml_and_errors(server):
+    c = MiniClient(server)
+    assert c.server_version.startswith("8.0.26-ebike-spark")
+    assert c.ping()
+    db = f"wp_{uuid.uuid4().hex[:8]}"
+    assert c.query(f"CREATE DATABASE {db}")[0] == "ok"
+    assert c.init_db(db)
+    assert c.query(
+        "CREATE TABLE t (id INT NOT NULL, name CHAR, score FLOAT, PRIMARY KEY (id))"
+    )[0] == "ok"
+    kind, affected = c.query("INSERT INTO t VALUES (1, 'a', 1.5), (2, NULL, 2.5)")
+    assert (kind, affected) == ("ok", 2)
+    kind, cols, rows = c.query("SELECT id, name, score FROM t ORDER BY id")
+    assert [n for n, _ in cols] == ["id", "name", "score"]
+    assert rows == [["1", "a", "1.5"], ["2", None, "2.5"]]
+    # MySQL error code rides the ERR packet
+    kind, code, msg = c.query("INSERT INTO t VALUES (1, 'dup', 0.0)")
+    assert (kind, code) == ("err", 1062)
+    assert "Duplicate entry" in msg
+    # unknown table → 1146-family error from the engine
+    kind, code, _ = c.query("SELECT * FROM missing_table")
+    assert kind == "err" and code > 0
+    c.query(f"DROP DATABASE {db}")
+    c.close()
+
+
+def test_binary_prepared_statements(server):
+    c = MiniClient(server)
+    db = f"wp_{uuid.uuid4().hex[:8]}"
+    c.query(f"CREATE DATABASE {db}")
+    c.init_db(db)
+    c.query("CREATE TABLE p (id INT NOT NULL, v FLOAT, tag CHAR, PRIMARY KEY (id))")
+    stmt, n_params = c.prepare("INSERT INTO p VALUES (?, ?, ?)")
+    assert n_params == 3
+    assert c.execute(stmt, [1, 2.5, "x"]) == ("ok", 1)
+    assert c.execute(stmt, [2, None, "y"]) == ("ok", 1)  # NULL bitmap
+    sel, n = c.prepare("SELECT id, v, tag FROM p WHERE id >= ? ORDER BY id")
+    assert n == 1
+    kind, cols, rows = c.execute(sel, [1])
+    assert kind == "rows"
+    assert [t for _, t in cols] == [0x08, 0x05, 0xFD]  # LONGLONG, DOUBLE, VAR_STRING
+    assert rows == [[1, 2.5, "x"], [2, None, "y"]]
+    c.query(f"DROP DATABASE {db}")
+    c.close()
+
+
+def test_two_concurrent_connections_have_isolated_sessions(server):
+    a, b = MiniClient(server), MiniClient(server)
+    dba = f"wp_{uuid.uuid4().hex[:8]}"
+    a.query(f"CREATE DATABASE {dba}")
+    a.init_db(dba)
+    # a's USE must not affect b (per-connection Engine state)
+    kind, cols, rows = a.query("SELECT database() AS d")
+    assert rows[0][0] == dba
+    kind, cols, rows = b.query("SELECT database() AS d")
+    assert rows[0][0] != dba
+    # session variables isolate too
+    a.query("SET @x = 41")
+    kind, cols, rows = a.query("SELECT @x + 1 AS v")
+    assert rows[0][0] == "42"
+    a.query(f"DROP DATABASE {dba}")
+    a.close()
+    b.close()
+
+
+def test_connect_with_db_in_handshake(server, spark):
+    db = f"wp_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    c = MiniClient(server, database=db)
+    _, _, rows = c.query("SELECT database() AS d")
+    assert rows[0][0] == db
+    c.close()
+    spark.sql(f"DROP DATABASE {db}")
