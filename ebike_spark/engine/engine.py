@@ -1489,20 +1489,31 @@ class Engine:
             )
             if first_id is not None:
                 self.last_insert_id = first_id
+        class _LazyRows:
+            """len() = source row count, computed only if a dml helper
+            actually reads it — _upsert consults len(rows) solely on
+            its no-unique-key fallback, so the common keyed upsert
+            never pays an extra pass over the SELECT source."""
+
+            _n: int | None = None
+
+            def __len__(self) -> int:
+                if self._n is None:
+                    self._n = df.count()
+                return self._n
+
         if on_dup is not None:
-            n_src = df.count()
 
             class _UShim:  # _upsert reads on_dup_update + len(rows)
-                rows = range(n_src)
+                rows = _LazyRows()
                 on_dup_update = on_dup
 
             n = _dml._upsert(self.spark, self.catalog, qualified, df, _UShim())
             return EngineResult("count", affected=n)
         if replace:
-            n_src = df.count()
 
             class _Shim:  # _replace reads only len(ins.rows)
-                rows = range(n_src)
+                rows = _LazyRows()
 
             n = _dml._replace(self.spark, self.catalog, qualified, df, _Shim())
             return EngineResult("count", affected=n)
@@ -1800,3 +1811,12 @@ class Engine:
 
     def close_prepared(self, stmt_id: int) -> None:
         self._stmts.pop(stmt_id, None)  # COM_STMT_CLOSE (execution.rs:790-795)
+
+    def prepared_param_count(self, stmt_id: int) -> int:
+        """Placeholder count of a prepared statement (the wire server's
+        COM_STMT_PREPARE response needs it; public so the server never
+        reaches into _stmts)."""
+        st = self._stmts.get(stmt_id)
+        if st is None:
+            raise EbikeError(1243, f"Unknown prepared statement handler ({stmt_id})")
+        return st.n_params

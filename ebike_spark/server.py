@@ -19,6 +19,11 @@ Scope/divergences (documented, all testable in-container):
 - Binary resultset rows encode LONGLONG/DOUBLE natively; everything
   else (strings, timestamps, booleans-as-tiny) ships as VAR_STRING
   text, which every connector accepts for those types.
+- COM_STMT_PREPARE advertises num_columns=0 (result metadata arrives
+  with the EXECUTE response instead — computing it at prepare time
+  would plan the query twice). Clients that require prepare-time
+  result metadata (mysql_stmt_result_metadata) should describe the
+  statement with a COM_QUERY LIMIT 0 instead.
 
 Threading: one OS thread per connection; every connection shares one
 Engine-per-connection over the same SparkSession (sessions are cheap —
@@ -114,8 +119,17 @@ class _Conn:
 
     def __init__(self, sock: socket.socket, spark: SparkSession):
         self.sock = sock
-        self.engine = Engine(spark)
+        # newSession(): same SparkContext and shared metastore tables,
+        # but ISOLATED SQL conf + current database — without it, every
+        # Engine's setCurrentDatabase would race across connection
+        # threads and unqualified names could resolve in another
+        # connection's database mid-query.
+        self.engine = Engine(spark.newSession())
         self.seq = 0
+        # per-statement parameter types: connectors send the types only
+        # on the FIRST COM_STMT_EXECUTE (new_params_bound_flag=1) and
+        # omit them on re-execution
+        self._stmt_types: dict[int, list[int]] = {}
 
     # ------------------------------------------------------- packet IO
 
@@ -129,16 +143,28 @@ class _Conn:
         return out
 
     def read_packet(self) -> bytes:
-        header = self._recv_exact(4)
-        (length,) = struct.unpack("<I", header[:3] + b"\x00")
-        self.seq = header[3]
-        return self._recv_exact(length)
+        # reassemble 16MB-split packets (a frame of exactly 0xFFFFFF
+        # bytes is continued by the next frame — public protocol)
+        out = b""
+        while True:
+            header = self._recv_exact(4)
+            (length,) = struct.unpack("<I", header[:3] + b"\x00")
+            self.seq = header[3]
+            out += self._recv_exact(length)
+            if length < 0xFFFFFF:
+                return out
 
     def write_packet(self, payload: bytes) -> None:
-        self.seq = (self.seq + 1) % 256
-        self.sock.sendall(
-            struct.pack("<I", len(payload))[:3] + bytes([self.seq]) + payload
-        )
+        # split at 16MB-1: every full frame is continued; a payload
+        # that is an exact multiple ends with an empty frame
+        while True:
+            chunk, payload = payload[:0xFFFFFF], payload[0xFFFFFF:]
+            self.seq = (self.seq + 1) % 256
+            self.sock.sendall(
+                struct.pack("<I", len(chunk))[:3] + bytes([self.seq]) + chunk
+            )
+            if len(chunk) < 0xFFFFFF:
+                return
 
     # ------------------------------------------------------- responses
 
@@ -192,12 +218,14 @@ class _Conn:
         self.send_eof()
         for row in rows:
             payload = b""
-            for name, dt in fields:
-                v = row[name]
+            for i, (name, dt) in enumerate(fields):
+                v = row[i]  # positional: duplicate column names stay distinct
                 if v is None:
                     payload += b"\xfb"
                 elif isinstance(v, bool):
                     payload += _lenenc_str(b"1" if v else b"0")
+                elif isinstance(v, (bytes, bytearray)):
+                    payload += _lenenc_str(bytes(v))
                 else:
                     payload += _lenenc_str(str(v).encode("utf-8"))
             self.write_packet(payload)
@@ -216,7 +244,7 @@ class _Conn:
             null_bitmap = bytearray((n + 7 + 2) // 8)
             vals = b""
             for i, (name, dt) in enumerate(fields):
-                v = row[name]
+                v = row[i]  # positional: duplicate column names stay distinct
                 if v is None:
                     # binary-row null bitmap has a 2-bit offset
                     null_bitmap[(i + 2) // 8] |= 1 << ((i + 2) % 8)
@@ -228,6 +256,8 @@ class _Conn:
                     vals += struct.pack("<d", float(v))
                 elif code == T_TINY:
                     vals += struct.pack("<b", 1 if v else 0)
+                elif isinstance(v, (bytes, bytearray)):
+                    vals += _lenenc_str(bytes(v))
                 else:
                     vals += _lenenc_str(str(v).encode("utf-8"))
             self.write_packet(b"\x00" + bytes(null_bitmap) + vals)
@@ -275,15 +305,22 @@ class _Conn:
             pos = 32
             end = resp.index(b"\x00", pos)
             pos = end + 1
-            alen = resp[pos]
-            pos += 1 + alen
+            if caps & CLIENT_SECURE_CONNECTION:
+                # 1-byte length-prefixed auth response
+                alen = resp[pos]
+                pos += 1 + alen
+            else:
+                # legacy NUL-terminated auth response
+                pos = resp.index(b"\x00", pos) + 1
             dbend = resp.find(b"\x00", pos)
             if dbend > pos:
                 db = resp[pos:dbend].decode("utf-8", "replace")
                 try:
                     self.engine.execute(f"USE {db}")
                 except EbikeError:
-                    pass
+                    # real MySQL refuses the connection: ERR 1049
+                    self.send_err(1049, f"Unknown database '{db}'", "42000")
+                    raise ConnectionError("unknown database at connect")
         # read_packet recorded the response's sequence (1); the OK that
         # completes the handshake follows it as 2
         self.send_ok()
@@ -325,7 +362,7 @@ class _Conn:
                 elif cmd == COM_STMT_PREPARE:
                     sql = body.decode("utf-8")
                     stmt_id = self.engine.prepare(sql)
-                    n_params = self.engine._stmts[stmt_id].n_params
+                    n_params = self.engine.prepared_param_count(stmt_id)
                     self.write_packet(
                         b"\x00"
                         + struct.pack("<I", stmt_id)
@@ -340,28 +377,37 @@ class _Conn:
                         self.send_eof()
                 elif cmd == COM_STMT_EXECUTE:
                     stmt_id = struct.unpack_from("<I", body, 0)[0]
-                    n_params = self.engine._stmts.get(stmt_id)
-                    n_params = n_params.n_params if n_params else 0
-                    params = self._decode_binary_params(body, n_params)
+                    n_params = self.engine.prepared_param_count(stmt_id)
+                    params = self._decode_binary_params(
+                        body, n_params, self._stmt_types, stmt_id
+                    )
                     result = self.engine.execute_prepared(stmt_id, params)
                     self.send_result(result, binary=True)
                 elif cmd == COM_STMT_CLOSE:
-                    self.engine._stmts.pop(
-                        struct.unpack_from("<I", body, 0)[0], None
-                    )
+                    sid = struct.unpack_from("<I", body, 0)[0]
+                    self.engine.close_prepared(sid)
+                    self._stmt_types.pop(sid, None)
                     # COM_STMT_CLOSE sends no response (public protocol)
                 else:
                     self.send_err(1047, f"Unknown command {cmd:#04x}", "08S01")
             except EbikeError as e:
                 self.send_err(e.code, e.message)
             except Exception as e:  # Spark analysis/parse errors etc.
-                self.send_err(1105, str(e).splitlines()[0][:400])
+                msg = (str(e).splitlines() or ["internal error"])[0][:400]
+                self.send_err(1105, msg or "internal error")
 
     @staticmethod
-    def _decode_binary_params(body: bytes, n_params: int) -> list[object]:
+    def _decode_binary_params(
+        body: bytes,
+        n_params: int,
+        type_cache: dict[int, list[int]],
+        stmt_id: int,
+    ) -> list[object]:
         """COM_STMT_EXECUTE payload → Python values (public protocol:
         stmt_id 4, flags 1, iteration 4, NULL bitmap (n+7)//8,
-        new_params_bound 1, types 2×n, values)."""
+        new_params_bound 1, types 2×n, values). Connectors send the
+        types block only on the FIRST execute; re-executions set
+        new_params_bound=0 and reuse the cached types."""
         if n_params == 0:
             return []
         pos = 9
@@ -370,12 +416,16 @@ class _Conn:
         pos += nb_len
         new_bound = body[pos]
         pos += 1
-        if not new_bound:
-            raise EbikeError(1210, "re-bound parameter types required")
-        types = []
-        for _ in range(n_params):
-            types.append(body[pos])
-            pos += 2  # type + unsigned flag
+        if new_bound:
+            types = []
+            for _ in range(n_params):
+                types.append(body[pos])
+                pos += 2  # type + unsigned flag
+            type_cache[stmt_id] = types
+        else:
+            types = type_cache.get(stmt_id)
+            if types is None:
+                raise EbikeError(1210, "parameter types never bound")
         params: list[object] = []
         for i in range(n_params):
             if null_bitmap[i // 8] & (1 << (i % 8)):

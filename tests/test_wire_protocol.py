@@ -44,10 +44,15 @@ class MiniClient:
         return out
 
     def read_packet(self) -> bytes:
-        header = self._recv_exact(4)
-        (length,) = struct.unpack("<I", header[:3] + b"\x00")
-        self.seq = header[3]
-        return self._recv_exact(length)
+        # reassemble 16MB-split packets (frame of 0xFFFFFF continues)
+        out = b""
+        while True:
+            header = self._recv_exact(4)
+            (length,) = struct.unpack("<I", header[:3] + b"\x00")
+            self.seq = header[3]
+            out += self._recv_exact(length)
+            if length < 0xFFFFFF:
+                return out
 
     def write_packet(self, payload: bytes) -> None:
         self.seq = (self.seq + 1) % 256
@@ -80,6 +85,10 @@ class MiniClient:
         )
         self.write_packet(resp)
         ok = self.read_packet()
+        if ok[0] == 0xFF:
+            self.handshake_error = struct.unpack_from("<H", ok, 1)[0]
+            return
+        self.handshake_error = None
         assert ok[0] == 0x00, f"handshake failed: {ok!r}"
 
     # value decode ----------------------------------------------------
@@ -228,6 +237,34 @@ class MiniClient:
             rows.append(row)
         return ("rows", cols, rows)
 
+    def execute_rebound(self, stmt_id: int, params: list):
+        """Re-execute with new_params_bound_flag=0 and NO types block —
+        what every connector sends from the second execution on; the
+        server must reuse the types it cached at the first execute."""
+        n = len(params)
+        body = struct.pack("<I", stmt_id) + b"\x00" + struct.pack("<I", 1)
+        null_bitmap = bytearray((n + 7) // 8)
+        values = b""
+        for i, p in enumerate(params):
+            if p is None:
+                null_bitmap[i // 8] |= 1 << (i % 8)
+            elif isinstance(p, int):
+                values += struct.pack("<q", p)
+            elif isinstance(p, float):
+                values += struct.pack("<d", p)
+            else:
+                b = str(p).encode()
+                values += bytes([len(b)]) + b
+        body += bytes(null_bitmap) + b"\x00" + values
+        self.send_command(0x17, body)
+        first = self.read_packet()
+        if first[0] == 0x00 and len(first) < 9:
+            affected, _ = self._lenenc(first, 1)
+            return ("ok", affected)
+        if first[0] == 0xFF:
+            return ("err", struct.unpack_from("<H", first, 1)[0])
+        raise AssertionError(f"unexpected: {first!r}")
+
     def ping(self) -> bool:
         self.send_command(0x0E)
         return self.read_packet()[0] == 0x00
@@ -327,3 +364,90 @@ def test_connect_with_db_in_handshake(server, spark):
     assert rows[0][0] == db
     c.close()
     spark.sql(f"DROP DATABASE {db}")
+
+
+def test_reexecute_without_types_uses_cached(server):
+    """Connectors send parameter types only on the FIRST execute;
+    new_params_bound_flag=0 thereafter must reuse the cached types."""
+    c = MiniClient(server)
+    db = f"wp_{uuid.uuid4().hex[:8]}"
+    c.query(f"CREATE DATABASE {db}")
+    c.init_db(db)
+    c.query("CREATE TABLE r (id INT NOT NULL, v FLOAT, PRIMARY KEY (id))")
+    stmt, _ = c.prepare("INSERT INTO r VALUES (?, ?)")
+    assert c.execute(stmt, [1, 1.5]) == ("ok", 1)  # types bound here
+    assert c.execute_rebound(stmt, [2, 2.5]) == ("ok", 1)  # no types block
+    _, _, rows = c.query("SELECT COUNT(*) AS n FROM r")
+    assert rows == [["2"]]
+    c.query(f"DROP DATABASE {db}")
+    c.close()
+
+
+def test_duplicate_column_names_stay_distinct(server):
+    c = MiniClient(server)
+    kind, cols, rows = c.query("SELECT 1 AS x, 2 AS x")
+    assert [n for n, _ in cols] == ["x", "x"]
+    assert rows == [["1", "2"]]
+    c.close()
+
+
+def test_16mb_packet_splitting(server):
+    """A resultset row larger than one 16MB frame must split/reassemble
+    per the public protocol rather than truncating the frame length."""
+    c = MiniClient(server)
+    n = 17_000_000
+    kind, cols, rows = c.query(f"SELECT repeat('x', {n}) AS big")
+    assert kind == "rows"
+    assert len(rows[0][0]) == n and set(rows[0][0]) == {"x"}
+    c.close()
+
+
+def test_connect_with_unknown_db_is_refused(server):
+    c = MiniClient.__new__(MiniClient)
+    import socket as _socket
+
+    c.sock = _socket.create_connection(("127.0.0.1", server), timeout=30)
+    c.seq = 0
+    c._handshake("definitely_missing_db")
+    assert c.handshake_error == 1049
+    c.sock.close()
+
+
+def test_concurrent_sessions_do_not_race_current_db(server):
+    """Two connections interleaving USE + unqualified queries from
+    separate threads must each keep their own current database (each
+    connection runs on an isolated spark.newSession())."""
+    import threading as _threading
+
+    dbs = []
+    errors = []
+
+    def worker(tag: str) -> None:
+        try:
+            c = MiniClient(server)
+            db = f"wp_{tag}_{uuid.uuid4().hex[:6]}"
+            dbs.append(db)
+            c.query(f"CREATE DATABASE {db}")
+            c.init_db(db)
+            c.query("CREATE TABLE t (id INT)")
+            c.query("INSERT INTO t VALUES (1)")
+            for _ in range(8):
+                _, _, rows = c.query("SELECT database() AS d")
+                if rows[0][0] != db:
+                    errors.append(f"{tag}: saw {rows[0][0]} wanted {db}")
+                _, _, rows = c.query("SELECT COUNT(*) AS n FROM t")
+                if rows[0][0] != "1":
+                    errors.append(f"{tag}: wrong table resolved")
+            c.query(f"DROP DATABASE {db}")
+            c.close()
+        except Exception as e:  # surface thread failures to the assert
+            errors.append(f"{tag}: {e!r}")
+
+    threads = [
+        _threading.Thread(target=worker, args=(t,)) for t in ("a", "b", "c")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
