@@ -451,3 +451,41 @@ def test_concurrent_sessions_do_not_race_current_db(server):
     for t in threads:
         t.join(timeout=300)
     assert not errors, errors
+
+
+def test_mysqldump_replay_over_the_wire(server):
+    """A mysqldump-style statement stream replayed over TCP: the
+    client-session preamble (SET NAMES / transaction no-ops / LOCK
+    TABLES), DDL, batched INSERTs, and SHOW WARNINGS polling — the
+    end-to-end client-compat story in one pass, finishing with a data
+    diff against the expected rows."""
+    c = MiniClient(server)
+    db = f"wp_{uuid.uuid4().hex[:8]}"
+    dump = [
+        "SET NAMES utf8mb4",
+        "SET @@session.sql_mode = 'ONLY_FULL_GROUP_BY'",
+        f"CREATE DATABASE {db}",
+        f"USE {db}",
+        "START TRANSACTION",
+        "CREATE TABLE dump_t (id INT NOT NULL, name CHAR, score FLOAT, PRIMARY KEY (id))",
+        "LOCK TABLES dump_t WRITE",
+        "INSERT INTO dump_t VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5)",
+        "INSERT INTO dump_t VALUES (3, 'gamma', NULL)",
+        "UNLOCK TABLES",
+        "COMMIT",
+    ]
+    for stmt in dump:
+        out = c.query(stmt)
+        assert out[0] in ("ok", "rows"), (stmt, out)
+    kind, cols, rows = c.query("SHOW WARNINGS")
+    assert kind == "rows" and rows == []
+    kind, cols, rows = c.query(
+        "SELECT id, name, score FROM dump_t ORDER BY id"
+    )
+    assert rows == [
+        ["1", "alpha", "1.5"],
+        ["2", "beta", "2.5"],
+        ["3", "gamma", None],
+    ]
+    c.query(f"DROP DATABASE {db}")
+    c.close()
