@@ -938,3 +938,62 @@ def test_zipf_fit_single_gram_shuffle_topk(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Scan parquet") == 1
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_ts_clustered_layout_enables_row_group_skipping(spark):
+    """PushedFilters proves the predicate REACHES the scan; this proves
+    the clustered layout makes it SKIP. Write events twice — hash-
+    scattered vs repartitionByRange+sortWithinPartitions on ts (the
+    CREATE INDEX clustering shape) — and count, from the parquet
+    FOOTERS, the row groups whose ts min/max intersect a 1-day window.
+    Deterministic metadata-level proof: the clustered copy must
+    intersect a small fraction of row groups where the scattered copy
+    intersects nearly all (min/max pruning reads only intersecting
+    groups at any corpus size)."""
+    import glob
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from ebike_spark.sources.registry import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.unix_micros("ts").alias("t"), "event_id", "user_id"
+    )
+    base = os.path.join(tempfile.gettempdir(), f"rgskip_{uuid.uuid4().hex[:8]}")
+    scattered = f"{base}/scattered"
+    clustered = f"{base}/clustered"
+    ev.repartition(8, "user_id").write.parquet(scattered)
+    (
+        ev.repartitionByRange(8, "t")
+        .sortWithinPartitions("t")
+        .write.option("parquet.block.size", 64 * 1024)
+        .parquet(clustered)
+    )
+
+    lo, hi = ev.agg(F.min("t"), F.max("t")).collect()[0]
+    day_us = 86_400_000_000
+    win_lo, win_hi = lo, min(lo + day_us, hi)
+
+    def intersecting(path: str) -> tuple[int, int]:
+        hit = total = 0
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("t")
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                total += 1
+                if st.min <= win_hi and st.max >= win_lo:
+                    hit += 1
+        return hit, total
+
+    hit_s, tot_s = intersecting(scattered)
+    hit_c, tot_c = intersecting(clustered)
+    assert tot_c >= 8, (hit_c, tot_c)
+    # scattered: every row group spans ~the whole corpus → all intersect
+    assert hit_s == tot_s, (hit_s, tot_s)
+    # clustered: only the groups actually holding the window intersect
+    assert hit_c / tot_c <= 0.5, (hit_c, tot_c)
