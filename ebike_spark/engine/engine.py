@@ -273,6 +273,16 @@ class Engine:
                 sql = rewrite_mysql_datetime_fns(sql)
             except ValueError as e:
                 raise parse_error(str(e)) from e
+        # MySQL FIELD() → array_position emulation (idempotent — the
+        # emitted text contains no FIELD token — so no datetime_fns-
+        # style re-application guard is needed)
+        if re.search(r"\bFIELD\s*\(", sql, re.I):
+            from ebike_spark.engine.parser import rewrite_field_fn
+
+            try:
+                sql = rewrite_field_fn(sql)
+            except ValueError as e:
+                raise parse_error(str(e)) from e
 
         # All rewrites run segment-wise OUTSIDE quoted spans so a string
         # literal containing e.g. "from dual" passes through untouched.
@@ -521,6 +531,20 @@ class Engine:
         if m:
             q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
             return rows(show.show_create_table(spark, self.catalog, q))
+        m = re.match(r"CREATE\s+(?:DATABASE|SCHEMA)\s+([\w`\"]+)\s*$", body, re.I)
+        if m:
+            db = unquote_ident(m.group(1))
+            if db.lower() not in {d.name.lower() for d in spark.catalog.listDatabases()}:
+                raise EbikeError(1049, f"Unknown database '{db}'")
+            ddl = (
+                f"CREATE DATABASE `{db}` /*!40100 DEFAULT CHARACTER SET "
+                "utf8mb4 COLLATE utf8mb4_0900_ai_ci */"
+            )
+            return rows(
+                spark.createDataFrame(
+                    [(db, ddl)], "`Database` string, `Create Database` string"
+                )
+            )
         m = re.match(r"(?:INDEX|INDEXES|KEYS)\s+(?:FROM|IN)\s+([\w.`\"]+)\s*$", body, re.I)
         if m:
             q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)

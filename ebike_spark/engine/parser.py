@@ -693,3 +693,43 @@ def rewrite_mysql_datetime_fns(sql: str) -> str:
         out.append(f"{fn}({inner}, '{sql_lit}')")
         i = close
 
+
+
+def rewrite_field_fn(sql: str) -> str:
+    """MySQL ``FIELD(expr, e1, e2, ...)`` → Spark
+    ``coalesce(array_position(array(e1, ...), expr), 0)`` — Spark has
+    no native field(); array_position is 1-based with 0 for not-found
+    exactly like FIELD, and the coalesce maps Spark's NULL-expr result
+    to MySQL's 0. Quote/paren-aware; nested FIELD calls rewrite
+    recursively via the argument re-scan."""
+    pat = re.compile(r"\bFIELD\s*\(", re.I)
+    out, i = [], 0
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        # skip matches inside quoted spans
+        j = i
+        inside_quote = False
+        while j < m.start():
+            if sql[j] in "'\"`":
+                j = _skip_quoted(sql, j)
+                if j > m.start():
+                    inside_quote = True
+                    break
+                continue
+            j += 1
+        if inside_quote:
+            out.append(sql[i:j])
+            i = j
+            continue
+        close = _find_matching_paren(sql, m.end() - 1)
+        args = split_top_level(sql[m.end() : close - 1])
+        if len(args) < 2:
+            raise ValueError("FIELD expects at least 2 arguments")
+        rest = ", ".join(rewrite_field_fn(a.strip()) for a in args[1:])
+        expr = rewrite_field_fn(args[0].strip())
+        out.append(sql[i : m.start()])
+        out.append(f"coalesce(array_position(array({rest}), {expr}), 0)")
+        i = close

@@ -1869,3 +1869,40 @@ def test_insert_select_on_duplicate_key_update(eng):
             "ON DUPLICATE KEY UPDATE v = 0"
         )
     assert ei.value.code == 1064
+
+
+def test_field_function_rewrite(eng):
+    """MySQL FIELD() → array_position emulation: 1-based index, 0 for
+    not-found and for a NULL subject, nested calls."""
+    eng.execute("CREATE TABLE ff (id INT, c CHAR)")
+    eng.execute("INSERT INTO ff VALUES (1, 'b'), (2, 'z'), (3, NULL)")
+    rows = {
+        r["id"]: r["pos"]
+        for r in eng.execute(
+            "SELECT id, FIELD(c, 'a', 'b', 'c') AS pos FROM ff"
+        ).rows()
+    }
+    assert rows == {1: 2, 2: 0, 3: 0}
+    # ORDER BY FIELD(...) — the canonical custom-sort idiom
+    got = [
+        r["c"]
+        for r in eng.execute(
+            "SELECT c FROM ff WHERE c IS NOT NULL "
+            "ORDER BY FIELD(c, 'z', 'b'), c"
+        ).rows()
+    ]
+    assert got == ["z", "b"]
+    # quoted text containing FIELD( passes through untouched
+    r = eng.execute("SELECT 'FIELD(x, 1)' AS s FROM ff LIMIT 1").rows()[0]
+    assert r["s"] == "FIELD(x, 1)"
+
+
+def test_show_create_database(eng):
+    r = eng.execute(f"SHOW CREATE DATABASE {eng.current_db}").rows()[0]
+    assert r["Database"] == eng.current_db
+    assert r["Create Database"].startswith(f"CREATE DATABASE `{eng.current_db}`")
+    from ebike_spark.engine.errors import EbikeError as _E
+
+    with pytest.raises(_E) as ei:
+        eng.execute("SHOW CREATE DATABASE definitely_missing_db")
+    assert ei.value.code == 1049
