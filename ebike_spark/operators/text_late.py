@@ -334,8 +334,8 @@ ZIPF_Q = 10_000  # ln-value fixed-point quantum (integer OLS below)
         SELECT unnest(string_split(text, ' ')) AS term FROM documents)
       WHERE term != '' GROUP BY term),
     ranked AS (
-      SELECT CAST(ROUND(ln(ROW_NUMBER() OVER (ORDER BY c DESC, term)) * {ZIPF_Q}) AS BIGINT) AS x,
-             CAST(ROUND(ln(c) * {ZIPF_Q}) AS BIGINT) AS y
+      SELECT CAST(FLOOR(ln(ROW_NUMBER() OVER (ORDER BY c DESC, term)) * {ZIPF_Q} + 0.500000001) AS BIGINT) AS x,
+             CAST(FLOOR(ln(c) * {ZIPF_Q} + 0.500000001) AS BIGINT) AS y
       FROM tf ORDER BY c DESC, term LIMIT {ZIPF_TOPK}),
     s AS (
       SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
@@ -373,11 +373,19 @@ def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     )
     topk = tf.orderBy(F.col("c").desc(), "term").limit(ZIPF_TOPK)
     w = Window.orderBy(F.col("c").desc(), "term")
+    # FLOOR(v*Q + 0.5 + 1e-9), not ROUND(v*Q): JVM Math.log and DuckDB's
+    # libm log differ by up to 1 ulp, and ROUND flips the fixed-point
+    # integer when v*Q lands within that ulp of a .5 boundary. The 1e-9
+    # nudge (same decimal literal both engines — parses to the same
+    # double) moves the boundary off the hazard; all inputs are >= 1 so
+    # ln >= 0 and floor(v+0.5) == round(v) elsewhere.
     ranked = topk.select(
-        F.round(F.log(F.row_number().over(w).cast("double")) * ZIPF_Q)
+        F.floor(F.log(F.row_number().over(w).cast("double")) * ZIPF_Q + F.lit(0.500000001))
         .cast("long")
         .alias("x"),
-        F.round(F.log(F.col("c").cast("double")) * ZIPF_Q).cast("long").alias("y"),
+        F.floor(F.log(F.col("c").cast("double")) * ZIPF_Q + F.lit(0.500000001))
+        .cast("long")
+        .alias("y"),
     )
     s = ranked.agg(
         F.count("*").alias("k"),

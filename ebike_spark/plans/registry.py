@@ -84,84 +84,27 @@ def _load_all() -> None:
 # of the order all_queries() emits. Every query is oracled identically
 # regardless of position; the prefix only controls which rows get
 # fresh external evidence this round, and entries past position 50 get
-# none. Round 7 spends the budget exactly as VERDICT-r6 task 1
-# mandates: the 40 queries that have NEVER had a driver correctness
-# row (the 13 r6 WINDOW_PREFIX stragglers first, then the late-r6
-# block including the new q31b_sequence_spine), then 10 rows from the
-# r3-stale dedup/ann/text family — including the two ANN sketches
-# whose verdict-shape upgrade (VERDICT-r6 task 5) lands this round.
-# The cut falls exactly at position 50 (text_langid); the 25 remaining
-# r3-stale rows plus the later round-7 additions are listed after it
-# and lead the round-8 rotation.
+# none. Round 8 spends the budget exactly as VERDICT-r7 task 1
+# mandates: the 4 late-r7 queries that have NEVER had a driver
+# correctness row, then the 3 queries whose verdict shapes were
+# re-built in r7 (their only historical rows predate their oracles),
+# then ALL 25 remaining r3-stale rows, then 18 r4-stale fills (the
+# non-event r4 block first, then the oldest ev_* rows). The cut falls
+# exactly at position 50 (ev_path_transitions); the 11 remaining
+# r4-stale rows (the ev_funnel / ev_retention / windowing family) are
+# listed immediately after and lead the round-9 rotation (TODO_r9.md).
 WINDOW_PREFIX: tuple[str, ...] = (
-    # --- never externally checked: the 13 r6 stragglers (VERDICT-r6
-    # task 1, positions 1-13) ---
-    "ev_cohort_ltv",
-    "fn_window",
-    "text_ttr_profile",
-    "ev_new_vs_returning",
-    "ev_stickiness_weekly",
-    "corpus_gate_waterfall",
-    "stream_new_vs_returning",
-    "ev_forecast_snaive_backtest",
-    "text_doc_keywords",
-    "q30_lateral_topk",
-    "embed_pca_audit",
-    "corpus_bloom_decontaminate",
-    "text_heavy_hitters_cms",
-    # --- never externally checked: the late-r6 block + the new
-    # q31b (positions 14-40) ---
-    "ev_markov_sessions",
-    "ev_user_paths_topk",
-    "fn_maps",
-    "mm_wav_decode_stats",
-    "ev_survival_hazard",
-    "ev_ab_test_ztest",
-    "stream_cdc_upsert",
-    "io_schema_evolution",
-    "q31_recursive_spine",
-    "q31b_sequence_spine",
-    "q32_recursive_reach",
-    "ann_filtered_topk",
-    "embed_drift_by_dim",
-    "corpus_manifest_diff",
-    "ev_trend_theil_sen",
-    "io_csv_malformed",
-    "io_compact_small_files",
-    "fn_structs",
-    "ev_lifecycle_stages",
-    "fn_datetime_arith",
-    "fn_nullsafe",
-    "corpus_dup_rate_by_source",
-    "fn_regex_extended",
-    "embed_norm_histogram",
-    "ev_error_budget_burn",
-    "fn_null_ordering",
-    "stream_error_budget_burn",
-    # --- r3-stale block, 10 fill slots (positions 41-50): the two
-    # verdict-shape-upgraded ANN sketches (VERDICT-r6 task 5) plus the
-    # core dedup family and stalest text rows ---
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_cluster",
-    "text_decontaminate",
-    "text_langid",
-    # --- external budget exhausted: new round-7 additions plus the
-    # remaining r3-stale rows lead the round-8 rotation ---
+    # --- never externally checked (late-r7 additions, positions 1-4) ---
     "stream_lifecycle_stages",
     "text_zipf_fit",
     "io_zstd_roundtrip",
     "fn_string_mysql",
-    # verdict-shape upgrades (r7) — previously rows-only, now fully
-    # oracled; re-check under the new shapes
+    # --- verdict shapes rebuilt in r7; only historical rows predate
+    # the new oracles (positions 5-7) ---
     "q13_approx_distinct",
     "q13b_approx_percentile",
     "embed_kmeans_converged",
+    # --- the 25 remaining r3-stale rows (positions 8-32) ---
     "corpus_pack_sequences",
     "ann_cosine_topk",
     "ann_range_search",
@@ -187,6 +130,40 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "text_tfidf_top_terms",
     "text_token_stats",
     "text_vocab_encode",
+    # --- r4-stale fills (positions 33-50): non-event r4 block first,
+    # then the oldest ev_* rows ---
+    "ann_knn_join",
+    "ann_pq_adc_topk",
+    "asof_generic_events_orders",
+    "corpus_temperature_mix",
+    "dedup_containment",
+    "dedup_incremental",
+    "embed_pq_encode",
+    "json_extract_props",
+    "json_map_explode",
+    "profile_columns",
+    "text_quality_percentile",
+    "ev_active_users",
+    "ev_anomaly_zscore",
+    "ev_asof_join",
+    "ev_gapfill_interp",
+    "ev_gapfill_locf",
+    "ev_hierarchical_rollup",
+    "ev_path_transitions",
+    # --- external budget exhausted: the 11 remaining r4-stale rows
+    # (the ev_funnel / ev_retention / windowing family) lead the
+    # round-9 rotation, then the r5-stale block ---
+    "ev_funnel",
+    "ev_funnel_windowed",
+    "ev_pivot",
+    "ev_retention",
+    "ev_rollup",
+    "ev_scd2_intervals",
+    "ev_sessionize",
+    "ev_sliding_window",
+    "ev_topk_per_group",
+    "ev_tumbling_window",
+    "ev_value_histogram",
 )
 
 
