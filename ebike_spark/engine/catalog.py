@@ -33,8 +33,20 @@ from ebike_spark.engine.errors import EbikeError, table_not_exists, unknown_data
 from ebike_spark.engine.parser import CreateTable
 
 # meta_util.rs:548-562 — the storable types; DDL with anything else errors.
-TYPE_MAP = {"INT": "BIGINT", "INTEGER": "BIGINT", "FLOAT": "DOUBLE", "CHAR": "STRING"}
-# reverse map for SHOW CREATE TABLE / SHOW COLUMNS output
+# Declared MySQL type → Spark storage type. The reference's own
+# whitelist is INT/FLOAT/CHAR (meta_def.rs); the synonym rows beyond it
+# exist because real mysqldump output declares varchar/double/bigint/
+# text — each maps onto a type the engine already stores, no new
+# semantics. DECIMAL stays rejected: silently storing an exact MySQL
+# type as a float would corrupt money columns (clean 1064 instead).
+TYPE_MAP = {
+    "INT": "BIGINT", "INTEGER": "BIGINT", "BIGINT": "BIGINT",
+    "FLOAT": "DOUBLE", "DOUBLE": "DOUBLE",
+    "CHAR": "STRING", "VARCHAR": "STRING", "TEXT": "STRING",
+    "DATE": "DATE", "TIMESTAMP": "TIMESTAMP", "BOOLEAN": "BOOLEAN",
+}
+# reverse map for SHOW CREATE TABLE / SHOW COLUMNS output (canonical
+# display name per STORAGE type — declared synonyms are not preserved)
 SQL_TYPE_NAME = {"bigint": "int", "double": "float", "string": "char"}
 
 PROP_PK = "ebike.primary_key"
@@ -109,7 +121,11 @@ class Catalog:
         not_null = []
         for c in ct.columns:
             if c.sql_type not in TYPE_MAP:
-                raise EbikeError(1064, f"unsupported column type {c.sql_type} (only INT/FLOAT/CHAR)")
+                raise EbikeError(
+                    1064,
+                    f"unsupported column type {c.sql_type} "
+                    f"(supported: {', '.join(sorted(TYPE_MAP))})",
+                )
             cols.append(f"`{c.name}` {TYPE_MAP[c.sql_type]}")
             if not c.nullable:
                 not_null.append(c.name)

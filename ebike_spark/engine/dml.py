@@ -318,7 +318,24 @@ def _insert_ignore(spark: SparkSession, catalog: Catalog, qualified: str, new_df
     arbitrarily long), so that path keeps MySQL's row-by-row replay on
     the driver and is capped at ``_IGNORE_REPLAY_CAP`` rows — a bulk
     load over the cap raises 1105 suggesting REPLACE (fully
-    distributed) or a single-index target."""
+    distributed) or a single-index target.
+
+    Why no distributive form exists (the cap is the right call, not a
+    shortcut): a per-index iterative anti-join — apply indexes in
+    declaration order, first-wins within each, feeding survivors to
+    the next index — is NOT MySQL-equivalent. Counterexample with
+    unique indexes A then B and batch r1=(a1,b1), r2=(a2,b1),
+    r3=(a2,b2): MySQL accepts r1, rejects r2 (B-conflict with r1), and
+    ACCEPTS r3 — the rejected r2 never entered index A, so it cannot
+    suppress r3. The A-then-B pipeline instead drops r3 in the A pass
+    (a2 duplicate of the not-yet-rejected r2) and yields {r1} where
+    MySQL yields {r1, r3}. In general, first-wins acceptance is the
+    lexicographically-first maximal independent set of the batch's
+    conflict graph (rows = vertices, any-index collisions = edges),
+    and LFMIS is P-complete (Cook 1985) — no NC/parallel (hence no
+    shuffle-distributive) computation exists for it unless NC = P.
+    REPLACE escapes this because last-wins per index is
+    order-reducible per key (a row_number window), not graph-greedy."""
     for col in catalog.not_null_cols(qualified):
         if new_df.where(F.col(col).isNull()).limit(1).count() > 0:
             raise EbikeError(1048, f"Column '{col}' cannot be null")
@@ -709,7 +726,9 @@ def load_data(
     holds a directory, only files under that directory (after symlink
     resolution) load, anything else raises 1290; when it is the empty
     string (this engine's default, a real MySQL configuration) any
-    server-readable path loads. Documented divergence: the LOCAL
+    server-readable path loads. Like MySQL, the variable is READ-ONLY
+    at runtime (SET → 1238) and fixed at Engine/server construction —
+    otherwise any wire client could lift the fence. Documented divergence: the LOCAL
     keyword is accepted but still reads the SERVER filesystem (there
     is no client channel in-process), and the same secure_file_priv
     gate applies to it.

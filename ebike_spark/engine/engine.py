@@ -14,6 +14,7 @@ DataFusion. No wire protocol — that's transport, not semantics.
 from __future__ import annotations
 
 import re
+import threading
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -53,10 +54,17 @@ DEFAULT_SYS_VARS: dict[str, object] = {
     "interactive_timeout": 28800,
     # LOAD DATA path gate (MySQL --secure-file-priv): '' = any
     # server-readable path (a real MySQL configuration and this
-    # engine's default); a directory restricts loads to it; settable
-    # per-session/global via SET for deployments that need the fence
+    # engine's default); a directory restricts loads to it. READ-ONLY
+    # at runtime, exactly like MySQL (SET -> 1238): if it were
+    # session-settable, any wire client could lift the fence and read
+    # any server-readable file. Fix it at Engine/server construction.
     "secure_file_priv": "",
 }
+
+# Variables MySQL refuses to SET at runtime (ER 1238). secure_file_priv
+# is the security-load-bearing one: the LOAD DATA fence must be fixed
+# at server start, not liftable over the wire.
+READ_ONLY_SYS_VARS = frozenset({"secure_file_priv", "version", "version_comment"})
 
 # SET GLOBAL scope: shared across every Engine (session) on this
 # process, seeding new sessions — MySQL's global-variable semantics
@@ -64,6 +72,24 @@ DEFAULT_SYS_VARS: dict[str, object] = {
 # /root/reference/src/core/global_context.rs). SESSION scope lives on
 # each Engine's sys_vars.
 GLOBAL_VARS: dict[str, object] = {}
+
+# Process-global freshness epoch for the SHARED system-schema physical
+# tables (information_schema / mysql / performance_schema). They are
+# one set of parquet tables per process, but Engines are
+# one-per-connection under the wire server — so a DDL on connection A
+# must invalidate connection B's targeted-refresh cache, or B serves
+# stale information_schema indefinitely. Any mutation bumps the epoch;
+# each Engine rebuilds its referenced tables when its seen epoch lags.
+# The lock also serializes the rebuilds themselves: two connections
+# racing overwrite-rebuilds of the same system table would otherwise
+# collide in the metastore.
+_SYS_SCHEMA_LOCK = threading.RLock()
+_SYS_SCHEMA_EPOCH = [0]
+
+
+def _bump_sys_schema_epoch() -> None:
+    with _SYS_SCHEMA_LOCK:
+        _SYS_SCHEMA_EPOCH[0] += 1
 
 
 @dataclass
@@ -83,18 +109,29 @@ class _Prepared:
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, default_db: str = "default"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        default_db: str = "default",
+        secure_file_priv: str | None = None,
+    ):
         self.spark = spark
         self.catalog = Catalog(spark)
         self.current_db = default_db
         # new sessions see defaults overlaid with any SET GLOBAL values
         self.sys_vars = {**DEFAULT_SYS_VARS, **GLOBAL_VARS}
+        if secure_file_priv is not None:
+            # construction-time only — the single place the LOAD DATA
+            # fence can be set (SET rejects it with 1238 below)
+            self.sys_vars["secure_file_priv"] = secure_file_priv
         self.user_vars: dict[str, object] = {}
         self.last_insert_id = 0
         self._stmts: dict[int, _Prepared] = {}
         self._next_stmt_id = 1
-        self._info_schema_dirty = True
-        # system tables rebuilt since the last DDL (see _select)
+        # system tables this Engine has rebuilt at the CURRENT epoch
+        # (see _select); -1 forces the first system-schema read to
+        # rebuild whatever it references
+        self._seen_sys_epoch = -1
         self._fresh_sys_tables: set[str] = set()
 
     # ------------------------------------------------------------ dispatch
@@ -141,7 +178,7 @@ class Engine:
             # execution.rs:894-1279); Spark-native passthrough
             self.spark.catalog.setCurrentDatabase(self.current_db)
             self.spark.sql(sql)
-            self._info_schema_dirty = True
+            _bump_sys_schema_epoch()
             return EngineResult("count", affected=0)
         if kw == "DROP" and kw2 == "TABLE":
             return self._drop_table(sql)
@@ -392,8 +429,9 @@ class Engine:
         # metastore round-trips — rebuilding all nine info-schema tables
         # plus mysql/performance_schema for a query that reads one was
         # the dominant cost of the engine test family). Freshness is
-        # tracked per table; any DDL flips _info_schema_dirty, which
-        # invalidates the whole set on the next system-schema read.
+        # tracked per table at a PROCESS-GLOBAL epoch: any DDL (on any
+        # Engine/connection — the tables are shared) bumps the epoch,
+        # invalidating every Engine's set on its next system-schema read.
         refs = {
             f"{s.lower()}.{t.lower()}"
             for s, t in re.findall(
@@ -403,23 +441,24 @@ class Engine:
             )
         }
         if refs:
-            if self._info_schema_dirty:
-                self._fresh_sys_tables = set()
-                self._info_schema_dirty = False
-            need = refs - self._fresh_sys_tables
-            info_need = {
-                st.split(".", 1)[1]
-                for st in need
-                if st.startswith("information_schema.")
-            }
-            if info_need:
-                self.catalog.refresh_information_schema(only=info_need)
-            if any(
-                st.startswith(("mysql.", "performance_schema.")) for st in need
-            ):
-                self.catalog.refresh_system_schemas(self.sys_vars)
-                need |= {"mysql.users", "performance_schema.global_variables"}
-            self._fresh_sys_tables |= need
+            with _SYS_SCHEMA_LOCK:
+                if self._seen_sys_epoch != _SYS_SCHEMA_EPOCH[0]:
+                    self._fresh_sys_tables = set()
+                    self._seen_sys_epoch = _SYS_SCHEMA_EPOCH[0]
+                need = refs - self._fresh_sys_tables
+                info_need = {
+                    st.split(".", 1)[1]
+                    for st in need
+                    if st.startswith("information_schema.")
+                }
+                if info_need:
+                    self.catalog.refresh_information_schema(only=info_need)
+                if any(
+                    st.startswith(("mysql.", "performance_schema.")) for st in need
+                ):
+                    self.catalog.refresh_system_schemas(self.sys_vars)
+                    need |= {"mysql.users", "performance_schema.global_variables"}
+                self._fresh_sys_tables |= need
         self.spark.catalog.setCurrentDatabase(self.current_db)
         try:
             df = self.spark.sql(self._fix_select(sql))
@@ -475,6 +514,13 @@ class Engine:
             sigil = m.group(1) or ""
             scope = (m.group(2) or m.group(3) or "").lower()
             name, raw = m.group(4).lower(), m.group(5).strip()
+            if (sigil != "@" or scope) and name in READ_ONLY_SYS_VARS:
+                # MySQL ER_INCORRECT_GLOBAL_LOCAL_VAR-adjacent 1238:
+                # the fence must not be liftable at runtime (GLOBAL
+                # scope included — it would seed every NEW session)
+                raise EbikeError(
+                    1238, f"Variable '{name}' is a read only variable"
+                )
             value = self._eval_scalar(raw)
             if sigil == "@" and not scope:
                 self.user_vars[name] = value
@@ -482,10 +528,10 @@ class Engine:
                 # MySQL: SET GLOBAL affects NEW sessions (and @@GLOBAL.x
                 # reads), not this session's @@x
                 GLOBAL_VARS[name] = value
-                self._info_schema_dirty = True  # global_variables view
+                _bump_sys_schema_epoch()  # global_variables view
             else:  # SESSION / bare @@var / bare var
                 self.sys_vars[name] = value
-                self._info_schema_dirty = True
+                _bump_sys_schema_epoch()
         return EngineResult("ok")
 
     def _eval_scalar(self, raw: str):
@@ -587,7 +633,7 @@ class Engine:
         if not m:
             raise parse_error("near CREATE DATABASE")
         self.catalog.create_database(unquote_ident(m.group(2)), bool(m.group(1)))
-        self._info_schema_dirty = True
+        _bump_sys_schema_epoch()
         return EngineResult("count", affected=1)
 
     def _drop_db(self, sql: str) -> EngineResult:
@@ -595,7 +641,7 @@ class Engine:
         if not m:
             raise parse_error("near DROP DATABASE")
         self.catalog.drop_database(unquote_ident(m.group(2)), bool(m.group(1)))
-        self._info_schema_dirty = True
+        _bump_sys_schema_epoch()
         return EngineResult("count", affected=0)
 
     def _create_table(self, sql: str) -> EngineResult:
@@ -624,14 +670,14 @@ class Engine:
                     return EngineResult("count", affected=0)
                 raise EbikeError(1050, f"Table '{m.group(2)}' already exists")
             self.catalog.create_table_like(src, dst)
-            self._info_schema_dirty = True
+            _bump_sys_schema_epoch()
             return EngineResult("count", affected=0)
         try:
             ct = parse_create_table(sql)
         except ValueError as e:
             raise parse_error(str(e)) from e
         self.catalog.create_table(ct, self.current_db)
-        self._info_schema_dirty = True
+        _bump_sys_schema_epoch()
         return EngineResult("count", affected=0)
 
     def _ctas(self, if_not_exists: bool, table: str, select_sql: str) -> EngineResult:
@@ -653,7 +699,7 @@ class Engine:
             src = self._drop_hidden_rowid(src)
         self.catalog._ensure_fresh_location(q)
         src.write.format("parquet").saveAsTable(q)
-        self._info_schema_dirty = True
+        _bump_sys_schema_epoch()
         return EngineResult("count", affected=self.spark.table(q).count())
 
     # A materialized view is a managed parquet table whose defining
@@ -772,14 +818,14 @@ class Engine:
             self.spark.sql(
                 f"ALTER TABLE {bq(q)} UNSET TBLPROPERTIES ('{self._PROP_CLUSTER}{name}')"
             )
-            self._info_schema_dirty = True
+            _bump_sys_schema_epoch()
             return EngineResult("count", affected=0)
         if any(n == name for n, _ in self.catalog.unique_keys(q)):
             # dropping a UNIQUE index stops its constraint enforcement
             self.spark.sql(
                 f"ALTER TABLE {bq(q)} UNSET TBLPROPERTIES ('{PROP_UNIQUE_PREFIX}{name}')"
             )
-            self._info_schema_dirty = True
+            _bump_sys_schema_epoch()
             return EngineResult("count", affected=0)
         raise EbikeError(1091, f"Can't DROP '{name}'; check that column/key exists")
 
@@ -819,7 +865,7 @@ class Engine:
             f"ALTER TABLE {bq(q)} SET TBLPROPERTIES "
             f"('{PROP_UNIQUE_PREFIX}{name}' = '{','.join(cols)}')"
         )
-        self._info_schema_dirty = True
+        _bump_sys_schema_epoch()
         return EngineResult("count", affected=0)
 
     def _add_primary_key(self, q: str, cols: list[str]) -> EngineResult:
@@ -857,7 +903,7 @@ class Engine:
             f"ALTER TABLE {bq(q)} SET TBLPROPERTIES "
             f"('{PROP_PK}' = '{','.join(cols)}', '{PROP_NOT_NULL}' = '{','.join(nn)}')"
         )
-        self._info_schema_dirty = True
+        _bump_sys_schema_epoch()
         return EngineResult("count", affected=0)
 
     def _drop_primary_key(self, q: str) -> EngineResult:
@@ -868,7 +914,7 @@ class Engine:
             raise EbikeError(1091, "Can't DROP 'PRIMARY'; check that column/key exists")
         # MySQL keeps the NOT NULL attribute on former PK columns
         self.spark.sql(f"ALTER TABLE {bq(q)} UNSET TBLPROPERTIES ('{PROP_PK}')")
-        self._info_schema_dirty = True
+        _bump_sys_schema_epoch()
         return EngineResult("count", affected=0)
 
     def _matview_sql(self, q: str) -> str:
@@ -911,7 +957,7 @@ class Engine:
         if self.catalog.table_exists(q):
             self._matview_sql(q)  # 1347 if it's a plain table
             self.catalog.drop_table(q, True)
-        self._info_schema_dirty = True
+        _bump_sys_schema_epoch()
         return EngineResult("count", affected=0)
 
     def _truncate(self, sql: str) -> EngineResult:
@@ -1021,7 +1067,7 @@ class Engine:
             pairs.append((src, dst))
         for src, dst in pairs:
             self.spark.sql(f"ALTER TABLE {bq(src)} RENAME TO {bq(dst)}")
-        self._info_schema_dirty = True
+        _bump_sys_schema_epoch()
         return EngineResult("count", affected=0)
 
     def _drop_table(self, sql: str) -> EngineResult:
@@ -1030,7 +1076,7 @@ class Engine:
             raise parse_error("near DROP TABLE")
         q = self.catalog.qualify(unquote_ident(m.group(2)), self.current_db)
         self.catalog.drop_table(q, bool(m.group(1)))
-        self._info_schema_dirty = True
+        _bump_sys_schema_epoch()
         return EngineResult("count", affected=0)
 
     def _alter_table(self, sql: str) -> EngineResult:
@@ -1114,7 +1160,7 @@ class Engine:
                 self._alter_table_single(f"ALTER TABLE {stage} {cl}")
         except Exception:
             self.spark.sql(f"DROP TABLE IF EXISTS {bq(stage)}")
-            self._info_schema_dirty = True
+            _bump_sys_schema_epoch()
             raise
         # phase 2 — swap (same crash window as _recreate_table's,
         # documented). Once the original is dropped the stage is the ONLY
@@ -1133,7 +1179,7 @@ class Engine:
                     f"manually ({exc})",
                 ) from exc
         finally:
-            self._info_schema_dirty = True
+            _bump_sys_schema_epoch()
         if rename_to is not None:
             return self._rename_tables(f"RENAME TABLE {tbl_tok} TO {rename_to}")
         return EngineResult("count", affected=0)
@@ -1148,7 +1194,7 @@ class Engine:
         if m:
             q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
             self.catalog.alter_add_column(q, unquote_ident(m.group(2)), m.group(3).upper())
-            self._info_schema_dirty = True
+            _bump_sys_schema_epoch()
             return EngineResult("count", affected=0)
         m = re.match(r"ALTER\s+TABLE\s+([\w.`\"]+)\s+DROP\s+(?:COLUMN\s+)?([\w`\"]+)\s*$", sql, re.I)
         if m:
@@ -1296,7 +1342,7 @@ class Engine:
             self.spark.table(stage).write.insertInto(qualified, overwrite=True)
         finally:
             self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
-        self._info_schema_dirty = True
+        _bump_sys_schema_epoch()
 
     def _modify_column(
         self, qualified: str, old: str, new: str, sql_type: str, not_null: bool
@@ -1607,19 +1653,28 @@ class Engine:
 
     def _update_join(self, frm: str, set_clause: str, where: str | None) -> EngineResult:
         """Multi-table UPDATE (MySQL `UPDATE t1 JOIN t2 ON ... SET
-        t1.c = <expr over both> [WHERE ...]`): the assignments may read
-        the joined tables' columns — the classic enrich-in-place
-        statement. Supported subset: every assignment targets ONE table
-        (MySQL allows several; 1105 otherwise), no ORDER BY/LIMIT
-        (MySQL also disallows them in the multi-table form).
+        t1.c = <expr over both>, t2.d = ... [WHERE ...]`): the
+        assignments may read the joined tables' columns — the classic
+        enrich-in-place statement — and may target SEVERAL of the
+        joined tables in one statement (MySQL parity). No ORDER BY /
+        LIMIT (MySQL also disallows them in the multi-table form).
 
-        Set-oriented plan: one join computes (rowid, new values) for
-        every matched target row; a row matched more than once keeps
-        the smallest new-value tuple (MySQL's result there is
-        processing-order-dependent — this pins a deterministic
-        representative); the post-image lands via the same staged
-        rewrite, changed-row accounting, and key re-check as the
-        single-table path. No driver-side row loop at any join size."""
+        Set-oriented plan: ONE join computes (rowid, new values) for
+        every matched row of every assigned table against the shared
+        PRE-image; the frame is persisted (snapshot) so rewriting the
+        first target cannot leak its post-image into the second
+        target's values — MySQL processes rows one at a time and later
+        rows CAN observe earlier in-statement writes, an
+        order-dependent behavior with no deterministic set-oriented
+        equivalent; this engine pins snapshot semantics (every
+        assignment sees the statement's start state), the same
+        divergence documented for single-table UPDATE self-references.
+        A row matched more than once keeps the smallest new-value
+        tuple (MySQL's result there is processing-order-dependent —
+        this pins a deterministic representative); each post-image
+        lands via the same staged rewrite, changed-row accounting, and
+        key re-check as the single-table path. No driver-side row loop
+        at any join size."""
         from functools import reduce
         from operator import or_ as _or
 
@@ -1641,71 +1696,115 @@ class Engine:
                     am.group(3).strip(),
                 )
             )
-        aliases = {a for a, _, _ in assigns if a is not None}
-        if len(aliases) > 1:
-            raise unsupported(
-                "multi-table UPDATE assigning more than one table"
-            )
         first_tok = re.match(r"\s*([\w.`\"]+)", frm)
-        tgt = next(iter(aliases)) if aliases else (
-            unquote_ident(first_tok.group(1)) if first_tok else ""
-        )
-        base = self._resolve_alias_table(tgt, frm)
-        qualified = self.catalog.qualify(base, self.current_db)
-        self.catalog.require_table(qualified)
-        if not self.catalog.has_rowid(qualified):
-            raise unsupported(
-                "multi-table UPDATE on a table without the hidden rowid"
+        default_tgt = unquote_ident(first_tok.group(1)) if first_tok else ""
+        # group assignments by target alias, preserving statement order
+        by_tgt: dict[str, list[tuple[int, str, str]]] = {}
+        for i, (alias, col, rhs) in enumerate(assigns):
+            by_tgt.setdefault(alias or default_tgt, []).append((i, col, rhs))
+        targets: list[dict] = []
+        seen_tables: set[str] = set()
+        for tgt, items in by_tgt.items():
+            base = self._resolve_alias_table(tgt, frm)
+            qualified = self.catalog.qualify(base, self.current_db)
+            self.catalog.require_table(qualified)
+            if qualified in seen_tables:
+                # two aliases of one physical table both assigned: the
+                # row-level outcome is MySQL-undefined; refuse cleanly
+                raise unsupported(
+                    "multi-table UPDATE assigning the same table twice"
+                )
+            seen_tables.add(qualified)
+            if not self.catalog.has_rowid(qualified):
+                raise unsupported(
+                    "multi-table UPDATE on a table without the hidden rowid"
+                )
+            types = dict(self.catalog.column_types(qualified))
+            for _, col, _ in items:
+                if col not in types:
+                    raise EbikeError(
+                        1054, f"Unknown column '{col}' in 'field list'"
+                    )
+            targets.append(
+                {"tgt": tgt, "qualified": qualified, "types": types, "items": items}
             )
-        types = dict(self.catalog.column_types(qualified))
-        for _, col, _ in assigns:
-            if col not in types:
-                raise EbikeError(1054, f"Unknown column '{col}' in 'field list'")
         self.spark.catalog.setCurrentDatabase(self.current_db)
+        rid_exprs = ", ".join(
+            f"{bq(t['tgt'])}.`{dml.ROWID}` AS __rid{k}"
+            for k, t in enumerate(targets)
+        )
         val_exprs = ", ".join(
-            f"({rhs}) AS __v{i}" for i, (_, _, rhs) in enumerate(assigns)
+            f"({rhs}) AS __v{i}"
+            for t in targets
+            for i, _, rhs in t["items"]
         )
         sel = (
-            f"SELECT {bq(tgt)}.`{dml.ROWID}` AS __rid, {val_exprs} FROM {frm}"
+            f"SELECT {rid_exprs}, {val_exprs} FROM {frm}"
             + (f" WHERE {where}" if where else "")
         )
         src = self.spark.sql(self._fix_select(sel, datetime_fns=False))
-        w = Window.partitionBy("__rid").orderBy(
-            *[F.col(f"__v{i}") for i in range(len(assigns))]
-        )
-        vals = (
-            src.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        t = self.spark.table(qualified)
-        joined = t.join(vals, t[dml.ROWID] == vals["__rid"], "left")
-        matched = F.col("__rid").isNotNull()
-        new_vals = {
-            col: F.col(f"__v{i}").cast(types[col])
-            for i, (_, col, _) in enumerate(assigns)
-        }
-        changed = reduce(
-            _or,
-            [~new_vals[col].eqNullSafe(F.col(col)) for col in new_vals],
-        )
-        affected = joined.where(matched & changed).count()
-        if affected == 0:
-            return EngineResult("count", affected=0)
-        out_cols = []
-        for name in t.columns:
-            if name in new_vals:
-                out_cols.append(
-                    F.when(matched, new_vals[name]).otherwise(F.col(name)).alias(name)
-                )
-            else:
-                out_cols.append(t[name].alias(name))
-        new_df = joined.select(*out_cols)
-        dml.recheck_keys_after_update(
-            self.spark, self.catalog, qualified, new_df, set(new_vals)
-        )
-        dml._rewrite(self.spark, qualified, new_df)
-        return EngineResult("count", affected=affected)
+        if len(targets) > 1:
+            # snapshot the pre-image join BEFORE any table rewrites.
+            # localCheckpoint (eager), not persist(): rewriting the
+            # first target refreshes its table, and Spark invalidates
+            # every CACHED plan that reads a refreshed table — a
+            # persisted frame would silently recompute the second
+            # target's values from the first target's POST-image.
+            # Checkpointing cuts the lineage entirely, so the snapshot
+            # cannot be recomputed from anything. Bounded by matched
+            # rows x assigned columns, spread across executor storage.
+            src = src.localCheckpoint(eager=True)
+        total = 0
+        staged = []  # (qualified, new_df, assigned cols) per table
+        for k, t in enumerate(targets):
+            idxs = [i for i, _, _ in t["items"]]
+            w = Window.partitionBy(f"__rid{k}").orderBy(
+                *[F.col(f"__v{i}") for i in idxs]
+            )
+            vals = (
+                src.where(F.col(f"__rid{k}").isNotNull())
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(f"__rid{k}", *[f"__v{i}" for i in idxs])
+            )
+            tb = self.spark.table(t["qualified"])
+            joined = tb.join(
+                vals, tb[dml.ROWID] == vals[f"__rid{k}"], "left"
+            )
+            matched = F.col(f"__rid{k}").isNotNull()
+            new_vals = {
+                col: F.col(f"__v{i}").cast(t["types"][col])
+                for i, col, _ in t["items"]
+            }
+            changed = reduce(
+                _or,
+                [~new_vals[c].eqNullSafe(F.col(c)) for c in new_vals],
+            )
+            affected = joined.where(matched & changed).count()
+            if affected == 0:
+                continue
+            total += affected
+            out_cols = []
+            for name in tb.columns:
+                if name in new_vals:
+                    out_cols.append(
+                        F.when(matched, new_vals[name])
+                        .otherwise(F.col(name))
+                        .alias(name)
+                    )
+                else:
+                    out_cols.append(tb[name].alias(name))
+            new_df = joined.select(*out_cols)
+            dml.recheck_keys_after_update(
+                self.spark, self.catalog, t["qualified"], new_df, set(new_vals)
+            )
+            staged.append((t["qualified"], new_df, set(new_vals)))
+        # all key re-checks passed against pre-images: land every
+        # post-image (the persisted src makes each new_df read the
+        # snapshot, not another target's rewrite)
+        for qualified, new_df, _cols in staged:
+            dml._rewrite(self.spark, qualified, new_df)
+        return EngineResult("count", affected=total)
 
     def _delete(self, sql: str) -> EngineResult:
         fixed = self._fix_dml_scalars(
@@ -1814,10 +1913,16 @@ class Engine:
         params = params or []
         if len(params) != st.n_params:
             raise EbikeError(1210, "Incorrect arguments to EXECUTE")
+        return self.execute(self._splice_placeholders(st.sql, params))
+
+    @staticmethod
+    def _splice_placeholders(sql: str, params: list[object]) -> str:
+        """Replace each '?' outside quotes with the next param as a SQL
+        literal (the reference splices decoded binary params into the
+        cached AST, core_util.rs:32-107)."""
         out: list[str] = []
         it = iter(params)
         i = 0
-        sql = st.sql
         while i < len(sql):
             if sql[i] in "'\"`":
                 from ebike_spark.engine.parser import _skip_quoted
@@ -1831,7 +1936,35 @@ class Engine:
             else:
                 out.append(sql[i])
             i += 1
-        return self.execute("".join(out))
+        return "".join(out)
+
+    def prepared_result_schema(self, stmt_id: int) -> list[tuple[str, str]] | None:
+        """Result-set column metadata at PREPARE time. The wire server's
+        COM_STMT_PREPARE response advertises num_columns + column defs
+        (the reference returns real metadata, handle.rs:221-233, and
+        connectors call mysql_stmt_result_metadata / JDBC getMetaData
+        BEFORE any execute). Each '?' splices as NULL and the statement
+        runs through the normal dispatch — for the SELECT family that
+        is ANALYSIS ONLY (the returned DataFrame is lazy; no job runs).
+        Returns None for statements that produce no resultset (DML/DDL)
+        and for the rare parameterized shape NULL-splicing cannot
+        analyze (e.g. LIMIT ?), where the caller falls back to
+        advertising zero columns."""
+        st = self._stmts.get(stmt_id)
+        if st is None:
+            raise EbikeError(1243, f"Unknown prepared statement handler ({stmt_id})")
+        kw = st.sql.split(None, 1)[0].upper() if st.sql.split() else ""
+        if kw not in ("SELECT", "WITH", "VALUES", "TABLE"):
+            return None
+        try:
+            res = self.execute(
+                self._splice_placeholders(st.sql, [None] * st.n_params)
+            )
+        except Exception:
+            return None
+        if res.kind != "rows" or res.df is None:
+            return None
+        return [(f.name, f.dataType.simpleString()) for f in res.df.schema.fields]
 
     def close_prepared(self, stmt_id: int) -> None:
         self._stmts.pop(stmt_id, None)  # COM_STMT_CLOSE (execution.rs:790-795)

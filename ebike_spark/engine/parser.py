@@ -597,7 +597,10 @@ _MYSQL_FMT_SPEC: dict[str, str] = {
 def translate_mysql_datetime_format(fmt: str) -> str:
     """MySQL format string ('%Y-%m-%d') → java DateTimeFormatter
     pattern ('yyyy-MM-dd'). Literal alphabetic characters are quoted
-    (java patterns reserve all letters); unsupported specifiers raise
+    (java patterns reserve all letters), as are ``#``/``{``/``}``
+    (reserved for future use — DateTimeFormatter throws on them
+    unquoted) and ``[``/``]`` (active optional-section syntax that
+    would silently change parsing); unsupported specifiers raise
     ValueError rather than passing through as wrong dates."""
     out: list[str] = []
     lit: list[str] = []  # pending literal alphabetic run (one quote span)
@@ -623,10 +626,11 @@ def translate_mysql_datetime_format(fmt: str) -> str:
                 raise ValueError(f"unsupported datetime format specifier %{spec}")
             i += 2
             continue
-        if ch.isalpha():
-            # java patterns reserve all letters: buffer the run so
-            # consecutive literals share ONE quote span ('at', never
-            # 'a''t' — adjacent quotes read as an escaped quote)
+        if ch.isalpha() or ch in "#{}[]":
+            # java patterns reserve all letters plus #/{/} (throw) and
+            # [/] (optional sections): buffer the run so consecutive
+            # literals share ONE quote span ('at', never 'a''t' —
+            # adjacent quotes read as an escaped quote)
             lit.append(ch)
         elif ch == "'":
             flush()

@@ -707,3 +707,112 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
         F.count("__dup").alias("n_dup_docs"),
         (F.count("__dup") / F.count("*")).alias("dup_rate"),
     )
+
+
+CURRICULUM_STAGES = 10
+
+_CURRICULUM_SQL = f"""
+WITH per AS (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+staged AS (
+  SELECT ntile({CURRICULUM_STAGES}) OVER (ORDER BY n_chars, doc_id) AS stage,
+         n_tokens
+  FROM per),
+agg AS (
+  SELECT stage, COUNT(*) AS n_docs, SUM(n_tokens) AS stage_tokens
+  FROM staged GROUP BY stage)
+SELECT CAST(stage AS BIGINT) AS stage,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(stage_tokens AS BIGINT) AS stage_tokens,
+       CAST(SUM(stage_tokens) OVER (ORDER BY stage) AS BIGINT) AS cum_tokens,
+       CAST(SUM(stage_tokens) OVER (ORDER BY stage) AS DOUBLE)
+         / CAST(SUM(stage_tokens) OVER () AS DOUBLE) AS cum_token_share
+FROM agg
+"""
+
+
+@register(
+    "corpus_curriculum_stages",
+    oracle=_CURRICULUM_SQL,
+    tags=("corpus", "curriculum", "token-budget"),
+)
+def corpus_curriculum_stages(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum-learning stage plan: documents rank by a difficulty
+    proxy (n_chars, doc_id tiebreak — a TOTAL order, so every engine
+    agrees), split into {CURRICULUM_STAGES} ntile stages, and each
+    stage reports its doc count, token budget, cumulative token budget,
+    and cumulative share — the table a staged training run reads to
+    schedule "easy first, hard later" data ordering. All stage math is
+    exact integer arithmetic; the single emitted double divides two
+    BIGINTs identical on both engines.
+
+    Scale shape: the global ranking is the two-pass distributed
+    sort-rank — repartitionByRange on the difficulty key, per-partition
+    row_number, plus a broadcast of per-partition offsets (a
+    partition-count-sized collect, 32 rows, NEVER data-sized) — not a
+    single-partition global window, which would serialize the corpus
+    through one task at 100 TB. RangePartitioner's sampling is
+    seed-deterministic per partition index, so the two passes see the
+    same boundaries. Stage assignment replays ntile's exact piecewise
+    definition on (rank, N) — pure integer arithmetic, verified
+    against the oracle's native ntile. The stage rollup is a
+    {CURRICULUM_STAGES}-row aggregate; the cumulative window runs over
+    those {CURRICULUM_STAGES} rows only."""
+    from pyspark.sql import Window
+
+    k = CURRICULUM_STAGES
+    d = load_table(spark, sf, "documents")
+    per = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    parts = per.repartitionByRange(32, "n_chars", "doc_id").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    pc = {
+        r["__pid"]: r["cnt"]
+        for r in parts.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(pc.values())
+    offsets, acc = [], 0
+    for p in sorted(pc):
+        offsets.append((p, acc))
+        acc += pc[p]
+    off_df = spark.createDataFrame(offsets, "__pid INT, __off BIGINT")
+    w = Window.partitionBy("__pid").orderBy("n_chars", "doc_id")
+    ranked = (
+        parts.withColumn("__lrn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn("__rank", F.col("__off") + F.col("__lrn"))
+    )
+    # ntile's exact piecewise definition: q = N div k, r = N mod k;
+    # the first r buckets hold q+1 rows, the rest hold q
+    q, r = divmod(total, k)
+    head = r * (q + 1)
+    rank = F.col("__rank")
+    if q == 0:
+        stage = rank  # fewer rows than stages: one row per bucket
+    else:
+        stage = F.when(
+            rank <= head, ((rank - 1) / (q + 1)).cast("long") + 1
+        ).otherwise(r + ((rank - head - 1) / q).cast("long") + 1)
+    staged = ranked.select(stage.cast("long").alias("stage"), "n_tokens")
+    agg = staged.groupBy("stage").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("stage_tokens"),
+    )
+    wc = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return agg.select(
+        F.col("stage"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("stage_tokens").cast("long").alias("stage_tokens"),
+        F.sum("stage_tokens").over(wc).cast("long").alias("cum_tokens"),
+        (
+            F.sum("stage_tokens").over(wc).cast("double")
+            / F.sum("stage_tokens").over(wt).cast("double")
+        ).alias("cum_token_share"),
+    )

@@ -19,11 +19,11 @@ Scope/divergences (documented, all testable in-container):
 - Binary resultset rows encode LONGLONG/DOUBLE natively; everything
   else (strings, timestamps, booleans-as-tiny) ships as VAR_STRING
   text, which every connector accepts for those types.
-- COM_STMT_PREPARE advertises num_columns=0 (result metadata arrives
-  with the EXECUTE response instead — computing it at prepare time
-  would plan the query twice). Clients that require prepare-time
-  result metadata (mysql_stmt_result_metadata) should describe the
-  statement with a COM_QUERY LIMIT 0 instead.
+- COM_STMT_PREPARE returns REAL result metadata for the SELECT family
+  (one extra Catalyst analysis pass with NULL params, no execution);
+  statements with no resultset — or the rare parameterized shape
+  NULL-splicing cannot analyze, e.g. LIMIT ? — advertise num_columns=0
+  and ship metadata with the EXECUTE response as before.
 
 Threading: one OS thread per connection; every connection shares one
 Engine-per-connection over the same SparkSession (sessions are cheap —
@@ -52,6 +52,7 @@ COM_PING = 0x0E
 COM_STMT_PREPARE = 0x16
 COM_STMT_EXECUTE = 0x17
 COM_STMT_CLOSE = 0x19
+COM_STMT_RESET = 0x1A
 
 CLIENT_LONG_PASSWORD = 0x00000001
 CLIENT_PROTOCOL_41 = 0x00000200
@@ -117,14 +118,23 @@ def _spark_type_code(dt: str) -> int:
 class _Conn:
     """One client connection: packet framing + command dispatch."""
 
-    def __init__(self, sock: socket.socket, spark: SparkSession):
+    def __init__(
+        self,
+        sock: socket.socket,
+        spark: SparkSession,
+        secure_file_priv: str | None = None,
+    ):
         self.sock = sock
         # newSession(): same SparkContext and shared metastore tables,
         # but ISOLATED SQL conf + current database — without it, every
         # Engine's setCurrentDatabase would race across connection
         # threads and unqualified names could resolve in another
         # connection's database mid-query.
-        self.engine = Engine(spark.newSession())
+        # secure_file_priv is fixed HERE (server start option), never
+        # over the wire: Engine rejects SET on it with 1238, so a
+        # client that can reach the socket cannot lift the LOAD DATA
+        # fence (MySQL makes the variable read-only for this reason).
+        self.engine = Engine(spark.newSession(), secure_file_priv=secure_file_priv)
         self.seq = 0
         # per-statement parameter types: connectors send the types only
         # on the FIRST COM_STMT_EXECUTE (new_params_bound_flag=1) and
@@ -211,12 +221,17 @@ class _Conn:
     def send_text_resultset(self, result: EngineResult) -> None:
         df = result.df
         fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
-        rows = df.collect()
         self.write_packet(_lenenc_int(len(fields)))
         for name, dt in fields:
             self.write_packet(self._column_def(name, _spark_type_code(dt)))
         self.send_eof()
-        for row in rows:
+        # toLocalIterator, NEVER collect: rows stream to the socket a
+        # partition at a time (prefetch pipelines the next partition
+        # while this one encodes), so a `SELECT *` over a huge table
+        # holds at most ~2 partitions in driver memory instead of the
+        # whole resultset — the server must not be the one operator in
+        # the repo that materializes unbounded data on the driver.
+        for row in df.toLocalIterator(prefetchPartitions=True):
             payload = b""
             for i, (name, dt) in enumerate(fields):
                 v = row[i]  # positional: duplicate column names stay distinct
@@ -234,13 +249,14 @@ class _Conn:
     def send_binary_resultset(self, result: EngineResult) -> None:
         df = result.df
         fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
-        rows = df.collect()
         self.write_packet(_lenenc_int(len(fields)))
         for name, dt in fields:
             self.write_packet(self._column_def(name, _spark_type_code(dt)))
         self.send_eof()
         n = len(fields)
-        for row in rows:
+        # streamed exactly like the text protocol (see above): binary
+        # rows encode one at a time from a partition-at-a-time iterator
+        for row in df.toLocalIterator(prefetchPartitions=True):
             null_bitmap = bytearray((n + 7 + 2) // 8)
             vals = b""
             for i, (name, dt) in enumerate(fields):
@@ -363,10 +379,19 @@ class _Conn:
                     sql = body.decode("utf-8")
                     stmt_id = self.engine.prepare(sql)
                     n_params = self.engine.prepared_param_count(stmt_id)
+                    # real prepare-time result metadata (LIMIT-0-style
+                    # analysis of the statement with NULL params — one
+                    # extra ANALYSIS pass, no execution): connectors
+                    # that call mysql_stmt_result_metadata / JDBC
+                    # getMetaData before the first execute see the true
+                    # column count and defs, matching the reference
+                    # (handle.rs:221-233). None (DML/DDL or a shape
+                    # NULL-splicing cannot analyze) advertises 0.
+                    cols = self.engine.prepared_result_schema(stmt_id)
                     self.write_packet(
                         b"\x00"
                         + struct.pack("<I", stmt_id)
-                        + struct.pack("<H", 0)  # columns unknown until exec
+                        + struct.pack("<H", len(cols) if cols else 0)
                         + struct.pack("<H", n_params)
                         + b"\x00"
                         + struct.pack("<H", 0)
@@ -374,6 +399,12 @@ class _Conn:
                     if n_params:
                         for _ in range(n_params):
                             self.write_packet(self._column_def("?", T_VAR_STRING))
+                        self.send_eof()
+                    if cols:
+                        for name, dt in cols:
+                            self.write_packet(
+                                self._column_def(name, _spark_type_code(dt))
+                            )
                         self.send_eof()
                 elif cmd == COM_STMT_EXECUTE:
                     stmt_id = struct.unpack_from("<I", body, 0)[0]
@@ -383,6 +414,15 @@ class _Conn:
                     )
                     result = self.engine.execute_prepared(stmt_id, params)
                     self.send_result(result, binary=True)
+                elif cmd == COM_STMT_RESET:
+                    # resets accumulated long-data/cursor state (none
+                    # is kept here — params splice per-execute), but
+                    # the handle must exist and the bound param TYPES
+                    # survive, as in MySQL: a connector may re-execute
+                    # with new_params_bound=0 right after a reset
+                    sid = struct.unpack_from("<I", body, 0)[0]
+                    self.engine.prepared_param_count(sid)  # 1243 if unknown
+                    self.send_ok()
                 elif cmd == COM_STMT_CLOSE:
                     sid = struct.unpack_from("<I", body, 0)[0]
                     self.engine.close_prepared(sid)
@@ -461,8 +501,15 @@ class EbikeServer:
     ephemeral localhost port and stops on exit — the shape the tests
     (and any notebook demo) drive."""
 
-    def __init__(self, spark: SparkSession, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        spark: SparkSession,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        secure_file_priv: str | None = None,
+    ):
         self.spark = spark
+        self.secure_file_priv = secure_file_priv
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.sock.bind((host, port))
@@ -487,7 +534,7 @@ class EbikeServer:
 
     def _serve_conn(self, conn: socket.socket) -> None:
         try:
-            _Conn(conn, self.spark).serve()
+            _Conn(conn, self.spark, secure_file_priv=self.secure_file_priv).serve()
         except Exception:
             pass
         finally:

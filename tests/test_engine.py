@@ -119,11 +119,16 @@ def test_show_create_table(eng):
 
 
 def test_type_whitelist(eng):
-    # meta_util.rs:553-561: non-INT/FLOAT/CHAR rejected
-    with pytest.raises(EbikeError):
-        eng.execute("CREATE TABLE bad (d DATE)")
-    with pytest.raises(EbikeError):
+    # meta_util.rs:553-561 rejects non-INT/FLOAT/CHAR; this engine
+    # additionally accepts the mysqldump synonym family (see
+    # test_create_table_mysql_type_synonyms) but still rejects types
+    # with no faithful storage: DECIMAL (exactness) and anything
+    # outside the map (clean 1064, never a silent coercion)
+    with pytest.raises(EbikeError) as ei:
         eng.execute("CREATE TABLE bad (d DECIMAL(10,2))")
+    assert ei.value.code == 1064
+    with pytest.raises(EbikeError):
+        eng.execute("CREATE TABLE bad (d BLOB)")
 
 
 def test_alter_add_drop_column(eng):
@@ -311,6 +316,29 @@ def test_information_schema_view_type(eng):
         f"WHERE table_schema = '{eng.current_db}' ORDER BY table_name"
     ).rows()
     assert [(r[0], r[1]) for r in rows] == [("t", "BASE TABLE"), ("v", "VIEW")]
+
+
+def test_information_schema_cross_engine_invalidation(eng):
+    """The targeted-refresh freshness cache is PROCESS-GLOBAL: DDL on
+    one Engine (connection) invalidates every other Engine's cache —
+    the system-schema tables are shared physical tables, and under the
+    one-Engine-per-connection wire server a per-Engine flag would let
+    a second connection serve stale information_schema forever."""
+    other = Engine(eng.spark.newSession())
+    q = (
+        "SELECT table_name FROM information_schema.tables "
+        f"WHERE table_schema = '{eng.current_db}' ORDER BY table_name"
+    )
+    eng.execute("CREATE TABLE inv_a (a INT)")
+    # both engines warm their freshness cache on the same table
+    assert [r[0] for r in eng.execute(q).rows()] == ["inv_a"]
+    assert [r[0] for r in other.execute(q).rows()] == ["inv_a"]
+    # DDL through ENGINE A must be visible to ENGINE B's next read
+    eng.execute("CREATE TABLE inv_b (b INT)")
+    assert [r[0] for r in other.execute(q).rows()] == ["inv_a", "inv_b"]
+    # and the reverse direction: DROP through B, read through A
+    other.execute(f"DROP TABLE {eng.current_db}.inv_b")
+    assert [r[0] for r in eng.execute(q).rows()] == ["inv_a"]
 
 
 def test_register_function(eng):
@@ -1092,6 +1120,61 @@ def test_insert_ignore_stored_skip_does_not_suppress_later_rows(eng):
     assert rows == [(1, "a"), (2, "b")]
 
 
+def test_insert_ignore_multi_index_rejection_cascade(eng):
+    """The counterexample proving no per-index pipeline can replace the
+    multi-index replay (see _insert_ignore's docstring): batch
+    r1=(a1,b1), r2=(a2,b1), r3=(a2,b2) — r2 rejects on the SECOND index
+    (u='b1' duplicates r1), so it never enters the FIRST index and must
+    not suppress r3 there. MySQL accepts {r1, r3}; an
+    apply-index-A-then-index-B pipeline would wrongly yield {r1}."""
+    eng.execute(
+        "CREATE TABLE igc (a CHAR NOT NULL, b CHAR, PRIMARY KEY (a), UNIQUE KEY uq (b))"
+    )
+    r = eng.execute(
+        "INSERT IGNORE INTO igc VALUES ('a1','b1'), ('a2','b1'), ('a2','b2')"
+    )
+    assert r.affected == 2
+    rows = sorted((x["a"], x["b"]) for x in eng.execute("SELECT * FROM igc").rows())
+    assert rows == [("a1", "b1"), ("a2", "b2")]
+
+
+def test_insert_ignore_volume_cap_and_single_index_scale(eng, tmp_path):
+    """Volume behavior at the replay cap boundary: a multi-unique-index
+    IGNORE load beyond _IGNORE_REPLAY_CAP raises a clean 1105 (the
+    first-wins interleave is LFMIS on the conflict graph — P-complete,
+    no distributive form; docstring carries the counterexample), while
+    the SINGLE-index path loads the same volume fully distributed (one
+    window + one anti-join, no cap, nothing data-sized on the driver)."""
+    from ebike_spark.engine.dml import _IGNORE_REPLAY_CAP
+
+    n = _IGNORE_REPLAY_CAP + 1
+    f = tmp_path / "bulk.csv"
+    # every 10th row repeats the previous key -> real dedup work
+    with f.open("w") as fh:
+        for i in range(n):
+            k = i - 1 if (i % 10 == 9) else i
+            fh.write(f"{k},v{i}\n")
+    eng.execute(
+        "CREATE TABLE big2 (id INT NOT NULL, v CHAR, PRIMARY KEY (id), UNIQUE KEY uv (v))"
+    )
+    with pytest.raises(EbikeError) as ei:
+        eng.execute(
+            f"LOAD DATA INFILE '{f}' IGNORE INTO TABLE big2 FIELDS TERMINATED BY ','"
+        )
+    assert ei.value.code == 1105
+    assert "multiple unique indexes" in str(ei.value)
+    eng.execute("CREATE TABLE big1 (id INT NOT NULL, v CHAR, PRIMARY KEY (id))")
+    r = eng.execute(
+        f"LOAD DATA INFILE '{f}' IGNORE INTO TABLE big1 FIELDS TERMINATED BY ','"
+    )
+    dups = sum(1 for i in range(n) if i % 10 == 9)
+    assert r.affected == n - dups
+    got = eng.execute("SELECT COUNT(*) AS c, COUNT(DISTINCT id) AS d FROM big1").rows()[0]
+    assert got["c"] == n - dups and got["d"] == n - dups
+    # first-wins within the batch: key 8 keeps row 8's value, not row 9's
+    assert eng.execute("SELECT v FROM big1 WHERE id = 8").rows()[0]["v"] == "v8"
+
+
 def test_create_unique_index_retroactive(eng):
     """CREATE UNIQUE INDEX = retroactive UNIQUE: existing duplicates
     reject it (1062); once created, INSERT enforces it."""
@@ -1570,8 +1653,10 @@ def test_load_data_infile_errors(eng, tmp_path):
 
 
 def test_load_data_secure_file_priv_and_dup_columns(eng, tmp_path):
-    """secure_file_priv gates LOAD DATA paths (1290 outside the fence,
-    symlink-resolved); a duplicate name in the target column list is
+    """secure_file_priv is fixed at Engine construction and gates LOAD
+    DATA paths (1290 outside the fence, symlink-resolved); SET on it is
+    1238 in every scope (a runtime-settable fence would let any wire
+    client lift it); a duplicate name in the target column list is
     1110, never a silent first-field remap."""
     eng.execute("CREATE TABLE ldp (id INT NOT NULL, name CHAR, PRIMARY KEY (id))")
     allowed = tmp_path / "allowed"
@@ -1580,24 +1665,36 @@ def test_load_data_secure_file_priv_and_dup_columns(eng, tmp_path):
     inside.write_text("1,alice\n")
     outside = tmp_path / "out.csv"
     outside.write_text("2,bob\n")
-    eng.execute(f"SET secure_file_priv = '{allowed}'")
+    fenced = Engine(eng.spark, secure_file_priv=str(allowed))
+    fenced.execute(f"USE {eng.current_db}")
+    # the fence is read-only at runtime: SESSION, bare @@, and GLOBAL
+    # scope all 1238 (GLOBAL would seed every new session)
+    for stmt in (
+        "SET secure_file_priv = ''",
+        "SET @@secure_file_priv = ''",
+        "SET GLOBAL secure_file_priv = ''",
+    ):
+        with pytest.raises(EbikeError) as ei:
+            fenced.execute(stmt)
+        assert ei.value.code == 1238
+    # a USER variable of the same name is a different namespace
+    fenced.execute("SET @secure_file_priv = 'harmless'")
     with pytest.raises(EbikeError) as ei:
-        eng.execute(f"LOAD DATA INFILE '{outside}' INTO TABLE ldp FIELDS TERMINATED BY ','")
+        fenced.execute(f"LOAD DATA INFILE '{outside}' INTO TABLE ldp FIELDS TERMINATED BY ','")
     assert ei.value.code == 1290
     # a symlink inside the fence pointing outside is still rejected
     link = allowed / "sneaky.csv"
     link.symlink_to(outside)
     with pytest.raises(EbikeError) as ei:
-        eng.execute(f"LOAD DATA INFILE '{link}' INTO TABLE ldp FIELDS TERMINATED BY ','")
+        fenced.execute(f"LOAD DATA INFILE '{link}' INTO TABLE ldp FIELDS TERMINATED BY ','")
     assert ei.value.code == 1290
     assert (
-        eng.execute(
+        fenced.execute(
             f"LOAD DATA INFILE '{inside}' INTO TABLE ldp FIELDS TERMINATED BY ','"
         ).affected
         == 1
     )
-    # back to unrestricted ('' is the engine default)
-    eng.execute("SET secure_file_priv = ''")
+    # an unfenced Engine ('' is the engine default) loads anywhere
     assert (
         eng.execute(
             f"LOAD DATA INFILE '{outside}' INTO TABLE ldp FIELDS TERMINATED BY ','"
@@ -1717,6 +1814,52 @@ def test_multi_table_update_join(eng):
     assert ei.value.code == 1062
 
 
+def test_multi_table_update_assigns_several_tables(eng):
+    """UPDATE t1 JOIN t2 SET t1.x = f(t2), t2.y = g(t1): both sides of
+    the join update in one statement (MySQL parity). Every assignment
+    reads the statement's PRE-image snapshot — cross-assignments swap
+    cleanly instead of one side observing the other's write (MySQL is
+    row-order-dependent there; snapshot semantics is the documented
+    deterministic pin). Affected counts changed rows across BOTH
+    tables; assigning the same table through two aliases is 1105."""
+    eng.execute("CREATE TABLE swapa (id INT NOT NULL, v FLOAT, PRIMARY KEY (id))")
+    eng.execute("CREATE TABLE swapb (id INT NOT NULL, v FLOAT, PRIMARY KEY (id))")
+    eng.execute("INSERT INTO swapa VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    eng.execute("INSERT INTO swapb VALUES (1, 1.0), (2, 2.0)")
+    r = eng.execute(
+        "UPDATE swapa a JOIN swapb b ON a.id = b.id "
+        "SET a.v = b.v, b.v = a.v"
+    )
+    assert r.affected == 4  # ids 1,2 change in both tables; id 3 unjoined
+    ga = {x["id"]: x["v"] for x in eng.execute("SELECT id, v FROM swapa").rows()}
+    gb = {x["id"]: x["v"] for x in eng.execute("SELECT id, v FROM swapb").rows()}
+    # a true swap: b.v read a's PRE-image, not the just-written value
+    assert ga == {1: 1.0, 2: 2.0, 3: 30.0}
+    assert gb == {1: 10.0, 2: 20.0}
+    # per-table no-op accounting: only genuinely changed rows count
+    r = eng.execute(
+        "UPDATE swapa a JOIN swapb b ON a.id = b.id "
+        "SET a.v = b.v, b.v = b.v + 0"
+    )
+    assert r.affected == 2  # a takes b's values; b unchanged
+    # the same physical table assigned via two aliases is refused
+    with pytest.raises(EbikeError) as ei:
+        eng.execute(
+            "UPDATE swapa x JOIN swapa y ON x.id = y.id SET x.v = 1, y.v = 2"
+        )
+    assert ei.value.code == 1105
+    # key re-check still guards EVERY assigned table (1062 on table 2)
+    with pytest.raises(EbikeError) as ei:
+        eng.execute(
+            "UPDATE swapa a JOIN swapb b ON a.id = b.id "
+            "SET a.v = 0, b.id = 7"
+        )
+    assert ei.value.code == 1062
+    # ...and a failed re-check lands NOTHING (all-or-nothing statement)
+    ga = {x["id"]: x["v"] for x in eng.execute("SELECT id, v FROM swapa").rows()}
+    assert ga[1] != 0.0
+
+
 def test_mysql_datetime_format_rewrites(eng):
     """DATE_FORMAT %-specifiers → java patterns; STR_TO_DATE parses;
     literal letters in formats are quoted; unsupported specifiers and
@@ -1726,13 +1869,19 @@ def test_mysql_datetime_format_rewrites(eng):
     r = eng.execute(
         "SELECT DATE_FORMAT(d, '%Y-%m-%d') AS ymd, DATE_FORMAT(d, '%H:%i:%s') AS hms, "
         "DATE_FORMAT(d, '%W %M %e') AS wordy, DATE_FORMAT(d, '%d%%') AS pct, "
-        "DATE_FORMAT(d, 'at %H') AS lit FROM dtf"
+        "DATE_FORMAT(d, 'at %H') AS lit, "
+        "DATE_FORMAT(d, '%d#%m') AS hashy, DATE_FORMAT(d, '[%H]{%i}') AS bracey "
+        "FROM dtf"
     ).rows()[0]
     assert r["ymd"] == "2024-03-09"
     assert r["hms"] == "17:05:09"
     assert r["wordy"] == "Saturday March 9"
     assert r["pct"] == "09%"
     assert r["lit"] == "at 17"
+    # DateTimeFormatter-reserved punctuation: # { } throw unquoted and
+    # [ ] are live optional-section syntax — all must translate quoted
+    assert r["hashy"] == "09#03"
+    assert r["bracey"] == "[17]{05}"
     got = eng.execute(
         "SELECT STR_TO_DATE('09/03/2024 17:05', '%d/%m/%Y %H:%i') AS ts FROM dtf"
     ).rows()[0]["ts"]
@@ -1828,18 +1977,18 @@ def test_secure_file_priv_rejects_directories(eng, tmp_path):
     sub.mkdir(parents=True)
     (sub / "a.csv").write_text("1,x\n")
     eng.execute("CREATE TABLE sfd (id INT, v CHAR)")
-    eng.execute(f"SET secure_file_priv = '{allowed}'")
+    fenced = Engine(eng.spark, secure_file_priv=str(allowed))
+    fenced.execute(f"USE {eng.current_db}")
     with pytest.raises(EbikeError) as ei:
-        eng.execute(f"LOAD DATA INFILE '{sub}' INTO TABLE sfd FIELDS TERMINATED BY ','")
+        fenced.execute(f"LOAD DATA INFILE '{sub}' INTO TABLE sfd FIELDS TERMINATED BY ','")
     assert ei.value.code == 1290
     # a plain file inside still loads; unrestricted mode loads the dir
     assert (
-        eng.execute(
+        fenced.execute(
             f"LOAD DATA INFILE '{sub / 'a.csv'}' INTO TABLE sfd FIELDS TERMINATED BY ','"
         ).affected
         == 1
     )
-    eng.execute("SET secure_file_priv = ''")
     assert (
         eng.execute(
             f"LOAD DATA INFILE '{sub}' INTO TABLE sfd FIELDS TERMINATED BY ','"
@@ -1906,3 +2055,121 @@ def test_show_create_database(eng):
     with pytest.raises(_E) as ei:
         eng.execute("SHOW CREATE DATABASE definitely_missing_db")
     assert ei.value.code == 1049
+
+
+def test_mysqldump_full_file_replay(eng):
+    """Script-level integration: a faithful mysqldump 8.0 output file —
+    conditional /*!…*/ preamble and postamble, DROP TABLE IF EXISTS,
+    CREATE TABLE with backticks/ENGINE/CHARSET, LOCK/UNLOCK TABLES,
+    multi-row INSERTs with quote escapes — replays through
+    execute_script end-to-end and the restored tables diff clean.
+    (The wire twin drives a statement-per-COM_QUERY session; this
+    covers the `mysql < dump.sql` batching path.)"""
+    dump = """
+-- MySQL dump 10.13  Distrib 8.0.26, for Linux (x86_64)
+--
+-- Host: localhost    Database: shop
+-- ------------------------------------------------------
+-- Server version	8.0.26
+
+/*!40101 SET @OLD_CHARACTER_SET_CLIENT=@@CHARACTER_SET_CLIENT */;
+/*!40101 SET NAMES utf8mb4 */;
+/*!40103 SET @OLD_TIME_ZONE=@@TIME_ZONE */;
+/*!40103 SET TIME_ZONE='+00:00' */;
+/*!40014 SET @OLD_UNIQUE_CHECKS=@@UNIQUE_CHECKS, UNIQUE_CHECKS=0 */;
+/*!40014 SET @OLD_FOREIGN_KEY_CHECKS=@@FOREIGN_KEY_CHECKS, FOREIGN_KEY_CHECKS=0 */;
+/*!40101 SET @OLD_SQL_MODE=@@SQL_MODE, SQL_MODE='NO_AUTO_VALUE_ON_ZERO' */;
+
+--
+-- Table structure for table `customers`
+--
+
+DROP TABLE IF EXISTS `customers`;
+/*!40101 SET @saved_cs_client     = @@character_set_client */;
+/*!50503 SET character_set_client = utf8mb4 */;
+CREATE TABLE `customers` (
+  `id` int NOT NULL,
+  `name` varchar(64) DEFAULT NULL,
+  `balance` double DEFAULT NULL,
+  PRIMARY KEY (`id`)
+) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4;
+/*!40101 SET character_set_client = @saved_cs_client */;
+
+--
+-- Dumping data for table `customers`
+--
+
+LOCK TABLES `customers` WRITE;
+/*!40000 ALTER TABLE `customers` DISABLE KEYS */;
+INSERT INTO `customers` VALUES (1,'O''Brien; the first',10.5),(2,'semi;colon',20.25),(3,NULL,NULL);
+/*!40000 ALTER TABLE `customers` ENABLE KEYS */;
+UNLOCK TABLES;
+
+DROP TABLE IF EXISTS `orders`;
+CREATE TABLE `orders` (
+  `oid` int NOT NULL,
+  `cust` int DEFAULT NULL,
+  `note` varchar(64) DEFAULT NULL,
+  PRIMARY KEY (`oid`)
+) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4;
+
+LOCK TABLES `orders` WRITE;
+INSERT INTO `orders` VALUES (10,1,'a -- not a comment'),(11,2,'#nor this');
+UNLOCK TABLES;
+
+/*!40103 SET TIME_ZONE=@OLD_TIME_ZONE */;
+/*!40101 SET SQL_MODE=@OLD_SQL_MODE */;
+/*!40014 SET FOREIGN_KEY_CHECKS=@OLD_FOREIGN_KEY_CHECKS */;
+/*!40014 SET UNIQUE_CHECKS=@OLD_UNIQUE_CHECKS */;
+/*!40101 SET CHARACTER_SET_CLIENT=@OLD_CHARACTER_SET_CLIENT */;
+
+-- Dump completed on 2024-03-09 17:05:09
+"""
+    eng.execute_script(dump)
+    rows = eng.execute(
+        "SELECT id, name, balance FROM customers ORDER BY id"
+    ).rows()
+    assert [(r["id"], r["name"], r["balance"]) for r in rows] == [
+        (1, "O'Brien; the first", 10.5),
+        (2, "semi;colon", 20.25),
+        (3, None, None),
+    ]
+    rows = eng.execute("SELECT oid, cust, note FROM orders ORDER BY oid").rows()
+    assert [(r["oid"], r["cust"], r["note"]) for r in rows] == [
+        (10, 1, "a -- not a comment"),
+        (11, 2, "#nor this"),
+    ]
+    # re-replay is idempotent (DROP IF EXISTS + reload, mysqldump's whole point)
+    eng.execute_script(dump)
+    assert eng.execute("SELECT COUNT(*) AS c FROM customers").rows()[0]["c"] == 3
+
+
+def test_create_table_mysql_type_synonyms(eng):
+    """Declared-type synonyms map onto existing storage types (real
+    mysqldump output declares varchar/double/bigint/text); DATE /
+    TIMESTAMP / BOOLEAN store natively; DECIMAL is a clean 1064 —
+    silently storing an exact type as a float would corrupt money
+    columns."""
+    eng.execute(
+        "CREATE TABLE typed (id BIGINT NOT NULL, name VARCHAR(64), body TEXT, "
+        "amt DOUBLE, d DATE, ts TIMESTAMP, ok BOOLEAN, PRIMARY KEY (id))"
+    )
+    eng.execute(
+        "INSERT INTO typed VALUES (1, 'n', 'b', 2.5, CAST('2024-03-09' AS DATE), "
+        "CAST('2024-03-09 17:05:09' AS TIMESTAMP), TRUE)"
+    )
+    r = eng.execute("SELECT * FROM typed").rows()[0]
+    assert (r["id"], r["name"], r["body"], r["amt"]) == (1, "n", "b", 2.5)
+    assert str(r["d"]) == "2024-03-09"
+    assert str(r["ts"]).startswith("2024-03-09 17:05:09")
+    assert r["ok"] is True
+    # uniqueness/constraints hold across the new storage types
+    with pytest.raises(EbikeError) as ei:
+        eng.execute(
+            "INSERT INTO typed VALUES (1, 'x', 'y', 0.0, NULL, NULL, FALSE)"
+        )
+    assert ei.value.code == 1062
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("CREATE TABLE money (id INT, amt DECIMAL(10,2))")
+    assert ei.value.code == 1064
+    assert "DECIMAL" in str(ei.value)

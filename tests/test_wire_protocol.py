@@ -162,8 +162,9 @@ class MiniClient:
             for _ in range(n_params):
                 self.read_packet()
             assert self.read_packet()[0] == 0xFE
-        if n_cols:
-            self._read_columns(n_cols)
+        # prepare-time result metadata (mysql_stmt_result_metadata
+        # surface) — kept on the client for tests to assert against
+        self.prepare_cols = self._read_columns(n_cols) if n_cols else []
         return stmt_id, n_params
 
     def execute(self, stmt_id: int, params: list):
@@ -325,10 +326,16 @@ def test_binary_prepared_statements(server):
     c.query("CREATE TABLE p (id INT NOT NULL, v FLOAT, tag CHAR, PRIMARY KEY (id))")
     stmt, n_params = c.prepare("INSERT INTO p VALUES (?, ?, ?)")
     assert n_params == 3
+    assert c.prepare_cols == []  # DML: no resultset, num_columns=0
     assert c.execute(stmt, [1, 2.5, "x"]) == ("ok", 1)
     assert c.execute(stmt, [2, None, "y"]) == ("ok", 1)  # NULL bitmap
     sel, n = c.prepare("SELECT id, v, tag FROM p WHERE id >= ? ORDER BY id")
     assert n == 1
+    # prepare-time result metadata (BEFORE any execute): real names
+    # and type codes — the mysql_stmt_result_metadata / JDBC
+    # getMetaData surface the reference also serves (handle.rs:221-233)
+    assert [name for name, _ in c.prepare_cols] == ["id", "v", "tag"]
+    assert [t for _, t in c.prepare_cols] == [0x08, 0x05, 0xFD]
     kind, cols, rows = c.execute(sel, [1])
     assert kind == "rows"
     assert [t for _, t in cols] == [0x08, 0x05, 0xFD]  # LONGLONG, DOUBLE, VAR_STRING
@@ -487,5 +494,121 @@ def test_mysqldump_replay_over_the_wire(server):
         ["2", "beta", "2.5"],
         ["3", "gamma", None],
     ]
+    c.query(f"DROP DATABASE {db}")
+    c.close()
+
+
+def test_secure_file_priv_fence_fixed_at_server_start(spark, tmp_path):
+    """The LOAD DATA fence is a SERVER-START option: a fenced server's
+    connections reject SET secure_file_priv with 1238 in every scope
+    (a runtime-settable fence would let any client that can reach the
+    socket lift it and read any server-readable file — why MySQL makes
+    the variable read-only), and the fence itself holds over the wire
+    (1290 outside, load succeeds inside)."""
+    allowed = tmp_path / "fence"
+    allowed.mkdir()
+    inside = allowed / "in.csv"
+    inside.write_text("1,alice\n")
+    outside = tmp_path / "out.csv"
+    outside.write_text("2,bob\n")
+    s = EbikeServer(spark, secure_file_priv=str(allowed)).start()
+    try:
+        c = MiniClient(s.port)
+        db = f"wp_{uuid.uuid4().hex[:8]}"
+        assert c.query(f"CREATE DATABASE {db}")[0] == "ok"
+        assert c.init_db(db)
+        assert c.query(
+            "CREATE TABLE fenced_t (id INT NOT NULL, name CHAR, PRIMARY KEY (id))"
+        )[0] == "ok"
+        for stmt in (
+            "SET secure_file_priv = ''",
+            "SET @@secure_file_priv = ''",
+            "SET GLOBAL secure_file_priv = ''",
+            f"SET SESSION secure_file_priv = '{tmp_path}'",
+        ):
+            kind, code, msg = c.query(stmt)
+            assert (kind, code) == ("err", 1238), (stmt, kind, code)
+            assert "read only variable" in msg
+        # the variable still READS (SELECT @@secure_file_priv)
+        kind, cols, rows = c.query("SELECT @@secure_file_priv AS p")
+        assert kind == "rows" and rows[0][0] == str(allowed)
+        kind, code, _ = c.query(
+            f"LOAD DATA INFILE '{outside}' INTO TABLE fenced_t FIELDS TERMINATED BY ','"
+        )
+        assert (kind, code) == ("err", 1290)
+        kind, affected = c.query(
+            f"LOAD DATA INFILE '{inside}' INTO TABLE fenced_t FIELDS TERMINATED BY ','"
+        )
+        assert (kind, affected) == ("ok", 1)
+        # a SECOND connection to the same server inherits the fence
+        c2 = MiniClient(s.port)
+        kind, code, _ = c2.query(
+            f"LOAD DATA INFILE '{outside}' INTO TABLE {db}.fenced_t FIELDS TERMINATED BY ','"
+        )
+        assert (kind, code) == ("err", 1290)
+        c2.close()
+        c.query(f"DROP DATABASE {db}")
+        c.close()
+    finally:
+        s.stop()
+
+
+def test_resultset_streams_without_collect(server):
+    """The resultset encoders must STREAM (toLocalIterator, a partition
+    at a time) rather than collect() — a `SELECT *` over a 100 TB table
+    must not materialize on the driver just because it leaves over the
+    wire. Pins the source (no .collect() in either encoder) and drives
+    a multi-partition resultset of 60k rows — far more than one
+    partition and one wire frame's worth of row packets — through both
+    the text and binary protocols."""
+    import inspect
+
+    from ebike_spark import server as server_mod
+
+    text_src = inspect.getsource(server_mod._Conn.send_text_resultset)
+    bin_src = inspect.getsource(server_mod._Conn.send_binary_resultset)
+    assert ".collect()" not in text_src and ".collect()" not in bin_src
+    assert "toLocalIterator" in text_src and "toLocalIterator" in bin_src
+
+    c = MiniClient(server)
+    # range() fans out across the session's default parallelism, so the
+    # iterator crosses many partition boundaries mid-resultset
+    kind, cols, rows = c.query(
+        "SELECT id, repeat('x', 64) AS pad FROM range(60000)"
+    )
+    assert kind == "rows" and len(rows) == 60000
+    assert sorted(int(r[0]) for r in rows) == list(range(60000))
+    assert all(len(r[1]) == 64 for r in rows[:100])
+    # binary protocol streams the same way
+    sel, n = c.prepare("SELECT id FROM range(20000) WHERE id >= ?")
+    assert n == 1
+    assert [name for name, _ in c.prepare_cols] == ["id"]
+    kind, cols, rows = c.execute(sel, [0])
+    assert kind == "rows" and len(rows) == 20000
+    assert sorted(r[0] for r in rows) == list(range(20000))
+    c.close()
+
+
+def test_stmt_reset(server):
+    """COM_STMT_RESET: OK for a live handle, the cached param types
+    survive (a connector may re-execute with new_params_bound=0 right
+    after), ERR 1243 for an unknown handle."""
+    c = MiniClient(server)
+    db = f"wp_{uuid.uuid4().hex[:8]}"
+    c.query(f"CREATE DATABASE {db}")
+    c.init_db(db)
+    c.query("CREATE TABLE rs (id INT NOT NULL, PRIMARY KEY (id))")
+    stmt, n = c.prepare("INSERT INTO rs VALUES (?)")
+    assert c.execute(stmt, [1]) == ("ok", 1)
+    c.send_command(0x1A, struct.pack("<I", stmt))
+    pkt = c.read_packet()
+    assert pkt[0] == 0x00  # OK
+    # types cached at the first execute still apply after the reset
+    assert c.execute_rebound(stmt, [2]) == ("ok", 1)
+    c.send_command(0x1A, struct.pack("<I", 999999))
+    pkt = c.read_packet()
+    assert pkt[0] == 0xFF and struct.unpack_from("<H", pkt, 1)[0] == 1243
+    kind, cols, rows = c.query("SELECT id FROM rs ORDER BY id")
+    assert rows == [["1"], ["2"]]
     c.query(f"DROP DATABASE {db}")
     c.close()
