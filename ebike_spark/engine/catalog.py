@@ -41,9 +41,11 @@ from ebike_spark.engine.parser import CreateTable
 # type as a float would corrupt money columns (clean 1064 instead).
 TYPE_MAP = {
     "INT": "BIGINT", "INTEGER": "BIGINT", "BIGINT": "BIGINT",
+    "TINYINT": "BIGINT", "SMALLINT": "BIGINT", "MEDIUMINT": "BIGINT",
     "FLOAT": "DOUBLE", "DOUBLE": "DOUBLE",
     "CHAR": "STRING", "VARCHAR": "STRING", "TEXT": "STRING",
-    "DATE": "DATE", "TIMESTAMP": "TIMESTAMP", "BOOLEAN": "BOOLEAN",
+    "DATE": "DATE", "TIMESTAMP": "TIMESTAMP", "DATETIME": "TIMESTAMP",
+    "BOOLEAN": "BOOLEAN",
 }
 # reverse map for SHOW CREATE TABLE / SHOW COLUMNS output (canonical
 # display name per STORAGE type — declared synonyms are not preserved)
@@ -271,7 +273,11 @@ class Catalog:
 
     def alter_add_column(self, qualified: str, col: str, sql_type: str) -> None:
         if sql_type not in TYPE_MAP:
-            raise EbikeError(1064, f"unsupported column type {sql_type} (only INT/FLOAT/CHAR)")
+            raise EbikeError(
+                1064,
+                f"unsupported column type {sql_type} "
+                f"(supported: {', '.join(sorted(TYPE_MAP))})",
+            )
         self.require_table(qualified)
         self.spark.sql(f"ALTER TABLE {bq(qualified)} ADD COLUMNS (`{col}` {TYPE_MAP[sql_type]})")
 

@@ -526,14 +526,23 @@ def _replace(spark: SparkSession, catalog: Catalog, qualified: str, new_df, ins:
     return len(ins.rows) + n_deleted + intra_deleted
 
 
+def _stage(spark: SparkSession, qualified: str, new_df: DataFrame) -> str:
+    """Materialize a rewritten post-image to a staging table in the
+    target's database; returns the stage name. Split out of _rewrite so
+    multi-table statements can stage EVERY target before swapping any
+    (two-phase: all pre-image reads complete before the first commit)."""
+    db, _, _ = qualified.rpartition(".")
+    stage = f"{db}.__ebike_stage_{uuid.uuid4().hex[:12]}"
+    new_df.write.saveAsTable(stage)
+    return stage
+
+
 def _rewrite(spark: SparkSession, qualified: str, new_df: DataFrame) -> None:
     """Write-new-then-swap: materialize the rewritten table to a staging
     table, then INSERT OVERWRITE the target from it (can't overwrite a
     table while scanning it). Staging lives in the same metastore so a
     crash leaves either the old data or a complete new copy."""
-    db, _, _ = qualified.rpartition(".")
-    stage = f"{db}.__ebike_stage_{uuid.uuid4().hex[:12]}"
-    new_df.write.saveAsTable(stage)
+    stage = _stage(spark, qualified, new_df)
     try:
         spark.table(stage).write.insertInto(qualified, overwrite=True)
     finally:

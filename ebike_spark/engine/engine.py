@@ -130,8 +130,17 @@ class Engine:
         self._next_stmt_id = 1
         # system tables this Engine has rebuilt at the CURRENT epoch
         # (see _select); -1 forces the first system-schema read to
-        # rebuild whatever it references
+        # rebuild whatever it references. _local_sys_dirty covers
+        # SESSION-scoped SETs: they change only this engine's rebuild
+        # of the variables views, so they invalidate THIS cache without
+        # bumping the shared epoch. Documented caveat: the variables
+        # views are shared PHYSICAL tables rebuilt with the READING
+        # engine's session vars — two connections interleaving reads
+        # see last-rebuilder-wins content for session-scoped rows,
+        # inherent to one shared table (global/DDL-driven content is
+        # epoch-correct).
         self._seen_sys_epoch = -1
+        self._local_sys_dirty = False
         self._fresh_sys_tables: set[str] = set()
 
     # ------------------------------------------------------------ dispatch
@@ -442,9 +451,13 @@ class Engine:
         }
         if refs:
             with _SYS_SCHEMA_LOCK:
-                if self._seen_sys_epoch != _SYS_SCHEMA_EPOCH[0]:
+                if (
+                    self._seen_sys_epoch != _SYS_SCHEMA_EPOCH[0]
+                    or self._local_sys_dirty
+                ):
                     self._fresh_sys_tables = set()
                     self._seen_sys_epoch = _SYS_SCHEMA_EPOCH[0]
+                    self._local_sys_dirty = False
                 need = refs - self._fresh_sys_tables
                 info_need = {
                     st.split(".", 1)[1]
@@ -526,12 +539,19 @@ class Engine:
                 self.user_vars[name] = value
             elif scope == "global":
                 # MySQL: SET GLOBAL affects NEW sessions (and @@GLOBAL.x
-                # reads), not this session's @@x
+                # reads), not this session's @@x. Globals feed every
+                # session's view of the variables tables — bump the
+                # SHARED epoch.
                 GLOBAL_VARS[name] = value
                 _bump_sys_schema_epoch()  # global_variables view
             else:  # SESSION / bare @@var / bare var
+                # Session vars feed only THIS engine's rebuild of the
+                # variables view — mark the engine locally dirty
+                # instead of invalidating every connection's cache
+                # (a per-connection `SET autocommit` must not trigger
+                # O(connections x tables) rebuild storms).
                 self.sys_vars[name] = value
-                _bump_sys_schema_epoch()
+                self._local_sys_dirty = True
         return EngineResult("ok")
 
     def _eval_scalar(self, raw: str):
@@ -1364,7 +1384,11 @@ class Engine:
 
         self.catalog.require_table(qualified)
         if sql_type not in TYPE_MAP:
-            raise EbikeError(1064, f"unsupported column type {sql_type} (only INT/FLOAT/CHAR)")
+            raise EbikeError(
+                1064,
+                f"unsupported column type {sql_type} "
+                f"(supported: {', '.join(sorted(TYPE_MAP))})",
+            )
         t = self.spark.table(qualified)
         hidden_rowid = self.catalog.has_rowid(qualified)
         if old not in t.columns or (old == "rowid" and hidden_rowid):
@@ -1661,9 +1685,9 @@ class Engine:
 
         Set-oriented plan: ONE join computes (rowid, new values) for
         every matched row of every assigned table against the shared
-        PRE-image; the frame is persisted (snapshot) so rewriting the
-        first target cannot leak its post-image into the second
-        target's values — MySQL processes rows one at a time and later
+        PRE-image; the frame is snapshotted via localCheckpoint so
+        rewriting the first target cannot leak its post-image into the
+        second target's values — MySQL processes rows one at a time and later
         rows CAN observe earlier in-statement writes, an
         order-dependent behavior with no deterministic set-oriented
         equivalent; this engine pins snapshot semantics (every
@@ -1698,10 +1722,25 @@ class Engine:
             )
         first_tok = re.match(r"\s*([\w.`\"]+)", frm)
         default_tgt = unquote_ident(first_tok.group(1)) if first_tok else ""
+        # Unqualified assignments: MySQL resolves the column by
+        # searching the joined tables. With exactly ONE explicitly
+        # assigned alias we attribute them to that alias (the engine's
+        # long-standing behavior — `SET o.status = 'x', note = c.name`
+        # both target o's table); with several explicit targets the
+        # attribution is ambiguous and refused rather than guessed.
+        uniq_explicit = list(
+            dict.fromkeys(a for a, _, _ in assigns if a is not None)
+        )
+        unqual_tgt = uniq_explicit[0] if len(uniq_explicit) == 1 else default_tgt
         # group assignments by target alias, preserving statement order
         by_tgt: dict[str, list[tuple[int, str, str]]] = {}
         for i, (alias, col, rhs) in enumerate(assigns):
-            by_tgt.setdefault(alias or default_tgt, []).append((i, col, rhs))
+            if alias is None and len(uniq_explicit) > 1:
+                raise unsupported(
+                    "multi-table UPDATE with an unqualified assignment "
+                    "among several target tables (qualify the column)"
+                )
+            by_tgt.setdefault(alias or unqual_tgt, []).append((i, col, rhs))
         targets: list[dict] = []
         seen_tables: set[str] = set()
         for tgt, items in by_tgt.items():
@@ -1799,11 +1838,28 @@ class Engine:
                 self.spark, self.catalog, t["qualified"], new_df, set(new_vals)
             )
             staged.append((t["qualified"], new_df, set(new_vals)))
-        # all key re-checks passed against pre-images: land every
-        # post-image (the persisted src makes each new_df read the
-        # snapshot, not another target's rewrite)
-        for qualified, new_df, _cols in staged:
-            dml._rewrite(self.spark, qualified, new_df)
+        # All key re-checks passed against pre-images. Two-phase land:
+        # STAGE every post-image first (the data-sized writes — every
+        # pre-image read completes before anything commits), then swap
+        # each target from its durable stage. Residual window: a crash
+        # BETWEEN swaps leaves earlier targets committed — the
+        # cross-table analogue of the documented single-table
+        # stage-swap window (a parquet engine has no multi-table
+        # transaction to close it); the stages being durable tables
+        # means no snapshot recompute is ever needed to finish a swap.
+        staged_tables: list[tuple[str, str]] = []
+        try:
+            for qualified, new_df, _cols in staged:
+                staged_tables.append(
+                    (qualified, dml._stage(self.spark, qualified, new_df))
+                )
+            for qualified, stage in staged_tables:
+                self.spark.table(stage).write.insertInto(
+                    qualified, overwrite=True
+                )
+        finally:
+            for _, stage in staged_tables:
+                self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
         return EngineResult("count", affected=total)
 
     def _delete(self, sql: str) -> EngineResult:
@@ -1956,6 +2012,19 @@ class Engine:
         kw = st.sql.split(None, 1)[0].upper() if st.sql.split() else ""
         if kw not in ("SELECT", "WITH", "VALUES", "TABLE"):
             return None
+        if kw == "WITH":
+            # Spark supports CTE-prefixed DML (WITH v AS (...) INSERT
+            # INTO ...), and spark.sql() runs commands EAGERLY — a
+            # dispatch here would mutate data at PREPARE time. Only a
+            # pure query may be analyzed; DML keywords at the TOP level
+            # (quote/paren-aware — CTE bodies live inside parens, so
+            # their SELECTs never match) disqualify the statement.
+            from ebike_spark.engine.parser import find_top_level_keywords
+
+            if find_top_level_keywords(
+                st.sql, ("INSERT", "UPDATE", "DELETE", "MERGE", "REPLACE")
+            ):
+                return None
         try:
             res = self.execute(
                 self._splice_placeholders(st.sql, [None] * st.n_params)

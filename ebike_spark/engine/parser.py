@@ -404,7 +404,10 @@ class Delete:
     limit: int | None = None
 
 
-_TYPE_RE = r"(INT|INTEGER|FLOAT|CHAR|VARCHAR|DOUBLE|BIGINT|TEXT|DATE|TIMESTAMP|BOOLEAN|DECIMAL)"
+_TYPE_RE = (
+    r"(TINYINT|SMALLINT|MEDIUMINT|INTEGER|INT|FLOAT|CHAR|VARCHAR|DOUBLE"
+    r"|BIGINT|TEXT|DATETIME|DATE|TIMESTAMP|BOOLEAN|DECIMAL)"
+)  # longest-first where one name prefixes another (INT/INTEGER, DATE/DATETIME)
 
 
 def parse_create_table(sql: str) -> CreateTable:

@@ -748,19 +748,21 @@ def corpus_curriculum_stages(spark: SparkSession, sf: str) -> DataFrame:
     exact integer arithmetic; the single emitted double divides two
     BIGINTs identical on both engines.
 
-    Scale shape: the global ranking is the two-pass distributed
-    sort-rank — repartitionByRange on the difficulty key, per-partition
-    row_number, plus a broadcast of per-partition offsets (a
-    partition-count-sized collect, 32 rows, NEVER data-sized) — not a
-    single-partition global window, which would serialize the corpus
-    through one task at 100 TB. RangePartitioner's sampling is
-    seed-deterministic per partition index, so the two passes see the
-    same boundaries. Stage assignment replays ntile's exact piecewise
-    definition on (rank, N) — pure integer arithmetic, verified
-    against the oracle's native ntile. The stage rollup is a
+    Scale shape: the global ranking is the shared two-pass distributed
+    sort-rank (functions/ranking.py — repartitionByRange on the
+    difficulty key, per-partition row_number, one-row-per-task offset
+    prefix sums, persist-pinned so both branches read one
+    materialization) — not a single-partition global window, which
+    would serialize the corpus through one task at 100 TB. Stage
+    assignment replays ntile's exact piecewise definition on
+    (rank, N) in exact integer arithmetic, verified against the
+    oracle's native ntile. The stage rollup is a
     {CURRICULUM_STAGES}-row aggregate; the cumulative window runs over
-    those {CURRICULUM_STAGES} rows only."""
+    those {CURRICULUM_STAGES} rows only. No driver-side collect
+    anywhere in the plan."""
     from pyspark.sql import Window
+
+    from ebike_spark.functions.ranking import ntile_over_global_order
 
     k = CURRICULUM_STAGES
     d = load_table(spark, sf, "documents")
@@ -769,37 +771,19 @@ def corpus_curriculum_stages(spark: SparkSession, sf: str) -> DataFrame:
         "n_chars",
         F.size(tokens("text")).cast("long").alias("n_tokens"),
     )
-    parts = per.repartitionByRange(32, "n_chars", "doc_id").withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    pc = {
-        r["__pid"]: r["cnt"]
-        for r in parts.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    total = sum(pc.values())
-    offsets, acc = [], 0
-    for p in sorted(pc):
-        offsets.append((p, acc))
-        acc += pc[p]
-    off_df = spark.createDataFrame(offsets, "__pid INT, __off BIGINT")
-    w = Window.partitionBy("__pid").orderBy("n_chars", "doc_id")
-    ranked = (
-        parts.withColumn("__lrn", F.row_number().over(w))
-        .join(F.broadcast(off_df), "__pid")
-        .withColumn("__rank", F.col("__off") + F.col("__lrn"))
-    )
-    # ntile's exact piecewise definition: q = N div k, r = N mod k;
-    # the first r buckets hold q+1 rows, the rest hold q
-    q, r = divmod(total, k)
-    head = r * (q + 1)
-    rank = F.col("__rank")
-    if q == 0:
-        stage = rank  # fewer rows than stages: one row per bucket
-    else:
-        stage = F.when(
-            rank <= head, ((rank - 1) / (q + 1)).cast("long") + 1
-        ).otherwise(r + ((rank - head - 1) / q).cast("long") + 1)
-    staged = ranked.select(stage.cast("long").alias("stage"), "n_tokens")
+    # distributed rank + exact-NTILE closed form via the shared helper
+    # (functions/ranking.py): persist-pinned so the offsets branch and
+    # the rank branch read the SAME range-exchange materialization —
+    # spark_partition_id is an execution artifact, and an unpinned
+    # second execution may sample different range boundaries
+    staged = ntile_over_global_order(
+        spark,
+        per,
+        [F.col("n_chars"), F.col("doc_id")],
+        k,
+        "curriculum_ranks",
+        sf,
+    ).select(F.col("__bucket").alias("stage"), "n_tokens")
     agg = staged.groupBy("stage").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("stage_tokens"),

@@ -363,13 +363,6 @@ def ev_funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
 PARETO_BUCKETS = 10
 
 
-def _idiv(a, b):
-    """Integer floor division of two non-negative integer Columns (the
-    Python Column API has no DIV operator; the subtraction keeps the
-    double division exact)."""
-    return ((a - a % b) / b).cast("long")
-
-
 @register(
     "ev_pareto_share",
     oracle=f"""
@@ -407,55 +400,21 @@ def ev_pareto_share(spark: SparkSession, sf: str) -> DataFrame:
     get the extra row), verified against DuckDB's NTILE. The decile
     rollup and {PARETO_BUCKETS}-row cumulative window are
     constant-sized."""
-    from ebike_spark.operators.dedup import _persist_scoped
+    from ebike_spark.functions.ranking import ntile_over_global_order
 
     ev = load_table(spark, sf, "events")
     u = ev.groupBy("user_id").agg(F.count("*").alias("n"))
-    # Partition count follows the session's shuffle parallelism (not a
-    # literal) so the distributed-rank shape scales with the cluster:
-    # offsets stays one row per task at any size (VERDICT-r5 task 5).
-    # Some distributions set this conf to a non-numeric token ("auto");
-    # fall back to 32 rather than crash on the parse.
-    try:
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    except (ValueError, TypeError):
-        n_part = 32
-    ranked = u.repartitionByRange(
-        n_part, F.col("n").desc(), F.col("user_id")
-    ).withColumn("pid", F.spark_partition_id())
-    local_w = Window.partitionBy("pid").orderBy(F.col("n").desc(), "user_id")
-    # PERSISTED, not recomputed: pid is an execution artifact — the
-    # range exchange samples its boundaries per physical instance, so
-    # the offsets branch and the join branch below MUST read the same
-    # materialization (exchange reuse alone is an optimizer courtesy,
-    # not a guarantee). One user-cardinality cache pins it.
-    local = _persist_scoped(
+    # distributed rank + exact-NTILE closed form: the shared helper
+    # (functions/ranking.py) carries the persist pin and the
+    # one-row-per-task offsets shape this docstring describes
+    d = ntile_over_global_order(
         spark,
+        u,
+        [F.col("n").desc(), F.col("user_id")],
+        PARETO_BUCKETS,
         "pareto_local_ranks",
-        lambda: ranked.withColumn("lrn", F.row_number().over(local_w)),
-        key=sf,
-    )
-    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        local.groupBy("pid")
-        .agg(F.count("*").alias("c"))
-        .select("pid", F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off"))
-    )
-    tot = u.agg(F.count("*").alias("total"))
-    # NTILE closed form from the global rank, single source of truth:
-    # the first (total % B) buckets hold qd+1 rows, the rest qd
-    rn0 = F.col("off") + F.col("lrn") - 1  # 0-based global rank
-    qd = F.expr(f"total DIV {PARETO_BUCKETS}")
-    r = F.col("total") % PARETO_BUCKETS
-    big = r * (qd + 1)  # rows living in the (qd+1)-sized buckets
-    decile = F.when(rn0 < big, _idiv(rn0, qd + 1) + 1).otherwise(
-        r + _idiv(rn0 - big, qd) + 1
-    )
-    d = (
-        local.join(F.broadcast(offsets), "pid")
-        .crossJoin(F.broadcast(tot))
-        .select("n", decile.cast("int").alias("decile"))
-    )
+        sf,
+    ).select("n", F.col("__bucket").cast("int").alias("decile"))
     a = d.groupBy("decile").agg(
         F.count("*").alias("n_users"), F.sum("n").alias("n_events")
     )

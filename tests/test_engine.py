@@ -2064,7 +2064,10 @@ def test_mysqldump_full_file_replay(eng):
     multi-row INSERTs with quote escapes — replays through
     execute_script end-to-end and the restored tables diff clean.
     (The wire twin drives a statement-per-COM_QUERY session; this
-    covers the `mysql < dump.sql` batching path.)"""
+    covers the `mysql < dump.sql` batching path. Table names avoid the
+    TPCH fixture names — the suite registers `orders` etc. as session
+    temp views for oracle tests, and Spark resolves temp views ahead
+    of catalog tables.)"""
     dump = """
 -- MySQL dump 10.13  Distrib 8.0.26, for Linux (x86_64)
 --
@@ -2105,16 +2108,16 @@ INSERT INTO `customers` VALUES (1,'O''Brien; the first',10.5),(2,'semi;colon',20
 /*!40000 ALTER TABLE `customers` ENABLE KEYS */;
 UNLOCK TABLES;
 
-DROP TABLE IF EXISTS `orders`;
-CREATE TABLE `orders` (
+DROP TABLE IF EXISTS `purchases`;
+CREATE TABLE `purchases` (
   `oid` int NOT NULL,
   `cust` int DEFAULT NULL,
   `note` varchar(64) DEFAULT NULL,
   PRIMARY KEY (`oid`)
 ) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4;
 
-LOCK TABLES `orders` WRITE;
-INSERT INTO `orders` VALUES (10,1,'a -- not a comment'),(11,2,'#nor this');
+LOCK TABLES `purchases` WRITE;
+INSERT INTO `purchases` VALUES (10,1,'a -- not a comment'),(11,2,'#nor this');
 UNLOCK TABLES;
 
 /*!40103 SET TIME_ZONE=@OLD_TIME_ZONE */;
@@ -2134,7 +2137,7 @@ UNLOCK TABLES;
         (2, "semi;colon", 20.25),
         (3, None, None),
     ]
-    rows = eng.execute("SELECT oid, cust, note FROM orders ORDER BY oid").rows()
+    rows = eng.execute("SELECT oid, cust, note FROM purchases ORDER BY oid").rows()
     assert [(r["oid"], r["cust"], r["note"]) for r in rows] == [
         (10, 1, "a -- not a comment"),
         (11, 2, "#nor this"),
@@ -2152,24 +2155,75 @@ def test_create_table_mysql_type_synonyms(eng):
     columns."""
     eng.execute(
         "CREATE TABLE typed (id BIGINT NOT NULL, name VARCHAR(64), body TEXT, "
-        "amt DOUBLE, d DATE, ts TIMESTAMP, ok BOOLEAN, PRIMARY KEY (id))"
+        "amt DOUBLE, d DATE, ts TIMESTAMP, ok BOOLEAN, "
+        "created DATETIME, flag TINYINT(1), sm SMALLINT, PRIMARY KEY (id))"
     )
     eng.execute(
         "INSERT INTO typed VALUES (1, 'n', 'b', 2.5, CAST('2024-03-09' AS DATE), "
-        "CAST('2024-03-09 17:05:09' AS TIMESTAMP), TRUE)"
+        "CAST('2024-03-09 17:05:09' AS TIMESTAMP), TRUE, "
+        "CAST('2024-03-10 08:00:00' AS TIMESTAMP), 1, 7)"
     )
     r = eng.execute("SELECT * FROM typed").rows()[0]
     assert (r["id"], r["name"], r["body"], r["amt"]) == (1, "n", "b", 2.5)
+    # datetime -> timestamp storage; tinyint(1)/smallint -> bigint
+    assert str(r["created"]).startswith("2024-03-10 08:00:00")
+    assert (r["flag"], r["sm"]) == (1, 7)
     assert str(r["d"]) == "2024-03-09"
     assert str(r["ts"]).startswith("2024-03-09 17:05:09")
     assert r["ok"] is True
     # uniqueness/constraints hold across the new storage types
     with pytest.raises(EbikeError) as ei:
         eng.execute(
-            "INSERT INTO typed VALUES (1, 'x', 'y', 0.0, NULL, NULL, FALSE)"
+            "INSERT INTO typed VALUES (1, 'x', 'y', 0.0, NULL, NULL, FALSE, "
+            "NULL, NULL, NULL)"
         )
     assert ei.value.code == 1062
     with pytest.raises(EbikeError) as ei:
         eng.execute("CREATE TABLE money (id INT, amt DECIMAL(10,2))")
     assert ei.value.code == 1064
     assert "DECIMAL" in str(ei.value)
+
+
+def test_multi_table_update_mixed_qualified_unqualified(eng):
+    """Regression pin (review finding): `SET o.status = 'x', note =
+    c.name` — an unqualified assignment alongside ONE explicit target
+    alias attributes to that alias (long-standing behavior); among
+    SEVERAL explicit targets it is ambiguous and refused."""
+    eng.execute("CREATE TABLE mixu (id INT NOT NULL, status CHAR, note CHAR, PRIMARY KEY (id))")
+    eng.execute("CREATE TABLE mixd (id INT, name CHAR)")
+    eng.execute("INSERT INTO mixu VALUES (1, 'old', 'old')")
+    eng.execute("INSERT INTO mixd VALUES (1, 'alice')")
+    r = eng.execute(
+        "UPDATE mixu o JOIN mixd c ON o.id = c.id "
+        "SET o.status = 'x', note = c.name"
+    )
+    assert r.affected == 1
+    row = eng.execute("SELECT status, note FROM mixu").rows()[0]
+    assert (row["status"], row["note"]) == ("x", "alice")
+    # several explicit targets + an unqualified assignment: ambiguous
+    eng.execute("CREATE TABLE mixe (id INT NOT NULL, v CHAR, PRIMARY KEY (id))")
+    eng.execute("INSERT INTO mixe VALUES (1, 'e')")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute(
+            "UPDATE mixu o JOIN mixe e ON o.id = e.id "
+            "SET o.status = 'y', e.v = 'z', note = 'amb'"
+        )
+    assert ei.value.code == 1105
+
+
+def test_prepare_of_cte_dml_does_not_execute(eng):
+    """Review finding: Spark supports CTE-prefixed DML and spark.sql()
+    runs commands eagerly — prepare-time metadata analysis must NOT
+    dispatch a WITH ... INSERT, or the INSERT runs at COM_STMT_PREPARE
+    time. The guard declines metadata (None) and leaves the table
+    untouched until EXECUTE."""
+    eng.execute("CREATE TABLE pdml (id INT, v CHAR)")
+    sid = eng.prepare("WITH src AS (SELECT 1 AS one) INSERT INTO pdml SELECT ?, 'x' FROM src")
+    # metadata pass declines (DML) and must not have inserted anything
+    assert eng.prepared_result_schema(sid) is None
+    assert eng.execute("SELECT COUNT(*) AS c FROM pdml").rows()[0]["c"] == 0
+    # a pure CTE query still yields real metadata
+    sid2 = eng.prepare("WITH b AS (SELECT ? AS x) SELECT x, 'k' AS k FROM b")
+    cols = eng.prepared_result_schema(sid2)
+    assert cols is not None and [c for c, _ in cols] == ["x", "k"]
+    assert eng.execute("SELECT COUNT(*) AS c FROM pdml").rows()[0]["c"] == 0
