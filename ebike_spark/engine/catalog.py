@@ -37,8 +37,9 @@ from ebike_spark.engine.parser import CreateTable
 # whitelist is INT/FLOAT/CHAR (meta_def.rs); the synonym rows beyond it
 # exist because real mysqldump output declares varchar/double/bigint/
 # text — each maps onto a type the engine already stores, no new
-# semantics. DECIMAL stays rejected: silently storing an exact MySQL
-# type as a float would corrupt money columns (clean 1064 instead).
+# semantics. DECIMAL/NUMERIC resolve separately (resolve_sql_type):
+# they carry the declared (precision, scale) into Spark's exact
+# DecimalType — never a silent float coercion of money columns.
 TYPE_MAP = {
     "INT": "BIGINT", "INTEGER": "BIGINT", "BIGINT": "BIGINT",
     "TINYINT": "BIGINT", "SMALLINT": "BIGINT", "MEDIUMINT": "BIGINT",
@@ -47,6 +48,35 @@ TYPE_MAP = {
     "DATE": "DATE", "TIMESTAMP": "TIMESTAMP", "DATETIME": "TIMESTAMP",
     "BOOLEAN": "BOOLEAN",
 }
+
+
+def resolve_sql_type(
+    sql_type: str, precision: int | None = None, scale: int | None = None
+) -> str:
+    """Declared MySQL type (+ optional (p[,s]) argument) → Spark
+    storage type. DECIMAL/NUMERIC keep their declared precision/scale
+    (MySQL defaults 10,0) as an exact Spark DecimalType — Spark's cap
+    is 38 digits vs MySQL's 65; beyond-cap declarations are a clean
+    1064, never silent truncation. For every other type a parenthesized
+    argument is a DISPLAY width (INT(11), tinyint(1)) — accepted and
+    ignored, as MySQL itself treats it."""
+    if sql_type in ("DECIMAL", "NUMERIC"):
+        pr = 10 if precision is None else precision
+        sc = 0 if scale is None else scale
+        if not (1 <= pr <= 38) or not (0 <= sc <= pr):
+            raise EbikeError(
+                1064,
+                f"unsupported DECIMAL({pr},{sc}) (precision 1-38, "
+                "scale 0-precision — Spark DecimalType bounds)",
+            )
+        return f"DECIMAL({pr},{sc})"
+    if sql_type not in TYPE_MAP:
+        raise EbikeError(
+            1064,
+            f"unsupported column type {sql_type} "
+            f"(supported: DECIMAL, NUMERIC, {', '.join(sorted(TYPE_MAP))})",
+        )
+    return TYPE_MAP[sql_type]
 # reverse map for SHOW CREATE TABLE / SHOW COLUMNS output (canonical
 # display name per STORAGE type — declared synonyms are not preserved)
 SQL_TYPE_NAME = {"bigint": "int", "double": "float", "string": "char"}
@@ -122,13 +152,9 @@ class Catalog:
         cols = []
         not_null = []
         for c in ct.columns:
-            if c.sql_type not in TYPE_MAP:
-                raise EbikeError(
-                    1064,
-                    f"unsupported column type {c.sql_type} "
-                    f"(supported: {', '.join(sorted(TYPE_MAP))})",
-                )
-            cols.append(f"`{c.name}` {TYPE_MAP[c.sql_type]}")
+            cols.append(
+                f"`{c.name}` {resolve_sql_type(c.sql_type, c.precision, c.scale)}"
+            )
             if not c.nullable:
                 not_null.append(c.name)
         for col in ct.primary_key:
@@ -271,15 +297,19 @@ class Catalog:
         body = ",\n".join(lines)
         return f"CREATE TABLE `{tname}` (\n{body}\n) ENGINE=parquet DEFAULT CHARSET=utf8mb4"
 
-    def alter_add_column(self, qualified: str, col: str, sql_type: str) -> None:
-        if sql_type not in TYPE_MAP:
-            raise EbikeError(
-                1064,
-                f"unsupported column type {sql_type} "
-                f"(supported: {', '.join(sorted(TYPE_MAP))})",
-            )
+    def alter_add_column(
+        self,
+        qualified: str,
+        col: str,
+        sql_type: str,
+        precision: int | None = None,
+        scale: int | None = None,
+    ) -> None:
+        spark_t = resolve_sql_type(sql_type, precision, scale)
         self.require_table(qualified)
-        self.spark.sql(f"ALTER TABLE {bq(qualified)} ADD COLUMNS (`{col}` {TYPE_MAP[sql_type]})")
+        self.spark.sql(
+            f"ALTER TABLE {bq(qualified)} ADD COLUMNS (`{col}` {spark_t})"
+        )
 
     def refresh_system_schemas(self, sys_vars: dict[str, object] | None = None) -> None:
         """Materialize the reference's other system schemas

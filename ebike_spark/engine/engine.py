@@ -1207,13 +1207,19 @@ class Engine:
     def _alter_table_single(self, sql: str) -> EngineResult:
         m = re.match(
             r"ALTER\s+TABLE\s+([\w.`\"]+)\s+ADD\s+(?:COLUMN\s+)?([\w`\"]+)\s+(\w+)"
-            r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?\s*$",
+            r"(?:\s*\(\s*(\d+)(?:\s*,\s*(\d+))?\s*\))?\s*$",
             sql,
             re.I,
         )
         if m:
             q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
-            self.catalog.alter_add_column(q, unquote_ident(m.group(2)), m.group(3).upper())
+            self.catalog.alter_add_column(
+                q,
+                unquote_ident(m.group(2)),
+                m.group(3).upper(),
+                precision=int(m.group(4)) if m.group(4) else None,
+                scale=int(m.group(5)) if m.group(5) else None,
+            )
             _bump_sys_schema_epoch()
             return EngineResult("count", affected=0)
         m = re.match(r"ALTER\s+TABLE\s+([\w.`\"]+)\s+DROP\s+(?:COLUMN\s+)?([\w`\"]+)\s*$", sql, re.I)
@@ -1286,7 +1292,7 @@ class Engine:
         # matching parse_create_table's column grammar (ADVICE r5)
         m = re.match(
             r"ALTER\s+TABLE\s+([\w.`\"]+)\s+MODIFY\s+(?:COLUMN\s+)?([\w`\"]+)\s+(\w+)"
-            r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+            r"(?:\s*\(\s*(\d+)(?:\s*,\s*(\d+))?\s*\))?"
             r"(\s+NOT\s+NULL)?\s*$",
             sql,
             re.I,
@@ -1294,10 +1300,14 @@ class Engine:
         if m:
             q = self.catalog.qualify(unquote_ident(m.group(1)), self.current_db)
             col = unquote_ident(m.group(2))
-            return self._modify_column(q, col, col, m.group(3).upper(), bool(m.group(4)))
+            return self._modify_column(
+                q, col, col, m.group(3).upper(), bool(m.group(6)),
+                precision=int(m.group(4)) if m.group(4) else None,
+                scale=int(m.group(5)) if m.group(5) else None,
+            )
         m = re.match(
             r"ALTER\s+TABLE\s+([\w.`\"]+)\s+CHANGE\s+(?:COLUMN\s+)?([\w`\"]+)\s+([\w`\"]+)"
-            r"\s+(\w+)(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(\s+NOT\s+NULL)?\s*$",
+            r"\s+(\w+)(?:\s*\(\s*(\d+)(?:\s*,\s*(\d+))?\s*\))?(\s+NOT\s+NULL)?\s*$",
             sql,
             re.I,
         )
@@ -1308,7 +1318,9 @@ class Engine:
                 unquote_ident(m.group(2)),
                 unquote_ident(m.group(3)),
                 m.group(4).upper(),
-                bool(m.group(5)),
+                bool(m.group(7)),
+                precision=int(m.group(5)) if m.group(5) else None,
+                scale=int(m.group(6)) if m.group(6) else None,
             )
         raise parse_error(
             "near ALTER TABLE (only ADD/DROP/MODIFY/CHANGE COLUMN, "
@@ -1365,7 +1377,14 @@ class Engine:
         _bump_sys_schema_epoch()
 
     def _modify_column(
-        self, qualified: str, old: str, new: str, sql_type: str, not_null: bool
+        self,
+        qualified: str,
+        old: str,
+        new: str,
+        sql_type: str,
+        not_null: bool,
+        precision: int | None = None,
+        scale: int | None = None,
     ) -> EngineResult:
         """ALTER TABLE MODIFY/CHANGE COLUMN: retype (strict-mode cast —
         a non-NULL value that doesn't convert is 1366, as MySQL strict),
@@ -1379,23 +1398,17 @@ class Engine:
         from ebike_spark.engine.catalog import (
             PROP_AUTO_INCREMENT,
             PROP_NOT_NULL,
-            TYPE_MAP,
+            resolve_sql_type,
         )
 
         self.catalog.require_table(qualified)
-        if sql_type not in TYPE_MAP:
-            raise EbikeError(
-                1064,
-                f"unsupported column type {sql_type} "
-                f"(supported: {', '.join(sorted(TYPE_MAP))})",
-            )
+        spark_t = resolve_sql_type(sql_type, precision, scale)
         t = self.spark.table(qualified)
         hidden_rowid = self.catalog.has_rowid(qualified)
         if old not in t.columns or (old == "rowid" and hidden_rowid):
             raise EbikeError(1054, f"Unknown column '{old}' in 'field list'")
         if new != old and new in t.columns:
             raise EbikeError(1060, f"Duplicate column name '{new}'")
-        spark_t = TYPE_MAP[sql_type]
         if self.catalog.auto_increment_col(qualified) == old and spark_t != "BIGINT":
             raise EbikeError(1063, f"Incorrect column specifier for column '{old}'")
         src = F.col(old)

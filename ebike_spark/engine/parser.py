@@ -358,9 +358,13 @@ def unquote_ident(ident: str) -> str:
 @dataclass
 class ColumnDef:
     name: str
-    sql_type: str  # INT | FLOAT | CHAR (upper)
+    sql_type: str  # declared type keyword, upper (INT, VARCHAR, DECIMAL, ...)
     nullable: bool
     auto_increment: bool = False
+    # declared (p[,s]) argument: carried for DECIMAL/NUMERIC (exact
+    # DecimalType), a display width everywhere else (ignored)
+    precision: int | None = None
+    scale: int | None = None
 
 
 @dataclass
@@ -406,7 +410,7 @@ class Delete:
 
 _TYPE_RE = (
     r"(TINYINT|SMALLINT|MEDIUMINT|INTEGER|INT|FLOAT|CHAR|VARCHAR|DOUBLE"
-    r"|BIGINT|TEXT|DATETIME|DATE|TIMESTAMP|BOOLEAN|DECIMAL)"
+    r"|BIGINT|TEXT|DATETIME|DATE|TIMESTAMP|BOOLEAN|DECIMAL|NUMERIC)"
 )  # longest-first where one name prefixes another (INT/INTEGER, DATE/DATETIME)
 
 
@@ -458,7 +462,7 @@ def parse_create_table(sql: str) -> CreateTable:
             ct.indexes.append((name, cols))
             continue
         cm = re.match(
-            rf"([\w`\"]+)\s+{_TYPE_RE}(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(.*)$",
+            rf"([\w`\"]+)\s+{_TYPE_RE}(?:\s*\(\s*(\d+)(?:\s*,\s*(\d+))?\s*\))?(.*)$",
             item,
             re.I | re.S,
         )
@@ -466,7 +470,9 @@ def parse_create_table(sql: str) -> CreateTable:
             raise ValueError(f"malformed column definition: {item!r}")
         cname = unquote_ident(cm.group(1))
         ctype = cm.group(2).upper()
-        rest = cm.group(3) or ""
+        prec = int(cm.group(3)) if cm.group(3) else None
+        scal = int(cm.group(4)) if cm.group(4) else None
+        rest = cm.group(5) or ""
         # Reference quirk: nullable only with explicit NULL option
         # (/root/reference/src/meta/meta_def.rs:391-393); we use the
         # saner NOT NULL ⇒ required, otherwise nullable.
@@ -477,7 +483,12 @@ def parse_create_table(sql: str) -> CreateTable:
         ai = bool(re.search(r"\bAUTO_INCREMENT\b", rest, re.I))
         if ai:
             nullable = False  # MySQL: an auto column is implicitly NOT NULL
-        ct.columns.append(ColumnDef(cname, ctype, nullable, auto_increment=ai))
+        ct.columns.append(
+            ColumnDef(
+                cname, ctype, nullable,
+                auto_increment=ai, precision=prec, scale=scal,
+            )
+        )
     # MySQL-style auto-naming for anonymous KEY items: first column,
     # with a _2/_3… suffix on collision against every other key name
     taken = {u for u, _ in ct.uniques} | {n for n, _ in ct.indexes if n}

@@ -16,6 +16,9 @@ Scope/divergences (documented, all testable in-container):
   in scope connects as root/empty, matching the reference's default).
 - TLS, compression, and CLIENT_DEPRECATE_EOF are not negotiated (the
   capability mask simply omits them; classic EOF framing is used).
+  CLIENT_MULTI_STATEMENTS / CLIENT_MULTI_RESULTS ARE negotiated: a
+  ;-separated COM_QUERY batch returns per-statement responses chained
+  with SERVER_MORE_RESULTS_EXISTS.
 - Binary resultset rows encode LONGLONG/DOUBLE natively; everything
   else (strings, timestamps, booleans-as-tiny) ships as VAR_STRING
   text, which every connector accepts for those types.
@@ -59,6 +62,10 @@ CLIENT_PROTOCOL_41 = 0x00000200
 CLIENT_SECURE_CONNECTION = 0x00008000
 CLIENT_PLUGIN_AUTH = 0x00080000
 CLIENT_CONNECT_WITH_DB = 0x00000008
+CLIENT_MULTI_STATEMENTS = 0x00010000
+CLIENT_MULTI_RESULTS = 0x00020000
+SERVER_MORE_RESULTS_EXISTS = 0x0008
+SERVER_STATUS_AUTOCOMMIT = 0x0002
 
 SERVER_CAPS = (
     CLIENT_LONG_PASSWORD
@@ -66,6 +73,8 @@ SERVER_CAPS = (
     | CLIENT_SECURE_CONNECTION
     | CLIENT_PLUGIN_AUTH
     | CLIENT_CONNECT_WITH_DB
+    | CLIENT_MULTI_STATEMENTS
+    | CLIENT_MULTI_RESULTS
 )
 
 # MySQL column type codes (public protocol constants)
@@ -136,6 +145,7 @@ class _Conn:
         # fence (MySQL makes the variable read-only for this reason).
         self.engine = Engine(spark.newSession(), secure_file_priv=secure_file_priv)
         self.seq = 0
+        self.client_caps = 0  # set from HandshakeResponse41
         # per-statement parameter types: connectors send the types only
         # on the FIRST COM_STMT_EXECUTE (new_params_bound_flag=1) and
         # omit them on re-execution
@@ -178,16 +188,24 @@ class _Conn:
 
     # ------------------------------------------------------- responses
 
-    def send_ok(self, affected: int = 0, last_insert_id: int = 0) -> None:
+    def send_ok(
+        self, affected: int = 0, last_insert_id: int = 0, more: bool = False
+    ) -> None:
+        status = SERVER_STATUS_AUTOCOMMIT | (
+            SERVER_MORE_RESULTS_EXISTS if more else 0
+        )
         self.write_packet(
             b"\x00"
             + _lenenc_int(max(affected, 0))
             + _lenenc_int(last_insert_id)
-            + struct.pack("<HH", 0x0002, 0)  # SERVER_STATUS_AUTOCOMMIT
+            + struct.pack("<HH", status, 0)
         )
 
-    def send_eof(self) -> None:
-        self.write_packet(b"\xfe" + struct.pack("<HH", 0, 0x0002))
+    def send_eof(self, more: bool = False) -> None:
+        status = SERVER_STATUS_AUTOCOMMIT | (
+            SERVER_MORE_RESULTS_EXISTS if more else 0
+        )
+        self.write_packet(b"\xfe" + struct.pack("<HH", 0, status))
 
     def send_err(self, code: int, message: str, sqlstate: str = "HY000") -> None:
         self.write_packet(
@@ -218,7 +236,7 @@ class _Conn:
 
     # --------------------------------------------------- resultset out
 
-    def send_text_resultset(self, result: EngineResult) -> None:
+    def send_text_resultset(self, result: EngineResult, more: bool = False) -> None:
         df = result.df
         fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
         self.write_packet(_lenenc_int(len(fields)))
@@ -244,7 +262,7 @@ class _Conn:
                 else:
                     payload += _lenenc_str(str(v).encode("utf-8"))
             self.write_packet(payload)
-        self.send_eof()
+        self.send_eof(more=more)
 
     def send_binary_resultset(self, result: EngineResult) -> None:
         df = result.df
@@ -279,16 +297,19 @@ class _Conn:
             self.write_packet(b"\x00" + bytes(null_bitmap) + vals)
         self.send_eof()
 
-    def send_result(self, result: EngineResult, binary: bool = False) -> None:
+    def send_result(
+        self, result: EngineResult, binary: bool = False, more: bool = False
+    ) -> None:
         if result.kind == "rows" and result.df is not None:
             if binary:
                 self.send_binary_resultset(result)
             else:
-                self.send_text_resultset(result)
+                self.send_text_resultset(result, more=more)
         else:
             self.send_ok(
                 affected=result.affected,
                 last_insert_id=getattr(self.engine, "last_insert_id", 0),
+                more=more,
             )
 
     # ------------------------------------------------------- handshake
@@ -315,6 +336,7 @@ class _Conn:
         self.write_packet(payload)
         resp = self.read_packet()  # HandshakeResponse41 — any auth accepted
         caps = struct.unpack_from("<I", resp, 0)[0]
+        self.client_caps = caps
         if caps & CLIENT_CONNECT_WITH_DB:
             # username starts at offset 32 (4 caps + 4 maxpkt + 1 charset
             # + 23 reserved); database follows user NUL + auth response
@@ -341,6 +363,31 @@ class _Conn:
         # completes the handshake follows it as 2
         self.send_ok()
 
+    def _com_query(self, sql: str) -> None:
+        """COM_QUERY, honoring CLIENT_MULTI_STATEMENTS: a ;-separated
+        batch runs statement by statement, each response carrying
+        SERVER_MORE_RESULTS_EXISTS until the last (public protocol —
+        how `mysql -e "a; b"` and connector executescript ship work).
+        A client that did NOT negotiate the capability gets the MySQL
+        behavior: the batch is a single malformed statement (1064/1105
+        from the engine), never a silent partial execution. The first
+        error aborts the remainder, as MySQL does."""
+        from ebike_spark.engine.parser import split_top_level, strip_comments
+
+        stmts = [
+            s
+            for s in split_top_level(strip_comments(sql), ";")
+            if s.strip()
+        ]
+        if len(stmts) <= 1 or not (self.client_caps & CLIENT_MULTI_STATEMENTS):
+            # single statement (a bare trailing ';' is fine — the
+            # engine strips it); or capability not negotiated
+            self.send_result(self.engine.execute(sql))
+            return
+        for k, stmt in enumerate(stmts):
+            result = self.engine.execute(stmt)
+            self.send_result(result, more=k < len(stmts) - 1)
+
     # ---------------------------------------------------- command loop
 
     def serve(self) -> None:
@@ -364,8 +411,7 @@ class _Conn:
                     self.engine.execute(f"USE {body.decode('utf-8')}")
                     self.send_ok()
                 elif cmd == COM_QUERY:
-                    result = self.engine.execute(body.decode("utf-8"))
-                    self.send_result(result)
+                    self._com_query(body.decode("utf-8"))
                 elif cmd == COM_FIELD_LIST:
                     # deprecated command: table name NUL [+ wildcard]
                     table = body.split(b"\x00", 1)[0].decode("utf-8")

@@ -120,15 +120,17 @@ def test_show_create_table(eng):
 
 def test_type_whitelist(eng):
     # meta_util.rs:553-561 rejects non-INT/FLOAT/CHAR; this engine
-    # additionally accepts the mysqldump synonym family (see
-    # test_create_table_mysql_type_synonyms) but still rejects types
-    # with no faithful storage: DECIMAL (exactness) and anything
-    # outside the map (clean 1064, never a silent coercion)
-    with pytest.raises(EbikeError) as ei:
-        eng.execute("CREATE TABLE bad (d DECIMAL(10,2))")
-    assert ei.value.code == 1064
+    # additionally accepts the mysqldump synonym family plus exact
+    # DECIMAL (see test_create_table_mysql_type_synonyms) but anything
+    # outside the map is a clean 1064, never a silent coercion
     with pytest.raises(EbikeError):
         eng.execute("CREATE TABLE bad (d BLOB)")
+    with pytest.raises(EbikeError):
+        eng.execute("CREATE TABLE bad (d JSON)")
+    # DECIMAL beyond Spark's 38-digit cap: clean 1064, no truncation
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("CREATE TABLE bad (d DECIMAL(65,2))")
+    assert ei.value.code == 1064
 
 
 def test_alter_add_drop_column(eng):
@@ -2178,10 +2180,29 @@ def test_create_table_mysql_type_synonyms(eng):
             "NULL, NULL, NULL)"
         )
     assert ei.value.code == 1062
-    with pytest.raises(EbikeError) as ei:
-        eng.execute("CREATE TABLE money (id INT, amt DECIMAL(10,2))")
-    assert ei.value.code == 1064
-    assert "DECIMAL" in str(ei.value)
+    # DECIMAL stores EXACTLY (Spark DecimalType with the declared p,s)
+    from decimal import Decimal
+
+    eng.execute(
+        "CREATE TABLE money (id INT NOT NULL, amt DECIMAL(10,2), "
+        "q NUMERIC(5), PRIMARY KEY (id))"
+    )
+    eng.execute("INSERT INTO money VALUES (1, 0.1, 3), (2, 0.2, 4)")
+    r = eng.execute(
+        "SELECT SUM(amt) AS s, SUM(q) AS sq FROM money"
+    ).rows()[0]
+    # 0.1 + 0.2 == 0.30 exactly — the float answer would be 0.30000000000000004
+    assert r["s"] == Decimal("0.30")
+    assert r["sq"] == 7
+    cols = {r["Field"]: r["Type"] for r in eng.execute("SHOW COLUMNS FROM money").rows()}
+    assert cols["amt"] == "decimal(10,2)"
+    assert cols["q"] == "decimal(5,0)"
+    # ALTER paths carry (p,s) too
+    eng.execute("ALTER TABLE money ADD COLUMN fee DECIMAL(6,3)")
+    eng.execute("INSERT INTO money VALUES (3, 1.005, 1, 2.5)")
+    assert eng.execute("SELECT fee FROM money WHERE id = 3").rows()[0]["fee"] == Decimal("2.500")
+    eng.execute("ALTER TABLE money MODIFY COLUMN q DECIMAL(7,2)")
+    assert eng.execute("SELECT q FROM money WHERE id = 1").rows()[0]["q"] == Decimal("3.00")
 
 
 def test_multi_table_update_mixed_qualified_unqualified(eng):

@@ -997,3 +997,47 @@ def test_ts_clustered_layout_enables_row_group_skipping(spark):
     assert hit_s == tot_s, (hit_s, tot_s)
     # clustered: only the groups actually holding the window intersect
     assert hit_c / tot_c <= 0.5, (hit_c, tot_c)
+
+
+def test_curriculum_rank_is_distributed(spark):
+    """The shared global-rank helper (functions/ranking.py) must rank
+    the DATA-SIZED side distributively: the row_number window is keyed
+    by __pid (per range partition), never a global single-partition
+    window over the corpus. SinglePartition is permitted ONLY in the
+    constant-sized branches (the one-row-per-task offsets window and
+    the 1-row total) — so the assertion targets the window spec, not
+    the whole plan text."""
+    import re as _re
+
+    from ebike_spark.functions.ranking import ntile_over_global_order
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    ranked = ntile_over_global_order(
+        spark,
+        d,
+        [F.col("n_chars"), F.col("doc_id")],
+        10,
+        "plan_test_curriculum_ranks",
+        SF_DIR + "#plan",
+    )
+    plan = _physical(ranked)
+    # the ranking row_number window partitions by __pid...
+    rn_windows = [
+        ln for ln in plan.splitlines() if "row_number()" in ln and "Window" in ln
+    ]
+    assert rn_windows, plan
+    assert all(
+        _re.search(r"row_number\(\).*\[__pid#\d+\]", ln) for ln in rn_windows
+    ), rn_windows
+    # ...fed by a range exchange on the sort key (the distributed sort)
+    assert "rangepartitioning(n_chars" in plan
+    # exact NTILE parity of the closed form vs Spark's own ntile on
+    # the same total order (small data, executes in-memory)
+    from pyspark.sql import Window
+
+    expect = d.withColumn(
+        "nt", F.ntile(10).over(Window.orderBy("n_chars", "doc_id"))
+    )
+    got = {r["doc_id"]: r["__bucket"] for r in ranked.collect()}
+    for r in expect.collect():
+        assert got[r["doc_id"]] == r["nt"], r["doc_id"]

@@ -28,9 +28,15 @@ class MiniClient:
     """Just enough of the public protocol to be a real conformance
     check: framing, handshake response, text/binary resultset decode."""
 
-    def __init__(self, port: int, database: str | None = None):
+    def __init__(
+        self,
+        port: int,
+        database: str | None = None,
+        multi_statements: bool = False,
+    ):
         self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
         self.seq = 0
+        self.multi_statements = multi_statements
         self._handshake(database)
 
     # framing ---------------------------------------------------------
@@ -73,6 +79,8 @@ class MiniClient:
         caps = 0x00000200 | 0x00008000 | 0x00080000  # 41 | secure | plugin_auth
         if database:
             caps |= 0x00000008
+        if self.multi_statements:
+            caps |= 0x00010000 | 0x00020000  # MULTI_STATEMENTS | MULTI_RESULTS
         resp = (
             struct.pack("<I", caps)
             + struct.pack("<I", 1 << 24)
@@ -121,24 +129,26 @@ class MiniClient:
         return cols
 
     # command surface -------------------------------------------------
-    def query(self, sql: str):
-        """COM_QUERY → ('ok', affected) | ('err', code, msg) |
-        ('rows', columns, rows-as-strings)."""
-        self.send_command(0x03, sql.encode())
+    def _read_one_result(self):
+        """One COM_QUERY response → ((kind, ...), more_results_flag)."""
         first = self.read_packet()
         if first[0] == 0x00:
-            affected, _ = self._lenenc(first, 1)
-            return ("ok", affected)
+            affected, pos = self._lenenc(first, 1)
+            _, pos = self._lenenc(first, pos)  # last_insert_id
+            status = struct.unpack_from("<H", first, pos)[0]
+            return ("ok", affected), bool(status & 0x0008)
         if first[0] == 0xFF:
             code = struct.unpack_from("<H", first, 1)[0]
-            return ("err", code, first[9:].decode("utf-8", "replace"))
+            return ("err", code, first[9:].decode("utf-8", "replace")), False
         n_cols, _ = self._lenenc(first, 0)
         cols = self._read_columns(n_cols)
         rows = []
         while True:
             pkt = self.read_packet()
             if pkt[0] == 0xFE and len(pkt) < 9:
-                break
+                # classic EOF: warnings(2) then status(2)
+                status = struct.unpack_from("<H", pkt, 3)[0]
+                return ("rows", cols, rows), bool(status & 0x0008)
             pos, row = 0, []
             for _ in cols:
                 if pkt[pos] == 0xFB:
@@ -149,7 +159,26 @@ class MiniClient:
                     row.append(pkt[pos : pos + ln].decode())
                     pos += ln
             rows.append(row)
-        return ("rows", cols, rows)
+
+    def query(self, sql: str):
+        """COM_QUERY → ('ok', affected) | ('err', code, msg) |
+        ('rows', columns, rows-as-strings)."""
+        self.send_command(0x03, sql.encode())
+        result, _more = self._read_one_result()
+        return result
+
+    def multi_query(self, sql: str) -> list:
+        """COM_QUERY with a ;-batch (requires multi_statements=True):
+        reads responses while SERVER_MORE_RESULTS_EXISTS is set."""
+        self.send_command(0x03, sql.encode())
+        out = []
+        more = True
+        while more:
+            result, more = self._read_one_result()
+            out.append(result)
+            if result[0] == "err":
+                break  # the server aborts the remainder on error
+        return out
 
     def prepare(self, sql: str) -> tuple[int, int]:
         self.send_command(0x16, sql.encode())
@@ -415,6 +444,7 @@ def test_connect_with_unknown_db_is_refused(server):
 
     c.sock = _socket.create_connection(("127.0.0.1", server), timeout=30)
     c.seq = 0
+    c.multi_statements = False
     c._handshake("definitely_missing_db")
     assert c.handshake_error == 1049
     c.sock.close()
@@ -610,5 +640,50 @@ def test_stmt_reset(server):
     assert pkt[0] == 0xFF and struct.unpack_from("<H", pkt, 1)[0] == 1243
     kind, cols, rows = c.query("SELECT id FROM rs ORDER BY id")
     assert rows == [["1"], ["2"]]
+    c.query(f"DROP DATABASE {db}")
+    c.close()
+
+
+def test_multi_statements(server):
+    """CLIENT_MULTI_STATEMENTS: a ;-batch returns per-statement
+    responses chained by SERVER_MORE_RESULTS_EXISTS (mixing OK and
+    resultsets); the first error aborts the remainder; a connection
+    that did NOT negotiate the capability gets one error for the whole
+    batch, never a silent partial execution."""
+    c = MiniClient(server, multi_statements=True)
+    db = f"wp_{uuid.uuid4().hex[:8]}"
+    c.query(f"CREATE DATABASE {db}")
+    c.init_db(db)
+    results = c.multi_query(
+        "CREATE TABLE ms (id INT NOT NULL, PRIMARY KEY (id)); "
+        "INSERT INTO ms VALUES (1), (2); "
+        "SELECT id FROM ms ORDER BY id; "
+        "INSERT INTO ms VALUES (3)"
+    )
+    assert [r[0] for r in results] == ["ok", "ok", "rows", "ok"]
+    assert results[1][1] == 2  # INSERT affected
+    assert results[2][2] == [["1"], ["2"]]
+    # literal ';' inside a string must not split the batch
+    results = c.multi_query(
+        "CREATE TABLE msx (id INT, v CHAR); "
+        "INSERT INTO msx VALUES (1, 'a;b'); SELECT v FROM msx"
+    )
+    assert results[-1][2] == [["a;b"]]
+    # first error aborts the remainder: table ms3 must never exist
+    results = c.multi_query(
+        "INSERT INTO ms VALUES (1); CREATE TABLE ms3 (id INT)"
+    )
+    assert results[0][0] == "err" and results[0][1] == 1062
+    kind, cols, rows = c.query(
+        f"SELECT COUNT(*) AS c FROM information_schema.tables "
+        f"WHERE table_schema = '{db}' AND table_name = 'ms3'"
+    )
+    assert rows == [["0"]]
+    # without the capability: whole batch is one failing statement
+    c2 = MiniClient(server)
+    c2.init_db(db)
+    out = c2.query("SELECT 1; SELECT 2")
+    assert out[0] == "err"
+    c2.close()
     c.query(f"DROP DATABASE {db}")
     c.close()
