@@ -43,8 +43,39 @@ from ebike_spark.engine.parser import Delete, Insert, Update
 _IGNORE_REPLAY_CAP = 100_000
 
 
+# Marker embedded in raise_error messages by the strict-cast guards
+# below; Engine.execute translates it to MySQL 1366. A plain-text
+# channel because the error crosses the JVM boundary as a generic
+# SparkRuntimeException.
+BADCAST_MARK = "EBIKE_BADCAST:"
+
+
+def guarded_cast_sql(raw: str, spark_type: str, col: str) -> str:
+    """SQL-text strict cast: a non-NULL value whose CAST to the
+    declared type comes back NULL (unparseable string, DECIMAL
+    overflow, out-of-range) RAISES instead of silently storing NULL —
+    MySQL strict mode (1264/1366), not its legacy zero-coercion. The
+    guard costs no extra Spark job: it fires inside whichever action
+    first evaluates the rows."""
+    return (
+        f"CASE WHEN ({raw}) IS NOT NULL AND CAST(({raw}) AS {spark_type}) IS NULL "
+        f"THEN CAST(raise_error('{BADCAST_MARK}{col}') AS {spark_type}) "
+        f"ELSE CAST(({raw}) AS {spark_type}) END"
+    )
+
+
+def guarded_cast_col(raw_expr, spark_type: str, col: str):
+    """Column-API twin of guarded_cast_sql (UPDATE assignments)."""
+    cast = raw_expr.cast(spark_type)
+    return F.when(
+        raw_expr.isNotNull() & cast.isNull(),
+        F.raise_error(F.lit(f"{BADCAST_MARK}{col}")).cast(spark_type),
+    ).otherwise(cast)
+
+
 def _values_df(spark: SparkSession, ins: Insert, col_types: list[tuple[str, str]]) -> DataFrame:
-    """Evaluate VALUES rows as constant expressions via a literal SELECT."""
+    """Evaluate VALUES rows as constant expressions via a literal
+    SELECT; every declared-type cast is strict (guarded_cast_sql)."""
     names = [n for n, _ in col_types]
     types = dict(col_types)
     target = ins.columns or names
@@ -59,7 +90,9 @@ def _values_df(spark: SparkSession, ins: Insert, col_types: list[tuple[str, str]
         for name in names:
             if name in target:
                 raw = row[target.index(name)]
-                exprs.append(f"CAST(({raw}) AS {types[name]}) AS `{name}`")
+                exprs.append(
+                    f"{guarded_cast_sql(raw, types[name], name)} AS `{name}`"
+                )
             else:
                 exprs.append(f"CAST(NULL AS {types[name]}) AS `{name}`")
         selects.append("SELECT " + ", ".join(exprs))
@@ -537,6 +570,17 @@ def _stage(spark: SparkSession, qualified: str, new_df: DataFrame) -> str:
     return stage
 
 
+def _swap(spark: SparkSession, qualified: str, stage: str) -> None:
+    """INSERT OVERWRITE the target from its stage (the commit half of
+    the stage-swap protocol; shared so multi-table statements and
+    _rewrite can never drift apart)."""
+    spark.table(stage).write.insertInto(qualified, overwrite=True)
+
+
+def _drop_stage(spark: SparkSession, stage: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+
+
 def _rewrite(spark: SparkSession, qualified: str, new_df: DataFrame) -> None:
     """Write-new-then-swap: materialize the rewritten table to a staging
     table, then INSERT OVERWRITE the target from it (can't overwrite a
@@ -544,9 +588,9 @@ def _rewrite(spark: SparkSession, qualified: str, new_df: DataFrame) -> None:
     crash leaves either the old data or a complete new copy."""
     stage = _stage(spark, qualified, new_df)
     try:
-        spark.table(stage).write.insertInto(qualified, overwrite=True)
+        _swap(spark, qualified, stage)
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        _drop_stage(spark, stage)
 
 
 def update(spark: SparkSession, catalog: Catalog, upd: Update, current_db: str) -> int:
@@ -592,7 +636,9 @@ def update(spark: SparkSession, catalog: Catalog, upd: Update, current_db: str) 
     # __upd_rid column onto t that must not reach the staged rewrite)
     for name in spark.table(qualified).columns:
         if name in assigned:
-            new_val = F.expr(assigned[name]).cast(types[name])
+            new_val = guarded_cast_col(
+                F.expr(assigned[name]), types[name], name
+            )
             cols.append(F.when(cond, new_val).otherwise(F.col(name)).alias(name))
         else:
             cols.append(F.col(name))

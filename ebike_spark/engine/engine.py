@@ -85,6 +85,13 @@ GLOBAL_VARS: dict[str, object] = {}
 # collide in the metastore.
 _SYS_SCHEMA_LOCK = threading.RLock()
 _SYS_SCHEMA_EPOCH = [0]
+# performance_schema.global_variables is rebuilt from the BUILDING
+# engine's session vars — shared physical table, per-session content.
+# Track who built it last so a DIFFERENT engine's read always rebuilds
+# with its own vars (without this, connection B could serve A's
+# session values while fresh at the same epoch).
+_SYS_VARS_TABLE = "performance_schema.global_variables"
+_SYS_VARS_BUILDER = [0]  # id() of the Engine that last rebuilt it
 
 
 def _bump_sys_schema_epoch() -> None:
@@ -146,6 +153,25 @@ class Engine:
     # ------------------------------------------------------------ dispatch
 
     def execute(self, sql: str) -> EngineResult:
+        try:
+            return self._execute(sql)
+        except EbikeError:
+            raise
+        except Exception as e:
+            # strict-cast guards (dml.guarded_cast_*) raise inside the
+            # JVM with a marker message — translate to MySQL 1366
+            msg = str(e)
+            if dml.BADCAST_MARK in msg:
+                cm = re.match(r"\w+", msg.split(dml.BADCAST_MARK, 1)[1])
+                col = cm.group(0) if cm else "?"
+                raise EbikeError(
+                    1366,
+                    f"Incorrect value for column '{col}' "
+                    "(out of range or not convertible to the declared type)",
+                ) from e
+            raise
+
+    def _execute(self, sql: str) -> EngineResult:
         sql = strip_comments(sql).strip().rstrip(";").strip()
         if not sql:
             return EngineResult("ok")
@@ -458,6 +484,14 @@ class Engine:
                     self._fresh_sys_tables = set()
                     self._seen_sys_epoch = _SYS_SCHEMA_EPOCH[0]
                     self._local_sys_dirty = False
+                if (
+                    _SYS_VARS_TABLE in refs
+                    and _SYS_VARS_BUILDER[0] != id(self)
+                ):
+                    # another engine rebuilt the variables view last —
+                    # its content embeds THAT session's vars; rebuild
+                    # with ours regardless of epoch freshness
+                    self._fresh_sys_tables.discard(_SYS_VARS_TABLE)
                 need = refs - self._fresh_sys_tables
                 info_need = {
                     st.split(".", 1)[1]
@@ -470,7 +504,8 @@ class Engine:
                     st.startswith(("mysql.", "performance_schema.")) for st in need
                 ):
                     self.catalog.refresh_system_schemas(self.sys_vars)
-                    need |= {"mysql.users", "performance_schema.global_variables"}
+                    need |= {"mysql.users", _SYS_VARS_TABLE}
+                    _SYS_VARS_BUILDER[0] = id(self)
                 self._fresh_sys_tables |= need
         self.spark.catalog.setCurrentDatabase(self.current_db)
         try:
@@ -1644,6 +1679,34 @@ class Engine:
         "OUTER", "STRAIGHT_JOIN", "USING", "WHERE", "NATURAL", "AS",
     }
 
+    def _from_aliases(self, frm: str) -> list[tuple[str, str]]:
+        """Enumerate (alias-or-name token, qualified table) for every
+        table in a multi-table-DML FROM clause. Segments split on
+        top-level JOIN keywords (quote/paren-aware); each segment's
+        leading token is the table, the next word its alias unless it
+        is a clause keyword."""
+        from ebike_spark.engine.parser import find_top_level_keywords
+
+        spans = find_top_level_keywords(frm, ("JOIN",))
+        segs, prev = [], 0
+        for _, s0, s1 in spans:
+            segs.append(frm[prev:s0])
+            prev = s1
+        segs.append(frm[prev:])
+        out: list[tuple[str, str]] = []
+        for seg in segs:
+            m = re.match(r"\s*([\w.`\"]+)(?:\s+(?:AS\s+)?([\w`\"]+))?", seg)
+            if not m:
+                continue
+            tbl = unquote_ident(m.group(1))
+            if tbl.upper() in self._JOIN_KEYWORDS:
+                continue
+            alias = unquote_ident(m.group(2)) if m.group(2) else None
+            if alias and alias.upper() in self._JOIN_KEYWORDS:
+                alias = None
+            out.append((alias or tbl, self.catalog.qualify(tbl, self.current_db)))
+        return out
+
     def _resolve_alias_table(self, tgt: str, frm: str) -> str:
         """Resolve a multi-table-DML target token (alias or table name)
         to its underlying table within a FROM clause."""
@@ -1733,27 +1796,42 @@ class Engine:
                     am.group(3).strip(),
                 )
             )
-        first_tok = re.match(r"\s*([\w.`\"]+)", frm)
-        default_tgt = unquote_ident(first_tok.group(1)) if first_tok else ""
-        # Unqualified assignments: MySQL resolves the column by
-        # searching the joined tables. With exactly ONE explicitly
-        # assigned alias we attribute them to that alias (the engine's
-        # long-standing behavior — `SET o.status = 'x', note = c.name`
-        # both target o's table); with several explicit targets the
-        # attribution is ambiguous and refused rather than guessed.
-        uniq_explicit = list(
-            dict.fromkeys(a for a, _, _ in assigns if a is not None)
-        )
-        unqual_tgt = uniq_explicit[0] if len(uniq_explicit) == 1 else default_tgt
+        # Unqualified assignments resolve the MySQL way: the column is
+        # looked up in EVERY joined table — exactly one owner targets
+        # that table (even one never otherwise assigned); several
+        # owners is 1052 ambiguous; none is 1054. No guessing from
+        # which aliases happen to be assigned.
+        from_tables = self._from_aliases(frm)
+        col_owner_cache: dict[str, list[tuple[str, str]]] = {}
+
+        def owners_of(col: str) -> list[tuple[str, str]]:
+            if col not in col_owner_cache:
+                found = []
+                for alias, qtbl in from_tables:
+                    try:
+                        cols_of = dict(self.catalog.column_types(qtbl))
+                    except EbikeError:
+                        continue
+                    if col in cols_of:
+                        found.append((alias, qtbl))
+                col_owner_cache[col] = found
+            return col_owner_cache[col]
+
         # group assignments by target alias, preserving statement order
         by_tgt: dict[str, list[tuple[int, str, str]]] = {}
         for i, (alias, col, rhs) in enumerate(assigns):
-            if alias is None and len(uniq_explicit) > 1:
-                raise unsupported(
-                    "multi-table UPDATE with an unqualified assignment "
-                    "among several target tables (qualify the column)"
-                )
-            by_tgt.setdefault(alias or unqual_tgt, []).append((i, col, rhs))
+            if alias is None:
+                owners = owners_of(col)
+                if len(owners) > 1:
+                    raise EbikeError(
+                        1052, f"Column '{col}' in field list is ambiguous"
+                    )
+                if not owners:
+                    raise EbikeError(
+                        1054, f"Unknown column '{col}' in 'field list'"
+                    )
+                alias = owners[0][0]
+            by_tgt.setdefault(alias, []).append((i, col, rhs))
         targets: list[dict] = []
         seen_tables: set[str] = set()
         for tgt, items in by_tgt.items():
@@ -1850,7 +1928,7 @@ class Engine:
             dml.recheck_keys_after_update(
                 self.spark, self.catalog, t["qualified"], new_df, set(new_vals)
             )
-            staged.append((t["qualified"], new_df, set(new_vals)))
+            staged.append((t["qualified"], new_df))
         # All key re-checks passed against pre-images. Two-phase land:
         # STAGE every post-image first (the data-sized writes — every
         # pre-image read completes before anything commits), then swap
@@ -1862,17 +1940,15 @@ class Engine:
         # means no snapshot recompute is ever needed to finish a swap.
         staged_tables: list[tuple[str, str]] = []
         try:
-            for qualified, new_df, _cols in staged:
+            for qualified, new_df in staged:
                 staged_tables.append(
                     (qualified, dml._stage(self.spark, qualified, new_df))
                 )
             for qualified, stage in staged_tables:
-                self.spark.table(stage).write.insertInto(
-                    qualified, overwrite=True
-                )
+                dml._swap(self.spark, qualified, stage)
         finally:
             for _, stage in staged_tables:
-                self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+                dml._drop_stage(self.spark, stage)
         return EngineResult("count", affected=total)
 
     def _delete(self, sql: str) -> EngineResult:

@@ -56,6 +56,7 @@ COM_STMT_PREPARE = 0x16
 COM_STMT_EXECUTE = 0x17
 COM_STMT_CLOSE = 0x19
 COM_STMT_RESET = 0x1A
+COM_SET_OPTION = 0x1B
 
 CLIENT_LONG_PASSWORD = 0x00000001
 CLIENT_PROTOCOL_41 = 0x00000200
@@ -460,6 +461,21 @@ class _Conn:
                     )
                     result = self.engine.execute_prepared(stmt_id, params)
                     self.send_result(result, binary=True)
+                elif cmd == COM_SET_OPTION:
+                    # runtime toggle of multi-statement mode (public
+                    # protocol: 2-byte option, 0=ON 1=OFF; answered
+                    # with EOF). Connectors call this to harden against
+                    # injection after a batch — 1047 here would drop
+                    # the connection.
+                    opt = struct.unpack_from("<H", body, 0)[0]
+                    if opt == 0:
+                        self.client_caps |= CLIENT_MULTI_STATEMENTS
+                    elif opt == 1:
+                        self.client_caps &= ~CLIENT_MULTI_STATEMENTS
+                    else:
+                        self.send_err(1047, f"Unknown COM_SET_OPTION {opt}", "08S01")
+                        continue
+                    self.send_eof()
                 elif cmd == COM_STMT_RESET:
                     # resets accumulated long-data/cursor state (none
                     # is kept here — params splice per-execute), but

@@ -2206,10 +2206,11 @@ def test_create_table_mysql_type_synonyms(eng):
 
 
 def test_multi_table_update_mixed_qualified_unqualified(eng):
-    """Regression pin (review finding): `SET o.status = 'x', note =
-    c.name` — an unqualified assignment alongside ONE explicit target
-    alias attributes to that alias (long-standing behavior); among
-    SEVERAL explicit targets it is ambiguous and refused."""
+    """Unqualified assignments resolve the MySQL way: the column is
+    looked up in EVERY joined table — a unique owner targets that
+    table (regardless of which aliases are otherwise assigned), a
+    column present in several tables is 1052 ambiguous, an unknown
+    column is 1054."""
     eng.execute("CREATE TABLE mixu (id INT NOT NULL, status CHAR, note CHAR, PRIMARY KEY (id))")
     eng.execute("CREATE TABLE mixd (id INT, name CHAR)")
     eng.execute("INSERT INTO mixu VALUES (1, 'old', 'old')")
@@ -2221,15 +2222,29 @@ def test_multi_table_update_mixed_qualified_unqualified(eng):
     assert r.affected == 1
     row = eng.execute("SELECT status, note FROM mixu").rows()[0]
     assert (row["status"], row["note"]) == ("x", "alice")
-    # several explicit targets + an unqualified assignment: ambiguous
+    # unqualified among SEVERAL explicit targets still resolves to its
+    # unique owner (note lives only in mixu)
     eng.execute("CREATE TABLE mixe (id INT NOT NULL, v CHAR, PRIMARY KEY (id))")
     eng.execute("INSERT INTO mixe VALUES (1, 'e')")
+    r = eng.execute(
+        "UPDATE mixu o JOIN mixe e ON o.id = e.id "
+        "SET o.status = 'y', e.v = 'z', note = 'both'"
+    )
+    assert r.affected == 2  # one changed ROW in mixu + one in mixe
+    assert eng.execute("SELECT note FROM mixu").rows()[0]["note"] == "both"
+    assert eng.execute("SELECT v FROM mixe").rows()[0]["v"] == "z"
+    # a column present in BOTH joined tables is ambiguous (MySQL 1052)
     with pytest.raises(EbikeError) as ei:
         eng.execute(
-            "UPDATE mixu o JOIN mixe e ON o.id = e.id "
-            "SET o.status = 'y', e.v = 'z', note = 'amb'"
+            "UPDATE mixu o JOIN mixe e ON o.id = e.id SET status = 'q', id = 9"
         )
-    assert ei.value.code == 1105
+    assert ei.value.code == 1052
+    # an unqualified column no table owns is 1054
+    with pytest.raises(EbikeError) as ei:
+        eng.execute(
+            "UPDATE mixu o JOIN mixd c ON o.id = c.id SET nocol = 1"
+        )
+    assert ei.value.code == 1054
 
 
 def test_prepare_of_cte_dml_does_not_execute(eng):
@@ -2248,3 +2263,53 @@ def test_prepare_of_cte_dml_does_not_execute(eng):
     cols = eng.prepared_result_schema(sid2)
     assert cols is not None and [c for c, _ in cols] == ["x", "k"]
     assert eng.execute("SELECT COUNT(*) AS c FROM pdml").rows()[0]["c"] == 0
+
+
+def test_strict_cast_rejects_bad_values(eng):
+    """MySQL strict mode: a non-NULL value that does not convert to
+    the declared type raises 1366 — never a silent NULL (the non-ANSI
+    Spark cast alone would store NULL into a NULLABLE column). Covers
+    unparseable strings, DECIMAL overflow, and the UPDATE path."""
+    from decimal import Decimal
+
+    eng.execute(
+        "CREATE TABLE strictc (id INT NOT NULL, n INT, amt DECIMAL(10,2), PRIMARY KEY (id))"
+    )
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO strictc VALUES (1, 'notanint', 1.0)")
+    assert ei.value.code == 1366 and "'n'" in str(ei.value)
+    # DECIMAL(10,2) holds 8 integer digits; this has 12 -> overflow
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO strictc VALUES (1, 2, 123456789012.34)")
+    assert ei.value.code == 1366 and "'amt'" in str(ei.value)
+    # nothing landed
+    assert eng.execute("SELECT COUNT(*) AS c FROM strictc").rows()[0]["c"] == 0
+    eng.execute("INSERT INTO strictc VALUES (1, 2, 3.5)")
+    assert eng.execute("SELECT amt FROM strictc").rows()[0]["amt"] == Decimal("3.50")
+    # UPDATE assignments are strict too
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("UPDATE strictc SET n = 'nope' WHERE id = 1")
+    assert ei.value.code == 1366
+    assert eng.execute("SELECT n FROM strictc").rows()[0]["n"] == 2
+    # NULL into a nullable column is of course still fine
+    eng.execute("UPDATE strictc SET n = NULL WHERE id = 1")
+    assert eng.execute("SELECT n FROM strictc").rows()[0]["n"] is None
+
+
+def test_variables_view_is_per_reader_across_engines(eng):
+    """The shared performance_schema.global_variables table embeds the
+    BUILDING engine's session vars; a different engine's read must
+    rebuild with its own vars even when the epoch says fresh —
+    otherwise connection B serves connection A's session values."""
+    other = Engine(eng.spark.newSession())
+    other.execute(f"USE {eng.current_db}")
+    q = (
+        "SELECT variable_value FROM performance_schema.global_variables "
+        "WHERE variable_name = 'who_am_i'"
+    )
+    eng.execute("SET @@who_am_i = 'engine_a'")
+    assert [r[0] for r in eng.execute(q).rows()] == ["engine_a"]
+    other.execute("SET @@who_am_i = 'engine_b'")
+    assert [r[0] for r in other.execute(q).rows()] == ["engine_b"]
+    # and back: A re-reads its OWN value, not B's leftover build
+    assert [r[0] for r in eng.execute(q).rows()] == ["engine_a"]

@@ -685,5 +685,16 @@ def test_multi_statements(server):
     out = c2.query("SELECT 1; SELECT 2")
     assert out[0] == "err"
     c2.close()
+    # COM_SET_OPTION toggles the mode at runtime (connectors use it to
+    # harden against injection after a batch): OFF -> batch errors,
+    # ON -> batches work again; response is EOF, never 1047
+    c.send_command(0x1B, struct.pack("<H", 1))  # MULTI_STATEMENTS_OFF
+    assert c.read_packet()[0] == 0xFE
+    out = c.query("SELECT 1; SELECT 2")
+    assert out[0] == "err"
+    c.send_command(0x1B, struct.pack("<H", 0))  # MULTI_STATEMENTS_ON
+    assert c.read_packet()[0] == 0xFE
+    results = c.multi_query("SELECT 1 AS a; SELECT 2 AS b")
+    assert [r[0] for r in results] == ["rows", "rows"]
     c.query(f"DROP DATABASE {db}")
     c.close()
