@@ -50,25 +50,46 @@ _IGNORE_REPLAY_CAP = 100_000
 BADCAST_MARK = "EBIKE_BADCAST:"
 
 
+# Spark's non-ANSI double→long cast SATURATES at Long.Max instead of
+# returning NULL, so magnitude beyond this double (LongMax rounded to
+# the nearest double) must flag explicitly for BIGINT targets. Inputs
+# inside the last double ULP below LongMax are indistinguishable and
+# pass — a 2048-wide window out of 9.2e18.
+_LONG_MAX_D = "9.223372036854775807E18"
+
+
 def guarded_cast_sql(raw: str, spark_type: str, col: str) -> str:
     """SQL-text strict cast: a non-NULL value whose CAST to the
     declared type comes back NULL (unparseable string, DECIMAL
-    overflow, out-of-range) RAISES instead of silently storing NULL —
-    MySQL strict mode (1264/1366), not its legacy zero-coercion. The
-    guard costs no extra Spark job: it fires inside whichever action
-    first evaluates the rows."""
+    overflow) — or whose magnitude saturates a BIGINT instead of
+    nulling — RAISES instead of silently storing a wrong value: MySQL
+    strict mode (1264/1366), not its legacy zero-coercion. The guard
+    costs no extra Spark job: it fires inside whichever action first
+    evaluates the rows. ``raw`` should be a cheap/deterministic
+    reference (a column name) — _values_df binds each VALUES
+    expression once in a per-row subquery for exactly this reason."""
+    bad = f"(({raw}) IS NOT NULL AND CAST(({raw}) AS {spark_type}) IS NULL)"
+    if spark_type.upper() == "BIGINT":  # column_types reports lowercase
+        bad += (
+            f" OR (CAST(({raw}) AS DOUBLE) IS NOT NULL"
+            f" AND ABS(CAST(({raw}) AS DOUBLE)) > {_LONG_MAX_D})"
+        )
     return (
-        f"CASE WHEN ({raw}) IS NOT NULL AND CAST(({raw}) AS {spark_type}) IS NULL "
+        f"CASE WHEN {bad} "
         f"THEN CAST(raise_error('{BADCAST_MARK}{col}') AS {spark_type}) "
         f"ELSE CAST(({raw}) AS {spark_type}) END"
     )
 
 
 def guarded_cast_col(raw_expr, spark_type: str, col: str):
-    """Column-API twin of guarded_cast_sql (UPDATE assignments)."""
+    """Column-API twin of guarded_cast_sql (UPDATE/upsert assignments)."""
     cast = raw_expr.cast(spark_type)
+    bad = raw_expr.isNotNull() & cast.isNull()
+    if spark_type.upper() == "BIGINT":
+        dbl = raw_expr.cast("double")
+        bad = bad | (dbl.isNotNull() & (F.abs(dbl) > F.expr(_LONG_MAX_D)))
     return F.when(
-        raw_expr.isNotNull() & cast.isNull(),
+        bad,
         F.raise_error(F.lit(f"{BADCAST_MARK}{col}")).cast(spark_type),
     ).otherwise(cast)
 
@@ -86,16 +107,29 @@ def _values_df(spark: SparkSession, ins: Insert, col_types: list[tuple[str, str]
     for row in ins.rows:
         if len(row) != len(target):
             raise EbikeError(1136, "Column count doesn't match value count")
-        exprs = []
+        inner = []
+        outer = []
         for name in names:
             if name in target:
                 raw = row[target.index(name)]
-                exprs.append(
-                    f"{guarded_cast_sql(raw, types[name], name)} AS `{name}`"
+                # bind the expression ONCE per row (a subquery alias):
+                # the strict guard references it as a column, so a
+                # non-deterministic value (RAND()) is checked and
+                # stored from the SAME draw, and bulk mysqldump
+                # INSERTs don't triple their statement text
+                inner.append(f"({raw}) AS `__r_{name}`")
+                outer.append(
+                    f"{guarded_cast_sql(f'`__r_{name}`', types[name], name)} "
+                    f"AS `{name}`"
                 )
             else:
-                exprs.append(f"CAST(NULL AS {types[name]}) AS `{name}`")
-        selects.append("SELECT " + ", ".join(exprs))
+                outer.append(f"CAST(NULL AS {types[name]}) AS `{name}`")
+        if inner:
+            selects.append(
+                f"SELECT {', '.join(outer)} FROM (SELECT {', '.join(inner)})"
+            )
+        else:
+            selects.append("SELECT " + ", ".join(outer))
     return spark.sql(" UNION ALL ".join(selects))
 
 
@@ -296,9 +330,13 @@ def _upsert(spark: SparkSession, catalog: Catalog, qualified: str, new_df, ins: 
             expr_sql = _re.sub(
                 r"\bVALUES\s*\(\s*`?(\w+)`?\s*\)", r"__new_\1", assigned[name], flags=_re.I
             )
-            upd = F.expr(expr_sql).cast(types[name])
+            upd = guarded_cast_col(F.expr(expr_sql), types[name], name)
             out_cols.append(F.when(matched, upd).otherwise(F.col(name)).alias(name))
-            change_terms.append(~upd.eqNullSafe(F.col(name)))
+            # lazily gated on matched: the strict guard must neither
+            # fire on unmatched rows nor be skipped when old is NULL
+            change_terms.append(
+                ~F.when(matched, upd).otherwise(F.col(name)).eqNullSafe(F.col(name))
+            )
         else:
             out_cols.append(F.col(name))
     n_changed = (
@@ -623,12 +661,20 @@ def update(spark: SparkSession, catalog: Catalog, upd: Update, current_db: str) 
         if name not in types:
             raise EbikeError(1054, f"Unknown column '{name}' in 'field list'")
     # MySQL reports *changed* rows (WHERE true AND at least one assigned
-    # column takes a new value), not matched rows
+    # column takes a new value), not matched rows. The new value goes
+    # through the STRICT guard here too, wrapped in a lazy CASE on the
+    # match condition: a bad value on a matched row must raise 1366
+    # even when the old value is NULL (an unguarded pre-count would
+    # call NULL→NULL "unchanged" and return success), while rows the
+    # WHERE never matches must not evaluate the assignment at all.
+    cond_safe = F.coalesce(cond, F.lit(False))
     change_terms = [
-        ~F.expr(expr).cast(types[name]).eqNullSafe(F.col(name))
+        ~F.when(cond_safe, guarded_cast_col(F.expr(expr), types[name], name))
+        .otherwise(F.col(name))
+        .eqNullSafe(F.col(name))
         for name, expr in assigned.items()
     ]
-    affected = t.where(F.coalesce(cond, F.lit(False)) & reduce(or_, change_terms)).count()
+    affected = t.where(cond_safe & reduce(or_, change_terms)).count()
     if affected == 0:
         return 0
     cols = []

@@ -91,7 +91,14 @@ _SYS_SCHEMA_EPOCH = [0]
 # with its own vars (without this, connection B could serve A's
 # session values while fresh at the same epoch).
 _SYS_VARS_TABLE = "performance_schema.global_variables"
-_SYS_VARS_BUILDER = [0]  # id() of the Engine that last rebuilt it
+_SYS_VARS_BUILDER = [0]  # serial of the Engine that last rebuilt it
+_ENGINE_SERIAL = [0]  # monotone: id() could be reused after a GC
+# Known residual (documented): with CONCURRENT readers the lock is
+# released before the SELECT's lazy collect scans the table, so an
+# interleaved rebuild by another connection can still serve its vars —
+# inherent to per-session content in ONE shared physical table; the
+# sequential interleavings (the realistic CLI/connector pattern) are
+# correct via last-builder tracking.
 
 
 def _bump_sys_schema_epoch() -> None:
@@ -149,6 +156,9 @@ class Engine:
         self._seen_sys_epoch = -1
         self._local_sys_dirty = False
         self._fresh_sys_tables: set[str] = set()
+        with _SYS_SCHEMA_LOCK:
+            _ENGINE_SERIAL[0] += 1
+            self._serial = _ENGINE_SERIAL[0]
 
     # ------------------------------------------------------------ dispatch
 
@@ -486,7 +496,7 @@ class Engine:
                     self._local_sys_dirty = False
                 if (
                     _SYS_VARS_TABLE in refs
-                    and _SYS_VARS_BUILDER[0] != id(self)
+                    and _SYS_VARS_BUILDER[0] != self._serial
                 ):
                     # another engine rebuilt the variables view last —
                     # its content embeds THAT session's vars; rebuild
@@ -505,7 +515,7 @@ class Engine:
                 ):
                     self.catalog.refresh_system_schemas(self.sys_vars)
                     need |= {"mysql.users", _SYS_VARS_TABLE}
-                    _SYS_VARS_BUILDER[0] = id(self)
+                    _SYS_VARS_BUILDER[0] = self._serial
                 self._fresh_sys_tables |= need
         self.spark.catalog.setCurrentDatabase(self.current_db)
         try:
@@ -1687,12 +1697,18 @@ class Engine:
         is a clause keyword."""
         from ebike_spark.engine.parser import find_top_level_keywords
 
+        from ebike_spark.engine.parser import split_top_level
+
         spans = find_top_level_keywords(frm, ("JOIN",))
         segs, prev = [], 0
         for _, s0, s1 in spans:
             segs.append(frm[prev:s0])
             prev = s1
         segs.append(frm[prev:])
+        # MySQL's comma form mixes freely with JOINs (`t1 a, t2 b JOIN
+        # t3 c ON ...`): each JOIN segment may itself list several
+        # comma-separated table factors
+        segs = [part for seg in segs for part in split_top_level(seg, ",")]
         out: list[tuple[str, str]] = []
         for seg in segs:
             m = re.match(r"\s*([\w.`\"]+)(?:\s+(?:AS\s+)?([\w`\"]+))?", seg)
@@ -1727,6 +1743,7 @@ class Engine:
         from ebike_spark.engine.parser import (
             find_top_level_keywords,
             split_tail_clauses,
+            split_top_level,
         )
 
         body_m = re.match(r"\s*UPDATE\s+([\s\S]+?)\s*;?\s*$", fixed, re.I)
@@ -1735,7 +1752,11 @@ class Engine:
             set_spans = find_top_level_keywords(body, ("SET",))
             if set_spans:
                 frm = body[: set_spans[0][1]].strip()
-                if find_top_level_keywords(frm, ("JOIN",)):
+                # JOIN form or MySQL's comma form (`UPDATE t1, t2 SET
+                # ...`) — both are the multi-table statement
+                if find_top_level_keywords(frm, ("JOIN",)) or len(
+                    split_top_level(frm, ",")
+                ) > 1:
                     tail = body[set_spans[0][2] :]
                     try:
                         set_clause, clauses = split_tail_clauses(tail, ("WHERE",))
@@ -1902,8 +1923,13 @@ class Engine:
                 vals, tb[dml.ROWID] == vals[f"__rid{k}"], "left"
             )
             matched = F.col(f"__rid{k}").isNotNull()
+            # strict guard (1366) like the single-table path; __v is
+            # NULL on unmatched rows, so the guard never fires off the
+            # matched set
             new_vals = {
-                col: F.col(f"__v{i}").cast(t["types"][col])
+                col: dml.guarded_cast_col(
+                    F.col(f"__v{i}"), t["types"][col], col
+                )
                 for i, col, _ in t["items"]
             }
             changed = reduce(

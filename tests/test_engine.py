@@ -2313,3 +2313,74 @@ def test_variables_view_is_per_reader_across_engines(eng):
     assert [r[0] for r in other.execute(q).rows()] == ["engine_b"]
     # and back: A re-reads its OWN value, not B's leftover build
     assert [r[0] for r in eng.execute(q).rows()] == ["engine_a"]
+
+
+def test_strict_cast_edge_cases(eng):
+    """Review-pass pins: (a) UPDATE raises 1366 on a matched row even
+    when the OLD value is NULL (an unguarded pre-count would call
+    NULL→NULL unchanged and return success); (b) magnitude beyond
+    BIGINT raises instead of Spark's silent saturation at Long.Max;
+    (c) the multi-table UPDATE and upsert assignment paths are strict
+    like the single-table path."""
+    eng.execute("CREATE TABLE sce (id INT NOT NULL, n INT, PRIMARY KEY (id))")
+    eng.execute("INSERT INTO sce VALUES (1, NULL)")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("UPDATE sce SET n = 'notanint' WHERE id = 1")
+    assert ei.value.code == 1366
+    # unmatched rows never evaluate the assignment
+    assert eng.execute("UPDATE sce SET n = 'nope' WHERE id = 99").affected == 0
+    # BIGINT saturation: 1e30 would silently store Long.Max otherwise
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO sce VALUES (2, 1e30)")
+    assert ei.value.code == 1366
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("UPDATE sce SET n = -1e19 WHERE id = 1")
+    assert ei.value.code == 1366
+    # ...but genuine BIGINT extremes pass
+    eng.execute("UPDATE sce SET n = 9223372036854775807 WHERE id = 1")
+    assert eng.execute("SELECT n FROM sce").rows()[0]["n"] == 9223372036854775807
+    # upsert update-half is strict
+    with pytest.raises(EbikeError) as ei:
+        eng.execute(
+            "INSERT INTO sce VALUES (1, 5) ON DUPLICATE KEY UPDATE n = 'bad'"
+        )
+    assert ei.value.code == 1366
+    # multi-table UPDATE assignment is strict
+    eng.execute("CREATE TABLE sced (id INT, s CHAR)")
+    eng.execute("INSERT INTO sced VALUES (1, 'xx')")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("UPDATE sce a JOIN sced d ON a.id = d.id SET a.n = d.s")
+    assert ei.value.code == 1366
+
+
+def test_multi_table_update_comma_form(eng):
+    """MySQL's comma join form: `UPDATE t1 a, t2 b SET a.x = b.y WHERE
+    a.id = b.id` routes to the multi-table path (with no JOIN keyword
+    at all), including mixed `t1 a, t2 b JOIN t3 c` FROM lists for the
+    unqualified-column owner search. Case-insensitive aliases resolve
+    to one group (`O.status` and owner-lookup 'o' never split)."""
+    eng.execute("CREATE TABLE cfa (id INT NOT NULL, v FLOAT, note CHAR, PRIMARY KEY (id))")
+    eng.execute("CREATE TABLE cfb (id INT, bonus FLOAT)")
+    eng.execute("INSERT INTO cfa VALUES (1, 1.0, 'n'), (2, 2.0, 'n')")
+    eng.execute("INSERT INTO cfb VALUES (1, 10.0)")
+    r = eng.execute(
+        "UPDATE cfa a, cfb b SET a.v = a.v + b.bonus WHERE a.id = b.id"
+    )
+    assert r.affected == 1
+    got = {x["id"]: x["v"] for x in eng.execute("SELECT id, v FROM cfa").rows()}
+    assert got == {1: 11.0, 2: 2.0}
+    # mixed comma + JOIN FROM list: unqualified note resolves through
+    # the comma-listed table
+    eng.execute("CREATE TABLE cfc (id INT, tag CHAR)")
+    eng.execute("INSERT INTO cfc VALUES (1, 't')")
+    r = eng.execute(
+        "UPDATE cfa a, cfb b JOIN cfc c ON b.id = c.id "
+        "SET note = c.tag WHERE a.id = b.id"
+    )
+    assert r.affected == 1
+    assert eng.execute("SELECT note FROM cfa WHERE id = 1").rows()[0]["note"] == "t"
+    # alias case-insensitivity: qualified `A.` groups with owner 'a'
+    r = eng.execute(
+        "UPDATE cfa A, cfb b SET A.v = 0, note = 'z' WHERE A.id = b.id"
+    )
+    assert r.affected == 1
