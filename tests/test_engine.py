@@ -2384,3 +2384,16 @@ def test_multi_table_update_comma_form(eng):
         "UPDATE cfa A, cfb b SET A.v = 0, note = 'z' WHERE A.id = b.id"
     )
     assert r.affected == 1
+
+
+def test_multi_table_delete_comma_form(eng):
+    """MySQL's comma form of multi-table DELETE (`DELETE a FROM t1 a,
+    t2 b WHERE a.id = b.id`) — same doomed-rowid join as the JOIN
+    spelling; pinned so the FROM-clause enumeration keeps covering it."""
+    eng.execute("CREATE TABLE dca (id INT NOT NULL, PRIMARY KEY (id))")
+    eng.execute("CREATE TABLE dcb (id INT)")
+    eng.execute("INSERT INTO dca VALUES (1), (2), (3)")
+    eng.execute("INSERT INTO dcb VALUES (1), (3), (3)")
+    r = eng.execute("DELETE a FROM dca a, dcb b WHERE a.id = b.id")
+    assert r.affected == 2  # distinct doomed rows, not join multiplicity
+    assert [x["id"] for x in eng.execute("SELECT id FROM dca").rows()] == [2]
