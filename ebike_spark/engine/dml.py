@@ -112,15 +112,30 @@ def _values_df(spark: SparkSession, ins: Insert, col_types: list[tuple[str, str]
         for name in names:
             if name in target:
                 raw = row[target.index(name)]
-                # bind the expression ONCE per row (a subquery alias):
-                # the strict guard references it as a column, so a
+                # Bind the expression ONCE per row (subquery aliases):
+                # the strict guard references columns, so a
                 # non-deterministic value (RAND()) is checked and
                 # stored from the SAME draw, and bulk mysqldump
-                # INSERTs don't triple their statement text
+                # INSERTs don't triple their statement text. The CAST
+                # lands in the inner list under the COLUMN name so
+                # MySQL's earlier-column references in a value list
+                # (`VALUES (1, a + 1)`) keep resolving — Spark lateral
+                # column aliases see it, exactly like the pre-subquery
+                # single-SELECT form did.
                 inner.append(f"({raw}) AS `__r_{name}`")
+                inner.append(
+                    f"CAST(`__r_{name}` AS {types[name]}) AS `{name}`"
+                )
+                bad = f"(`__r_{name}` IS NOT NULL AND `{name}` IS NULL)"
+                if types[name].upper() == "BIGINT":
+                    bad += (
+                        f" OR (CAST(`__r_{name}` AS DOUBLE) IS NOT NULL"
+                        f" AND ABS(CAST(`__r_{name}` AS DOUBLE)) > {_LONG_MAX_D})"
+                    )
                 outer.append(
-                    f"{guarded_cast_sql(f'`__r_{name}`', types[name], name)} "
-                    f"AS `{name}`"
+                    f"CASE WHEN {bad} THEN CAST(raise_error("
+                    f"'{BADCAST_MARK}{name}') AS {types[name]}) "
+                    f"ELSE `{name}` END AS `{name}`"
                 )
             else:
                 outer.append(f"CAST(NULL AS {types[name]}) AS `{name}`")

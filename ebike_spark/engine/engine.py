@@ -171,9 +171,17 @@ class Engine:
             # strict-cast guards (dml.guarded_cast_*) raise inside the
             # JVM with a marker message — translate to MySQL 1366
             msg = str(e)
-            if dml.BADCAST_MARK in msg:
-                cm = re.match(r"\w+", msg.split(dml.BADCAST_MARK, 1)[1])
-                col = cm.group(0) if cm else "?"
+            # Only a RUNTIME raise_error carries the marker as a
+            # USER_RAISED_EXCEPTION; an AnalysisException's plan dump
+            # also CONTAINS the marker text (the guard expressions),
+            # and matching it would mistranslate an unresolved-column
+            # error into a false 1366 naming the wrong column.
+            rm = re.search(
+                rf"\[USER_RAISED_EXCEPTION\]\s*{re.escape(dml.BADCAST_MARK)}(\w+)",
+                msg,
+            )
+            if rm:
+                col = rm.group(1)
                 raise EbikeError(
                     1366,
                     f"Incorrect value for column '{col}' "
@@ -1695,9 +1703,10 @@ class Engine:
         top-level JOIN keywords (quote/paren-aware); each segment's
         leading token is the table, the next word its alias unless it
         is a clause keyword."""
-        from ebike_spark.engine.parser import find_top_level_keywords
-
-        from ebike_spark.engine.parser import split_top_level
+        from ebike_spark.engine.parser import (
+            find_top_level_keywords,
+            split_top_level,
+        )
 
         spans = find_top_level_keywords(frm, ("JOIN",))
         segs, prev = [], 0

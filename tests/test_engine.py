@@ -2397,3 +2397,23 @@ def test_multi_table_delete_comma_form(eng):
     r = eng.execute("DELETE a FROM dca a, dcb b WHERE a.id = b.id")
     assert r.affected == 2  # distinct doomed rows, not join multiplicity
     assert [x["id"] for x in eng.execute("SELECT id FROM dca").rows()] == [2]
+
+
+def test_values_lateral_column_reference(eng):
+    """MySQL: a value expression may reference columns set EARLIER in
+    the same row (`INSERT INTO t (a, b) VALUES (1, a + 1)`). The
+    single-evaluation subquery form keeps this working via lateral
+    column aliases — and an UNKNOWN column in a value expression is a
+    resolution error, never a false 1366 from the guard text embedded
+    in the failing plan's dump."""
+    eng.execute("CREATE TABLE lat (a INT, b INT)")
+    eng.execute("INSERT INTO lat (a, b) VALUES (1, a + 1)")
+    r = eng.execute("SELECT a, b FROM lat").rows()[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    # the unknown column surfaces as the ANALYSIS error it is (the
+    # wire server maps generic engine exceptions to 1105) — never the
+    # false 1366 the guard's marker text in the plan dump would give
+    with pytest.raises(Exception) as ei:
+        eng.execute("INSERT INTO lat (a, b) VALUES (1, nosuchcol + 1)")
+    assert not (isinstance(ei.value, EbikeError) and ei.value.code == 1366)
+    assert "nosuchcol" in str(ei.value)
