@@ -46,8 +46,11 @@ _IGNORE_REPLAY_CAP = 100_000
 # Marker embedded in raise_error messages by the strict-cast guards
 # below; Engine.execute translates it to MySQL 1366. A plain-text
 # channel because the error crosses the JVM boundary as a generic
-# SparkRuntimeException.
+# SparkRuntimeException. The column name is SENTINEL-TERMINATED so
+# names with non-word characters (backtick-quoted identifiers) survive
+# the round trip and the translator never over- or under-captures.
 BADCAST_MARK = "EBIKE_BADCAST:"
+BADCAST_END = ":KCABDAST"
 
 
 # Spark's non-ANSI double→long cast SATURATES at Long.Max instead of
@@ -58,39 +61,81 @@ BADCAST_MARK = "EBIKE_BADCAST:"
 _LONG_MAX_D = "9.223372036854775807E18"
 
 
-def guarded_cast_sql(raw: str, spark_type: str, col: str) -> str:
+def rounding_bigint_cast_sql(raw_ref: str) -> str:
+    """MySQL ROUNDS fractional values into integer columns (2.7 → 3,
+    -2.5 → -3, '2.7' → 3); a bare Spark cast truncates toward zero.
+    Route through ROUND(double) ONLY when the value is fractional or
+    only double-parseable — exact 64-bit integers beyond 2^53 take the
+    direct cast so they never lose precision in the double detour. The
+    detection is one CASE over the same once-bound reference, so it
+    composes with the strict guard (a value neither path can convert
+    still comes back NULL and raises 1366)."""
+    dbl = f"CAST({raw_ref} AS DOUBLE)"
+    direct = f"CAST({raw_ref} AS BIGINT)"
+    return (
+        f"CASE WHEN {dbl} IS NOT NULL AND ({direct} IS NULL "
+        f"OR {dbl} != CAST({direct} AS DOUBLE)) "
+        f"THEN CAST(ROUND({dbl}, 0) AS BIGINT) ELSE {direct} END"
+    )
+
+
+def _rounding_bigint_cast_col(raw_expr):
+    """Column-API twin of rounding_bigint_cast_sql."""
+    dbl = raw_expr.cast("double")
+    direct = raw_expr.cast("bigint")
+    fractional = dbl.isNotNull() & (
+        direct.isNull() | (dbl != direct.cast("double"))
+    )
+    return F.when(fractional, F.round(dbl, 0).cast("bigint")).otherwise(direct)
+
+
+def badcast_msg(col: str) -> str:
+    """The one source of truth for the marker-message format the 1366
+    translator (Engine.execute) parses back out."""
+    return f"{BADCAST_MARK}{col}{BADCAST_END}"
+
+
+def strict_case_sql(raw_ref: str, cast_ref: str, spark_type: str, col: str) -> str:
     """SQL-text strict cast: a non-NULL value whose CAST to the
     declared type comes back NULL (unparseable string, DECIMAL
     overflow) — or whose magnitude saturates a BIGINT instead of
     nulling — RAISES instead of silently storing a wrong value: MySQL
     strict mode (1264/1366), not its legacy zero-coercion. The guard
     costs no extra Spark job: it fires inside whichever action first
-    evaluates the rows. ``raw`` should be a cheap/deterministic
-    reference (a column name) — _values_df binds each VALUES
-    expression once in a per-row subquery for exactly this reason."""
-    bad = f"(({raw}) IS NOT NULL AND CAST(({raw}) AS {spark_type}) IS NULL)"
+    evaluates the rows. ``raw_ref`` must be a cheap/deterministic
+    reference (a column/alias name — _values_df binds each VALUES
+    expression once in a per-row subquery for exactly this reason) and
+    ``cast_ref`` a reference to its already-computed CAST to
+    ``spark_type``."""
+    bad = f"({raw_ref} IS NOT NULL AND {cast_ref} IS NULL)"
     if spark_type.upper() == "BIGINT":  # column_types reports lowercase
         bad += (
-            f" OR (CAST(({raw}) AS DOUBLE) IS NOT NULL"
-            f" AND ABS(CAST(({raw}) AS DOUBLE)) > {_LONG_MAX_D})"
+            f" OR (CAST({raw_ref} AS DOUBLE) IS NOT NULL"
+            f" AND ABS(CAST({raw_ref} AS DOUBLE)) > {_LONG_MAX_D})"
         )
+    msg = badcast_msg(col).replace("'", "''")  # keep the literal intact
     return (
         f"CASE WHEN {bad} "
-        f"THEN CAST(raise_error('{BADCAST_MARK}{col}') AS {spark_type}) "
-        f"ELSE CAST(({raw}) AS {spark_type}) END"
+        f"THEN CAST(raise_error('{msg}') AS {spark_type}) "
+        f"ELSE {cast_ref} END"
     )
 
 
 def guarded_cast_col(raw_expr, spark_type: str, col: str):
-    """Column-API twin of guarded_cast_sql (UPDATE/upsert assignments)."""
-    cast = raw_expr.cast(spark_type)
+    """Column-API twin of strict_case_sql (UPDATE/upsert assignments).
+    Integer targets take the MySQL rounding cast (2.7 → 3), see
+    rounding_bigint_cast_sql."""
+    if spark_type.upper() == "BIGINT":
+        cast = _rounding_bigint_cast_col(raw_expr)
+    else:
+        cast = raw_expr.cast(spark_type)
     bad = raw_expr.isNotNull() & cast.isNull()
     if spark_type.upper() == "BIGINT":
         dbl = raw_expr.cast("double")
         bad = bad | (dbl.isNotNull() & (F.abs(dbl) > F.expr(_LONG_MAX_D)))
     return F.when(
         bad,
-        F.raise_error(F.lit(f"{BADCAST_MARK}{col}")).cast(spark_type),
+        F.raise_error(F.lit(badcast_msg(col))).cast(spark_type),
     ).otherwise(cast)
 
 
@@ -107,7 +152,18 @@ def _values_df(spark: SparkSession, ins: Insert, col_types: list[tuple[str, str]
     for row in ins.rows:
         if len(row) != len(target):
             raise EbikeError(1136, "Column count doesn't match value count")
-        inner = []
+        # Non-target columns bind FIRST in the inner list: a VALUES
+        # expression may reference one (MySQL resolves it to the
+        # column default — NULL here) via lateral alias REGARDLESS of
+        # declaration order, because MySQL never assigns non-target
+        # columns during row evaluation. Lateral column aliases
+        # resolve left-to-right, so fronting them makes `INSERT INTO
+        # t (a) VALUES (b)` work even when b is declared after a.
+        inner = [
+            f"CAST(NULL AS {types[name]}) AS `{name}`"
+            for name in names
+            if name not in target
+        ]
         outer = []
         for name in names:
             if name in target:
@@ -124,27 +180,24 @@ def _values_df(spark: SparkSession, ins: Insert, col_types: list[tuple[str, str]
                 # single-SELECT form did.
                 inner.append(f"({raw}) AS `__r_{name}`")
                 inner.append(
-                    f"CAST(`__r_{name}` AS {types[name]}) AS `{name}`"
-                )
-                bad = f"(`__r_{name}` IS NOT NULL AND `{name}` IS NULL)"
-                if types[name].upper() == "BIGINT":
-                    bad += (
-                        f" OR (CAST(`__r_{name}` AS DOUBLE) IS NOT NULL"
-                        f" AND ABS(CAST(`__r_{name}` AS DOUBLE)) > {_LONG_MAX_D})"
+                    (
+                        rounding_bigint_cast_sql(f"`__r_{name}`")
+                        if types[name].upper() == "BIGINT"
+                        else f"CAST(`__r_{name}` AS {types[name]})"
                     )
+                    + f" AS `{name}`"
+                )
                 outer.append(
-                    f"CASE WHEN {bad} THEN CAST(raise_error("
-                    f"'{BADCAST_MARK}{name}') AS {types[name]}) "
-                    f"ELSE `{name}` END AS `{name}`"
+                    strict_case_sql(
+                        f"`__r_{name}`", f"`{name}`", types[name], name
+                    )
+                    + f" AS `{name}`"
                 )
             else:
-                outer.append(f"CAST(NULL AS {types[name]}) AS `{name}`")
-        if inner:
-            selects.append(
-                f"SELECT {', '.join(outer)} FROM (SELECT {', '.join(inner)})"
-            )
-        else:
-            selects.append("SELECT " + ", ".join(outer))
+                outer.append(f"`{name}`")
+        selects.append(
+            f"SELECT {', '.join(outer)} FROM (SELECT {', '.join(inner)})"
+        )
     return spark.sql(" UNION ALL ".join(selects))
 
 

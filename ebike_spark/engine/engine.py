@@ -93,12 +93,11 @@ _SYS_SCHEMA_EPOCH = [0]
 _SYS_VARS_TABLE = "performance_schema.global_variables"
 _SYS_VARS_BUILDER = [0]  # serial of the Engine that last rebuilt it
 _ENGINE_SERIAL = [0]  # monotone: id() could be reused after a GC
-# Known residual (documented): with CONCURRENT readers the lock is
-# released before the SELECT's lazy collect scans the table, so an
-# interleaved rebuild by another connection can still serve its vars —
-# inherent to per-session content in ONE shared physical table; the
-# sequential interleavings (the realistic CLI/connector pattern) are
-# correct via last-builder tracking.
+# Concurrency note: system-schema SELECTs are eagerly materialized to
+# a local relation while still holding the lock (_select), so a reader
+# can neither observe another session's vars nor hit file-missing
+# errors from an interleaved INSERT OVERWRITE rebuild of the shared
+# physical table — the lazy-scan-after-release race is closed.
 
 
 def _bump_sys_schema_epoch() -> None:
@@ -169,16 +168,27 @@ class Engine:
             raise
         except Exception as e:
             # strict-cast guards (dml.guarded_cast_*) raise inside the
-            # JVM with a marker message — translate to MySQL 1366
+            # JVM with a marker message — translate to MySQL 1366.
+            # Keyed off the exception CLASS, not a message prefix: an
+            # AnalysisException's plan dump also CONTAINS the marker
+            # text (the guard expressions), and matching it would
+            # mistranslate an unresolved-column error into a false
+            # 1366 naming the wrong column — but only analysis-family
+            # errors embed plan dumps, so excluding them (rather than
+            # requiring the [USER_RAISED_EXCEPTION] prefix, which not
+            # every PySpark version's runtime message carries) keeps
+            # the translation robust across versions.
+            from pyspark.errors import AnalysisException
+
+            if isinstance(e, AnalysisException):
+                raise
             msg = str(e)
-            # Only a RUNTIME raise_error carries the marker as a
-            # USER_RAISED_EXCEPTION; an AnalysisException's plan dump
-            # also CONTAINS the marker text (the guard expressions),
-            # and matching it would mistranslate an unresolved-column
-            # error into a false 1366 naming the wrong column.
             rm = re.search(
-                rf"\[USER_RAISED_EXCEPTION\]\s*{re.escape(dml.BADCAST_MARK)}(\w+)",
+                re.escape(dml.BADCAST_MARK)
+                + r"(.*?)"
+                + re.escape(dml.BADCAST_END),
                 msg,
+                re.S,
             )
             if rm:
                 col = rm.group(1)
@@ -525,6 +535,23 @@ class Engine:
                     need |= {"mysql.users", _SYS_VARS_TABLE}
                     _SYS_VARS_BUILDER[0] = self._serial
                 self._fresh_sys_tables |= need
+                # Materialize the resultset BEFORE releasing the lock:
+                # a lazily-scanned shared system table can otherwise be
+                # INSERT-OVERWRITten by a concurrent connection's
+                # rebuild mid-scan — the reader would see the OTHER
+                # session's vars or hit file-missing errors on the
+                # swapped-out parquet. System-schema resultsets are
+                # metadata-sized, so pinning rows to a local relation
+                # here is cheap and removes the race entirely.
+                res = self._run_select(sql)
+                if res.df is not None:
+                    res.df = self.spark.createDataFrame(
+                        res.df.collect(), res.df.schema
+                    )
+                return res
+        return self._run_select(sql)
+
+    def _run_select(self, sql: str) -> EngineResult:
         self.spark.catalog.setCurrentDatabase(self.current_db)
         try:
             df = self.spark.sql(self._fix_select(sql))
@@ -1465,9 +1492,11 @@ class Engine:
         if self.catalog.auto_increment_col(qualified) == old and spark_t != "BIGINT":
             raise EbikeError(1063, f"Incorrect column specifier for column '{old}'")
         src = F.col(old)
-        if t.schema[old].dataType.simpleString() == "double" and spark_t == "BIGINT":
-            # MySQL ROUNDS float→int; a bare cast truncates
-            cast = F.expr(f"CAST(ROUND(`{old}`, 0) AS BIGINT)")
+        if spark_t == "BIGINT":
+            # MySQL ROUNDS fractional→int; a bare cast truncates. The
+            # shared helper routes through double only for fractional
+            # values, so big exact integers keep full precision.
+            cast = dml._rounding_bigint_cast_col(src)
         else:
             cast = src.cast(spark_t.lower())
         bad = t.where(src.isNotNull() & cast.isNull()).count()
@@ -1634,11 +1663,16 @@ class Engine:
         if len(src.columns) != len(listed):
             raise EbikeError(1136, "Column count doesn't match value count")
         pos = {c: i for i, c in enumerate(listed)}
+        # source columns go through the same strict+rounding cast as
+        # the VALUES path (1366 on unconvertible values, MySQL integer
+        # rounding); unlisted target columns are typed NULLs
         df = src.select(
             *[
-                (src[src.columns[pos[n]]] if n in pos else F.lit(None))
-                .cast(t)
-                .alias(n)
+                (
+                    _dml.guarded_cast_col(src[src.columns[pos[n]]], t, n)
+                    if n in pos
+                    else F.lit(None).cast(t)
+                ).alias(n)
                 for n, t in cols
             ]
         )
@@ -2140,13 +2174,28 @@ class Engine:
             # Spark supports CTE-prefixed DML (WITH v AS (...) INSERT
             # INTO ...), and spark.sql() runs commands EAGERLY — a
             # dispatch here would mutate data at PREPARE time. Only a
-            # pure query may be analyzed; DML keywords at the TOP level
+            # pure query may be analyzed; DML FORMS at the TOP level
             # (quote/paren-aware — CTE bodies live inside parens, so
             # their SELECTs never match) disqualify the statement.
+            # Matching full forms, not bare words: REPLACE(...) and
+            # INSERT(...) are string FUNCTIONS that legitimately appear
+            # at depth 0 in a SELECT list, and a bare-word match would
+            # wrongly advertise num_columns=0 for such pure queries.
+            # The forms listed are exactly the CTE-DML heads Spark SQL
+            # parses (MySQL-only spellings like INSERT IGNORE never
+            # reach spark.sql as CTE-DML — they fail its parser).
             from ebike_spark.engine.parser import find_top_level_keywords
 
             if find_top_level_keywords(
-                st.sql, ("INSERT", "UPDATE", "DELETE", "MERGE", "REPLACE")
+                st.sql,
+                (
+                    "INSERT INTO",
+                    "INSERT OVERWRITE",
+                    "UPDATE",
+                    "DELETE FROM",
+                    "MERGE INTO",
+                    "REPLACE INTO",
+                ),
             ):
                 return None
         try:

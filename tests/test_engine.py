@@ -2263,6 +2263,15 @@ def test_prepare_of_cte_dml_does_not_execute(eng):
     cols = eng.prepared_result_schema(sid2)
     assert cols is not None and [c for c, _ in cols] == ["x", "k"]
     assert eng.execute("SELECT COUNT(*) AS c FROM pdml").rows()[0]["c"] == 0
+    # review pin: REPLACE(...) / INSERT(...) are string FUNCTIONS —
+    # their bare words at depth 0 in a pure WITH query's SELECT list
+    # must not disqualify real metadata (the guard matches DML forms)
+    sid3 = eng.prepare(
+        "WITH b AS (SELECT ? AS x) "
+        "SELECT REPLACE(x, 'a', 'b') AS r, LENGTH(x) AS n FROM b"
+    )
+    cols3 = eng.prepared_result_schema(sid3)
+    assert cols3 is not None and [c for c, _ in cols3] == ["r", "n"]
 
 
 def test_strict_cast_rejects_bad_values(eng):
@@ -2417,3 +2426,73 @@ def test_values_lateral_column_reference(eng):
         eng.execute("INSERT INTO lat (a, b) VALUES (1, nosuchcol + 1)")
     assert not (isinstance(ei.value, EbikeError) and ei.value.code == 1366)
     assert "nosuchcol" in str(ei.value)
+    # review pin: a value expression referencing a NON-TARGET column
+    # resolves to that column's default (NULL) — MySQL allows this,
+    # and the subquery form must bind non-target columns in the inner
+    # SELECT so the lateral reference keeps resolving
+    eng.execute("CREATE TABLE lat2 (a INT, b INT, c INT)")
+    eng.execute("INSERT INTO lat2 (a, c) VALUES (b, 7)")
+    r2 = eng.execute("SELECT a, b, c FROM lat2").rows()[0]
+    assert (r2["a"], r2["b"], r2["c"]) == (None, None, 7)
+
+
+def test_mysql_integer_rounding_parity(eng):
+    """MySQL ROUNDS fractional values into integer columns (2.7 → 3,
+    -2.5 → -3, '2.7' → 3) where a bare Spark cast truncates — across
+    the VALUES, UPDATE, and INSERT...SELECT paths. Exact big integers
+    (beyond double's 2^53 mantissa) never detour through double."""
+    eng.execute("CREATE TABLE rnd (id INT NOT NULL, n INT, PRIMARY KEY (id))")
+    eng.execute(
+        "INSERT INTO rnd VALUES (1, 2.7), (2, -2.5), (3, '2.7'), "
+        "(4, 9007199254740993), (5, 2.2)"
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in eng.execute("SELECT id, n FROM rnd").rows()
+    }
+    assert got == {1: 3, 2: -3, 3: 3, 4: 9007199254740993, 5: 2}
+    # UPDATE assignment rounds too
+    eng.execute("UPDATE rnd SET n = 4.6 WHERE id = 1")
+    assert eng.execute("SELECT n FROM rnd WHERE id = 1").rows()[0]["n"] == 5
+    # INSERT ... SELECT from a double source rounds
+    eng.execute("CREATE TABLE rsrc (id INT, x FLOAT)")
+    eng.execute("INSERT INTO rsrc VALUES (10, 7.5), (11, -0.4)")
+    eng.execute("INSERT INTO rnd (id, n) SELECT id, x FROM rsrc")
+    got = {
+        r["id"]: r["n"]
+        for r in eng.execute("SELECT id, n FROM rnd WHERE id >= 10").rows()
+    }
+    assert got == {10: 8, 11: 0}
+    # unconvertible values still raise 1366 (strict mode intact)
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO rnd VALUES (20, 'noway')")
+    assert ei.value.code == 1366
+
+
+def test_badcast_translation_keyed_off_exception_class(eng, monkeypatch):
+    """Review pin: the 1366 translator keys off the exception CLASS —
+    a runtime error carrying the marker translates even WITHOUT the
+    [USER_RAISED_EXCEPTION] prefix (not every PySpark version's
+    message has it), while an AnalysisException whose plan dump merely
+    CONTAINS guard text never mistranslates."""
+    from pyspark.errors import AnalysisException
+
+    from ebike_spark.engine import dml
+
+    def runtime_boom(sql):
+        raise RuntimeError("jvm said: " + dml.badcast_msg("n") + " (tail)")
+
+    monkeypatch.setattr(eng, "_execute", runtime_boom)
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("SELECT 1")
+    assert ei.value.code == 1366 and "'n'" in str(ei.value)
+
+    def analysis_boom(sql):
+        raise AnalysisException(
+            "unresolved column; plan: ... " + dml.badcast_msg("wrongcol")
+        )
+
+    monkeypatch.setattr(eng, "_execute", analysis_boom)
+    with pytest.raises(Exception) as ei2:
+        eng.execute("SELECT 1")
+    assert not (isinstance(ei2.value, EbikeError) and ei2.value.code == 1366)
