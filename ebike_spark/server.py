@@ -14,11 +14,16 @@ Scope/divergences (documented, all testable in-container):
   mysql.users root row; this engine's mysql.users carries the same row
   — enforcing a real password would need nothing new, but every client
   in scope connects as root/empty, matching the reference's default).
-- TLS, compression, and CLIENT_DEPRECATE_EOF are not negotiated (the
-  capability mask simply omits them; classic EOF framing is used).
-  CLIENT_MULTI_STATEMENTS / CLIENT_MULTI_RESULTS ARE negotiated: a
-  ;-separated COM_QUERY batch returns per-statement responses chained
-  with SERVER_MORE_RESULTS_EXISTS.
+- TLS and compression are not negotiated (the capability mask simply
+  omits them). CLIENT_DEPRECATE_EOF IS negotiated: a client that sets
+  it gets modern framing (no EOF after column defs; row streams end
+  with the OK-with-0xFE-header terminator), one that doesn't gets
+  classic EOF framing — both paths tested. CLIENT_MULTI_STATEMENTS /
+  CLIENT_MULTI_RESULTS are negotiated: a ;-separated COM_QUERY batch
+  returns per-statement responses chained with
+  SERVER_MORE_RESULTS_EXISTS. COM_STMT_SEND_LONG_DATA accumulates
+  chunked string/blob parameters for the next EXECUTE (no response
+  packet), cleared by EXECUTE/RESET/CLOSE as in MySQL.
 - Binary resultset rows encode LONGLONG/DOUBLE natively; everything
   else (strings, timestamps, booleans-as-tiny) ships as VAR_STRING
   text, which every connector accepts for those types.
@@ -54,6 +59,7 @@ COM_FIELD_LIST = 0x04
 COM_PING = 0x0E
 COM_STMT_PREPARE = 0x16
 COM_STMT_EXECUTE = 0x17
+COM_STMT_SEND_LONG_DATA = 0x18
 COM_STMT_CLOSE = 0x19
 COM_STMT_RESET = 0x1A
 COM_SET_OPTION = 0x1B
@@ -65,6 +71,7 @@ CLIENT_PLUGIN_AUTH = 0x00080000
 CLIENT_CONNECT_WITH_DB = 0x00000008
 CLIENT_MULTI_STATEMENTS = 0x00010000
 CLIENT_MULTI_RESULTS = 0x00020000
+CLIENT_DEPRECATE_EOF = 0x01000000
 SERVER_MORE_RESULTS_EXISTS = 0x0008
 SERVER_STATUS_AUTOCOMMIT = 0x0002
 
@@ -76,6 +83,7 @@ SERVER_CAPS = (
     | CLIENT_CONNECT_WITH_DB
     | CLIENT_MULTI_STATEMENTS
     | CLIENT_MULTI_RESULTS
+    | CLIENT_DEPRECATE_EOF
 )
 
 # MySQL column type codes (public protocol constants)
@@ -151,6 +159,10 @@ class _Conn:
         # on the FIRST COM_STMT_EXECUTE (new_params_bound_flag=1) and
         # omit them on re-execution
         self._stmt_types: dict[int, list[int]] = {}
+        # COM_STMT_SEND_LONG_DATA accumulator, keyed (stmt_id, param):
+        # chunks concatenate in arrival order; consumed by the next
+        # EXECUTE and cleared by it / COM_STMT_RESET / COM_STMT_CLOSE
+        self._long_data: dict[tuple[int, int], bytearray] = {}
 
     # ------------------------------------------------------- packet IO
 
@@ -190,13 +202,19 @@ class _Conn:
     # ------------------------------------------------------- responses
 
     def send_ok(
-        self, affected: int = 0, last_insert_id: int = 0, more: bool = False
+        self,
+        affected: int = 0,
+        last_insert_id: int = 0,
+        more: bool = False,
+        eof_header: bool = False,
     ) -> None:
         status = SERVER_STATUS_AUTOCOMMIT | (
             SERVER_MORE_RESULTS_EXISTS if more else 0
         )
+        # eof_header: the DEPRECATE_EOF resultset terminator is an OK
+        # packet whose header byte is 0xFE (public protocol)
         self.write_packet(
-            b"\x00"
+            (b"\xfe" if eof_header else b"\x00")
             + _lenenc_int(max(affected, 0))
             + _lenenc_int(last_insert_id)
             + struct.pack("<HH", status, 0)
@@ -207,6 +225,25 @@ class _Conn:
             SERVER_MORE_RESULTS_EXISTS if more else 0
         )
         self.write_packet(b"\xfe" + struct.pack("<HH", 0, status))
+
+    @property
+    def deprecate_eof(self) -> bool:
+        return bool(self.client_caps & CLIENT_DEPRECATE_EOF)
+
+    def _end_column_defs(self) -> None:
+        """Separator after a resultset's column definitions: classic
+        framing sends an EOF here; DEPRECATE_EOF framing sends nothing
+        (rows follow the defs directly)."""
+        if not self.deprecate_eof:
+            self.send_eof()
+
+    def _end_rows(self, more: bool = False) -> None:
+        """Row-stream terminator: classic EOF, or the OK-with-0xFE-
+        header packet under DEPRECATE_EOF."""
+        if self.deprecate_eof:
+            self.send_ok(more=more, eof_header=True)
+        else:
+            self.send_eof(more=more)
 
     def send_err(self, code: int, message: str, sqlstate: str = "HY000") -> None:
         self.write_packet(
@@ -243,7 +280,7 @@ class _Conn:
         self.write_packet(_lenenc_int(len(fields)))
         for name, dt in fields:
             self.write_packet(self._column_def(name, _spark_type_code(dt)))
-        self.send_eof()
+        self._end_column_defs()
         # toLocalIterator, NEVER collect: rows stream to the socket a
         # partition at a time (prefetch pipelines the next partition
         # while this one encodes), so a `SELECT *` over a huge table
@@ -263,7 +300,7 @@ class _Conn:
                 else:
                     payload += _lenenc_str(str(v).encode("utf-8"))
             self.write_packet(payload)
-        self.send_eof(more=more)
+        self._end_rows(more=more)
 
     def send_binary_resultset(self, result: EngineResult) -> None:
         df = result.df
@@ -271,7 +308,7 @@ class _Conn:
         self.write_packet(_lenenc_int(len(fields)))
         for name, dt in fields:
             self.write_packet(self._column_def(name, _spark_type_code(dt)))
-        self.send_eof()
+        self._end_column_defs()
         n = len(fields)
         # streamed exactly like the text protocol (see above): binary
         # rows encode one at a time from a partition-at-a-time iterator
@@ -296,7 +333,7 @@ class _Conn:
                 else:
                     vals += _lenenc_str(str(v).encode("utf-8"))
             self.write_packet(b"\x00" + bytes(null_bitmap) + vals)
-        self.send_eof()
+        self._end_rows()
 
     def send_result(
         self, result: EngineResult, binary: bool = False, more: bool = False
@@ -421,7 +458,7 @@ class _Conn:
                         self.write_packet(
                             self._column_def(str(row["Field"]), T_VAR_STRING)
                         )
-                    self.send_eof()
+                    self._end_rows()
                 elif cmd == COM_STMT_PREPARE:
                     sql = body.decode("utf-8")
                     stmt_id = self.engine.prepare(sql)
@@ -446,21 +483,36 @@ class _Conn:
                     if n_params:
                         for _ in range(n_params):
                             self.write_packet(self._column_def("?", T_VAR_STRING))
-                        self.send_eof()
+                        self._end_column_defs()
                     if cols:
                         for name, dt in cols:
                             self.write_packet(
                                 self._column_def(name, _spark_type_code(dt))
                             )
-                        self.send_eof()
+                        self._end_column_defs()
                 elif cmd == COM_STMT_EXECUTE:
                     stmt_id = struct.unpack_from("<I", body, 0)[0]
                     n_params = self.engine.prepared_param_count(stmt_id)
                     params = self._decode_binary_params(
-                        body, n_params, self._stmt_types, stmt_id
+                        body, n_params, self._stmt_types, stmt_id,
+                        self._long_data,
                     )
+                    # long data is consumed by ONE execute (public
+                    # protocol: cleared after execution, like RESET)
+                    for key in [k for k in self._long_data if k[0] == stmt_id]:
+                        del self._long_data[key]
                     result = self.engine.execute_prepared(stmt_id, params)
                     self.send_result(result, binary=True)
+                elif cmd == COM_STMT_SEND_LONG_DATA:
+                    # stmt_id 4, param_id 2, data rest — appends a
+                    # chunk to the parameter; NO response packet is
+                    # sent, even for an unknown stmt_id (public
+                    # protocol: errors surface at EXECUTE)
+                    sid = struct.unpack_from("<I", body, 0)[0]
+                    pid = struct.unpack_from("<H", body, 4)[0]
+                    self._long_data.setdefault(
+                        (sid, pid), bytearray()
+                    ).extend(body[6:])
                 elif cmd == COM_SET_OPTION:
                     # runtime toggle of multi-statement mode (public
                     # protocol: 2-byte option, 0=ON 1=OFF; answered
@@ -475,20 +527,28 @@ class _Conn:
                     else:
                         self.send_err(1047, f"Unknown COM_SET_OPTION {opt}", "08S01")
                         continue
-                    self.send_eof()
+                    # answered with EOF classically, plain OK under
+                    # DEPRECATE_EOF (public protocol)
+                    if self.deprecate_eof:
+                        self.send_ok()
+                    else:
+                        self.send_eof()
                 elif cmd == COM_STMT_RESET:
-                    # resets accumulated long-data/cursor state (none
-                    # is kept here — params splice per-execute), but
-                    # the handle must exist and the bound param TYPES
-                    # survive, as in MySQL: a connector may re-execute
-                    # with new_params_bound=0 right after a reset
+                    # discards accumulated long data, but the handle
+                    # must exist and the bound param TYPES survive, as
+                    # in MySQL: a connector may re-execute with
+                    # new_params_bound=0 right after a reset
                     sid = struct.unpack_from("<I", body, 0)[0]
                     self.engine.prepared_param_count(sid)  # 1243 if unknown
+                    for key in [k for k in self._long_data if k[0] == sid]:
+                        del self._long_data[key]
                     self.send_ok()
                 elif cmd == COM_STMT_CLOSE:
                     sid = struct.unpack_from("<I", body, 0)[0]
                     self.engine.close_prepared(sid)
                     self._stmt_types.pop(sid, None)
+                    for key in [k for k in self._long_data if k[0] == sid]:
+                        del self._long_data[key]
                     # COM_STMT_CLOSE sends no response (public protocol)
                 else:
                     self.send_err(1047, f"Unknown command {cmd:#04x}", "08S01")
@@ -504,14 +564,18 @@ class _Conn:
         n_params: int,
         type_cache: dict[int, list[int]],
         stmt_id: int,
+        long_data: dict[tuple[int, int], bytearray] | None = None,
     ) -> list[object]:
         """COM_STMT_EXECUTE payload → Python values (public protocol:
         stmt_id 4, flags 1, iteration 4, NULL bitmap (n+7)//8,
         new_params_bound 1, types 2×n, values). Connectors send the
         types block only on the FIRST execute; re-executions set
-        new_params_bound=0 and reuse the cached types."""
+        new_params_bound=0 and reuse the cached types. A parameter fed
+        via COM_STMT_SEND_LONG_DATA carries NO value bytes in the
+        execute payload — its accumulated chunks are the value."""
         if n_params == 0:
             return []
+        long_data = long_data or {}
         pos = 9
         nb_len = (n_params + 7) // 8
         null_bitmap = body[pos : pos + nb_len]
@@ -526,10 +590,20 @@ class _Conn:
             type_cache[stmt_id] = types
         else:
             types = type_cache.get(stmt_id)
-            if types is None:
+            if types is None and any(
+                (stmt_id, i) not in long_data for i in range(n_params)
+            ):
+                # all-long-data executes never need the type block
                 raise EbikeError(1210, "parameter types never bound")
         params: list[object] = []
         for i in range(n_params):
+            if (stmt_id, i) in long_data:
+                # long data wins over the bitmap and consumes no
+                # payload bytes (the connector never serialized one)
+                params.append(
+                    bytes(long_data[(stmt_id, i)]).decode("utf-8", "replace")
+                )
+                continue
             if null_bitmap[i // 8] & (1 << (i % 8)):
                 params.append(None)
                 continue

@@ -33,10 +33,12 @@ class MiniClient:
         port: int,
         database: str | None = None,
         multi_statements: bool = False,
+        deprecate_eof: bool = False,
     ):
         self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
         self.seq = 0
         self.multi_statements = multi_statements
+        self.deprecate_eof = deprecate_eof
         self._handshake(database)
 
     # framing ---------------------------------------------------------
@@ -81,6 +83,8 @@ class MiniClient:
             caps |= 0x00000008
         if self.multi_statements:
             caps |= 0x00010000 | 0x00020000  # MULTI_STATEMENTS | MULTI_RESULTS
+        if self.deprecate_eof:
+            caps |= 0x01000000  # CLIENT_DEPRECATE_EOF
         resp = (
             struct.pack("<I", caps)
             + struct.pack("<I", 1 << 24)
@@ -124,8 +128,10 @@ class MiniClient:
             pos += 1 + 2 + 4  # filler, charset, length
             type_code = pkt[pos]
             cols.append((vals[4].decode(), type_code))
-        eof = self.read_packet()
-        assert eof[0] == 0xFE
+        if not self.deprecate_eof:
+            # modern framing sends NO separator after the defs
+            eof = self.read_packet()
+            assert eof[0] == 0xFE and len(eof) < 9
         return cols
 
     # command surface -------------------------------------------------
@@ -145,6 +151,12 @@ class MiniClient:
         rows = []
         while True:
             pkt = self.read_packet()
+            if pkt[0] == 0xFE and self.deprecate_eof:
+                # modern terminator: OK packet with 0xFE header
+                _, pos = self._lenenc(pkt, 1)  # affected
+                _, pos = self._lenenc(pkt, pos)  # last_insert_id
+                status = struct.unpack_from("<H", pkt, pos)[0]
+                return ("rows", cols, rows), bool(status & 0x0008)
             if pkt[0] == 0xFE and len(pkt) < 9:
                 # classic EOF: warnings(2) then status(2)
                 status = struct.unpack_from("<H", pkt, 3)[0]
@@ -190,15 +202,18 @@ class MiniClient:
         if n_params:
             for _ in range(n_params):
                 self.read_packet()
-            assert self.read_packet()[0] == 0xFE
+            if not self.deprecate_eof:
+                assert self.read_packet()[0] == 0xFE
         # prepare-time result metadata (mysql_stmt_result_metadata
         # surface) — kept on the client for tests to assert against
         self.prepare_cols = self._read_columns(n_cols) if n_cols else []
         return stmt_id, n_params
 
-    def execute(self, stmt_id: int, params: list):
+    def execute(self, stmt_id: int, params: list, long_params=frozenset()):
         """COM_STMT_EXECUTE with typed binary params; decodes a binary
-        resultset or OK/ERR."""
+        resultset or OK/ERR. Param indexes in ``long_params`` were fed
+        via COM_STMT_SEND_LONG_DATA: their type ships as VAR_STRING and
+        NO value bytes are serialized (public protocol)."""
         n = len(params)
         body = struct.pack("<I", stmt_id) + b"\x00" + struct.pack("<I", 1)
         if n:
@@ -206,7 +221,9 @@ class MiniClient:
             types = b""
             values = b""
             for i, p in enumerate(params):
-                if p is None:
+                if i in long_params:
+                    types += bytes([0xFD, 0])  # VAR_STRING, no value
+                elif p is None:
                     null_bitmap[i // 8] |= 1 << (i % 8)
                     types += bytes([0x06, 0])  # NULL
                 elif isinstance(p, bool):
@@ -239,7 +256,7 @@ class MiniClient:
         rows = []
         while True:
             pkt = self.read_packet()
-            if pkt[0] == 0xFE and len(pkt) < 9:
+            if pkt[0] == 0xFE and (len(pkt) < 9 or self.deprecate_eof):
                 break
             # binary row: 0x00 header + null bitmap (2-bit offset) + values
             assert pkt[0] == 0x00
@@ -294,6 +311,13 @@ class MiniClient:
         if first[0] == 0xFF:
             return ("err", struct.unpack_from("<H", first, 1)[0])
         raise AssertionError(f"unexpected: {first!r}")
+
+    def send_long_data(self, stmt_id: int, param_id: int, data: bytes) -> None:
+        """COM_STMT_SEND_LONG_DATA: appends a chunk to a parameter; the
+        server sends NO response packet (public protocol)."""
+        self.send_command(
+            0x18, struct.pack("<I", stmt_id) + struct.pack("<H", param_id) + data
+        )
 
     def ping(self) -> bool:
         self.send_command(0x0E)
@@ -445,6 +469,7 @@ def test_connect_with_unknown_db_is_refused(server):
     c.sock = _socket.create_connection(("127.0.0.1", server), timeout=30)
     c.seq = 0
     c.multi_statements = False
+    c.deprecate_eof = False
     c._handshake("definitely_missing_db")
     assert c.handshake_error == 1049
     c.sock.close()
@@ -696,5 +721,78 @@ def test_multi_statements(server):
     assert c.read_packet()[0] == 0xFE
     results = c.multi_query("SELECT 1 AS a; SELECT 2 AS b")
     assert [r[0] for r in results] == ["rows", "rows"]
+    c.query(f"DROP DATABASE {db}")
+    c.close()
+
+
+def test_deprecate_eof_framing(server):
+    """CLIENT_DEPRECATE_EOF negotiation: no separator packet after
+    column definitions, and the row stream ends with the OK-packet
+    terminator carrying the 0xFE header — across text resultsets,
+    the prepared-statement metadata response, and binary resultsets.
+    A classic client on the SAME server keeps EOF framing (the other
+    nine tests in this file pin that), so both paths coexist."""
+    c = MiniClient(server, deprecate_eof=True)
+    db = "deofdb"
+    assert c.query(f"CREATE DATABASE {db}")[0] == "ok"
+    assert c.init_db(db)
+    # text resultset under modern framing, NULLs included
+    kind, cols, rows = c.query("SELECT 1 AS a, NULL AS b")
+    assert kind == "rows" and [n for n, _ in cols] == ["a", "b"]
+    assert rows == [["1", None]]
+    # DML + multi-row resultset
+    assert c.query("CREATE TABLE de (id INT, v CHAR)")[0] == "ok"
+    assert c.query("INSERT INTO de VALUES (1, 'x'), (2, 'y')")[1] == 2
+    kind, cols, rows = c.query("SELECT id, v FROM de ORDER BY id")
+    assert rows == [["1", "x"], ["2", "y"]]
+    # prepared statements: prepare-time metadata has no def separator,
+    # and the binary resultset uses the modern terminator
+    sid, n_params = c.prepare("SELECT id + ? AS s FROM de ORDER BY id")
+    assert n_params == 1
+    assert [n for n, _ in c.prepare_cols] == ["s"]
+    r = c.execute(sid, [10])
+    assert r[0] == "rows" and [row[0] for row in r[2]] == [11, 12]
+    # errors are unaffected by the capability
+    out = c.query("SELECT * FROM nosuch_de")
+    assert out[0] == "err" and out[1] == 1146
+    c.query(f"DROP DATABASE {db}")
+    c.close()
+
+
+def test_stmt_send_long_data(server):
+    """COM_STMT_SEND_LONG_DATA: chunks accumulate per (statement,
+    param) with NO response packet, the next EXECUTE consumes them in
+    place of serialized value bytes, and the accumulator is cleared by
+    that execute and by COM_STMT_RESET (public protocol)."""
+    c = MiniClient(server)
+    db = "longdb"
+    assert c.query(f"CREATE DATABASE {db}")[0] == "ok"
+    assert c.init_db(db)
+    assert c.query("CREATE TABLE ld (id INT, txt VARCHAR(200))")[0] == "ok"
+    sid, n_params = c.prepare("INSERT INTO ld VALUES (?, ?)")
+    assert n_params == 2
+    # two chunks concatenate in arrival order
+    c.send_long_data(sid, 1, b"hello ")
+    c.send_long_data(sid, 1, b"wire world")
+    r = c.execute(sid, [1, None], long_params={1})
+    assert r[0] == "ok" and r[1] == 1
+    kind, _, rows = c.query("SELECT txt FROM ld WHERE id = 1")
+    assert rows == [["hello wire world"]]
+    # the execute consumed the accumulator: a plain re-execute (types
+    # re-sent, value serialized inline) sees no stale long data
+    r = c.execute(sid, [2, "inline"])
+    assert r[0] == "ok"
+    kind, _, rows = c.query("SELECT txt FROM ld WHERE id = 2")
+    assert rows == [["inline"]]
+    # COM_STMT_RESET discards accumulated chunks: only data sent AFTER
+    # the reset reaches the next execute
+    c.send_long_data(sid, 1, b"stale-before-reset")
+    c.send_command(0x1A, struct.pack("<I", sid))  # COM_STMT_RESET
+    assert c.read_packet()[0] == 0x00
+    c.send_long_data(sid, 1, b"fresh")
+    r = c.execute(sid, [3, None], long_params={1})
+    assert r[0] == "ok"
+    kind, _, rows = c.query("SELECT txt FROM ld WHERE id = 3")
+    assert rows == [["fresh"]]
     c.query(f"DROP DATABASE {db}")
     c.close()
