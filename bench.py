@@ -43,10 +43,12 @@ BENCH_QUERIES = [
     "ev_funnel_sliding",
     "ev_retention",
     "dedup_exact",
+    "dedup_prefix_hash",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
     "text_quality",
+    "text_char_diversity",
     "text_fingerprint",
     "mm_feature_extract",
     "dedup_cluster",

@@ -1098,3 +1098,62 @@ def verify_candidates_blocked(
         .cogroup(vecs.groupBy("ca", "cb"))
         .applyInPandas(scorer, "v1 long, v2 long, cos double")
     )
+
+
+# ------------------------------------------------------------- prefix
+
+# Prefix-digest near-dup accounting: hash the whitespace-normalized
+# first PREFIX_LEN characters instead of the whole body. The classic
+# cheap catch for boilerplate-tail / truncation duplicates (same
+# opening, different footer or cut-off point) that exact hashing
+# misses — used as a pre-pass before shingle methods in web-corpus
+# pipelines (CCNet-style). Both regex dialects (Java, RE2) agree on
+# the ASCII \s class used for normalization.
+PREFIX_LEN = 256
+
+
+@register(
+    "dedup_prefix_hash",
+    oracle=f"""
+    WITH n AS (
+      SELECT source,
+             md5(text) AS full_h,
+             md5(substr(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                        1, {PREFIX_LEN})) AS pre_h
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT full_h) AS n_exact_unique,
+           COUNT(DISTINCT pre_h) AS n_prefix_unique,
+           COUNT(DISTINCT full_h) - COUNT(DISTINCT pre_h) AS n_tail_only_dups
+    FROM n GROUP BY source
+    """,
+    tags=("dedup", "prefix", "near-dup"),
+)
+def dedup_prefix_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix-hash near-dup accounting by source: exact-unique vs
+    prefix-unique digest counts; the difference is the documents that
+    collapse ONLY under prefix hashing (identical openings, divergent
+    tails). Scale shape: the normalization + substring + md5 run
+    map-side inside whole-stage codegen; only the two 128-bit digests
+    shuffle, never the bodies (plan-checked: ReadSchema is
+    text+source only, digests project before the exchanges). Two
+    distinct aggregates make Catalyst emit the standard Expand +
+    two-exchange multi-distinct plan — 2× digest-row volume, still
+    O(|digests|) network at any corpus size."""
+    docs = load_table(spark, sf, "documents")
+    pre = F.md5(
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), r"\s+", " "),
+            1,
+            PREFIX_LEN,
+        )
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_exact_unique"),
+        F.count_distinct(pre).alias("n_prefix_unique"),
+        (F.count_distinct(F.md5("text")) - F.count_distinct(pre)).alias(
+            "n_tail_only_dups"
+        ),
+    )

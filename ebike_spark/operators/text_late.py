@@ -402,3 +402,94 @@ def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
         den.cast("long").alias("slope_den"),
         (num.cast("double") / den).alias("zipf_slope"),
     )
+
+
+# ----------------------------------------------------- char diversity
+
+# Character-diversity quality gate: per-document character histogram
+# statistics (total / distinct / modal-character count), rolled up per
+# language. The modal-character fraction is the cheapest "garbage run"
+# detector (a doc whose single most frequent character exceeds 20% of
+# the body is usually padding, ASCII art, or extraction failure), and
+# alphabet size separates natural prose from numeric/log dumps — both
+# standard corpus-quality heuristics (Gopher-rule family). All outputs
+# are exact integers: the 20% gate is the integer comparison
+# 5*max_count > n_chars, so the oracle reproduces every value
+# bit-for-bit with no float quantization.
+
+CHAR_DIVERSITY_SCHEMA = (
+    "lang string, n_chars long, n_distinct long, max_c long"
+)
+
+
+def make_char_histogram():
+    """Factory (executors don't have ebike_spark on PYTHONPATH — the
+    returned closure must only reference stdlib/pandas names)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    def histo(batches):
+        for pdf in batches:
+            rows = []
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                c = Counter(text)
+                rows.append(
+                    (lang, len(text), len(c), max(c.values()) if c else 0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["lang", "n_chars", "n_distinct", "max_c"]
+            )
+
+    return histo
+
+
+@register(
+    "text_char_diversity",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, lang, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE text != ''),
+    freq AS (
+      SELECT doc_id, lang, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2, 3),
+    per AS (
+      SELECT doc_id, lang, SUM(c) AS n_chars, COUNT(*) AS n_distinct,
+             MAX(c) AS max_c
+      FROM freq GROUP BY 1, 2)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_distinct) AS BIGINT) AS total_distinct,
+           CAST(SUM(CASE WHEN 5 * max_c > n_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_diversity,
+           CAST(SUM(CASE WHEN n_distinct >= 30 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rich_alphabet
+    FROM per GROUP BY lang
+    """,
+    tags=("text", "quality", "pandas-udf"),
+)
+def text_char_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language character-diversity profile: doc counts, total and
+    distinct character sums, low-diversity docs (modal character above
+    20% of the body — integer gate 5*max > n), and rich-alphabet docs
+    (≥30 distinct characters). Scale shape: the histogram is a
+    MAP-ONLY Arrow stage (one C-speed Counter per document inside
+    mapInPandas — no per-character explode, which would shuffle
+    body-sized data); the rollup shuffles only 4 integers per document
+    on language keys. The oracle recomputes the same integers via
+    char explode, affordable at oracle SF only."""
+    docs = (
+        load_table(spark, sf, "documents")
+        .where(F.col("text") != "")
+        .select("lang", "text")
+    )
+    per = docs.mapInPandas(make_char_histogram(), CHAR_DIVERSITY_SCHEMA)
+    low = F.when(5 * F.col("max_c") > F.col("n_chars"), 1).otherwise(0)
+    rich = F.when(F.col("n_distinct") >= 30, 1).otherwise(0)
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_distinct").cast("long").alias("total_distinct"),
+        F.sum(low).cast("long").alias("n_low_diversity"),
+        F.sum(rich).cast("long").alias("n_rich_alphabet"),
+    )

@@ -84,75 +84,22 @@ def _load_all() -> None:
 # of the order all_queries() emits. Every query is oracled identically
 # regardless of position; the prefix only controls which rows get
 # fresh external evidence this round, and entries past position 50 get
-# none. Round 8 spends the budget exactly as VERDICT-r7 task 1
-# mandates: the 4 late-r7 queries that have NEVER had a driver
-# correctness row, then the 3 queries whose verdict shapes were
-# re-built in r7 (their only historical rows predate their oracles),
-# then ALL 25 remaining r3-stale rows, then 18 r4-stale fills (the
-# non-event r4 block first, then the oldest ev_* rows). The cut falls
-# exactly at position 50 (ev_path_transitions); the 11 remaining
-# r4-stale rows (the ev_funnel / ev_retention / windowing family) are
-# listed immediately after and lead the round-9 rotation (TODO_r9.md).
+# none. Round 9 continues the staleness rotation TODO_r9.md planned:
+# the one never-checked query (corpus_curriculum_stages, new in r8)
+# plus any queries added this round lead, then the 11 remaining
+# r4-stale rows (the ev_funnel / ev_retention / windowing family),
+# then 38 of the 49 r5-stale rows — the streaming family, the
+# flagship q01–q03, and the attribution family first, since they
+# anchor the most claims. The 11 r5-stale remainder (the stable
+# q23–q29 SQL block + four simple scalar queries) is listed
+# immediately after the cut and leads the round-10 rotation; after
+# r10 every row's latest external check is r6+.
 WINDOW_PREFIX: tuple[str, ...] = (
-    # --- never externally checked (late-r7 additions, positions 1-4) ---
-    "stream_lifecycle_stages",
-    "text_zipf_fit",
-    "io_zstd_roundtrip",
-    "fn_string_mysql",
-    # --- verdict shapes rebuilt in r7; only historical rows predate
-    # the new oracles (positions 5-7) ---
-    "q13_approx_distinct",
-    "q13b_approx_percentile",
-    "embed_kmeans_converged",
-    # --- the 25 remaining r3-stale rows (positions 8-32) ---
-    "corpus_pack_sequences",
-    "ann_cosine_topk",
-    "ann_range_search",
-    "corpus_domain_cap",
-    "corpus_mix_weights",
-    "embed_cluster_assign",
-    "embed_outliers",
-    "embed_quantize_int8",
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "mm_metadata_only",
-    "salted_join_parity",
-    "sample_deterministic",
-    "sample_stratified",
-    "text_chunk_windows",
-    "text_dup_spans",
-    "text_fingerprint",
-    "text_heuristic_filter",
-    "text_perplexity",
-    "text_quality",
-    "text_redact_pii",
-    "text_repetition",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "text_vocab_encode",
-    # --- r4-stale fills (positions 33-50): non-event r4 block first,
-    # then the oldest ev_* rows ---
-    "ann_knn_join",
-    "ann_pq_adc_topk",
-    "asof_generic_events_orders",
-    "corpus_temperature_mix",
-    "dedup_containment",
-    "dedup_incremental",
-    "embed_pq_encode",
-    "json_extract_props",
-    "json_map_explode",
-    "profile_columns",
-    "text_quality_percentile",
-    "ev_active_users",
-    "ev_anomaly_zscore",
-    "ev_asof_join",
-    "ev_gapfill_interp",
-    "ev_gapfill_locf",
-    "ev_hierarchical_rollup",
-    "ev_path_transitions",
-    # --- external budget exhausted: the 11 remaining r4-stale rows
-    # (the ev_funnel / ev_retention / windowing family) lead the
-    # round-9 rotation, then the r5-stale block ---
+    # --- never externally checked (positions 1-…) ---
+    "corpus_curriculum_stages",
+    "dedup_prefix_hash",
+    "text_char_diversity",
+    # --- the 11 remaining r4-stale rows ---
     "ev_funnel",
     "ev_funnel_windowed",
     "ev_pivot",
@@ -164,6 +111,60 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_topk_per_group",
     "ev_tumbling_window",
     "ev_value_histogram",
+    # --- r5-stale: streaming family + flagship + attribution first ---
+    "stream_stateful_running_counts",
+    "stream_interval_join",
+    "stream_gap_alerts",
+    "stream_attribution_last_touch",
+    "q01_scan_filter_topk",
+    "q02_group_agg",
+    "q03_join_agg",
+    "ev_attribution_last_touch",
+    "ev_attribution_touchpoints",
+    "ev_attribution_time_decay",
+    # --- r5-stale fills ---
+    "ev_concurrency",
+    "corpus_split_assign",
+    "corpus_shard_manifest",
+    "embed_random_projection",
+    "corpus_upsample_audit",
+    "corpus_training_manifest",
+    "text_bigram_top",
+    "ev_session_stats",
+    "ev_funnel_sliding",
+    "ev_rate_moving",
+    "range_join_event_windows",
+    "embed_semantic_dedup",
+    "io_partitioned_layout",
+    "text_bpe_token_count",
+    "ev_cohort_matrix",
+    "ev_rfm_segments",
+    "text_bigram_pmi",
+    "ev_ewma_spike",
+    "mm_ppm_decode_stats",
+    "ev_funnel_latency",
+    "text_novelty_score",
+    "text_novelty_incremental",
+    "ev_pareto_share",
+    "corpus_token_budget_plan",
+    "ev_seasonality_profile",
+    "corpus_dedup_survivor",
+    # --- external budget exhausted at position 50: the two r5 rows
+    # displaced by this round's new queries plus the 11 r5-stale
+    # remainder below lead the round-10 rotation ---
+    "ev_interarrival_histogram",
+    "text_crossdup_mass",
+    "q23_scalar_corr_avg",
+    "q24_multi_exists",
+    "q25_promo_revenue",
+    "q26_top_supplier",
+    "q27_supplier_cnt",
+    "q28_disjunctive_pred",
+    "q29_dormant_customers",
+    "fn_bitwise",
+    "text_length_histogram",
+    "sample_weighted",
+    "dq_expectations",
 )
 
 
