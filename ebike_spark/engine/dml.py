@@ -59,22 +59,30 @@ BADCAST_END = ":KCABDAST"
 # inside the last double ULP below LongMax are indistinguishable and
 # pass — a 2048-wide window out of 9.2e18.
 _LONG_MAX_D = "9.223372036854775807E18"
+# The rounding detour must stay STRICTLY below 2^63 (this literal is
+# exactly 2^63 as a double): at or above it the double→long cast
+# saturates non-NULL, which would hide an overflow the direct cast
+# reports as NULL (review r9: '9223372036854775808' must stay 1366,
+# never silently become Long.Max).
+_LONG_LIMIT_D = "9.223372036854775808E18"
 
 
 def rounding_bigint_cast_sql(raw_ref: str) -> str:
     """MySQL ROUNDS fractional values into integer columns (2.7 → 3,
     -2.5 → -3, '2.7' → 3); a bare Spark cast truncates toward zero.
     Route through ROUND(double) ONLY when the value is fractional or
-    only double-parseable — exact 64-bit integers beyond 2^53 take the
-    direct cast so they never lose precision in the double detour. The
-    detection is one CASE over the same once-bound reference, so it
-    composes with the strict guard (a value neither path can convert
-    still comes back NULL and raises 1366)."""
+    only double-parseable AND strictly inside long range — exact
+    64-bit integers beyond 2^53 take the direct cast so they never
+    lose precision in the double detour, and overflow magnitudes never
+    take it so the double→long SATURATION cannot mask an overflow the
+    direct cast reports as NULL (the strict guard then raises 1366
+    exactly as before this helper existed). One CASE over the same
+    once-bound reference, composing with the strict guard."""
     dbl = f"CAST({raw_ref} AS DOUBLE)"
     direct = f"CAST({raw_ref} AS BIGINT)"
     return (
-        f"CASE WHEN {dbl} IS NOT NULL AND ({direct} IS NULL "
-        f"OR {dbl} != CAST({direct} AS DOUBLE)) "
+        f"CASE WHEN {dbl} IS NOT NULL AND ABS({dbl}) < {_LONG_LIMIT_D} "
+        f"AND ({direct} IS NULL OR {dbl} != CAST({direct} AS DOUBLE)) "
         f"THEN CAST(ROUND({dbl}, 0) AS BIGINT) ELSE {direct} END"
     )
 
@@ -83,8 +91,10 @@ def _rounding_bigint_cast_col(raw_expr):
     """Column-API twin of rounding_bigint_cast_sql."""
     dbl = raw_expr.cast("double")
     direct = raw_expr.cast("bigint")
-    fractional = dbl.isNotNull() & (
-        direct.isNull() | (dbl != direct.cast("double"))
+    fractional = (
+        dbl.isNotNull()
+        & (F.abs(dbl) < F.expr(_LONG_LIMIT_D))
+        & (direct.isNull() | (dbl != direct.cast("double")))
     )
     return F.when(fractional, F.round(dbl, 0).cast("bigint")).otherwise(direct)
 
@@ -885,10 +895,12 @@ def load_data(
     via the csv header option; other counts raise 1105), an optional
     target column list, and the REPLACE / IGNORE duplicate-handling
     keywords routed to the same code paths as REPLACE INTO / INSERT
-    IGNORE. Values cast through the table's declared types; a failed
-    cast lands NULL and is caught by NOT NULL enforcement rather than
-    MySQL's silent zero-coercion (strict mode, consistent with
-    MODIFY COLUMN).
+    IGNORE. Values cast through the table's declared types with the
+    SAME strict+rounding guard as INSERT VALUES (bad field → 1366
+    naming the column; '2.7' into INT stores 3); under the IGNORE
+    keyword conversion failures land NULL instead of MySQL's
+    closest-value coercion (documented divergence — NULL is the
+    sentinel, caught by NOT NULL enforcement where it matters).
 
     Path safety: reads are gated by the ``secure_file_priv`` system
     variable exactly like MySQL's --secure-file-priv option — when it
@@ -981,16 +993,22 @@ def load_data(
         .csv(path)
     )
     n_rows = raw.count()
-    df = raw.select(
-        *[
-            (
-                F.col(f"_c{target.index(name)}").cast(types[name])
-                if name in target
-                else F.lit(None).cast(types[name])
-            ).alias(name)
-            for name in names
-        ]
-    )
+    # Casts match the INSERT paths: strict + MySQL integer rounding
+    # (guarded_cast_col) — a bad field is 1366 naming the column, and
+    # '2.7' into INT stores 3 exactly as INSERT VALUES does. Under the
+    # IGNORE keyword MySQL downgrades conversion errors to warnings
+    # and stores the CLOSEST value; this engine's IGNORE stores NULL
+    # instead (documented divergence: NULL is the sentinel, caught by
+    # NOT NULL enforcement where the column forbids it).
+    def _field(name: str):
+        if name not in target:
+            return F.lit(None).cast(types[name])
+        raw_col = F.col(f"_c{target.index(name)}")
+        if mode == "IGNORE":
+            return raw_col.cast(types[name])
+        return guarded_cast_col(raw_col, types[name], name)
+
+    df = raw.select(*[_field(name).alias(name) for name in names])
     ai = catalog.auto_increment_col(qualified)
     if ai is not None:
         df, first_id = _mint_auto_increment(spark, qualified, df, ai, types[ai])

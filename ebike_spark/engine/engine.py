@@ -100,6 +100,12 @@ _ENGINE_SERIAL = [0]  # monotone: id() could be reused after a GC
 # physical table — the lazy-scan-after-release race is closed.
 
 
+# Row cap for pinning system-schema SELECT results to a local
+# relation inside the lock (see _select): every pure metadata query is
+# far below it; a hybrid join against a big user table stays lazy.
+_SYS_PIN_CAP = 100_000
+
+
 def _bump_sys_schema_epoch() -> None:
     with _SYS_SCHEMA_LOCK:
         _SYS_SCHEMA_EPOCH[0] += 1
@@ -542,12 +548,20 @@ class Engine:
                 # session's vars or hit file-missing errors on the
                 # swapped-out parquet. System-schema resultsets are
                 # metadata-sized, so pinning rows to a local relation
-                # here is cheap and removes the race entirely.
+                # is cheap — but the query may JOIN a system table to
+                # an arbitrarily large USER table, so the pin is
+                # size-bounded: beyond the cap the lazy frame is kept
+                # (the server then streams it) and only the documented
+                # concurrent-rebuild residual remains for that rare
+                # hybrid shape. The cap also bounds how long this
+                # Spark job holds the schema lock.
                 res = self._run_select(sql)
                 if res.df is not None:
-                    res.df = self.spark.createDataFrame(
-                        res.df.collect(), res.df.schema
-                    )
+                    rows = res.df.limit(_SYS_PIN_CAP + 1).collect()
+                    if len(rows) <= _SYS_PIN_CAP:
+                        res.df = self.spark.createDataFrame(
+                            rows, res.df.schema
+                        )
                 return res
         return self._run_select(sql)
 
@@ -1499,7 +1513,16 @@ class Engine:
             cast = dml._rounding_bigint_cast_col(src)
         else:
             cast = src.cast(spark_t.lower())
-        bad = t.where(src.isNotNull() & cast.isNull()).count()
+        bad_pred = src.isNotNull() & cast.isNull()
+        if spark_t == "BIGINT":
+            # the non-ANSI double→long cast SATURATES at Long.Max
+            # instead of nulling — out-of-range magnitudes must raise
+            # 1366 here too, never silently store Long.Max (review r9)
+            dbl = src.cast("double")
+            bad_pred = bad_pred | (
+                dbl.isNotNull() & (F.abs(dbl) > F.expr(dml._LONG_MAX_D))
+            )
+        bad = t.where(bad_pred).count()
         if bad:
             raise EbikeError(
                 1366, f"Incorrect {sql_type.lower()} value for column '{old}' ({bad} rows)"
@@ -1835,10 +1858,13 @@ class Engine:
         divergence documented for single-table UPDATE self-references.
         A row matched more than once keeps the smallest new-value
         tuple (MySQL's result there is processing-order-dependent —
-        this pins a deterministic representative); each post-image
-        lands via the same staged rewrite, changed-row accounting, and
-        key re-check as the single-table path. No driver-side row loop
-        at any join size."""
+        this pins a deterministic representative); the same table
+        assigned through TWO aliases merges into one post-image
+        (last assignment in statement order wins per column where
+        both aliases match — see the grouping comment below); each
+        post-image lands via the same staged rewrite, changed-row
+        accounting, and key re-check as the single-table path. No
+        driver-side row loop at any join size."""
         from functools import reduce
         from operator import or_ as _or
 
@@ -1897,18 +1923,10 @@ class Engine:
                 alias = owners[0][0]
             by_tgt.setdefault(alias, []).append((i, col, rhs))
         targets: list[dict] = []
-        seen_tables: set[str] = set()
         for tgt, items in by_tgt.items():
             base = self._resolve_alias_table(tgt, frm)
             qualified = self.catalog.qualify(base, self.current_db)
             self.catalog.require_table(qualified)
-            if qualified in seen_tables:
-                # two aliases of one physical table both assigned: the
-                # row-level outcome is MySQL-undefined; refuse cleanly
-                raise unsupported(
-                    "multi-table UPDATE assigning the same table twice"
-                )
-            seen_tables.add(qualified)
             if not self.catalog.has_rowid(qualified):
                 raise unsupported(
                     "multi-table UPDATE on a table without the hidden rowid"
@@ -1949,55 +1967,87 @@ class Engine:
             # rows x assigned columns, spread across executor storage.
             src = src.localCheckpoint(eager=True)
         total = 0
-        staged = []  # (qualified, new_df, assigned cols) per table
+        # Aliases of the SAME physical table merge into ONE staged
+        # post-image: MySQL permits `UPDATE t a JOIN t b ... SET
+        # a.x=..., b.y=...` but its row-level outcome is processing-
+        # order-dependent; this engine pins a deterministic rule —
+        # every assignment sees the statement-start snapshot, and when
+        # a row is reached through several aliases (or several matches
+        # of one alias), the LAST assignment in statement order whose
+        # alias matched wins per column (the per-alias tie already
+        # picks the smallest value tuple). Last-wins matches the
+        # single-alias behavior this code always had for repeated
+        # `SET c = ..., c = ...` on one alias.
+        groups: list[tuple[str, list[tuple[int, dict]]]] = []
+        gindex: dict[str, int] = {}
         for k, t in enumerate(targets):
-            idxs = [i for i, _, _ in t["items"]]
-            w = Window.partitionBy(f"__rid{k}").orderBy(
-                *[F.col(f"__v{i}") for i in idxs]
-            )
-            vals = (
-                src.where(F.col(f"__rid{k}").isNotNull())
-                .withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .select(f"__rid{k}", *[f"__v{i}" for i in idxs])
-            )
-            tb = self.spark.table(t["qualified"])
-            joined = tb.join(
-                vals, tb[dml.ROWID] == vals[f"__rid{k}"], "left"
-            )
-            matched = F.col(f"__rid{k}").isNotNull()
-            # strict guard (1366) like the single-table path; __v is
-            # NULL on unmatched rows, so the guard never fires off the
-            # matched set
-            new_vals = {
-                col: dml.guarded_cast_col(
-                    F.col(f"__v{i}"), t["types"][col], col
+            if t["qualified"] not in gindex:
+                gindex[t["qualified"]] = len(groups)
+                groups.append((t["qualified"], []))
+            groups[gindex[t["qualified"]]][1].append((k, t))
+        staged = []  # (qualified, new_df) per PHYSICAL table
+        for qualified, members in groups:
+            tb = self.spark.table(qualified)
+            types = members[0][1]["types"]
+            joined = tb
+            for k, t in members:
+                idxs = [i for i, _, _ in t["items"]]
+                w = Window.partitionBy(f"__rid{k}").orderBy(
+                    *[F.col(f"__v{i}") for i in idxs]
                 )
-                for i, col, _ in t["items"]
-            }
+                vals = (
+                    src.where(F.col(f"__rid{k}").isNotNull())
+                    .withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") == 1)
+                    .select(f"__rid{k}", *[f"__v{i}" for i in idxs])
+                )
+                joined = joined.join(
+                    vals, tb[dml.ROWID] == vals[f"__rid{k}"], "left"
+                )
+            # per-column candidates in statement order; the guard
+            # (1366) fires only where that alias matched — __v is NULL
+            # on unmatched rows, exactly like the single-table path
+            candidates: dict[str, list[tuple] ] = {}
+            for i, col, k in sorted(
+                (i, col, k) for k, t in members for i, col, _ in t["items"]
+            ):
+                candidates.setdefault(col, []).append(
+                    (
+                        F.col(f"__rid{k}").isNotNull(),
+                        dml.guarded_cast_col(
+                            F.col(f"__v{i}"), types[col], col
+                        ),
+                    )
+                )
+            new_vals = {}
+            for col, cands in candidates.items():
+                expr = None
+                for cond, val in reversed(cands):  # last in statement wins
+                    expr = (
+                        F.when(cond, val)
+                        if expr is None
+                        else expr.when(cond, val)
+                    )
+                new_vals[col] = expr.otherwise(F.col(col))
             changed = reduce(
                 _or,
                 [~new_vals[c].eqNullSafe(F.col(c)) for c in new_vals],
             )
-            affected = joined.where(matched & changed).count()
+            affected = joined.where(changed).count()
             if affected == 0:
                 continue
             total += affected
-            out_cols = []
-            for name in tb.columns:
-                if name in new_vals:
-                    out_cols.append(
-                        F.when(matched, new_vals[name])
-                        .otherwise(F.col(name))
-                        .alias(name)
-                    )
-                else:
-                    out_cols.append(tb[name].alias(name))
+            out_cols = [
+                new_vals[name].alias(name)
+                if name in new_vals
+                else tb[name].alias(name)
+                for name in tb.columns
+            ]
             new_df = joined.select(*out_cols)
             dml.recheck_keys_after_update(
-                self.spark, self.catalog, t["qualified"], new_df, set(new_vals)
+                self.spark, self.catalog, qualified, new_df, set(new_vals)
             )
-            staged.append((t["qualified"], new_df))
+            staged.append((qualified, new_df))
         # All key re-checks passed against pre-images. Two-phase land:
         # STAGE every post-image first (the data-sized writes — every
         # pre-image read completes before anything commits), then swap

@@ -1107,9 +1107,12 @@ def verify_candidates_blocked(
 # cheap catch for boilerplate-tail / truncation duplicates (same
 # opening, different footer or cut-off point) that exact hashing
 # misses — used as a pre-pass before shingle methods in web-corpus
-# pipelines (CCNet-style). Both regex dialects (Java, RE2) agree on
-# the ASCII \s class used for normalization.
+# pipelines (CCNet-style). Normalization uses an EXPLICIT whitespace
+# class: Java's \s includes vertical tab, RE2's does not — spelling
+# the class out keeps Spark and the oracle bit-identical on any input
+# (review r9).
 PREFIX_LEN = 256
+_WS_CLASS = r"[ \t\n\r\f\x0B]+"
 
 
 @register(
@@ -1118,7 +1121,7 @@ PREFIX_LEN = 256
     WITH n AS (
       SELECT source,
              md5(text) AS full_h,
-             md5(substr(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+             md5(substr(regexp_replace(lower(text), '{_WS_CLASS}', ' ', 'g'),
                         1, {PREFIX_LEN})) AS pre_h
       FROM documents)
     SELECT source,
@@ -1144,7 +1147,7 @@ def dedup_prefix_hash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     pre = F.md5(
         F.substring(
-            F.regexp_replace(F.lower(F.col("text")), r"\s+", " "),
+            F.regexp_replace(F.lower(F.col("text")), _WS_CLASS, " "),
             1,
             PREFIX_LEN,
         )

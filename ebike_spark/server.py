@@ -493,14 +493,17 @@ class _Conn:
                 elif cmd == COM_STMT_EXECUTE:
                     stmt_id = struct.unpack_from("<I", body, 0)[0]
                     n_params = self.engine.prepared_param_count(stmt_id)
+                    # long data is consumed by ONE execute — popped
+                    # BEFORE decoding so even a failing decode (1210
+                    # etc.) clears it, as MySQL does; stale chunks must
+                    # never override a later execute's inline values
+                    ld = {
+                        k: self._long_data.pop(k)
+                        for k in [x for x in self._long_data if x[0] == stmt_id]
+                    }
                     params = self._decode_binary_params(
-                        body, n_params, self._stmt_types, stmt_id,
-                        self._long_data,
+                        body, n_params, self._stmt_types, stmt_id, ld
                     )
-                    # long data is consumed by ONE execute (public
-                    # protocol: cleared after execution, like RESET)
-                    for key in [k for k in self._long_data if k[0] == stmt_id]:
-                        del self._long_data[key]
                     result = self.engine.execute_prepared(stmt_id, params)
                     self.send_result(result, binary=True)
                 elif cmd == COM_STMT_SEND_LONG_DATA:

@@ -1644,11 +1644,12 @@ def test_load_data_infile_errors(eng, tmp_path):
     assert ei.value.code == 29
     f = tmp_path / "bad.csv"
     f.write_text("notanint\n")
-    # strict mode: a failed cast lands NULL and trips NOT NULL (1048),
-    # never MySQL's silent zero-coercion
+    # strict mode: a bad field is 1366 naming the column — the SAME
+    # guarded cast as INSERT VALUES (round 9 unification), never
+    # MySQL's silent zero-coercion
     with pytest.raises(EbikeError) as ei:
         eng.execute(f"LOAD DATA INFILE '{f}' INTO TABLE ld3 FIELDS TERMINATED BY ','")
-    assert ei.value.code == 1048
+    assert ei.value.code == 1366 and "'id'" in str(ei.value)
     with pytest.raises(EbikeError) as ei:
         eng.execute(f"LOAD DATA INFILE '{f}' INTO TABLE ld3 IGNORE 3 LINES")
     assert ei.value.code == 1105
@@ -1823,7 +1824,7 @@ def test_multi_table_update_assigns_several_tables(eng):
     cleanly instead of one side observing the other's write (MySQL is
     row-order-dependent there; snapshot semantics is the documented
     deterministic pin). Affected counts changed rows across BOTH
-    tables; assigning the same table through two aliases is 1105."""
+    tables; the same table through two aliases merges (last-wins)."""
     eng.execute("CREATE TABLE swapa (id INT NOT NULL, v FLOAT, PRIMARY KEY (id))")
     eng.execute("CREATE TABLE swapb (id INT NOT NULL, v FLOAT, PRIMARY KEY (id))")
     eng.execute("INSERT INTO swapa VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
@@ -1844,12 +1845,15 @@ def test_multi_table_update_assigns_several_tables(eng):
         "SET a.v = b.v, b.v = b.v + 0"
     )
     assert r.affected == 2  # a takes b's values; b unchanged
-    # the same physical table assigned via two aliases is refused
-    with pytest.raises(EbikeError) as ei:
-        eng.execute(
-            "UPDATE swapa x JOIN swapa y ON x.id = y.id SET x.v = 1, y.v = 2"
-        )
-    assert ei.value.code == 1105
+    # the same physical table assigned via two aliases merges into ONE
+    # post-image; where both aliases match a row, the LAST assignment
+    # in statement order wins (see
+    # test_multi_table_update_same_table_two_aliases for the full pin)
+    eng.execute(
+        "UPDATE swapa x JOIN swapa y ON x.id = y.id SET x.v = 1, y.v = 2"
+    )
+    ga = {x["id"]: x["v"] for x in eng.execute("SELECT id, v FROM swapa").rows()}
+    assert ga == {1: 2.0, 2: 2.0, 3: 2.0}
     # key re-check still guards EVERY assigned table (1062 on table 2)
     with pytest.raises(EbikeError) as ei:
         eng.execute(
@@ -2496,3 +2500,118 @@ def test_badcast_translation_keyed_off_exception_class(eng, monkeypatch):
     with pytest.raises(Exception) as ei2:
         eng.execute("SELECT 1")
     assert not (isinstance(ei2.value, EbikeError) and ei2.value.code == 1366)
+
+
+def test_multi_table_update_same_table_two_aliases(eng):
+    """MySQL permits assigning one table through two aliases in a
+    multi-table UPDATE; its row outcome is processing-order-dependent,
+    so this engine pins deterministic semantics: every RHS reads the
+    statement-start snapshot, and where both aliases match one row the
+    LAST assignment in statement order wins per column."""
+    eng.execute(
+        "CREATE TABLE st (id INT NOT NULL, v INT, w INT, PRIMARY KEY (id))"
+    )
+    eng.execute("INSERT INTO st VALUES (1, 10, 100), (2, 20, 200), (3, 30, 300)")
+    # self-join pairs (a,b): (1,2), (2,3) — a assigns v on 1,2; b
+    # assigns w on 2,3; distinct columns merge into one post-image
+    r = eng.execute(
+        "UPDATE st a JOIN st b ON a.id = b.id - 1 "
+        "SET a.v = a.v + 1, b.w = b.w + 1"
+    )
+    assert r.affected == 3
+    rows = {
+        x["id"]: (x["v"], x["w"])
+        for x in eng.execute("SELECT id, v, w FROM st").rows()
+    }
+    assert rows == {1: (11, 100), 2: (21, 201), 3: (30, 301)}
+    # SAME column through both aliases: row 2 is matched by a (pair
+    # 1-2 assigns via b? no: b matches rows 2,3; a matches rows 1,2)
+    # — statement-later b.v wins on row 2
+    eng.execute(
+        "UPDATE st a JOIN st b ON a.id = b.id - 1 SET a.v = 0, b.v = 5"
+    )
+    rows = {
+        x["id"]: x["v"] for x in eng.execute("SELECT id, v FROM st").rows()
+    }
+    assert rows == {1: 0, 2: 5, 3: 5}
+    # snapshot semantics: a RHS reading a column the other alias also
+    # updates sees the PRE-image
+    eng.execute("UPDATE st SET v = 1, w = 10 WHERE id >= 1")
+    eng.execute(
+        "UPDATE st a JOIN st b ON a.id = b.id - 1 "
+        "SET a.v = b.w * 100, b.w = 7"
+    )
+    rows = {
+        x["id"]: (x["v"], x["w"])
+        for x in eng.execute("SELECT id, v, w FROM st").rows()
+    }
+    # a.v on rows 1,2 reads b.w PRE-image (10) -> 1000; b.w on 2,3 -> 7
+    assert rows == {1: (1000, 10), 2: (1000, 7), 3: (1, 7)}
+
+
+def test_overflow_integers_still_1366_after_rounding_parity(eng, tmp_path):
+    """Review r9 pins: the MySQL-rounding integer cast must NOT let
+    overflow values silently saturate to Long.Max — '2^63' style
+    overflow strings stay 1366 on every path (INSERT VALUES, UPDATE,
+    INSERT...SELECT, ALTER MODIFY), and huge doubles stay 1366 via the
+    saturation guard (incl. the previously-unguarded MODIFY path)."""
+    eng.execute("CREATE TABLE ovf (id INT NOT NULL, n INT, PRIMARY KEY (id))")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO ovf VALUES (1, '9223372036854775808')")
+    assert ei.value.code == 1366
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO ovf VALUES (1, 1e300)")
+    assert ei.value.code == 1366
+    eng.execute("INSERT INTO ovf VALUES (1, 5)")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("UPDATE ovf SET n = '9223372036854775808' WHERE id = 1")
+    assert ei.value.code == 1366
+    assert eng.execute("SELECT n FROM ovf").rows()[0]["n"] == 5
+    # INSERT ... SELECT of an overflow string source
+    eng.execute("CREATE TABLE ovsrc (id INT, s CHAR)")
+    eng.execute("INSERT INTO ovsrc VALUES (2, '9223372036854775808')")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("INSERT INTO ovf (id, n) SELECT id, s FROM ovsrc")
+    assert ei.value.code == 1366
+    # ALTER MODIFY: overflow string AND huge double both 1366 — never
+    # a silent Long.Max
+    eng.execute("CREATE TABLE ovm (s CHAR)")
+    eng.execute("INSERT INTO ovm VALUES ('1e300')")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("ALTER TABLE ovm MODIFY s BIGINT")
+    assert ei.value.code == 1366
+    eng.execute("CREATE TABLE ovd (d FLOAT)")
+    eng.execute("INSERT INTO ovd VALUES (1e300)")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute("ALTER TABLE ovd MODIFY d BIGINT")
+    assert ei.value.code == 1366
+    # the rounding behavior itself still works right below the limit
+    eng.execute("UPDATE ovf SET n = 2.5 WHERE id = 1")
+    assert eng.execute("SELECT n FROM ovf").rows()[0]["n"] == 3
+
+
+def test_load_data_rounds_and_ignores_like_insert(eng, tmp_path):
+    """LOAD DATA uses the same strict+rounding cast as INSERT VALUES:
+    '2.7' into INT stores 3; under the IGNORE keyword a bad conversion
+    lands NULL (documented divergence from MySQL's closest-value
+    coercion) instead of erroring."""
+    eng.execute("CREATE TABLE ldr (id INT NOT NULL, n INT, PRIMARY KEY (id))")
+    f = tmp_path / "round.csv"
+    f.write_text("1,2.7\n2,-2.5\n")
+    eng.execute(
+        f"LOAD DATA INFILE '{f}' INTO TABLE ldr FIELDS TERMINATED BY ','"
+    )
+    got = {r["id"]: r["n"] for r in eng.execute("SELECT id, n FROM ldr").rows()}
+    assert got == {1: 3, 2: -3}
+    g = tmp_path / "bad2.csv"
+    g.write_text("3,notanint\n")
+    with pytest.raises(EbikeError) as ei:
+        eng.execute(
+            f"LOAD DATA INFILE '{g}' INTO TABLE ldr FIELDS TERMINATED BY ','"
+        )
+    assert ei.value.code == 1366 and "'n'" in str(ei.value)
+    # IGNORE mode: conversion failure -> NULL, row loads
+    eng.execute(
+        f"LOAD DATA INFILE '{g}' IGNORE INTO TABLE ldr FIELDS TERMINATED BY ','"
+    )
+    assert eng.execute("SELECT n FROM ldr WHERE id = 3").rows()[0]["n"] is None

@@ -1041,3 +1041,37 @@ def test_curriculum_rank_is_distributed(spark):
     got = {r["doc_id"]: r["__bucket"] for r in ranked.collect()}
     for r in expect.collect():
         assert got[r["doc_id"]] == r["nt"], r["doc_id"]
+
+
+def test_prefix_hash_dedup_shuffles_digests_not_bodies(spark):
+    """dedup_prefix_hash: the scan reads only text+source (pruned),
+    and both md5 digests are projected BEFORE the exchanges — document
+    bodies never shuffle, so network cost is O(|digests|) at any
+    corpus size."""
+    df = REGISTRY["dedup_prefix_hash"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read and "source" in read
+    assert "doc_id" not in read and "lang" not in read
+    # bodies never shuffle: no Exchange partitions on the raw text
+    # attribute (the digests are computed map-side; aggregate nodes
+    # above the exchanges only carry md5 ATTRIBUTE references)
+    exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchange_lines and all("text#" not in ln for ln in exchange_lines)
+
+
+def test_char_diversity_shuffles_four_ints_per_doc(spark):
+    """text_char_diversity: the Python histogram stage is map-only
+    (ArrowEvalPython/MapInPandas below the only Exchange), and what
+    shuffles is the 4-integer per-doc schema — never text bodies."""
+    df = REGISTRY["text_char_diversity"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    pre, post = plan.split("Exchange", 1)
+    # the Arrow stage runs before the shuffle (map side)
+    assert "MapInPandas" in post or "MapInPandas" in plan
+    first_exchange_line = [
+        ln for ln in plan.splitlines() if "Exchange" in ln
+    ][0]
+    assert "lang" in first_exchange_line  # lang-keyed rollup
+    # no text column survives past the Python stage's output schema
+    assert "text" not in post.split("MapInPandas", 1)[0]

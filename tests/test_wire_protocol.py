@@ -794,5 +794,16 @@ def test_stmt_send_long_data(server):
     assert r[0] == "ok"
     kind, _, rows = c.query("SELECT txt FROM ld WHERE id = 3")
     assert rows == [["fresh"]]
+    # a FAILING execute also consumes long data (review r9): chunk +
+    # typeless rebound-execute on a fresh statement -> 1210, and the
+    # retry with an inline value must not see the stale chunk
+    sid2, _ = c.prepare("INSERT INTO ld VALUES (?, ?)")
+    c.send_long_data(sid2, 1, b"stale-chunk")
+    r = c.execute_rebound(sid2, [4, None])
+    assert r[0] == "err" and r[1] == 1210
+    r = c.execute(sid2, [4, "clean"])
+    assert r[0] == "ok"
+    kind, _, rows = c.query("SELECT txt FROM ld WHERE id = 4")
+    assert rows == [["clean"]]
     c.query(f"DROP DATABASE {db}")
     c.close()
