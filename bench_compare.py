@@ -85,6 +85,10 @@ def main() -> None:
             f"| verdict-shaped ({len(verdict_rows)} queries, Spark pipeline+audit vs audit-only oracle) "
             f"| {vs:.2f} | — | — |"
         )
+    # repeat the canary LAST: a ratio is meaningless without it, and
+    # tail-captured output (the r9 run lost the header line to a
+    # `| tail -15`) must still carry it
+    print(f"canary_seconds: {canary:.3f} (ratio {ts / td:.1f}x over {len(rows)} queries)")
 
 
 if __name__ == "__main__":

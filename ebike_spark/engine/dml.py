@@ -54,17 +54,19 @@ BADCAST_END = ":KCABDAST"
 
 
 # Spark's non-ANSI double→long cast SATURATES at Long.Max instead of
-# returning NULL, so magnitude beyond this double (LongMax rounded to
-# the nearest double) must flag explicitly for BIGINT targets. Inputs
-# inside the last double ULP below LongMax are indistinguishable and
-# pass — a 2048-wide window out of 9.2e18.
+# returning NULL, so magnitude beyond this double must flag explicitly
+# for BIGINT targets. The literal parses to EXACTLY 2^63 (the nearest
+# double to Long.Max — Long.Max itself is not representable): doubles
+# strictly above it are certain overflow (1366); a double equal to it
+# is indistinguishable from a legitimate Long.Max-valued double, so it
+# passes and stores Long.Max — the documented one-ULP ambiguity window
+# inherent to double. The same constant bounds the integer-rounding
+# detour from the other side (ABS < 2^63): at or beyond it the
+# double→long cast saturates non-NULL, which would hide an overflow
+# the direct cast reports as NULL — overflow STRINGS like
+# '9223372036854775808' therefore stay 1366 (their direct cast is
+# NULL and the detour refuses them).
 _LONG_MAX_D = "9.223372036854775807E18"
-# The rounding detour must stay STRICTLY below 2^63 (this literal is
-# exactly 2^63 as a double): at or above it the double→long cast
-# saturates non-NULL, which would hide an overflow the direct cast
-# reports as NULL (review r9: '9223372036854775808' must stay 1366,
-# never silently become Long.Max).
-_LONG_LIMIT_D = "9.223372036854775808E18"
 
 
 def rounding_bigint_cast_sql(raw_ref: str) -> str:
@@ -76,12 +78,14 @@ def rounding_bigint_cast_sql(raw_ref: str) -> str:
     lose precision in the double detour, and overflow magnitudes never
     take it so the double→long SATURATION cannot mask an overflow the
     direct cast reports as NULL (the strict guard then raises 1366
-    exactly as before this helper existed). One CASE over the same
+    exactly as before this helper existed; the sole exception is a
+    DOUBLE input exactly equal to 2^63 — see the _LONG_MAX_D comment
+    on the inherent one-ULP ambiguity). One CASE over the same
     once-bound reference, composing with the strict guard."""
     dbl = f"CAST({raw_ref} AS DOUBLE)"
     direct = f"CAST({raw_ref} AS BIGINT)"
     return (
-        f"CASE WHEN {dbl} IS NOT NULL AND ABS({dbl}) < {_LONG_LIMIT_D} "
+        f"CASE WHEN {dbl} IS NOT NULL AND ABS({dbl}) < {_LONG_MAX_D} "
         f"AND ({direct} IS NULL OR {dbl} != CAST({direct} AS DOUBLE)) "
         f"THEN CAST(ROUND({dbl}, 0) AS BIGINT) ELSE {direct} END"
     )
@@ -93,7 +97,7 @@ def _rounding_bigint_cast_col(raw_expr):
     direct = raw_expr.cast("bigint")
     fractional = (
         dbl.isNotNull()
-        & (F.abs(dbl) < F.expr(_LONG_LIMIT_D))
+        & (F.abs(dbl) < F.expr(_LONG_MAX_D))
         & (direct.isNull() | (dbl != direct.cast("double")))
     )
     return F.when(fractional, F.round(dbl, 0).cast("bigint")).otherwise(direct)
@@ -1005,6 +1009,11 @@ def load_data(
             return F.lit(None).cast(types[name])
         raw_col = F.col(f"_c{target.index(name)}")
         if mode == "IGNORE":
+            # IGNORE downgrades ERRORS only — MySQL still rounds
+            # '2.7' into INT to 3 under IGNORE; only failure→NULL
+            # (vs MySQL's closest-value) diverges, as documented
+            if types[name].upper() == "BIGINT":
+                return _rounding_bigint_cast_col(raw_col)
             return raw_col.cast(types[name])
         return guarded_cast_col(raw_col, types[name], name)
 

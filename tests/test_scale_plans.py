@@ -1067,8 +1067,9 @@ def test_char_diversity_shuffles_four_ints_per_doc(spark):
     df = REGISTRY["text_char_diversity"].fn(spark, SF_DIR)
     plan = _physical(df)
     pre, post = plan.split("Exchange", 1)
-    # the Arrow stage runs before the shuffle (map side)
-    assert "MapInPandas" in post or "MapInPandas" in plan
+    # the Arrow stage runs BELOW the shuffle (map side): it must sit
+    # in the post-split region, not above the Exchange
+    assert "MapInPandas" in post and "MapInPandas" not in pre
     first_exchange_line = [
         ln for ln in plan.splitlines() if "Exchange" in ln
     ][0]
