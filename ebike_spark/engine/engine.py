@@ -139,6 +139,7 @@ class Engine:
         self.current_db = default_db
         # new sessions see defaults overlaid with any SET GLOBAL values
         self.sys_vars = {**DEFAULT_SYS_VARS, **GLOBAL_VARS}
+        self._secure_file_priv = secure_file_priv
         if secure_file_priv is not None:
             # construction-time only — the single place the LOAD DATA
             # fence can be set (SET rejects it with 1238 below)
@@ -164,6 +165,25 @@ class Engine:
         with _SYS_SCHEMA_LOCK:
             _ENGINE_SERIAL[0] += 1
             self._serial = _ENGINE_SERIAL[0]
+
+    def reset_session(self) -> None:
+        """COM_RESET_CONNECTION surface (mysql_reset_connection):
+        session state returns to the just-authenticated baseline
+        WITHOUT re-auth — user variables and prepared statements drop,
+        session system variables return to defaults overlaid with the
+        current SET GLOBAL values, LAST_INSERT_ID() returns 0. The
+        construction-time secure_file_priv fence SURVIVES (it is a
+        server start option, not session state). The current database
+        is preserved here (documented choice — this engine has no
+        transactions, locks, or temp tables to roll back)."""
+        self.sys_vars = {**DEFAULT_SYS_VARS, **GLOBAL_VARS}
+        if self._secure_file_priv is not None:
+            self.sys_vars["secure_file_priv"] = self._secure_file_priv
+        self.user_vars = {}
+        self.last_insert_id = 0
+        self._stmts = {}
+        # the variables views must rebuild with the reset session vars
+        self._local_sys_dirty = True
 
     # ------------------------------------------------------------ dispatch
 

@@ -24,6 +24,10 @@ Scope/divergences (documented, all testable in-container):
   SERVER_MORE_RESULTS_EXISTS. COM_STMT_SEND_LONG_DATA accumulates
   chunked string/blob parameters for the next EXECUTE (no response
   packet), cleared by EXECUTE/RESET/CLOSE as in MySQL.
+  COM_RESET_CONNECTION resets session state (user vars, prepared
+  statements, session sys vars, last_insert_id) without re-auth —
+  the connection-pool checkout surface; COM_STATISTICS returns the
+  plain-string status packet mysqladmin reads.
 - Binary resultset rows encode LONGLONG/DOUBLE natively; everything
   else (strings, timestamps, booleans-as-tiny) ships as VAR_STRING
   text, which every connector accepts for those types.
@@ -44,6 +48,7 @@ from __future__ import annotations
 import socket
 import struct
 import threading
+import time as _time
 
 from pyspark.sql import SparkSession
 
@@ -57,12 +62,14 @@ COM_INIT_DB = 0x02
 COM_QUERY = 0x03
 COM_FIELD_LIST = 0x04
 COM_PING = 0x0E
+COM_STATISTICS = 0x09
 COM_STMT_PREPARE = 0x16
 COM_STMT_EXECUTE = 0x17
 COM_STMT_SEND_LONG_DATA = 0x18
 COM_STMT_CLOSE = 0x19
 COM_STMT_RESET = 0x1A
 COM_SET_OPTION = 0x1B
+COM_RESET_CONNECTION = 0x1F
 
 CLIENT_LONG_PASSWORD = 0x00000001
 CLIENT_PROTOCOL_41 = 0x00000200
@@ -141,8 +148,12 @@ class _Conn:
         sock: socket.socket,
         spark: SparkSession,
         secure_file_priv: str | None = None,
+        stats: dict | None = None,
     ):
         self.sock = sock
+        # server-wide counters for COM_STATISTICS (shared across
+        # connections; informational, guarded by the server's lock)
+        self.stats = stats if stats is not None else {"started": _time.time(), "questions": 0, "lock": threading.Lock(), "threads": lambda: 1}
         # newSession(): same SparkContext and shared metastore tables,
         # but ISOLATED SQL conf + current database — without it, every
         # Engine's setCurrentDatabase would race across connection
@@ -412,6 +423,8 @@ class _Conn:
         error aborts the remainder, as MySQL does."""
         from ebike_spark.engine.parser import split_top_level, strip_comments
 
+        with self.stats["lock"]:
+            self.stats["questions"] += 1
         stmts = [
             s
             for s in split_top_level(strip_comments(sql), ";")
@@ -444,6 +457,31 @@ class _Conn:
                 if cmd == COM_QUIT:
                     return
                 if cmd == COM_PING:
+                    self.send_ok()
+                elif cmd == COM_STATISTICS:
+                    # response is a PLAIN STRING packet, not OK/resultset
+                    # (public protocol — mysqladmin status reads this)
+                    with self.stats["lock"]:
+                        q = self.stats["questions"]
+                    up = int(_time.time() - self.stats["started"])
+                    qps = q / up if up > 0 else float(q)
+                    self.write_packet(
+                        (
+                            f"Uptime: {up}  Threads: {self.stats['threads']()}  "
+                            f"Questions: {q}  Slow queries: 0  Opens: 0  "
+                            f"Flush tables: 0  Open tables: 0  "
+                            f"Queries per second avg: {qps:.3f}"
+                        ).encode()
+                    )
+                elif cmd == COM_RESET_CONNECTION:
+                    # pooled connectors reset session state between
+                    # checkouts without re-authenticating: user vars,
+                    # prepared statements, session sys vars, and
+                    # last_insert_id reset; wire-side statement caches
+                    # and long-data accumulators drop with them
+                    self.engine.reset_session()
+                    self._stmt_types.clear()
+                    self._long_data.clear()
                     self.send_ok()
                 elif cmd == COM_INIT_DB:
                     self.engine.execute(f"USE {body.decode('utf-8')}")
@@ -656,6 +694,13 @@ class EbikeServer:
         self.port = self.sock.getsockname()[1]
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._live = 0  # connections currently served (COM_STATISTICS Threads)
+        self.stats = {
+            "started": _time.time(),
+            "questions": 0,
+            "lock": threading.Lock(),
+            "threads": lambda: self._live,
+        }
 
     def _accept_loop(self) -> None:
         while not self._stop.is_set():
@@ -672,11 +717,20 @@ class EbikeServer:
             t.start()
 
     def _serve_conn(self, conn: socket.socket) -> None:
+        with self.stats["lock"]:
+            self._live += 1
         try:
-            _Conn(conn, self.spark, secure_file_priv=self.secure_file_priv).serve()
+            _Conn(
+                conn,
+                self.spark,
+                secure_file_priv=self.secure_file_priv,
+                stats=self.stats,
+            ).serve()
         except Exception:
             pass
         finally:
+            with self.stats["lock"]:
+                self._live -= 1
             try:
                 conn.close()
             except OSError:

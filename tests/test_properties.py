@@ -357,3 +357,124 @@ def test_group_concat_rewrite_shape(expr, distinct, order, sep):
     assert out.startswith(f"SELECT listagg({distinct}{expr}, {sep_lit})")
     assert ("WITHIN GROUP" in out) == bool(order)
     assert out.endswith(" FROM t")
+
+
+# ----------------------------- strict+rounding integer cast semantics
+
+# The documented contract of dml's BIGINT cast (rounding_bigint_cast
+# composed with the strict guard): MySQL rounding for fractional
+# values, exactness for big integers, 1366 for overflow/junk — with
+# the one-ULP ambiguity at exactly 2^63 pinned (stores Long.Max).
+_LONG_LIMIT = 9223372036854775808.0  # 2^63 as a double, exactly
+
+
+def _ref_bigint_cast(v):
+    """Python reference of the guarded BIGINT cast: returns the stored
+    long or the string 'ERR' (engine 1366)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round_half_up(d: float) -> int:
+        return int(Decimal(d).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    if isinstance(v, int):
+        d = float(v)
+        if abs(d) > _LONG_LIMIT:
+            return "ERR"
+        return v  # direct cast is exact; d == float(int(d)) detour never fires
+    if isinstance(v, float):
+        d = v
+        if abs(d) > _LONG_LIMIT:
+            return "ERR"  # saturation guard
+        if abs(d) >= _LONG_LIMIT:
+            # exactly ±2^63: detour refused (not < limit), direct cast
+            # saturates — the documented one-ULP ambiguity window
+            return 9223372036854775807 if d > 0 else -(2**63)
+        direct = int(d)  # trunc toward zero, in range
+        if d != float(direct):
+            return round_half_up(d)
+        return direct
+    # string
+    s = v.strip()
+    direct = None
+    if s and (s.lstrip("+-").isdigit() and s.count("+") + s.count("-") <= 1 and s[0] in "+-0123456789"):
+        cand = int(s)
+        if -(2**63) <= cand <= 2**63 - 1:
+            direct = cand
+    try:
+        dbl = float(s) if s else None
+        if dbl is not None and math.isnan(dbl):
+            dbl = None
+    except ValueError:
+        dbl = None
+    if dbl is not None and abs(dbl) > _LONG_LIMIT:
+        return "ERR"
+    if dbl is not None and abs(dbl) < _LONG_LIMIT and (direct is None or dbl != float(direct)):
+        return round_half_up(dbl)
+    if direct is None:
+        return "ERR"  # raw non-NULL, cast NULL -> strict guard raises
+    return direct
+
+
+_cast_ints = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+_cast_floats = st.floats(allow_nan=False, allow_infinity=False, width=64)
+_cast_strs = st.one_of(
+    st.from_regex(r"\-?[0-9]{1,18}(\.[0-9]{1,6})?", fullmatch=True),
+    st.from_regex(r"\-?[0-9]{19,24}", fullmatch=True),  # overflow-ish
+    st.sampled_from(
+        ["junk", "", " 42 ", "2.5", "-2.5", "1e3", ".5",
+         "9223372036854775807", "9223372036854775808", "1e300"]
+    ),
+)
+
+
+def _check_cast_batch(spark, values, spark_type_lit):
+    from ebike_spark.engine.dml import guarded_cast_col
+    from ebike_spark.engine.errors import EbikeError
+
+    expected = [_ref_bigint_cast(v) for v in values]
+    good = [(v, e) for v, e in zip(values, expected) if e != "ERR"]
+    bad = [v for v, e in zip(values, expected) if e == "ERR"]
+    if good:
+        df = spark.createDataFrame([(v,) for v, _ in good], f"v {spark_type_lit}")
+        got = [
+            r["c"]
+            for r in df.select(
+                guarded_cast_col(F.col("v"), "BIGINT", "v").alias("c")
+            ).collect()
+        ]
+        assert got == [e for _, e in good], (values, got)
+    if bad:
+        df = spark.createDataFrame([(v,) for v in bad], f"v {spark_type_lit}")
+        try:
+            df.select(
+                guarded_cast_col(F.col("v"), "BIGINT", "v").alias("c")
+            ).collect()
+            raised = False
+        except Exception as e:  # the 1366 marker crosses as a JVM error
+            raised = "EBIKE_BADCAST" in str(e)
+        assert raised, f"expected 1366 for {bad}"
+
+
+@SLOW
+@given(st.lists(_cast_ints, min_size=1, max_size=20))
+def test_guarded_bigint_cast_ints_match_reference(spark, vals):
+    """Every in-range integer stores EXACTLY (never a double detour)."""
+    _check_cast_batch(spark, vals, "long")
+
+
+@SLOW
+@given(st.lists(_cast_floats, min_size=1, max_size=20))
+def test_guarded_bigint_cast_floats_match_reference(spark, vals):
+    """Doubles follow MySQL rounding (HALF_UP away from zero) inside
+    long range and raise 1366 beyond it — property-checked against an
+    independent Decimal-based Python reference."""
+    _check_cast_batch(spark, vals, "double")
+
+
+@SLOW
+@given(st.lists(_cast_strs, min_size=1, max_size=20))
+def test_guarded_bigint_cast_strings_match_reference(spark, vals):
+    """Numeric strings round like MySQL ('2.7' -> 3), pure integers
+    stay exact at 19 digits, junk and overflow raise 1366."""
+    _check_cast_batch(spark, vals, "string")

@@ -807,3 +807,38 @@ def test_stmt_send_long_data(server):
     assert rows == [["clean"]]
     c.query(f"DROP DATABASE {db}")
     c.close()
+
+
+def test_reset_connection_and_statistics(server):
+    """COM_RESET_CONNECTION (pooled connectors reset session state
+    between checkouts without re-auth): user variables, prepared
+    statements, and session system variables reset; the current
+    database survives. COM_STATISTICS returns the plain-string
+    status packet mysqladmin reads."""
+    c = MiniClient(server)
+    db = "resetdb"
+    assert c.query(f"CREATE DATABASE {db}")[0] == "ok"
+    assert c.init_db(db)
+    assert c.query("CREATE TABLE rc (id INT)")[0] == "ok"
+    c.query("SET @u = 42")
+    assert c.query("SELECT @u AS u")[2] == [["42"]]
+    c.query("SET SESSION wait_timeout = 123")
+    assert c.query("SELECT @@wait_timeout AS w")[2] == [["123"]]
+    sid, _ = c.prepare("SELECT ? AS x")
+    # COM_RESET_CONNECTION
+    c.send_command(0x1F)
+    assert c.read_packet()[0] == 0x00
+    # user var gone, session sys var back to default, stmt handle gone
+    assert c.query("SELECT @u AS u")[2] == [[None]]
+    assert c.query("SELECT @@wait_timeout AS w")[2] == [["28800"]]
+    r = c.execute(sid, [1])
+    assert r[0] == "err" and r[1] == 1243
+    # current database preserved: unqualified name still resolves
+    assert c.query("SELECT COUNT(*) AS n FROM rc")[2] == [["0"]]
+    # COM_STATISTICS: plain string packet (not OK/ERR/resultset)
+    c.send_command(0x09)
+    pkt = c.read_packet()
+    text = pkt.decode()
+    assert text.startswith("Uptime: ") and "Questions: " in text
+    c.query(f"DROP DATABASE {db}")
+    c.close()
