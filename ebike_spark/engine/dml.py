@@ -103,6 +103,47 @@ def _rounding_bigint_cast_col(raw_expr):
     return F.when(fractional, F.round(dbl, 0).cast("bigint")).otherwise(direct)
 
 
+def _mysql_coerce_numeric(raw_col, target: str):
+    """MySQL legacy (non-strict) numeric coercion — the LOAD DATA
+    IGNORE storage rule: exact/roundable values store via the normal
+    strict-path cast; anything that path cannot convert falls back to
+    the LEADING NUMERIC PREFIX of the text ('12abc' → 12, 'junk' and
+    '' → 0), and out-of-range magnitudes CLAMP to the type range (the
+    non-ANSI double→long cast's saturation is exactly MySQL's clamp).
+    NULL input stays NULL (a missing CSV field is not a bad value)."""
+    prefix = F.regexp_extract(
+        raw_col.cast("string"),
+        r"^[ \t]*[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?",
+        0,
+    )
+    coerced_dbl = F.when(
+        F.length(F.trim(prefix)) == 0, F.lit(0.0)
+    ).otherwise(prefix.cast("double"))
+    dbl_max = F.lit(1.7976931348623157e308)
+    if target == "BIGINT":
+        exact = _rounding_bigint_cast_col(raw_col)
+        # exact integer prefix FIRST ('1234567890123456789abc' must
+        # not lose precision in a double detour — MySQL parses the
+        # prefix exactly); fractional/overflow prefixes fall through
+        # to the rounding/saturating double path (overflow = clamp)
+        fallback = F.coalesce(
+            prefix.cast("bigint"),
+            F.round(coerced_dbl, 0).cast("bigint"),
+        )
+    else:
+        # MySQL can never store Inf/NaN in a DOUBLE column: 'NaN'
+        # coerces like junk (prefix '' -> 0) and '1e400' clamps to
+        # ±DBL_MAX — sanitize the direct cast so coalesce falls back
+        raw_dbl = raw_col.cast("double")
+        exact = F.when(
+            ~F.isnan(raw_dbl) & (F.abs(raw_dbl) <= dbl_max), raw_dbl
+        )
+        fallback = F.least(F.greatest(coerced_dbl, -dbl_max), dbl_max)
+    return F.when(raw_col.isNull(), F.lit(None).cast(target.lower())).otherwise(
+        F.coalesce(exact, fallback)
+    )
+
+
 def badcast_msg(col: str) -> str:
     """The one source of truth for the marker-message format the 1366
     translator (Engine.execute) parses back out."""
@@ -902,9 +943,10 @@ def load_data(
     IGNORE. Values cast through the table's declared types with the
     SAME strict+rounding guard as INSERT VALUES (bad field → 1366
     naming the column; '2.7' into INT stores 3); under the IGNORE
-    keyword conversion failures land NULL instead of MySQL's
-    closest-value coercion (documented divergence — NULL is the
-    sentinel, caught by NOT NULL enforcement where it matters).
+    keyword the numeric family takes MySQL's legacy closest-value
+    coercion ('12abc' → 12, 'junk' → 0, overflow clamps to the type
+    range — see _mysql_coerce_numeric); temporal/decimal failures
+    land NULL (documented divergence — Spark has no zero-date).
 
     Path safety: reads are gated by the ``secure_file_priv`` system
     variable exactly like MySQL's --secure-file-priv option — when it
@@ -1009,11 +1051,16 @@ def load_data(
             return F.lit(None).cast(types[name])
         raw_col = F.col(f"_c{target.index(name)}")
         if mode == "IGNORE":
-            # IGNORE downgrades ERRORS only — MySQL still rounds
-            # '2.7' into INT to 3 under IGNORE; only failure→NULL
-            # (vs MySQL's closest-value) diverges, as documented
-            if types[name].upper() == "BIGINT":
-                return _rounding_bigint_cast_col(raw_col)
+            # IGNORE downgrades conversion ERRORS to best-effort
+            # storage, MySQL's legacy closest-value coercion: the
+            # numeric family takes the leading numeric prefix
+            # ('12abc' → 12, 'junk' → 0) and clamps overflow to the
+            # type range; rounding still applies ('2.7' → 3 under
+            # IGNORE too). Temporal/decimal failures store NULL
+            # (documented divergence — no zero-date in Spark).
+            t = types[name].upper()
+            if t in ("BIGINT", "DOUBLE"):
+                return _mysql_coerce_numeric(raw_col, t)
             return raw_col.cast(types[name])
         return guarded_cast_col(raw_col, types[name], name)
 

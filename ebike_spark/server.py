@@ -148,12 +148,13 @@ class _Conn:
         sock: socket.socket,
         spark: SparkSession,
         secure_file_priv: str | None = None,
-        stats: dict | None = None,
+        *,
+        stats: dict,
     ):
         self.sock = sock
         # server-wide counters for COM_STATISTICS (shared across
         # connections; informational, guarded by the server's lock)
-        self.stats = stats if stats is not None else {"started": _time.time(), "questions": 0, "lock": threading.Lock(), "threads": lambda: 1}
+        self.stats = stats
         # newSession(): same SparkContext and shared metastore tables,
         # but ISOLATED SQL conf + current database — without it, every
         # Engine's setCurrentDatabase would race across connection
@@ -423,14 +424,20 @@ class _Conn:
         error aborts the remainder, as MySQL does."""
         from ebike_spark.engine.parser import split_top_level, strip_comments
 
-        with self.stats["lock"]:
-            self.stats["questions"] += 1
         stmts = [
             s
             for s in split_top_level(strip_comments(sql), ";")
             if s.strip()
         ]
-        if len(stmts) <= 1 or not (self.client_caps & CLIENT_MULTI_STATEMENTS):
+        batched = len(stmts) > 1 and bool(
+            self.client_caps & CLIENT_MULTI_STATEMENTS
+        )
+        # Questions counts each statement of an accepted batch; a
+        # non-negotiating client's whole packet is ONE (failing)
+        # statement (MySQL parity)
+        with self.stats["lock"]:
+            self.stats["questions"] += len(stmts) if batched else 1
+        if not batched:
             # single statement (a bare trailing ';' is fine — the
             # engine strips it); or capability not negotiated
             self.send_result(self.engine.execute(sql))
@@ -529,6 +536,11 @@ class _Conn:
                             )
                         self._end_column_defs()
                 elif cmd == COM_STMT_EXECUTE:
+                    # Questions counts executed prepared statements
+                    # too (MySQL excludes only PING/STATISTICS/
+                    # PREPARE/CLOSE/RESET)
+                    with self.stats["lock"]:
+                        self.stats["questions"] += 1
                     stmt_id = struct.unpack_from("<I", body, 0)[0]
                     n_params = self.engine.prepared_param_count(stmt_id)
                     # long data is consumed by ONE execute — popped

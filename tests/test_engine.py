@@ -2610,8 +2610,32 @@ def test_load_data_rounds_and_ignores_like_insert(eng, tmp_path):
             f"LOAD DATA INFILE '{g}' INTO TABLE ldr FIELDS TERMINATED BY ','"
         )
     assert ei.value.code == 1366 and "'n'" in str(ei.value)
-    # IGNORE mode: conversion failure -> NULL, row loads
+    # IGNORE mode: MySQL legacy closest-value coercion — junk -> 0,
+    # leading numeric prefix parses ('12abc' -> 12), fractions still
+    # round, overflow clamps to the long range
+    h = tmp_path / "coerce.csv"
+    h.write_text("3,notanint\n4,12abc\n5,2.9\n6,99999999999999999999\n")
     eng.execute(
-        f"LOAD DATA INFILE '{g}' IGNORE INTO TABLE ldr FIELDS TERMINATED BY ','"
+        f"LOAD DATA INFILE '{h}' IGNORE INTO TABLE ldr FIELDS TERMINATED BY ','"
     )
-    assert eng.execute("SELECT n FROM ldr WHERE id = 3").rows()[0]["n"] is None
+    got = {
+        r["id"]: r["n"]
+        for r in eng.execute("SELECT id, n FROM ldr WHERE id >= 3").rows()
+    }
+    assert got == {3: 0, 4: 12, 5: 3, 6: 9223372036854775807}
+    # review pins: a big-integer PREFIX keeps exactness (no double
+    # detour), and a DOUBLE column never stores Inf/NaN — '1e400'
+    # clamps to DBL_MAX, 'NaN' coerces like junk to 0
+    eng.execute("CREATE TABLE ldd (id INT NOT NULL, n INT, x FLOAT, PRIMARY KEY (id))")
+    k = tmp_path / "edge.csv"
+    k.write_text("7,1234567890123456789abc,1e400\n8,9,NaN\n")
+    eng.execute(
+        f"LOAD DATA INFILE '{k}' IGNORE INTO TABLE ldd FIELDS TERMINATED BY ','"
+    )
+    rows = {
+        r["id"]: (r["n"], r["x"])
+        for r in eng.execute("SELECT id, n, x FROM ldd").rows()
+    }
+    assert rows[7][0] == 1234567890123456789
+    assert rows[7][1] == 1.7976931348623157e308
+    assert rows[8] == (9, 0.0)

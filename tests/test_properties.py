@@ -394,11 +394,18 @@ def _ref_bigint_cast(v):
         if d != float(direct):
             return round_half_up(d)
         return direct
-    # string
+    # string — Spark's NON-ANSI string→long cast (UTF8String.toLong)
+    # accepts [+-]digits[.digits] and TRUNCATES the fraction toward
+    # zero, keeping the integer part EXACT at any digit count within
+    # long range ('10000000000000001.0' keeps all 17 digits); 'e'
+    # forms and junk are NULL, out-of-range integer parts are NULL
+    import re as _re
+
     s = v.strip()
     direct = None
-    if s and (s.lstrip("+-").isdigit() and s.count("+") + s.count("-") <= 1 and s[0] in "+-0123456789"):
-        cand = int(s)
+    m = _re.fullmatch(r"([+-]?)([0-9]*)(\.[0-9]*)?", s)
+    if m and s and (m.group(2) or (m.group(3) or "").lstrip(".")):
+        cand = int((m.group(1) or "") + (m.group(2) or "0"))
         if -(2**63) <= cand <= 2**63 - 1:
             direct = cand
     try:
