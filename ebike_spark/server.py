@@ -63,6 +63,7 @@ COM_QUERY = 0x03
 COM_FIELD_LIST = 0x04
 COM_PING = 0x0E
 COM_STATISTICS = 0x09
+COM_CHANGE_USER = 0x11
 COM_STMT_PREPARE = 0x16
 COM_STMT_EXECUTE = 0x17
 COM_STMT_SEND_LONG_DATA = 0x18
@@ -480,6 +481,37 @@ class _Conn:
                             f"Queries per second avg: {qps:.3f}"
                         ).encode()
                     )
+                elif cmd == COM_CHANGE_USER:
+                    # re-authenticate as another user mid-connection
+                    # (the pre-RESET_CONNECTION pooling surface).
+                    # Credentials are accepted as at handshake
+                    # (reference parity); session state resets and the
+                    # requested database becomes current. Unknown
+                    # database -> ERR 1049 with the session UNCHANGED
+                    # (the engine keeps serving the old context).
+                    pos = body.index(b"\x00")
+                    pos += 1  # past user
+                    if self.client_caps & CLIENT_SECURE_CONNECTION:
+                        alen = body[pos]
+                        pos += 1 + alen  # 1-byte length-prefixed auth
+                    else:
+                        # legacy NUL-terminated auth response
+                        pos = body.index(b"\x00", pos) + 1
+                    dbend = body.index(b"\x00", pos)
+                    db = body[pos:dbend].decode("utf-8", "replace")
+                    if db:
+                        try:
+                            # validate BEFORE resetting anything
+                            self.engine.execute(f"USE {db}")
+                        except EbikeError:
+                            self.send_err(
+                                1049, f"Unknown database '{db}'", "42000"
+                            )
+                            continue
+                    self.engine.reset_session()
+                    self._stmt_types.clear()
+                    self._long_data.clear()
+                    self.send_ok()
                 elif cmd == COM_RESET_CONNECTION:
                     # pooled connectors reset session state between
                     # checkouts without re-authenticating: user vars,

@@ -842,3 +842,29 @@ def test_reset_connection_and_statistics(server):
     assert text.startswith("Uptime: ") and "Questions: " in text
     c.query(f"DROP DATABASE {db}")
     c.close()
+
+
+def test_change_user(server):
+    """COM_CHANGE_USER: re-auth mid-connection (credentials accepted
+    as at handshake — reference parity), session state resets, the
+    requested database becomes current; an unknown database is ERR
+    1049 with the old session left fully intact."""
+    c = MiniClient(server)
+    db = "chgdb"
+    assert c.query(f"CREATE DATABASE {db}")[0] == "ok"
+    c.query("SET @keep = 7")
+    assert c.query("SELECT @keep AS k")[2] == [["7"]]
+    # unknown db: ERR 1049, session untouched
+    body = b"other\x00" + b"\x00" + b"definitely_missing\x00" + struct.pack("<H", 45)
+    c.send_command(0x11, body)
+    pkt = c.read_packet()
+    assert pkt[0] == 0xFF and struct.unpack_from("<H", pkt, 1)[0] == 1049
+    assert c.query("SELECT @keep AS k")[2] == [["7"]]
+    # valid change: OK, session reset, database switched
+    body = b"other\x00" + b"\x00" + db.encode() + b"\x00" + struct.pack("<H", 45)
+    c.send_command(0x11, body)
+    assert c.read_packet()[0] == 0x00
+    assert c.query("SELECT @keep AS k")[2] == [[None]]
+    assert c.query("SELECT DATABASE() AS d")[2] == [[db]]
+    c.query(f"DROP DATABASE {db}")
+    c.close()
