@@ -447,6 +447,16 @@ class _Conn:
             result = self.engine.execute(stmt)
             self.send_result(result, more=k < len(stmts) - 1)
 
+    def _reset_wire_session(self) -> None:
+        """Connection-level session reset shared by COM_RESET_CONNECTION
+        and COM_CHANGE_USER: engine session state (user vars, prepared
+        statements, session sys vars, last_insert_id) plus the
+        wire-side statement-type and long-data caches — ONE place, so
+        the two reset commands can never drift apart."""
+        self.engine.reset_session()
+        self._stmt_types.clear()
+        self._long_data.clear()
+
     # ---------------------------------------------------- command loop
 
     def serve(self) -> None:
@@ -486,41 +496,52 @@ class _Conn:
                     # (the pre-RESET_CONNECTION pooling surface).
                     # Credentials are accepted as at handshake
                     # (reference parity); session state resets and the
-                    # requested database becomes current. Unknown
-                    # database -> ERR 1049 with the session UNCHANGED
-                    # (the engine keeps serving the old context).
-                    pos = body.index(b"\x00")
-                    pos += 1  # past user
-                    if self.client_caps & CLIENT_SECURE_CONNECTION:
-                        alen = body[pos]
-                        pos += 1 + alen  # 1-byte length-prefixed auth
-                    else:
-                        # legacy NUL-terminated auth response
-                        pos = body.index(b"\x00", pos) + 1
-                    dbend = body.index(b"\x00", pos)
-                    db = body[pos:dbend].decode("utf-8", "replace")
-                    if db:
-                        try:
-                            # validate BEFORE resetting anything
-                            self.engine.execute(f"USE {db}")
-                        except EbikeError:
-                            self.send_err(
-                                1049, f"Unknown database '{db}'", "42000"
-                            )
-                            continue
-                    self.engine.reset_session()
-                    self._stmt_types.clear()
-                    self._long_data.clear()
+                    # requested database becomes current — an EMPTY
+                    # database returns the connection to the fresh-
+                    # connection default schema (MySQL leaves NO
+                    # default database / 1046 there; this engine has
+                    # no no-database state, documented divergence).
+                    # Unknown database -> ERR 1049 with the session
+                    # UNCHANGED (the engine keeps the old context).
+                    with self.stats["lock"]:
+                        self.stats["questions"] += 1
+                    try:
+                        pos = body.index(b"\x00")
+                        pos += 1  # past user
+                        if self.client_caps & CLIENT_SECURE_CONNECTION:
+                            alen = body[pos]
+                            pos += 1 + alen  # length-prefixed auth
+                        else:
+                            # legacy NUL-terminated auth response
+                            pos = body.index(b"\x00", pos) + 1
+                        dbend = body.index(b"\x00", pos)
+                    except (ValueError, IndexError):
+                        self.send_err(
+                            1835, "Malformed communication packet", "HY000"
+                        )
+                        continue
+                    db = body[pos:dbend].decode("utf-8", "replace") or "default"
+                    # validate by NAME (never spliced into SQL — a db
+                    # name with whitespace must not truncate to its
+                    # first token) BEFORE resetting anything; a name
+                    # the catalog cannot even parse is equally unknown
+                    try:
+                        known = self.engine.catalog.database_exists(db)
+                    except Exception:
+                        known = False
+                    if not known:
+                        self.send_err(
+                            1049, f"Unknown database '{db}'", "42000"
+                        )
+                        continue
+                    self._reset_wire_session()
+                    self.engine.current_db = db
+                    self.engine.spark.catalog.setCurrentDatabase(db)
                     self.send_ok()
                 elif cmd == COM_RESET_CONNECTION:
                     # pooled connectors reset session state between
-                    # checkouts without re-authenticating: user vars,
-                    # prepared statements, session sys vars, and
-                    # last_insert_id reset; wire-side statement caches
-                    # and long-data accumulators drop with them
-                    self.engine.reset_session()
-                    self._stmt_types.clear()
-                    self._long_data.clear()
+                    # checkouts without re-authenticating
+                    self._reset_wire_session()
                     self.send_ok()
                 elif cmd == COM_INIT_DB:
                     self.engine.execute(f"USE {body.decode('utf-8')}")

@@ -860,11 +860,27 @@ def test_change_user(server):
     pkt = c.read_packet()
     assert pkt[0] == 0xFF and struct.unpack_from("<H", pkt, 1)[0] == 1049
     assert c.query("SELECT @keep AS k")[2] == [["7"]]
+    # a db name with whitespace must not truncate to its first token
+    body = b"other\x00" + b"\x00" + b"defa ult\x00" + struct.pack("<H", 45)
+    c.send_command(0x11, body)
+    pkt = c.read_packet()
+    assert pkt[0] == 0xFF and struct.unpack_from("<H", pkt, 1)[0] == 1049
+    # malformed packet (no NUL terminators) -> 1835, connection lives
+    c.send_command(0x11, b"justbytes")
+    pkt = c.read_packet()
+    assert pkt[0] == 0xFF and struct.unpack_from("<H", pkt, 1)[0] == 1835
+    assert c.query("SELECT @keep AS k")[2] == [["7"]]
     # valid change: OK, session reset, database switched
     body = b"other\x00" + b"\x00" + db.encode() + b"\x00" + struct.pack("<H", 45)
     c.send_command(0x11, body)
     assert c.read_packet()[0] == 0x00
     assert c.query("SELECT @keep AS k")[2] == [[None]]
     assert c.query("SELECT DATABASE() AS d")[2] == [[db]]
+    # EMPTY database: fresh-connection default schema (documented
+    # divergence from MySQL's no-database/1046 state)
+    body = b"other\x00" + b"\x00" + b"\x00" + struct.pack("<H", 45)
+    c.send_command(0x11, body)
+    assert c.read_packet()[0] == 0x00
+    assert c.query("SELECT DATABASE() AS d")[2] == [["default"]]
     c.query(f"DROP DATABASE {db}")
     c.close()
