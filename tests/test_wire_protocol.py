@@ -884,3 +884,29 @@ def test_change_user(server):
     assert c.query("SELECT DATABASE() AS d")[2] == [["default"]]
     c.query(f"DROP DATABASE {db}")
     c.close()
+
+
+def test_multi_statements_under_deprecate_eof(server):
+    """The SERVER_MORE_RESULTS_EXISTS chain must survive modern
+    framing: in a ;-batch, a resultset's more-flag rides in the
+    OK-with-0xFE-header terminator rather than the classic EOF, and
+    OK responses chain exactly as before."""
+    c = MiniClient(server, multi_statements=True, deprecate_eof=True)
+    db = "deofms"
+    assert c.query(f"CREATE DATABASE {db}")[0] == "ok"
+    assert c.init_db(db)
+    results = c.multi_query(
+        "CREATE TABLE dm (id INT); "
+        "INSERT INTO dm VALUES (1), (2); "
+        "SELECT id FROM dm ORDER BY id; "
+        "SELECT COUNT(*) AS n FROM dm"
+    )
+    assert [r[0] for r in results] == ["ok", "ok", "rows", "rows"]
+    assert results[2][2] == [["1"], ["2"]]
+    assert results[3][2] == [["2"]]
+    # first error aborts the remainder under modern framing too
+    results = c.multi_query("SELECT 1 AS a; SELECT * FROM nosuch; SELECT 2 AS b")
+    assert results[0][0] == "rows" and results[1][0] == "err"
+    assert len(results) == 2
+    c.query(f"DROP DATABASE {db}")
+    c.close()
