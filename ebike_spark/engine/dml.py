@@ -122,12 +122,15 @@ def _mysql_coerce_numeric(raw_col, target: str):
     dbl_max = F.lit(1.7976931348623157e308)
     if target == "BIGINT":
         exact = _rounding_bigint_cast_col(raw_col)
-        # exact integer prefix FIRST ('1234567890123456789abc' must
+        # exact INTEGER prefix FIRST ('1234567890123456789abc' must
         # not lose precision in a double detour — MySQL parses the
-        # prefix exactly); fractional/overflow prefixes fall through
-        # to the rounding/saturating double path (overflow = clamp)
+        # prefix exactly). Gate on integer-only text: the non-ANSI
+        # string→bigint cast truncation-parses '12.9' to 12, which
+        # would shadow the rounding fallback MySQL applies ('12.9abc'
+        # stores 13, not 12). Fractional/scientific/overflow prefixes
+        # fall through to the rounding/saturating double path.
         fallback = F.coalesce(
-            prefix.cast("bigint"),
+            F.when(~prefix.rlike(r"[.eE]"), prefix.cast("bigint")),
             F.round(coerced_dbl, 0).cast("bigint"),
         )
     else:
@@ -1043,9 +1046,12 @@ def load_data(
     # (guarded_cast_col) — a bad field is 1366 naming the column, and
     # '2.7' into INT stores 3 exactly as INSERT VALUES does. Under the
     # IGNORE keyword MySQL downgrades conversion errors to warnings
-    # and stores the CLOSEST value; this engine's IGNORE stores NULL
-    # instead (documented divergence: NULL is the sentinel, caught by
-    # NOT NULL enforcement where the column forbids it).
+    # and stores the CLOSEST value; this engine matches that for the
+    # numeric family (_mysql_coerce_numeric: leading-prefix parse,
+    # junk → 0, overflow clamps). Only temporal/decimal failures
+    # store NULL (documented divergence: no zero-date in Spark; NULL
+    # is the sentinel, caught by NOT NULL enforcement where the
+    # column forbids it).
     def _field(name: str):
         if name not in target:
             return F.lit(None).cast(types[name])

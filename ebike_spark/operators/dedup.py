@@ -1110,9 +1110,16 @@ def verify_candidates_blocked(
 # pipelines (CCNet-style). Normalization uses an EXPLICIT whitespace
 # class: Java's \s includes vertical tab, RE2's does not — spelling
 # the class out keeps Spark and the oracle bit-identical on any input
-# (review r9).
+# (review r9). Case folding is ASCII-ONLY via translate, not lower():
+# Java lower() applies full Unicode mappings (U+0130 → 'i'+U+0307,
+# two code points) while DuckDB's utf8proc applies simple mappings
+# (U+0130 → 'i') — a one-codepoint length drift that shifts the
+# 256-char window. translate's 1:1 codepoint mapping is identical in
+# both engines (advice r10).
 PREFIX_LEN = 256
 _WS_CLASS = r"[ \t\n\r\f\x0B]+"
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
 
 
 @register(
@@ -1121,7 +1128,8 @@ _WS_CLASS = r"[ \t\n\r\f\x0B]+"
     WITH n AS (
       SELECT source,
              md5(text) AS full_h,
-             md5(substr(regexp_replace(lower(text), '{_WS_CLASS}', ' ', 'g'),
+             md5(substr(regexp_replace(translate(text, '{_UPPER}', '{_LOWER}'),
+                                       '{_WS_CLASS}', ' ', 'g'),
                         1, {PREFIX_LEN})) AS pre_h
       FROM documents)
     SELECT source,
@@ -1147,7 +1155,9 @@ def dedup_prefix_hash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     pre = F.md5(
         F.substring(
-            F.regexp_replace(F.lower(F.col("text")), _WS_CLASS, " "),
+            F.regexp_replace(
+                F.translate(F.col("text"), _UPPER, _LOWER), _WS_CLASS, " "
+            ),
             1,
             PREFIX_LEN,
         )

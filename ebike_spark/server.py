@@ -69,6 +69,10 @@ COM_STMT_EXECUTE = 0x17
 COM_STMT_SEND_LONG_DATA = 0x18
 COM_STMT_CLOSE = 0x19
 COM_STMT_RESET = 0x1A
+
+# per-(stmt, param) COM_STMT_SEND_LONG_DATA byte cap — MySQL's
+# default max_allowed_packet (64 MiB); overflow is 1153 at EXECUTE
+_LONG_DATA_CAP = 64 * 1024 * 1024
 COM_SET_OPTION = 0x1B
 COM_RESET_CONNECTION = 0x1F
 
@@ -174,8 +178,14 @@ class _Conn:
         self._stmt_types: dict[int, list[int]] = {}
         # COM_STMT_SEND_LONG_DATA accumulator, keyed (stmt_id, param):
         # chunks concatenate in arrival order; consumed by the next
-        # EXECUTE and cleared by it / COM_STMT_RESET / COM_STMT_CLOSE
+        # EXECUTE and cleared by it / COM_STMT_RESET / COM_STMT_CLOSE.
+        # Chunks for UNKNOWN statement handles are dropped on arrival
+        # (EXECUTE will 1243 on that handle anyway) and total bytes per
+        # (stmt, param) are capped at _LONG_DATA_CAP — MySQL bounds
+        # each parameter via max_allowed_packet; an overflowed param
+        # raises 1153 at EXECUTE instead of growing without bound.
         self._long_data: dict[tuple[int, int], bytearray] = {}
+        self._long_overflow: set[tuple[int, int]] = set()
 
     # ------------------------------------------------------- packet IO
 
@@ -456,6 +466,7 @@ class _Conn:
         self.engine.reset_session()
         self._stmt_types.clear()
         self._long_data.clear()
+        self._long_overflow.clear()
 
     # ---------------------------------------------------- command loop
 
@@ -604,6 +615,20 @@ class _Conn:
                         k: self._long_data.pop(k)
                         for k in [x for x in self._long_data if x[0] == stmt_id]
                     }
+                    over = [k for k in self._long_overflow if k[0] == stmt_id]
+                    if over:
+                        # a long-data param blew the per-param cap:
+                        # consumed (like the chunks) and reported as
+                        # MySQL's over-max_allowed_packet error
+                        for k in over:
+                            self._long_overflow.discard(k)
+                        self.send_err(
+                            1153,
+                            "Got a packet bigger than"
+                            " 'max_allowed_packet' bytes",
+                            "08S01",
+                        )
+                        continue
                     params = self._decode_binary_params(
                         body, n_params, self._stmt_types, stmt_id, ld
                     )
@@ -616,9 +641,22 @@ class _Conn:
                     # protocol: errors surface at EXECUTE)
                     sid = struct.unpack_from("<I", body, 0)[0]
                     pid = struct.unpack_from("<H", body, 4)[0]
-                    self._long_data.setdefault(
-                        (sid, pid), bytearray()
-                    ).extend(body[6:])
+                    try:
+                        self.engine.prepared_param_count(sid)
+                    except EbikeError:
+                        # unknown handle: EXECUTE on it is 1243 anyway
+                        # — drop the chunk rather than letting bogus
+                        # ids grow per-connection memory until close
+                        continue
+                    buf = self._long_data.setdefault((sid, pid), bytearray())
+                    if len(buf) + len(body) - 6 > _LONG_DATA_CAP:
+                        # over max_allowed_packet: stop accumulating
+                        # and flag — the 1153 surfaces at EXECUTE
+                        # (SEND_LONG_DATA itself never responds)
+                        self._long_overflow.add((sid, pid))
+                        buf.clear()
+                    elif (sid, pid) not in self._long_overflow:
+                        buf.extend(body[6:])
                 elif cmd == COM_SET_OPTION:
                     # runtime toggle of multi-statement mode (public
                     # protocol: 2-byte option, 0=ON 1=OFF; answered
@@ -648,6 +686,9 @@ class _Conn:
                     self.engine.prepared_param_count(sid)  # 1243 if unknown
                     for key in [k for k in self._long_data if k[0] == sid]:
                         del self._long_data[key]
+                    self._long_overflow = {
+                        k for k in self._long_overflow if k[0] != sid
+                    }
                     self.send_ok()
                 elif cmd == COM_STMT_CLOSE:
                     sid = struct.unpack_from("<I", body, 0)[0]
@@ -655,6 +696,9 @@ class _Conn:
                     self._stmt_types.pop(sid, None)
                     for key in [k for k in self._long_data if k[0] == sid]:
                         del self._long_data[key]
+                    self._long_overflow = {
+                        k for k in self._long_overflow if k[0] != sid
+                    }
                     # COM_STMT_CLOSE sends no response (public protocol)
                 else:
                     self.send_err(1047, f"Unknown command {cmd:#04x}", "08S01")

@@ -2592,9 +2592,9 @@ def test_overflow_integers_still_1366_after_rounding_parity(eng, tmp_path):
 
 def test_load_data_rounds_and_ignores_like_insert(eng, tmp_path):
     """LOAD DATA uses the same strict+rounding cast as INSERT VALUES:
-    '2.7' into INT stores 3; under the IGNORE keyword a bad conversion
-    lands NULL (documented divergence from MySQL's closest-value
-    coercion) instead of erroring."""
+    '2.7' into INT stores 3; under the IGNORE keyword a bad numeric
+    conversion applies MySQL's legacy closest-value coercion (leading
+    prefix, junk → 0, overflow clamps) instead of erroring."""
     eng.execute("CREATE TABLE ldr (id INT NOT NULL, n INT, PRIMARY KEY (id))")
     f = tmp_path / "round.csv"
     f.write_text("1,2.7\n2,-2.5\n")
@@ -2614,7 +2614,10 @@ def test_load_data_rounds_and_ignores_like_insert(eng, tmp_path):
     # leading numeric prefix parses ('12abc' -> 12), fractions still
     # round, overflow clamps to the long range
     h = tmp_path / "coerce.csv"
-    h.write_text("3,notanint\n4,12abc\n5,2.9\n6,99999999999999999999\n")
+    h.write_text(
+        "3,notanint\n4,12abc\n5,2.9\n6,99999999999999999999\n"
+        "9,12.9abc\n10,-2.5xyz\n"
+    )
     eng.execute(
         f"LOAD DATA INFILE '{h}' IGNORE INTO TABLE ldr FIELDS TERMINATED BY ','"
     )
@@ -2622,7 +2625,11 @@ def test_load_data_rounds_and_ignores_like_insert(eng, tmp_path):
         r["id"]: r["n"]
         for r in eng.execute("SELECT id, n FROM ldr WHERE id >= 3").rows()
     }
-    assert got == {3: 0, 4: 12, 5: 3, 6: 9223372036854775807}
+    # 12.9abc/-2.5xyz: a FRACTIONAL junk prefix must round like MySQL
+    # (13, -3), not truncation-parse through the bigint cast (12, -2)
+    assert got == {
+        3: 0, 4: 12, 5: 3, 6: 9223372036854775807, 9: 13, 10: -3,
+    }
     # review pins: a big-integer PREFIX keeps exactness (no double
     # detour), and a DOUBLE column never stores Inf/NaN — '1e400'
     # clamps to DBL_MAX, 'NaN' coerces like junk to 0

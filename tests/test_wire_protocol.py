@@ -809,6 +809,39 @@ def test_stmt_send_long_data(server):
     c.close()
 
 
+def test_stmt_send_long_data_cap_and_unknown_id(server, monkeypatch):
+    """Long-data hygiene (review r10): chunks for an UNKNOWN statement
+    handle are dropped on arrival (EXECUTE on that handle is 1243
+    regardless), and a parameter that exceeds the per-param byte cap
+    (MySQL's max_allowed_packet bound) raises 1153 at EXECUTE — the
+    overflow is consumed, so a clean retry succeeds."""
+    import ebike_spark.server as srv
+
+    monkeypatch.setattr(srv, "_LONG_DATA_CAP", 64)
+    c = MiniClient(server)
+    db = "longcap"
+    assert c.query(f"CREATE DATABASE {db}")[0] == "ok"
+    assert c.init_db(db)
+    assert c.query("CREATE TABLE lc (id INT, txt VARCHAR(200))")[0] == "ok"
+    # unknown handle: no response, no storage; EXECUTE is 1243
+    c.send_long_data(999999, 0, b"x" * 32)
+    sid, _ = c.prepare("INSERT INTO lc VALUES (?, ?)")
+    # over-cap accumulation -> 1153 at EXECUTE, consumed by it
+    c.send_long_data(sid, 1, b"a" * 48)
+    c.send_long_data(sid, 1, b"b" * 48)
+    r = c.execute(sid, [1, None], long_params={1})
+    assert r[:2] == ("err", 1153)
+    # the overflow was consumed: an in-cap retry works normally
+    c.send_long_data(sid, 1, b"ok-after-overflow")
+    r = c.execute(sid, [2, None], long_params={1})
+    assert r[0] == "ok"
+    assert c.query("SELECT txt FROM lc WHERE id = 2")[2] == [
+        ["ok-after-overflow"]
+    ]
+    c.query(f"DROP DATABASE {db}")
+    c.close()
+
+
 def test_reset_connection_and_statistics(server):
     """COM_RESET_CONNECTION (pooled connectors reset session state
     between checkouts without re-auth): user variables, prepared
