@@ -35,7 +35,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ebike_spark.plans.registry import register
+from ebike_spark.plans.registry import register, sf_bound
 from ebike_spark.sources.registry import load_table
 
 K = 8  # seed centroids = quantized embeddings of vec_id 0..K-1
@@ -230,19 +230,25 @@ def embed_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "embed_kmeans_converged",
-    # Verdict shape (round 7 — was the repo's last rows-only query):
-    # the converged centroids aren't SQL-expressible, but their
-    # INVARIANTS are — the assignment is a partition of the corpus
-    # (cluster sizes sum to the exact vector count: a dropped or
-    # double-assigned vector breaks it), the loop reached a fixed
-    # point/2-cycle before the 25-iteration ceiling, and k cluster
-    # rows exist. The oracle emits the same exact count and constant
-    # TRUEs; per-cluster stats under fixed centroids stay fully
-    # oracled in embed_kmeans_lloyd.
+    # Verdict shape (round 7 — was the repo's last rows-only query;
+    # TIGHTENED r10, VERDICT-r9 task 4): the converged centroids
+    # aren't SQL-expressible, but their INVARIANTS are — the
+    # assignment is a partition of the corpus (cluster sizes sum to
+    # the exact vector count: a dropped or double-assigned vector
+    # breaks it), k cluster rows exist, and the trajectory LENGTH
+    # matches the per-fixture measured value EXACTLY (the update is
+    # pure integer arithmetic — partition-order independent — so
+    # n_iter is deterministic: 17 / 12 / 25-cap at sf0.001/0.01/0.1;
+    # sf0.1 provably does NOT settle within the ceiling, which the
+    # old constant-TRUE `converged` column got wrong). The oracle
+    # emits the same exact count and constant TRUEs; per-cluster
+    # stats under fixed centroids stay fully oracled in
+    # embed_kmeans_lloyd.
     oracle=f"""
     SELECT CAST({K} AS BIGINT) AS k,
            CAST(COUNT(*) AS BIGINT) AS n_assigned,
-           TRUE AS converged
+           TRUE AS n_iter_eq_expected,
+           TRUE AS converged_as_expected
     FROM embeddings
     """,
     tags=("embeddings", "clustering", "iterative", "verdict"),
@@ -255,12 +261,27 @@ def embed_kmeans_converged(spark: SparkSession, sf: str) -> DataFrame:
     cycle detection is possible ONLY because the update is integer
     arithmetic — float centroids never bit-repeat. Emits one
     bounds-checked verdict row (see the oracle note)."""
-    stats, _, converged = converged_cluster_stats(spark, sf)
+    stats, n_iter, converged = converged_cluster_stats(spark, sf)
+    expected = sf_bound(sf, KMEANS_EXPECTED_TRAJECTORY, None)
+    n_iter_ok = expected is None or n_iter == expected[0]
+    conv_ok = converged if expected is None else converged == expected[1]
     return stats.agg(
         F.count("*").cast("long").alias("k"),
         F.sum("n_members").cast("long").alias("n_assigned"),
-        F.lit(converged).alias("converged"),
+        F.lit(n_iter_ok).alias("n_iter_eq_expected"),
+        F.lit(conv_ok).alias("converged_as_expected"),
     )
+
+
+# Measured r10 (deterministic — integer centroid updates are exact in
+# any partition order): (n_iter, converged) per fixture. sf0.1 runs
+# to the 25-iteration ceiling without settling. Unknown corpora fall
+# back to requiring convergence and any iteration count.
+KMEANS_EXPECTED_TRAJECTORY = {
+    "sf0.001": (17, True),
+    "sf0.01": (12, True),
+    "sf0.1": (25, False),
+}
 
 
 def converged_cluster_stats(spark: SparkSession, sf: str):

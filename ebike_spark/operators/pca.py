@@ -31,14 +31,20 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ebike_spark.plans.registry import register
+from ebike_spark.plans.registry import register, sf_bound
 from ebike_spark.sources.registry import load_table
 
 PCA_K = 16  # retained components
 PCA_DIM = 64  # embedding dimensionality (fixture contract)
-# top-16/64 must beat the isotropic share (16/64 = 0.25) with margin:
-# measured 0.307-0.376 across sf0.001..sf0.1 — the 0.26 floor is ~5pp
-# below the worst measured value, unreachable by float jitter
+# top-16/64 must beat the isotropic share (16/64 = 0.25). TIGHTENED
+# r10 (VERDICT-r9 task 4) to per-fixture measured bounds: variance
+# share measured 0.3759 / 0.3763 / 0.3073 at sf0.001/0.01/0.1 —
+# deterministic (the partial-Gram reduce runs in a sorted, fixed
+# order), so a ~0.6pp margin is orders of magnitude above float
+# jitter while any real regression (dropped component, wrong
+# centering, bad eigh slice) blows straight through it. Unknown
+# corpora fall back to the global floor.
+PCA_VAR_BOUNDS = {"sf0.001": 0.37, "sf0.01": 0.37, "sf0.1": 0.30}
 PCA_VAR_FLOOR = 0.26
 
 
@@ -145,8 +151,9 @@ def pca_model(spark: SparkSession, emb: DataFrame):
 def embed_pca_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed PCA fit + projection audit (see module docstring):
     the verdict row asserts the decomposition did its job — top-{PCA_K}
-    variance share clears {PCA_VAR_FLOOR} (isotropic share is
-    {PCA_K}/{PCA_DIM}), components orthonormal to 1e-6, and k-dim
+    variance share clears the per-fixture measured bound
+    (PCA_VAR_BOUNDS; isotropic share is {PCA_K}/{PCA_DIM}),
+    components orthonormal to 1e-6, and k-dim
     reconstruction error strictly below the mean-only baseline. The
     variance check is computed from the DISTRIBUTED projection pass
     (sse0 vs ssek), not from the eigenvalues — so it also verifies the
@@ -169,9 +176,10 @@ def embed_pca_audit(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").alias("n_vectors"),
         F.lit(PCA_DIM).cast("long").alias("dim"),
         F.lit(PCA_K).cast("long").alias("k"),
-        ((F.lit(1.0) - F.col("ssek") / F.col("sse0")) > PCA_VAR_FLOOR).alias(
-            "var_captured_ok"
-        ),
+        (
+            (F.lit(1.0) - F.col("ssek") / F.col("sse0"))
+            > sf_bound(sf, PCA_VAR_BOUNDS, PCA_VAR_FLOOR)
+        ).alias("var_captured_ok"),
         F.lit(orthonormal_ok).alias("orthonormal_ok"),
         (F.col("ssek") < F.col("sse0")).alias("recon_improves"),
     )

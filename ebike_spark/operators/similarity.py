@@ -14,12 +14,14 @@ Spark-native extension operators:
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ebike_spark.functions.textfns import cosine_sim, dot
-from ebike_spark.plans.registry import register
+from ebike_spark.plans.registry import register, sf_bound
 from ebike_spark.sources.registry import load_table
 
 TOP_K = 10
@@ -110,28 +112,100 @@ def lsh_bucket(vec_col, planes: np.ndarray):
 
 IVF_CLUSTERS = 16
 IVF_PROBES = 4
+IVF_TRAIN_FRACTION = 0.5
+# centroids per (session, sf_dir): the trained quantizer is index
+# state, not query state — one KMeans fit per corpus per session.
+# WeakKey so stopped sessions don't pin forever (same pattern as
+# dedup._persist_pool — review r10)
+_ivf_centers_pool: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _sq_l2(a, b):
+    """Squared L2 distance of two array<double> — sequential built-in
+    HOF accumulation (codegen, same order both engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ivf_index(spark: SparkSession, sf: str):
+    """Offline IVF index build — at 100 TB this is the ingest-time
+    training/assignment job, NEVER the query path (VERDICT-r9 task 2:
+    the first cut trained the quantizer inside the benched query).
+
+    - TRAIN once per (session, corpus): pyspark.ml KMeans on a seeded
+      SAMPLE of the corpus, drawn and fitted on a single pinned
+      partition so both sample membership and k-means|| init are
+      reproducible regardless of the session's parallelism.
+    - ASSIGN the full corpus its cell id as a pure built-in expression
+      (argmin of {IVF_CLUSTERS} squared-L2 HOF distances over centroid
+      literals) — map-side, whole-stage codegen, no ML model object on
+      the scan; cached session-scoped exactly like a stored
+      partition/cluster column would be.
+
+    Returns (centers, assigned DF[vec_id, v, cell])."""
+    from ebike_spark.operators.dedup import _persist_scoped
+
+    pool = _ivf_centers_pool.setdefault(spark, {})
+    centers = pool.get(sf)
+    if centers is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        # coalesce to one partition BEFORE sampling: .sample seeds its
+        # RNG per partition, so sample MEMBERSHIP depends on the file
+        # split planning (defaultParallelism) unless the partitioning
+        # is pinned first (review r10); one partition also makes the
+        # k-means|| init reproducible. The sample is small by
+        # construction — at production scale it's ~0.1% of the corpus;
+        # a quantizer has no business seeing every row.
+        train = (
+            load_table(spark, sf, "embeddings")
+            .coalesce(1)
+            .sample(fraction=IVF_TRAIN_FRACTION, seed=7)
+            .select(
+                array_to_vector(
+                    F.col("embedding").cast("array<double>")
+                ).alias("features")
+            )
+        )
+        km = KMeans(
+            k=IVF_CLUSTERS,
+            seed=42,
+            maxIter=10,
+            featuresCol="features",
+            predictionCol="cell",
+        )
+        centers = [[float(x) for x in c] for c in km.fit(train).clusterCenters()]
+        pool[sf] = centers
+
+    def _assigned():
+        e = load_table(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        darr = F.array(
+            *[_sq_l2(F.col("v"), F.lit(c).cast("array<double>")) for c in centers]
+        )
+        # first-min-wins argmin, matching numpy (array_position
+        # returns the FIRST equal element, 1-based)
+        cell = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        return e.select("vec_id", "v", cell.alias("cell"))
+
+    assigned = _persist_scoped(spark, "ivf_assigned", _assigned, key=sf)
+    return centers, assigned
 
 
 def _ivf_topk_ids(spark: SparkSession, sf: str) -> DataFrame:
-    """The IVF retrieval pipeline (top-{TOP_K} vec_ids): k-means coarse
-    quantizer (pyspark.ml KMeans, seeded) → assign every vector to its
-    nearest centroid → probe the query's {IVF_PROBES} nearest cells →
-    exact cosine rerank."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    e = load_table(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    feat = e.select("vec_id", "v", array_to_vector("v").alias("features"))
-    km = KMeans(k=IVF_CLUSTERS, seed=42, maxIter=10, featuresCol="features", predictionCol="cell")
-    model = km.fit(feat)
-    assigned = model.transform(feat).select("vec_id", "v", "cell")
-
+    """The IVF QUERY path (top-{TOP_K} vec_ids): rank the stored
+    centroids against the query vector driver-side (k floats — O(1)),
+    prune the stored cell column to the {IVF_PROBES} nearest cells,
+    exact cosine rerank of the survivors."""
+    centers, assigned = _ivf_index(spark, sf)
     qv_list = _query_vec(spark, sf)
-    import numpy as np
-
-    centers = model.clusterCenters()
     q = np.asarray(qv_list)
     dists = [float(np.linalg.norm(q - np.asarray(c))) for c in centers]
     probe_cells = [int(i) for i in np.argsort(dists)[:IVF_PROBES]]
@@ -147,40 +221,53 @@ def _ivf_topk_ids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Per-fixture measured recall of the SAMPLE-trained quantizer (r10:
+# 0.6 / 0.9 / 0.6 at sf0.001/0.01/0.1 — deterministic: seeded sample,
+# single-partition seeded k-means|| init), asserted with a one-hit
+# (0.1) margin so the boolean actually bites (VERDICT-r9 task 4 — the
+# old global 0.4 floor was loose against measured 0.9). Unknown
+# corpora fall back to the conservative global floor.
+IVF_RECALL_BOUNDS = {"sf0.001": 0.5, "sf0.01": 0.8, "sf0.1": 0.5}
+IVF_RECALL_FLOOR = 0.4
+
+
 @register(
     "ann_ivf_topk",
     # The retrieved SET is approximation-specific, so the externally
     # checked output is a bounds-checked verdict: recall-vs-brute-force
-    # and the probed fraction, each asserted against a fixed floor that
-    # every fixture SF clears (measured r7: recall 0.4/1.0/0.6 at
-    # sf0.001/0.01/0.1, probe fraction a constant 4/16). The oracle is
-    # trivially exact — the same constants and TRUEs. A quantizer
-    # regression (bad seed plumbing, probe-count drift, broken rerank)
-    # flips a boolean and fails the hash compare. Same verdict shape as
-    # ev_active_users_hll / embed_pca_audit (VERDICT-r6 task 5).
+    # against the PER-FIXTURE measured bound (IVF_RECALL_BOUNDS) and
+    # the probed fraction. The oracle is trivially exact — the same
+    # constants and TRUEs. A quantizer regression (bad seed plumbing,
+    # probe-count drift, broken rerank, centroid-cache staleness)
+    # drops recall below measured-minus-one-hit, flips the boolean,
+    # and fails the hash compare.
     oracle=f"""
     SELECT 'ivf' AS method, {TOP_K} AS k,
            {IVF_PROBES} AS cells_probed, {IVF_CLUSTERS} AS cells_total,
-           TRUE AS recall_ge_40pct, TRUE AS probe_frac_le_half
+           TRUE AS recall_ge_sf_bound, TRUE AS probe_frac_le_half
     """,
     tags=("similarity", "ann", "ivf", "kmeans", "verdict"),
 )
 def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN verdict: run the k-means-quantized probe-and-rerank
-    pipeline (see _ivf_topk_ids), compare its top-{TOP_K} against the
-    exact brute-force top-{TOP_K}, and emit one bounds-checked row —
-    recall ≥ 0.4 and probed fraction ≤ 1/2.
+    """IVF ANN verdict: probe-and-rerank against the OFFLINE-built
+    index (_ivf_index: sample-trained quantizer + stored cell column,
+    both session-cached — the query path never trains), compare its
+    top-{TOP_K} against the exact brute-force top-{TOP_K}, and emit
+    one bounds-checked row — recall ≥ the per-fixture measured bound
+    and probed fraction ≤ 1/2.
 
     Learned centroids adapt to the data distribution, which sign-LSH
     cannot (see ann_lsh_topk's docstring math for why this corpus is
-    the hard regime). At scale: train on a sample, store the cell id as
-    a partition/cluster column, probe reads ~{IVF_PROBES}/{IVF_CLUSTERS}
-    of the corpus. The recall join is k-row-sized; the only driver
-    scalar is the bounded hit count."""
+    the hard regime). At scale: the quantizer trains on a ~0.1%
+    sample at ingest, the cell id is a partition/cluster column, and
+    a query reads ~{IVF_PROBES}/{IVF_CLUSTERS} of the corpus. The
+    recall join is k-row-sized; the only driver scalar is the bounded
+    hit count."""
     exact = _exact_topk_ids(spark, sf)
     approx = _ivf_topk_ids(spark, sf)
     hits = exact.join(approx, "vec_id", "inner").count()
     recall = hits / TOP_K
+    bound = sf_bound(sf, IVF_RECALL_BOUNDS, IVF_RECALL_FLOOR)
     return spark.createDataFrame(
         [
             (
@@ -188,12 +275,12 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
                 TOP_K,
                 IVF_PROBES,
                 IVF_CLUSTERS,
-                recall >= 0.4,
+                recall >= bound,
                 IVF_PROBES / IVF_CLUSTERS <= 0.5,
             )
         ],
         "method string, k int, cells_probed int, cells_total int, "
-        "recall_ge_40pct boolean, probe_frac_le_half boolean",
+        "recall_ge_sf_bound boolean, probe_frac_le_half boolean",
     )
 
 
@@ -238,12 +325,35 @@ def _lsh_probe(spark: SparkSession, sf: str):
     verdict query and the recall unit tests."""
     planes = hyperplanes()
     qv_list = _query_vec(spark, sf)
-    q_bucket = int(
-        sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv_list, p)) > 0)
-    )
-    e = load_table(spark, sf, "embeddings").where(F.col("vec_id") != QUERY_VEC_ID)
-    v = F.col("embedding").cast("array<double>")
-    with_bucket = e.select("vec_id", v.alias("v"), lsh_bucket(v, planes).alias("bucket"))
+    # sequential left-to-right accumulation, NOT np.dot: with the r10
+    # exact-set oracle the query bucket is load-bearing, and BLAS
+    # pairwise summation could flip the sign of a near-zero plane dot
+    # relative to the sequential fold both engines run (review r10)
+    q_bucket = 0
+    for i, p in enumerate(planes):
+        acc = 0.0
+        for a, b in zip(qv_list, p):
+            acc += a * float(b)
+        if acc > 0:
+            q_bucket |= 1 << i
+    from ebike_spark.operators.dedup import _persist_scoped
+
+    def _bucketed():
+        # the stored-bucket-column shape: at scale this column is
+        # precomputed at ingest; here it is built + cached once per
+        # (session, corpus). Caching also amortizes the ~1 s of
+        # DRIVER time constructing/canonicalizing the 12-plane HOF
+        # expression tree (measured r10 — the plan build, not the
+        # scan, dominated this query's bench row).
+        e = load_table(spark, sf, "embeddings").where(
+            F.col("vec_id") != QUERY_VEC_ID
+        )
+        v = F.col("embedding").cast("array<double>")
+        return e.select(
+            "vec_id", v.alias("v"), lsh_bucket(v, planes).alias("bucket")
+        )
+
+    with_bucket = _persist_scoped(spark, "lsh_buckets", _bucketed, key=sf)
     near = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= LSH_PROBE_HAMMING
     qv = F.lit(qv_list).cast("array<double>")
     cos = cosine_sim(F.col("v"), qv)
@@ -252,7 +362,6 @@ def _lsh_probe(spark: SparkSession, sf: str):
         .select("vec_id", cos.alias("_c"))
         .orderBy(F.desc("_c"), "vec_id")
         .limit(TOP_K)
-        .select("vec_id")
     )
     # probed/total in ONE pass over the bucketed frame (the bucket is
     # {LSH_PLANES} HOF dot products per row — the expensive expression;
@@ -264,57 +373,65 @@ def _lsh_probe(spark: SparkSession, sf: str):
     return topk, counts
 
 
+def _lsh_bucket_sql() -> str:
+    """The seeded hyperplane bucket as a DuckDB expression over `v`
+    (DOUBLE[]): the {LSH_PLANES} plane directions inline as literals,
+    sign bits via list_dot_product. Bit-identical to the Spark side —
+    both engines run the same sequential double dot product, so the
+    sign comparisons agree exactly (parity probed over every vector at
+    all three fixture SFs, r10)."""
+    planes = hyperplanes()
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ",".join(repr(float(x)) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 @register(
     "ann_lsh_topk",
-    # Verdict shape (VERDICT-r6 task 5): the retrieved SET is
-    # approximation-specific, so the externally checked output asserts
-    # the honest LSH invariants instead — the probed bucket set is a
-    # bounded fraction of the corpus (< 1/2) AND is ENRICHED in true
-    # neighbors (recall strictly beats the probed fraction, which is
-    # exactly what random sampling would achieve), and recall > 0.
-    # Measured r7: recall 0.3/0.2/0.4 vs probed 0.19/0.17/0.22 at
-    # sf0.001/0.01/0.1 — all deterministic (seeded hyperplanes, exact
-    # integer bucket math). Oracle = the same constants and TRUEs.
+    # FULL exact oracle (r10, superseding the r6 verdict shape): the
+    # entire LSH pipeline is deterministic — seeded hyperplanes,
+    # integer bucket math, exact cosine rerank — and DuckDB can
+    # recompute ALL of it with the plane directions inlined as
+    # literals. The former boolean row (recall/probed-fraction
+    # invariants) lives on in test_lsh_ann_recall_beats_random; the
+    # externally hash-checked output is now the retrieved set itself.
     oracle=f"""
-    SELECT 'lsh' AS method, {TOP_K} AS k,
-           TRUE AS probed_frac_lt_half,
-           TRUE AS recall_beats_probed_frac,
-           TRUE AS recall_gt_zero
-    """,
-    tags=("similarity", "ann", "lsh", "verdict"),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, v, {{bucket}} AS bucket FROM e),
+    q AS (SELECT bucket AS qb, v AS qv FROM b
+          WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(v, qv), 4) AS cos
+    FROM b, q
+    WHERE vec_id != {QUERY_VEC_ID}
+      AND bit_count(xor(bucket, qb)) <= {LSH_PROBE_HAMMING}
+    ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+    LIMIT {TOP_K}
+    """.replace("{bucket}", _lsh_bucket_sql()),
+    tags=("similarity", "ann", "lsh"),
 )
 def ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """ANN-via-random-hyperplane-LSH verdict: score only vectors whose
-    bucket is within hamming ≤ LSH_PROBE_HAMMING of the query's bucket,
-    exact-rerank, then emit one bounds-checked row comparing against
-    the brute-force top-{TOP_K}. In this corpus the true neighbors sit
-    at cos≈0.5 — barely above background, the hardest regime for
-    sign-LSH — so the verdict asserts ENRICHMENT (recall > probed
-    fraction) rather than a high absolute recall.
+    """ANN via random-hyperplane LSH: score only vectors whose bucket
+    is within hamming ≤ {LSH_PROBE_HAMMING} of the query's bucket,
+    exact cosine rerank, return the top-{TOP_K} (vec_id, cos). In
+    this corpus the true neighbors sit at cos≈0.5 — barely above
+    background, the hardest regime for sign-LSH — so absolute recall
+    is modest by construction; the enrichment invariant (recall >
+    probed fraction > 0) is asserted in the unit suite over the same
+    _lsh_probe pipeline.
 
     At scale the bucket filter is a pushable integer predicate over a
-    column precomputed/partitioned-on in the stored corpus. The only
-    driver scalars are three bounded counts (k-sized hit count, probed
-    count, corpus count)."""
-    topk, counts = _lsh_probe(spark, sf)
-    exact = _exact_topk_ids(spark, sf)
-    hits = exact.join(topk, "vec_id", "inner").count()
-    recall = hits / TOP_K
-    c = counts.collect()[0]
-    probed_frac = c["probed"] / c["total"]
-    return spark.createDataFrame(
-        [
-            (
-                "lsh",
-                TOP_K,
-                probed_frac < 0.5,
-                recall > probed_frac,
-                recall > 0,
-            )
-        ],
-        "method string, k int, probed_frac_lt_half boolean, "
-        "recall_beats_probed_frac boolean, recall_gt_zero boolean",
-    )
+    column precomputed/partitioned-on in the stored corpus, so the
+    probe reads ~Σ C({LSH_PLANES},0..{LSH_PROBE_HAMMING})/2^{LSH_PLANES}
+    of it; the rerank is map-side cosine + TakeOrderedAndProject. No
+    brute-force audit twin runs here (the exact oracle IS the audit)."""
+    topk, _ = _lsh_probe(spark, sf)
+    return topk.select("vec_id", F.round("_c", 4).alias("cos"))
 
 
 # ------------------------------------------------- product quantization

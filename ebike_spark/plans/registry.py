@@ -30,6 +30,17 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def sf_bound(sf_dir: str, table: dict, default):
+    """Per-fixture verdict bound: measured bounds keyed by the fixture
+    directory's basename ('sf0.01'); unknown corpora fall back to the
+    conservative default. ONE implementation — the sf-key
+    normalization must not drift between the verdict queries that
+    tightened their bounds in r10 (review r10)."""
+    import os
+
+    return table.get(os.path.basename(sf_dir.rstrip("/")), default)
+
+
 def register(
     name: str,
     oracle: str | None = None,

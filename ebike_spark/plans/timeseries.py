@@ -896,12 +896,16 @@ def ev_active_users(spark: SparkSession, sf: str) -> DataFrame:
     "ev_active_users_hll",
     # The sketch ESTIMATE is engine-specific, so the externally-checked
     # output is the bounds-checked verdict: exact per-bucket distinct
-    # count + a boolean asserting the HLL estimate landed within ±5%
-    # (≈3σ for lgK=12; small buckets are exact in sparse mode). The
-    # oracle is trivially exact — it emits the same exact counts and a
-    # constant TRUE. A sketch drifting out of bounds flips the boolean
-    # and fails the hash compare. Same recall-verdict trick as the ANN
-    # sketch queries (VERDICT-r5 task 6).
+    # count + a boolean asserting the HLL estimate landed within ±2%
+    # (TIGHTENED r10 from ±5%, VERDICT-r9 task 4 — measured max
+    # per-bucket deviation: 0 at sf0.001/0.01 where sparse mode is
+    # exact, 0.8% at sf0.1; the sketch is deterministic at fixed
+    # data, so 2% is 2.5× the worst measured while a real estimator
+    # regression lands far outside it). The oracle is trivially exact
+    # — it emits the same exact counts and a constant TRUE. A sketch
+    # drifting out of bounds flips the boolean and fails the hash
+    # compare. Same recall-verdict trick as the ANN sketch queries
+    # (VERDICT-r5 task 6).
     oracle="""
     WITH d AS (
       SELECT date_trunc('day', ts) AS b, COUNT(DISTINCT user_id) AS n
@@ -910,7 +914,7 @@ def ev_active_users(spark: SparkSession, sf: str) -> DataFrame:
       SELECT date_trunc('month', ts) AS b, COUNT(DISTINCT user_id) AS n
       FROM events GROUP BY 1)
     SELECT 'day' AS level, CAST(epoch_us(b) // 1000000 AS BIGINT) AS bucket_start,
-           CAST(n AS BIGINT) AS n_active_exact, TRUE AS est_within_5pct
+           CAST(n AS BIGINT) AS n_active_exact, TRUE AS est_within_2pct
     FROM d
     UNION ALL
     SELECT 'month', CAST(epoch_us(b) // 1000000 AS BIGINT), CAST(n AS BIGINT), TRUE
@@ -990,8 +994,8 @@ def ev_active_users_hll(spark: SparkSession, sf: str) -> DataFrame:
         "n_active_exact",
         (
             F.abs(F.col("n_active_est") - F.col("n_active_exact"))
-            <= 0.05 * F.col("n_active_exact")
-        ).alias("est_within_5pct"),
+            <= 0.02 * F.col("n_active_exact")
+        ).alias("est_within_2pct"),
     )
 
 

@@ -389,17 +389,20 @@ def q13_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q13_approx_distinct",
-    # Verdict shape (the ev_active_users_hll / ANN discipline, round 7 —
-    # was rows-only): the HLL++ ESTIMATE is engine-specific, so the
-    # externally checked output is the exact distinct count plus a
-    # boolean asserting the estimate landed within ±5% (default
-    # rsd=0.05; measured r7 deviation 2.4-2.7% at all three fixture
-    # SFs — deterministic, the sketch has no randomness at fixed data).
-    # The oracle is trivially exact. In the 100 TB production shape the
-    # exact branch is dropped and the estimate stands alone.
+    # Verdict shape (the ev_active_users_hll / ANN discipline, round 7
+    # — was rows-only; TIGHTENED r10 from ±5% to ±3%, VERDICT-r9 task
+    # 4): the HLL++ ESTIMATE is engine-specific, so the externally
+    # checked output is the exact distinct count plus a boolean
+    # asserting the estimate landed within ±3% (default rsd=0.05;
+    # measured deviation 2.4-2.7% at all three fixture SFs —
+    # deterministic, the sketch has no randomness at fixed data, so
+    # the bound sits just above the measured band and an estimator
+    # regression flips it). The oracle is trivially exact. In the
+    # 100 TB production shape the exact branch is dropped and the
+    # estimate stands alone.
     oracle="""
     SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-           TRUE AS est_within_5pct
+           TRUE AS est_within_3pct
     FROM lineitem
     """,
     tags=("aggregate", "approx", "verdict"),
@@ -416,20 +419,22 @@ def q13_approx(spark: SparkSession, sf: str) -> DataFrame:
     )
     return r.select(
         F.col("e").cast("long").alias("exact_parts"),
-        (F.abs(F.col("a") - F.col("e")) <= 0.05 * F.col("e")).alias(
-            "est_within_5pct"
+        (F.abs(F.col("a") - F.col("e")) <= 0.03 * F.col("e")).alias(
+            "est_within_3pct"
         ),
     )
 
 
 @register(
     "q13b_approx_percentile",
-    # Verdict shape (round 7 — was rows-only): sketch quantiles are
+    # Verdict shape (round 7 — was rows-only; TIGHTENED r10 from ±1%
+    # to ±0.2%, VERDICT-r9 task 4): sketch quantiles are
     # engine-specific, so the checked output is the exact interpolated
     # percentiles (quantile_cont parity proven by fn_agg_extras) plus
     # one boolean per group asserting every approx quantile is within
-    # ±1% of its exact twin (accuracy=10000 measured ≤0.1% at all
-    # three fixture SFs).
+    # ±0.2% of its exact twin (accuracy=10000 measured ≤0.102% at
+    # all three fixture SFs — deterministic at fixed data, so the 2×
+    # margin holds while a sketch regression lands far outside).
     # percentiles emit UNROUNDED (float-parity house rule: both
     # engines interpolate a + (b-a)*frac over bit-identical doubles, so
     # the results are identical doubles — a trailing ROUND would
@@ -439,7 +444,7 @@ def q13_approx(spark: SparkSession, sf: str) -> DataFrame:
            CAST(quantile_cont(l_extendedprice, 0.5)  AS DOUBLE) AS p50_exact,
            CAST(quantile_cont(l_extendedprice, 0.9)  AS DOUBLE) AS p90_exact,
            CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE) AS p99_exact,
-           TRUE AS approx_within_1pct
+           TRUE AS approx_within_0p2pct
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("aggregate", "approx", "verdict"),
@@ -459,7 +464,7 @@ def q13b_approx_pct(spark: SparkSession, sf: str) -> DataFrame:
     )
     within = F.forall(
         F.zip_with(
-            "ap", "ex", lambda a, e: F.abs(a - e) <= 0.01 * F.abs(e)
+            "ap", "ex", lambda a, e: F.abs(a - e) <= 0.002 * F.abs(e)
         ),
         lambda x: x,
     )
@@ -468,7 +473,7 @@ def q13b_approx_pct(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ex")[0].alias("p50_exact"),
         F.col("ex")[1].alias("p90_exact"),
         F.col("ex")[2].alias("p99_exact"),
-        within.alias("approx_within_1pct"),
+        within.alias("approx_within_0p2pct"),
     )
 
 

@@ -436,29 +436,47 @@ def q32_recursive_reach(spark: SparkSession, sf: str) -> DataFrame:
     frontier evaluation strategies agree exactly.
 
     Scale shape: the edge list collapses to ≤types² rows before any
-    recursion (one user-keyed window pass + DISTINCT); each recursive
-    step joins the constant-sized frontier against the constant-sized
-    edge list — the recursion never touches raw events again. Depth is
-    hard-bounded; at web-graph scale the same plan becomes frontier
-    joins against a bucketed edge table."""
+    recursion (one user-keyed window pass + DISTINCT) and is
+    MATERIALIZED once (persisted, session-scoped) before the recursion
+    starts — a recursive member referencing the derived table inline
+    re-runs the whole window pass every step (measured 1.68 s at
+    sf0.1, VERDICT-r9 task 3; materialized: each step joins the
+    constant-sized frontier against the ≤types²-row cached table and
+    never touches raw events again). Depth is hard-bounded; at
+    web-graph scale the same plan becomes frontier joins against a
+    bucketed edge table."""
+    from ebike_spark.operators.dedup import _persist_scoped
     from ebike_spark.sources.registry import register_views
 
     register_views(spark, sf)
+
+    def _edges():
+        return spark.sql(
+            """
+            SELECT DISTINCT prev AS from_state, event_type AS to_state
+            FROM (SELECT event_type,
+                         LAG(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS prev
+                  FROM events)
+            WHERE prev IS NOT NULL
+            """
+        )
+
+    _persist_scoped(spark, "q32_edges", _edges, key=sf).createOrReplaceTempView(
+        "q32_edges"
+    )
     return spark.sql(
         """
         WITH RECURSIVE hops(state, hop) AS (
           SELECT 'signup', 0
           UNION ALL
-          SELECT e.to_state, h.hop + 1
+          SELECT /*+ BROADCAST(e) */ e.to_state, h.hop + 1
           FROM hops h
-          JOIN (SELECT DISTINCT prev AS from_state, event_type AS to_state FROM (
-                  SELECT event_type,
-                         LAG(event_type) OVER (PARTITION BY user_id
-                                               ORDER BY ts, event_id) AS prev
-                  FROM events) WHERE prev IS NOT NULL) e
-            ON e.from_state = h.state
+          JOIN q32_edges e ON e.from_state = h.state
           WHERE h.hop < 3
         )
-        SELECT state, CAST(MIN(hop) AS BIGINT) AS min_hops FROM hops GROUP BY state
+        SELECT /*+ COALESCE(1) */ state,
+               CAST(MIN(hop) AS BIGINT) AS min_hops
+        FROM hops GROUP BY state
         """
     )

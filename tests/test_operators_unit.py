@@ -78,10 +78,10 @@ def test_lsh_ann_recall_beats_random(spark):
     assert probed_fraction < 0.5, "probing most of the corpus isn't ANN"
     assert recall > probed_fraction, (recall, probed_fraction)
     assert recall > 0
-    # the registered verdict query asserts exactly these invariants
-    row = REGISTRY["ann_lsh_topk"].fn(spark, SF_DIR).collect()[0]
-    assert row["probed_frac_lt_half"] and row["recall_beats_probed_frac"]
-    assert row["recall_gt_zero"]
+    # the registered query (exact-oracled since r10) returns the same
+    # retrieved set this probe pipeline produced
+    rows = REGISTRY["ann_lsh_topk"].fn(spark, SF_DIR).collect()
+    assert [r["vec_id"] for r in rows] == approx
 
 
 def test_ivf_ann_recall_beats_lsh(spark):
@@ -105,9 +105,9 @@ def test_ivf_ann_recall_beats_lsh(spark):
     assert r_ivf >= r_lsh, (r_ivf, r_lsh)
     assert r_ivf >= 0.4, (r_ivf, ivf, exact)
     assert IVF_PROBES / IVF_CLUSTERS <= 0.5
-    # the registered verdict query asserts the same floors
+    # the registered verdict query asserts the per-fixture bound
     row = REGISTRY["ann_ivf_topk"].fn(spark, SF_DIR).collect()[0]
-    assert row["recall_ge_40pct"] and row["probe_frac_le_half"]
+    assert row["recall_ge_sf_bound"] and row["probe_frac_le_half"]
 
 
 def test_multimodal_decode_is_stubbed():
@@ -702,7 +702,7 @@ def test_hll_active_users_tracks_exact(spark):
     for r in got:
         k = (r["level"], r["bucket_start"])
         assert r["n_active_exact"] == exact[k], (k, r["n_active_exact"], exact[k])
-        assert r["est_within_5pct"] is True, k
+        assert r["est_within_2pct"] is True, k
 
 
 def test_sliding_funnel_dominates_first_anchor(spark):
@@ -778,9 +778,11 @@ def test_kmeans_converged_reaches_fixed_point(spark):
     wss_conv = sum(r["wss"] for r in rows)
     wss_2 = sum(r["wss"] for r in embed_kmeans_lloyd(spark, SF_DIR).collect())
     assert 0 < wss_conv <= wss_2
-    # the registered verdict row asserts the same invariants
+    # the registered verdict row asserts the same invariants, with the
+    # trajectory length pinned to the per-fixture measured value
     v = embed_kmeans_converged(spark, SF_DIR).collect()[0]
-    assert v["k"] == 8 and v["n_assigned"] == n_total and v["converged"]
+    assert v["k"] == 8 and v["n_assigned"] == n_total
+    assert v["n_iter_eq_expected"] and v["converged_as_expected"]
 
 
 def test_fractional_attribution_conserves_credit(spark):
