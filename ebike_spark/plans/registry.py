@@ -95,74 +95,31 @@ def _load_all() -> None:
 # of the order all_queries() emits. Every query is oracled identically
 # regardless of position; the prefix only controls which rows get
 # fresh external evidence this round, and entries past position 50 get
-# none. Round 9 continues the staleness rotation TODO_r9.md planned:
-# the one never-checked query (corpus_curriculum_stages, new in r8)
-# plus any queries added this round lead, then the 11 remaining
-# r4-stale rows (the ev_funnel / ev_retention / windowing family),
-# then 38 of the 49 r5-stale rows — the streaming family, the
-# flagship q01–q03, and the attribution family first, since they
-# anchor the most claims. The 11 r5-stale remainder (the stable
-# q23–q29 SQL block + four simple scalar queries) is listed
-# immediately after the cut and leads the round-10 rotation; after
-# r10 every row's latest external check is r6+.
+# none. Round 10 executes the rotation TODO_r10.md planned (and adds a
+# generated per-query staleness table to COVERAGE.md via
+# tools/staleness.py — VERDICT-r9 task 1): queries MODIFIED this round
+# lead (the r10 IVF/LSH/verdict-tightening batch — a change without a
+# fresh driver row would leave the old green as stale evidence for new
+# code), then the entire 13-row r5-stale block, then 28 of the 46
+# remaining r6-stale rows — the q04–q13 TPC-H spine (anchors SURVEY
+# §2.C) and the WHOLE 8-query batch-twin streaming family (the
+# stalest family, anchoring the beyond-reference claims), then the
+# set-op/subquery/window block. The 18-row r6 remainder (fn_*
+# battery, io_* roundtrips, three ev_* rows, embed_kmeans_lloyd) is
+# listed after the cut and leads the round-11 rotation; after r11
+# every row's latest external check is r7+.
 WINDOW_PREFIX: tuple[str, ...] = (
-    # --- never externally checked (positions 1-…) ---
-    "corpus_curriculum_stages",
+    # --- modified in r10 (need evidence for the NEW code) ---
     "dedup_prefix_hash",
-    "text_char_diversity",
-    # --- the 11 remaining r4-stale rows ---
-    "ev_funnel",
-    "ev_funnel_windowed",
-    "ev_pivot",
-    "ev_retention",
-    "ev_rollup",
-    "ev_scd2_intervals",
-    "ev_sessionize",
-    "ev_sliding_window",
-    "ev_topk_per_group",
-    "ev_tumbling_window",
-    "ev_value_histogram",
-    # --- r5-stale: streaming family + flagship + attribution first ---
-    "stream_stateful_running_counts",
-    "stream_interval_join",
-    "stream_gap_alerts",
-    "stream_attribution_last_touch",
-    "q01_scan_filter_topk",
-    "q02_group_agg",
-    "q03_join_agg",
-    "ev_attribution_last_touch",
-    "ev_attribution_touchpoints",
-    "ev_attribution_time_decay",
-    # --- r5-stale fills ---
-    "ev_concurrency",
-    "corpus_split_assign",
-    "corpus_shard_manifest",
-    "embed_random_projection",
-    "corpus_upsample_audit",
-    "corpus_training_manifest",
-    "text_bigram_top",
-    "ev_session_stats",
-    "ev_funnel_sliding",
-    "ev_rate_moving",
-    "range_join_event_windows",
-    "embed_semantic_dedup",
-    "io_partitioned_layout",
-    "text_bpe_token_count",
-    "ev_cohort_matrix",
-    "ev_rfm_segments",
-    "text_bigram_pmi",
-    "ev_ewma_spike",
-    "mm_ppm_decode_stats",
-    "ev_funnel_latency",
-    "text_novelty_score",
-    "text_novelty_incremental",
-    "ev_pareto_share",
-    "corpus_token_budget_plan",
-    "ev_seasonality_profile",
-    "corpus_dedup_survivor",
-    # --- external budget exhausted at position 50: the two r5 rows
-    # displaced by this round's new queries plus the 11 r5-stale
-    # remainder below lead the round-10 rotation ---
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "q32_recursive_reach",
+    "embed_kmeans_converged",
+    "embed_pca_audit",
+    "ev_active_users_hll",
+    "q13_approx_distinct",
+    "q13b_approx_percentile",
+    # --- the full r5-stale block (13) ---
     "ev_interarrival_histogram",
     "text_crossdup_mass",
     "q23_scalar_corr_avg",
@@ -176,6 +133,57 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "text_length_histogram",
     "sample_weighted",
     "dq_expectations",
+    # --- r6-stale: the TPC-H spine ---
+    "q04_left_join_agg",
+    "q05_join_chain",
+    "q06_selective_sum",
+    "q07_count_distinct",
+    "q08a_intersect",
+    "q08b_except",
+    "q08c_union_all",
+    "q08d_intersect_all",
+    "q08e_except_all",
+    "q09_window_rank",
+    "q10_case_scalar_funcs",
+    "q11_cte_having",
+    "q12_cross_theta",
+    "q13_stat_aggs",
+    # --- r6-stale: the batch-twin streaming family, complete ---
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_dedup_exact",
+    "stream_sessionize",
+    "stream_funnel",
+    "stream_static_join",
+    "stream_scd2_closed",
+    "stream_rollup_maintain",
+    # --- r6-stale: set ops / subqueries / window frames ---
+    "q18_semi_anti_join",
+    "q19_subqueries",
+    "q19b_correlated_exists",
+    "q20_window_frames",
+    "q21_cube",
+    "q22_values_inline",
+    # --- external budget exhausted at position 50: the 18-row r6
+    # remainder below leads the round-11 rotation ---
+    "fn_arrays",
+    "fn_unpivot",
+    "fn_math",
+    "fn_string",
+    "fn_datetime",
+    "fn_conditional",
+    "fn_regexp_like",
+    "fn_agg_extras",
+    "fn_agg_moments",
+    "q21b_grouping_id",
+    "io_csv_roundtrip",
+    "io_json_roundtrip",
+    "io_orc_roundtrip",
+    "io_text_roundtrip",
+    "embed_kmeans_lloyd",
+    "ev_attribution_linear",
+    "ev_attribution_position",
+    "ev_anomaly_mad",
 )
 
 
