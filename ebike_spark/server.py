@@ -9,11 +9,16 @@ with NULL bitmap + typed parameters — the reference's
 mysql_util.rs:41-150 surface).
 
 Scope/divergences (documented, all testable in-container):
-- Auth: the handshake advertises mysql_native_password and the server
-  accepts any credentials (the reference validates against its seeded
-  mysql.users root row; this engine's mysql.users carries the same row
-  — enforcing a real password would need nothing new, but every client
-  in scope connects as root/empty, matching the reference's default).
+- Auth: by default the handshake advertises mysql_native_password and
+  the server accepts any credentials — exact reference parity: the
+  reference READS AND DISCARDS the auth response
+  (`handle.rs:100-110`), so accept-anything is parity with its bug,
+  not a gap. OPT-IN enforcement (r10, VERDICT-r9 task 6): construct
+  `EbikeServer(spark, require_password="...")` and both the handshake
+  and COM_CHANGE_USER validate the client's mysql_native_password
+  scramble (SHA1(pwd) XOR SHA1(nonce + SHA1(SHA1(pwd)))) against the
+  configured password for the seeded mysql.users root row; a mismatch
+  is ERR 1045 (28000) and the connection state is untouched.
 - TLS and compression are not negotiated (the capability mask simply
   omits them). CLIENT_DEPRECATE_EOF IS negotiated: a client that sets
   it gets modern framing (no EOF after column defs; row streams end
@@ -73,6 +78,20 @@ COM_STMT_RESET = 0x1A
 # per-(stmt, param) COM_STMT_SEND_LONG_DATA byte cap — MySQL's
 # default max_allowed_packet (64 MiB); overflow is 1153 at EXECUTE
 _LONG_DATA_CAP = 64 * 1024 * 1024
+
+
+def native_password_token(password: str, nonce: bytes) -> bytes:
+    """The mysql_native_password scramble a client sends (public
+    protocol): SHA1(pwd) XOR SHA1(nonce + SHA1(SHA1(pwd))). An empty
+    password is a zero-length token."""
+    import hashlib
+
+    if not password:
+        return b""
+    h1 = hashlib.sha1(password.encode("utf-8")).digest()
+    h2 = hashlib.sha1(h1).digest()
+    mix = hashlib.sha1(nonce + h2).digest()
+    return bytes(a ^ b for a, b in zip(h1, mix))
 COM_SET_OPTION = 0x1B
 COM_RESET_CONNECTION = 0x1F
 
@@ -155,8 +174,11 @@ class _Conn:
         secure_file_priv: str | None = None,
         *,
         stats: dict,
+        require_password: str | None = None,
     ):
         self.sock = sock
+        # opt-in wire auth (None = accept anything, reference parity)
+        self.require_password = require_password
         # server-wide counters for COM_STATISTICS (shared across
         # connections; informational, guarded by the server's lock)
         self.stats = stats
@@ -376,7 +398,9 @@ class _Conn:
     # ------------------------------------------------------- handshake
 
     def handshake(self) -> None:
-        nonce = b"abcdefgh" + b"ijklmnopqrst"  # 20 bytes, fixed (auth unused)
+        nonce = b"abcdefgh" + b"ijklmnopqrst"  # 20 bytes, fixed
+        self._nonce = nonce  # COM_CHANGE_USER re-auth scrambles
+        # against the handshake nonce (no auth-switch roundtrip here)
         payload = (
             b"\x0a"  # protocol version 10
             + b"8.0.26-ebike-spark\x00"
@@ -395,22 +419,29 @@ class _Conn:
         )
         self.seq = 255  # first server packet carries sequence id 0
         self.write_packet(payload)
-        resp = self.read_packet()  # HandshakeResponse41 — any auth accepted
+        resp = self.read_packet()  # HandshakeResponse41
         caps = struct.unpack_from("<I", resp, 0)[0]
         self.client_caps = caps
-        if caps & CLIENT_CONNECT_WITH_DB:
-            # username starts at offset 32 (4 caps + 4 maxpkt + 1 charset
-            # + 23 reserved); database follows user NUL + auth response
-            pos = 32
+        # username starts at offset 32 (4 caps + 4 maxpkt + 1 charset
+        # + 23 reserved); the auth response follows the user NUL, the
+        # database (if CONNECT_WITH_DB) follows the auth response
+        pos = 32
+        end = resp.index(b"\x00", pos)
+        user = resp[pos:end].decode("utf-8", "replace")
+        pos = end + 1
+        if caps & CLIENT_SECURE_CONNECTION:
+            # 1-byte length-prefixed auth response
+            alen = resp[pos]
+            token = resp[pos + 1 : pos + 1 + alen]
+            pos += 1 + alen
+        else:
+            # legacy NUL-terminated auth response
             end = resp.index(b"\x00", pos)
+            token = resp[pos:end]
             pos = end + 1
-            if caps & CLIENT_SECURE_CONNECTION:
-                # 1-byte length-prefixed auth response
-                alen = resp[pos]
-                pos += 1 + alen
-            else:
-                # legacy NUL-terminated auth response
-                pos = resp.index(b"\x00", pos) + 1
+        if not self._auth_ok(user, token, nonce):
+            raise ConnectionError("access denied at connect")
+        if caps & CLIENT_CONNECT_WITH_DB:
             dbend = resp.find(b"\x00", pos)
             if dbend > pos:
                 db = resp[pos:dbend].decode("utf-8", "replace")
@@ -423,6 +454,29 @@ class _Conn:
         # read_packet recorded the response's sequence (1); the OK that
         # completes the handshake follows it as 2
         self.send_ok()
+
+    def _auth_ok(self, user: str, token: bytes, nonce: bytes) -> bool:
+        """Opt-in mysql_native_password check (require_password set at
+        server construction; None = accept anything, reference
+        parity). Validates against the seeded mysql.users root row —
+        the only account both this engine and the reference seed
+        (meta/initial.rs:1161). On failure sends ERR 1045 (28000)
+        itself and returns False."""
+        if self.require_password is None:
+            return True
+        expected = native_password_token(self.require_password, nonce)
+        import hmac as _hmac
+
+        if user == "root" and _hmac.compare_digest(token, expected):
+            return True
+        using = "YES" if token else "NO"
+        self.send_err(
+            1045,
+            f"Access denied for user '{user}'@'localhost'"
+            f" (using password: {using})",
+            "28000",
+        )
+        return False
 
     def _com_query(self, sql: str) -> None:
         """COM_QUERY, honoring CLIENT_MULTI_STATEMENTS: a ;-separated
@@ -505,8 +559,9 @@ class _Conn:
                 elif cmd == COM_CHANGE_USER:
                     # re-authenticate as another user mid-connection
                     # (the pre-RESET_CONNECTION pooling surface).
-                    # Credentials are accepted as at handshake
-                    # (reference parity); session state resets and the
+                    # Credentials are checked exactly as at handshake
+                    # (accept-anything unless require_password is
+                    # set); session state resets and the
                     # requested database becomes current — an EMPTY
                     # database returns the connection to the fresh-
                     # connection default schema (MySQL leaves NO
@@ -517,19 +572,28 @@ class _Conn:
                     with self.stats["lock"]:
                         self.stats["questions"] += 1
                     try:
-                        pos = body.index(b"\x00")
-                        pos += 1  # past user
+                        uend = body.index(b"\x00")
+                        cu_user = body[:uend].decode("utf-8", "replace")
+                        pos = uend + 1  # past user
                         if self.client_caps & CLIENT_SECURE_CONNECTION:
                             alen = body[pos]
+                            cu_token = bytes(body[pos + 1 : pos + 1 + alen])
                             pos += 1 + alen  # length-prefixed auth
                         else:
                             # legacy NUL-terminated auth response
-                            pos = body.index(b"\x00", pos) + 1
+                            aend = body.index(b"\x00", pos)
+                            cu_token = bytes(body[pos:aend])
+                            pos = aend + 1
                         dbend = body.index(b"\x00", pos)
                     except (ValueError, IndexError):
                         self.send_err(
                             1835, "Malformed communication packet", "HY000"
                         )
+                        continue
+                    # opt-in auth applies to re-auth too; failure
+                    # leaves the old session fully intact (MySQL
+                    # keeps the connection alive on CHANGE_USER 1045)
+                    if not self._auth_ok(cu_user, cu_token, self._nonce):
                         continue
                     db = body[pos:dbend].decode("utf-8", "replace") or "default"
                     # validate by NAME (never spliced into SQL — a db
@@ -793,9 +857,11 @@ class EbikeServer:
         host: str = "127.0.0.1",
         port: int = 0,
         secure_file_priv: str | None = None,
+        require_password: str | None = None,
     ):
         self.spark = spark
         self.secure_file_priv = secure_file_priv
+        self.require_password = require_password
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.sock.bind((host, port))
@@ -834,6 +900,7 @@ class EbikeServer:
                 self.spark,
                 secure_file_priv=self.secure_file_priv,
                 stats=self.stats,
+                require_password=self.require_password,
             ).serve()
         except Exception:
             pass

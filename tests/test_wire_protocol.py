@@ -34,11 +34,13 @@ class MiniClient:
         database: str | None = None,
         multi_statements: bool = False,
         deprecate_eof: bool = False,
+        password: str | None = None,
     ):
         self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
         self.seq = 0
         self.multi_statements = multi_statements
         self.deprecate_eof = deprecate_eof
+        self.password = password
         self._handshake(database)
 
     # framing ---------------------------------------------------------
@@ -78,6 +80,10 @@ class MiniClient:
         assert greeting[0] == 0x0A  # protocol version 10
         ver_end = greeting.index(b"\x00", 1)
         self.server_version = greeting[1:ver_end].decode()
+        # 20-byte nonce: 8 bytes after the 4-byte thread id, then 12
+        # more after filler+caps+charset+status+caps_hi+len+reserved
+        p = ver_end + 1 + 4
+        self.nonce = greeting[p : p + 8] + greeting[p + 8 + 19 : p + 8 + 19 + 12]
         caps = 0x00000200 | 0x00008000 | 0x00080000  # 41 | secure | plugin_auth
         if database:
             caps |= 0x00000008
@@ -91,7 +97,7 @@ class MiniClient:
             + bytes([45])  # utf8mb4
             + b"\x00" * 23
             + b"root\x00"
-            + b"\x00"  # empty auth response (1-byte length form)
+            + self._auth_blob()  # 1-byte length-prefixed auth response
             + ((database.encode() + b"\x00") if database else b"")
             + b"mysql_native_password\x00"
         )
@@ -102,6 +108,14 @@ class MiniClient:
             return
         self.handshake_error = None
         assert ok[0] == 0x00, f"handshake failed: {ok!r}"
+
+    def _auth_blob(self) -> bytes:
+        """The 1-byte length-prefixed mysql_native_password response
+        for self.password (empty password = zero-length token)."""
+        from ebike_spark.server import native_password_token
+
+        token = native_password_token(self.password or "", self.nonce)
+        return bytes([len(token)]) + token
 
     # value decode ----------------------------------------------------
     @staticmethod
@@ -470,6 +484,7 @@ def test_connect_with_unknown_db_is_refused(server):
     c.seq = 0
     c.multi_statements = False
     c.deprecate_eof = False
+    c.password = None
     c._handshake("definitely_missing_db")
     assert c.handshake_error == 1049
     c.sock.close()
@@ -807,6 +822,50 @@ def test_stmt_send_long_data(server):
     assert rows == [["clean"]]
     c.query(f"DROP DATABASE {db}")
     c.close()
+
+
+def test_opt_in_wire_auth(spark):
+    """Opt-in auth (default stays accept-anything, reference parity):
+    with require_password set, a wrong/missing scramble is refused
+    with ERR 1045 (28000) at handshake, the right scramble connects
+    and queries normally, and COM_CHANGE_USER re-auth enforces the
+    same check while a failed re-auth leaves the session intact."""
+    s = EbikeServer(spark, require_password="s3cret").start()
+    try:
+        bad = MiniClient(s.port, password="wrong")
+        assert bad.handshake_error == 1045
+        bad.sock.close()
+        none = MiniClient(s.port)  # empty auth response
+        assert none.handshake_error == 1045
+        none.sock.close()
+        c = MiniClient(s.port, password="s3cret")
+        assert c.handshake_error is None
+        assert c.query("SELECT 1 AS one")[2] == [["1"]]
+        # CHANGE_USER with a bad token: 1045, session survives
+        c.query("SET @keep = 7")
+        from ebike_spark.server import native_password_token
+
+        body = (
+            b"root\x00" + b"\x05wrong" + b"default\x00"
+            + struct.pack("<H", 45)
+        )
+        c.send_command(0x11, body)  # COM_CHANGE_USER
+        pkt = c.read_packet()
+        assert pkt[0] == 0xFF and struct.unpack_from("<H", pkt, 1)[0] == 1045
+        assert c.query("SELECT @keep AS k")[2] == [["7"]]
+        # CHANGE_USER with the right token (scrambled against the
+        # handshake nonce): session resets
+        token = native_password_token("s3cret", c.nonce)
+        body = (
+            b"root\x00" + bytes([len(token)]) + token + b"default\x00"
+            + struct.pack("<H", 45)
+        )
+        c.send_command(0x11, body)
+        assert c.read_packet()[0] == 0x00
+        assert c.query("SELECT @keep AS k")[2] == [[None]]
+        c.close()
+    finally:
+        s.stop()
 
 
 def test_stmt_send_long_data_cap_and_unknown_id(server, monkeypatch):
