@@ -50,6 +50,9 @@ reference's per-connection CoreExecution).
 
 from __future__ import annotations
 
+import hashlib
+import hmac
+import os
 import socket
 import struct
 import threading
@@ -78,20 +81,6 @@ COM_STMT_RESET = 0x1A
 # per-(stmt, param) COM_STMT_SEND_LONG_DATA byte cap — MySQL's
 # default max_allowed_packet (64 MiB); overflow is 1153 at EXECUTE
 _LONG_DATA_CAP = 64 * 1024 * 1024
-
-
-def native_password_token(password: str, nonce: bytes) -> bytes:
-    """The mysql_native_password scramble a client sends (public
-    protocol): SHA1(pwd) XOR SHA1(nonce + SHA1(SHA1(pwd))). An empty
-    password is a zero-length token."""
-    import hashlib
-
-    if not password:
-        return b""
-    h1 = hashlib.sha1(password.encode("utf-8")).digest()
-    h2 = hashlib.sha1(h1).digest()
-    mix = hashlib.sha1(nonce + h2).digest()
-    return bytes(a ^ b for a, b in zip(h1, mix))
 COM_SET_OPTION = 0x1B
 COM_RESET_CONNECTION = 0x1F
 
@@ -126,6 +115,30 @@ T_LONGLONG = 0x08
 T_VAR_STRING = 0xFD
 
 CHARSET_UTF8MB4 = 45  # utf8mb4_general_ci
+
+
+def native_password_token(password: str, nonce: bytes) -> bytes:
+    """The mysql_native_password scramble a client sends (public
+    protocol): SHA1(pwd) XOR SHA1(nonce + SHA1(SHA1(pwd))). An empty
+    password is a zero-length token."""
+    if not password:
+        return b""
+    h1 = hashlib.sha1(password.encode("utf-8")).digest()
+    h2 = hashlib.sha1(h1).digest()
+    mix = hashlib.sha1(nonce + h2).digest()
+    return bytes(a ^ b for a, b in zip(h1, mix))
+
+
+def _fresh_nonce() -> bytes:
+    """20 random non-NUL bytes, per connection — MySQL's auth-plugin-
+    data salt excludes NUL so the legacy NUL-terminated response form
+    stays parseable. A constant nonce would make the scramble a
+    replayable static credential once require_password is set
+    (review r10)."""
+    out = bytearray()
+    while len(out) < 20:
+        out.extend(b for b in os.urandom(24) if b != 0)
+    return bytes(out[:20])
 
 
 def _lenenc_int(n: int) -> bytes:
@@ -398,7 +411,7 @@ class _Conn:
     # ------------------------------------------------------- handshake
 
     def handshake(self) -> None:
-        nonce = b"abcdefgh" + b"ijklmnopqrst"  # 20 bytes, fixed
+        nonce = _fresh_nonce()  # 20 bytes, per connection
         self._nonce = nonce  # COM_CHANGE_USER re-auth scrambles
         # against the handshake nonce (no auth-switch roundtrip here)
         payload = (
@@ -435,7 +448,20 @@ class _Conn:
             token = resp[pos + 1 : pos + 1 + alen]
             pos += 1 + alen
         else:
-            # legacy NUL-terminated auth response
+            # legacy NUL-terminated auth response. A 20-byte scramble
+            # can legitimately contain 0x00, so this form cannot carry
+            # one reliably — with auth ENFORCED, a non-4.1 client is
+            # refused outright (ER 1251), as MySQL does for plugins
+            # its protocol level cannot speak (review r10).
+            if self.require_password is not None:
+                self.send_err(
+                    1251,
+                    "Client does not support authentication protocol"
+                    " requested by server; consider upgrading MySQL"
+                    " client",
+                    "08004",
+                )
+                raise ConnectionError("pre-4.1 client with auth enforced")
             end = resp.index(b"\x00", pos)
             token = resp[pos:end]
             pos = end + 1
@@ -465,9 +491,7 @@ class _Conn:
         if self.require_password is None:
             return True
         expected = native_password_token(self.require_password, nonce)
-        import hmac as _hmac
-
-        if user == "root" and _hmac.compare_digest(token, expected):
+        if user == "root" and hmac.compare_digest(token, expected):
             return True
         using = "YES" if token else "NO"
         self.send_err(
@@ -580,7 +604,20 @@ class _Conn:
                             cu_token = bytes(body[pos + 1 : pos + 1 + alen])
                             pos += 1 + alen  # length-prefixed auth
                         else:
-                            # legacy NUL-terminated auth response
+                            # legacy NUL-terminated auth response —
+                            # cannot carry a binary scramble (may
+                            # contain 0x00); refused when auth is
+                            # enforced, exactly as at handshake
+                            if self.require_password is not None:
+                                self.send_err(
+                                    1251,
+                                    "Client does not support"
+                                    " authentication protocol requested"
+                                    " by server; consider upgrading"
+                                    " MySQL client",
+                                    "08004",
+                                )
+                                continue
                             aend = body.index(b"\x00", pos)
                             cu_token = bytes(body[pos:aend])
                             pos = aend + 1
