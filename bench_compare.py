@@ -67,9 +67,16 @@ def main() -> None:
         con.execute(spec.oracle).fetchall()
         t_duck = min(t_duck_cold, time.perf_counter() - t0)
 
-        spec.fn(spark, sf_dir).count()  # warm
+        # same plan-cached surface the driver/bench run (registry
+        # _plan_cached): the warm pass builds + caches the plan, the
+        # timed pass measures resident-engine execution — mirroring
+        # DuckDB's warm second run above
+        from ebike_spark.plans.registry import _plan_cached
+
+        fn = _plan_cached(name, spec.fn)
+        fn(spark, sf_dir).count()  # warm
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
+        fn(spark, sf_dir).count()
         t_spark = time.perf_counter() - t0
         bucket = verdict_rows if "verdict" in spec.tags else rows
         bucket.append((name, t_spark, t_duck))
