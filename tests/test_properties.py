@@ -485,3 +485,78 @@ def test_guarded_bigint_cast_strings_match_reference(spark, vals):
     """Numeric strings round like MySQL ('2.7' -> 3), pure integers
     stay exact at 19 digits, junk and overflow raise 1366."""
     _check_cast_batch(spark, vals, "string")
+
+
+# ----------------------- LOAD DATA IGNORE closest-value coercion
+
+# Independent Python reference of MySQL's legacy numeric coercion to
+# BIGINT (the _mysql_coerce_numeric contract): leading numeric prefix
+# parses (EXACTLY when it is integer-only — no double detour), junk
+# and empty coerce to 0, fractional/scientific prefixes round HALF_UP
+# away from zero, and out-of-range magnitudes clamp to the long range.
+# This path had exactly one escaped bug in r9 ('12.9abc' stored 12
+# via the truncation-parsing bigint cast instead of 13, ADVICE-r10) —
+# the strict-cast properties above could not see it because IGNORE
+# never raises. Property-checking it against its own reference closes
+# that hole.
+_PREFIX_RE = r"^[ \t]*[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?"
+
+
+def _ref_mysql_coerce_bigint(s: str) -> int:
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    LONG_MAX, LONG_MIN = 2**63 - 1, -(2**63)
+    m = _re.match(_PREFIX_RE, s)
+    p = m.group(0).strip() if m else ""
+    if not p:
+        return 0
+    if not _re.search(r"[.eE]", p):
+        v = int(p)
+        if LONG_MIN <= v <= LONG_MAX:
+            return v  # exact integer prefix, no double detour
+        d = float(p)  # out-of-range integer prefix: saturating detour
+    else:
+        d = float(p)
+    if d >= 2.0**63:  # +inf included
+        return LONG_MAX
+    if d <= -(2.0**63):  # -inf included
+        return LONG_MIN
+    return int(Decimal(d).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+_coerce_strs = st.one_of(
+    # numeric prefix + junk tail in one shape
+    st.from_regex(
+        r"[ \t]{0,2}[+-]?[0-9]{0,22}(\.[0-9]{0,8})?([eE][+-]?[0-9]{0,3})?[a-z]{0,3}",
+        fullmatch=True,
+    ),
+    st.sampled_from(
+        [
+            "12.9abc", "-2.5xyz", "2.9", "junk", "", " 42 abc", "NaN",
+            "1e400", "-1e400", "9223372036854775808",
+            "-9223372036854775809", "1234567890123456789abc",
+            ".5xyz", "7.5e1x", "12.", "+5abc", ".e3abc", "0005.5junk",
+        ]
+    ),
+)
+
+
+@SLOW
+@given(st.lists(_coerce_strs, min_size=1, max_size=24))
+def test_load_data_ignore_coercion_matches_reference(spark, vals):
+    """_mysql_coerce_numeric('BIGINT') stores exactly what MySQL's
+    legacy closest-value coercion stores, for any junky string —
+    including fractional prefixes, exponents, overflow clamps, and
+    19-digit exact integer prefixes."""
+    from ebike_spark.engine.dml import _mysql_coerce_numeric
+
+    expected = [_ref_mysql_coerce_bigint(v) for v in vals]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [
+        r["c"]
+        for r in df.select(
+            _mysql_coerce_numeric(F.col("v"), "BIGINT").alias("c")
+        ).collect()
+    ]
+    assert got == expected, list(zip(vals, got, expected))
