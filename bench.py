@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "text_zipf_fit",
     "io_zstd_roundtrip",
+    "text_fuzzy_variants",
 ]
 
 

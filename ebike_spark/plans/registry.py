@@ -98,18 +98,21 @@ def _load_all() -> None:
 # fresh external evidence this round, and entries past position 50 get
 # none. Round 10 executes the rotation TODO_r10.md planned (and adds a
 # generated per-query staleness table to COVERAGE.md via
-# tools/staleness.py — VERDICT-r9 task 1): queries MODIFIED this round
-# lead (the r10 IVF/LSH/verdict-tightening batch — a change without a
-# fresh driver row would leave the old green as stale evidence for new
-# code), then the entire 13-row r5-stale block, then 28 of the 46
-# remaining r6-stale rows — the q04–q13 TPC-H spine (anchors SURVEY
-# §2.C) and the WHOLE 8-query batch-twin streaming family (the
-# stalest family, anchoring the beyond-reference claims), then the
-# set-op/subquery/window block. The 18-row r6 remainder (fn_*
-# battery, io_* roundtrips, three ev_* rows, embed_kmeans_lloyd) is
-# listed after the cut and leads the round-11 rotation; after r11
-# every row's latest external check is r7+.
+# tools/staleness.py — VERDICT-r9 task 1): the round's NEW query
+# leads, then queries MODIFIED this round (the r10 IVF/LSH/verdict-
+# tightening batch — a change without a fresh driver row would leave
+# the old green as stale evidence for new code), then the entire
+# 13-row r5-stale block, then 27 of the 46 remaining r6-stale rows —
+# the q04–q13 TPC-H spine (anchors SURVEY §2.C) and the WHOLE 8-query
+# batch-twin streaming family (the stalest family, anchoring the
+# beyond-reference claims), then the set-op/subquery/window block.
+# The 19-row r6 remainder (q22, fn_* battery, io_* roundtrips, three
+# ev_* rows, embed_kmeans_lloyd) is listed after the cut and leads
+# the round-11 rotation; after r11 every row's latest external check
+# is r7+.
 WINDOW_PREFIX: tuple[str, ...] = (
+    # --- NEW in r10 ---
+    "text_fuzzy_variants",
     # --- modified in r10 (need evidence for the NEW code) ---
     "dedup_prefix_hash",
     "ann_lsh_topk",
@@ -164,9 +167,10 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "q19b_correlated_exists",
     "q20_window_frames",
     "q21_cube",
+    # --- external budget exhausted at position 50: q22 (displaced by
+    # the new r10 query) and the 18-row r6 remainder below lead the
+    # round-11 rotation ---
     "q22_values_inline",
-    # --- external budget exhausted at position 50: the 18-row r6
-    # remainder below leads the round-11 rotation ---
     "fn_arrays",
     "fn_unpivot",
     "fn_math",

@@ -1076,3 +1076,54 @@ def test_char_diversity_shuffles_four_ints_per_doc(spark):
     assert "lang" in first_exchange_line  # lang-keyed rollup
     # no text column survives past the Python stage's output schema
     assert "text" not in post.split("MapInPandas", 1)[0]
+
+
+def test_fuzzy_variants_blocks_without_quadratic_join(spark):
+    """text_fuzzy_variants: the candidate join is an EQUI-join on the
+    deletion variant (no CartesianProduct / NestedLoop anywhere — the
+    quadratic pair space exists only in the DuckDB oracle), and the
+    result equals a brute-force all-pairs levenshtein over the same
+    vocabulary — the SymSpell deletion-blocking recall proof at test
+    scale."""
+    import itertools
+
+    df = REGISTRY["text_fuzzy_variants"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    got = {(r["tok_a"], r["tok_b"], r["dist"]) for r in df.collect()}
+    # brute force over the same filtered vocabulary (driver-side —
+    # vocabulary is test-sized)
+    from ebike_spark.functions.textfns import tokens as _tokens
+    from ebike_spark.operators.text_late import (
+        FUZZY_K,
+        FUZZY_MAX_LEN,
+        FUZZY_MIN_LEN,
+    )
+    from ebike_spark.sources.registry import load_table
+
+    vocab = [
+        r["tok"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select(F.explode(_tokens("text")).alias("tok"))
+        .where(F.length("tok").between(FUZZY_MIN_LEN, FUZZY_MAX_LEN))
+        .distinct()
+        .collect()
+    ]
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(sorted(vocab), 2)
+        if lev(a, b) <= FUZZY_K
+    }
+    assert got == want and want, (sorted(got)[:5], sorted(want)[:5])
