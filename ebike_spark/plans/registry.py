@@ -89,6 +89,7 @@ def _load_all() -> None:
     import ebike_spark.operators.profiling  # noqa: F401
     import ebike_spark.operators.kmeans  # noqa: F401
     import ebike_spark.operators.pca  # noqa: F401
+    import ebike_spark.plans.graph  # noqa: F401
 
 
 # The external correctness harness checks a bounded PREFIX (exactly 50
@@ -98,21 +99,22 @@ def _load_all() -> None:
 # fresh external evidence this round, and entries past position 50 get
 # none. Round 10 executes the rotation TODO_r10.md planned (and adds a
 # generated per-query staleness table to COVERAGE.md via
-# tools/staleness.py — VERDICT-r9 task 1): the round's NEW query
-# leads, then queries MODIFIED this round (the r10 IVF/LSH/verdict-
-# tightening batch — a change without a fresh driver row would leave
-# the old green as stale evidence for new code), then the entire
-# 13-row r5-stale block, then 27 of the 46 remaining r6-stale rows —
-# the q04–q13 TPC-H spine (anchors SURVEY §2.C) and the WHOLE 8-query
-# batch-twin streaming family (the stalest family, anchoring the
-# beyond-reference claims), then the set-op/subquery/window block.
-# The 19-row r6 remainder (q22, fn_* battery, io_* roundtrips, three
-# ev_* rows, embed_kmeans_lloyd) is listed after the cut and leads
-# the round-11 rotation; after r11 every row's latest external check
-# is r7+.
+# tools/staleness.py — VERDICT-r9 task 1): the round's two NEW
+# queries lead, then queries MODIFIED this round (the r10 IVF/LSH/
+# verdict-tightening batch — a change without a fresh driver row
+# would leave the old green as stale evidence for new code), then the
+# entire 13-row r5-stale block, then 26 of the 46 remaining r6-stale
+# rows — the q04–q13 TPC-H spine (anchors SURVEY §2.C) and the WHOLE
+# 8-query batch-twin streaming family (the stalest family, anchoring
+# the beyond-reference claims), then the set-op/subquery/window
+# block. The 20-row r6 remainder (q21/q22, fn_* battery, io_*
+# roundtrips, three ev_* rows, embed_kmeans_lloyd) is listed after
+# the cut and leads the round-11 rotation; after r11 every row's
+# latest external check is r7+.
 WINDOW_PREFIX: tuple[str, ...] = (
     # --- NEW in r10 ---
     "text_fuzzy_variants",
+    "ev_pagerank_states",
     # --- modified in r10 (need evidence for the NEW code) ---
     "dedup_prefix_hash",
     "ann_lsh_topk",
@@ -166,10 +168,10 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "q19_subqueries",
     "q19b_correlated_exists",
     "q20_window_frames",
+    # --- external budget exhausted at position 50: q21/q22 (displaced
+    # by the two new r10 queries) and the 18-row r6 remainder below
+    # lead the round-11 rotation ---
     "q21_cube",
-    # --- external budget exhausted at position 50: q22 (displaced by
-    # the new r10 query) and the 18-row r6 remainder below lead the
-    # round-11 rotation ---
     "q22_values_inline",
     "fn_arrays",
     "fn_unpivot",

@@ -861,3 +861,30 @@ def test_cms_never_underestimates(spark):
     assert all(
         r["cms_estimate"] == r["exact_count"] + r["overestimate"] for r in rows
     )
+
+
+def test_pagerank_states_mass_and_determinism(spark):
+    """ev_pagerank_states: integer mass is conserved-or-evaporated
+    (never created — floors and dangling exits only LOSE units from
+    the initial pool), every state gets a row, the damped teleport
+    floor keeps every rank positive, and the integer trajectory is
+    bit-deterministic across invocations."""
+    from ebike_spark.plans.graph import PR_UNITS
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+    from ebike_spark.sources.registry import load_table
+
+    _load_all()
+    fn = REGISTRY["ev_pagerank_states"].fn
+    rows = fn(spark, SF_DIR).collect()
+    n_types = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_types
+    total = sum(r["rank_units"] for r in rows)
+    assert 0 < total <= PR_UNITS, total
+    assert all(r["rank_units"] > 0 for r in rows)
+    again = {(r["state"], r["rank_units"]) for r in fn(spark, SF_DIR).collect()}
+    assert again == {(r["state"], r["rank_units"]) for r in rows}

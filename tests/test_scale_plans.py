@@ -1127,3 +1127,22 @@ def test_fuzzy_variants_blocks_without_quadratic_join(spark):
         if lev(a, b) <= FUZZY_K
     }
     assert got == want and want, (sorted(got)[:5], sorted(want)[:5])
+
+
+def test_pagerank_iterations_broadcast_cached_edges(spark):
+    """ev_pagerank_states: every power-iteration join is a BROADCAST
+    hash join of the constant-sized rank vector (no shuffle join, no
+    CartesianProduct/NestedLoop in the loop), and the iterations read
+    the PERSISTED edge/node frames — the parquet events scan happens
+    once at index build, never per iteration (the SCALE.md
+    frontier-sized-iteration claim, plan-asserted)."""
+    from ebike_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["ev_pagerank_states"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan  # cached edges/nodes
+    # no SortMergeJoin in the iteration chain: the rank vector must
+    # never be shuffle-joined against the edge list
+    assert "SortMergeJoin" not in plan, plan
