@@ -743,11 +743,19 @@ class _Conn:
                     sid = struct.unpack_from("<I", body, 0)[0]
                     pid = struct.unpack_from("<H", body, 4)[0]
                     try:
-                        self.engine.prepared_param_count(sid)
+                        n_par = self.engine.prepared_param_count(sid)
                     except EbikeError:
                         # unknown handle: EXECUTE on it is 1243 anyway
                         # — drop the chunk rather than letting bogus
                         # ids grow per-connection memory until close
+                        continue
+                    if pid >= n_par:
+                        # out-of-range param index: EXECUTE never
+                        # consumes such a chunk, so accepting it would
+                        # reopen the unbounded-growth hole the cap
+                        # closed (up to 2^16 capped buffers per
+                        # statement — review r10); drop like an
+                        # unknown handle
                         continue
                     buf = self._long_data.setdefault((sid, pid), bytearray())
                     if len(buf) + len(body) - 6 > _LONG_DATA_CAP:

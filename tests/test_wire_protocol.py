@@ -885,6 +885,11 @@ def test_stmt_send_long_data_cap_and_unknown_id(server, monkeypatch):
     # unknown handle: no response, no storage; EXECUTE is 1243
     c.send_long_data(999999, 0, b"x" * 32)
     sid, _ = c.prepare("INSERT INTO lc VALUES (?, ?)")
+    # out-of-range param index on a KNOWN handle: dropped too (EXECUTE
+    # never consumes it — accepting would allow 2^16 capped buffers
+    # per statement), and it must not poison the statement's real
+    # params below
+    c.send_long_data(sid, 40000, b"y" * 32)
     # over-cap accumulation -> 1153 at EXECUTE, consumed by it
     c.send_long_data(sid, 1, b"a" * 48)
     c.send_long_data(sid, 1, b"b" * 48)
