@@ -888,3 +888,36 @@ def test_pagerank_states_mass_and_determinism(spark):
     assert all(r["rank_units"] > 0 for r in rows)
     again = {(r["state"], r["rank_units"]) for r in fn(spark, SF_DIR).collect()}
     assert again == {(r["state"], r["rank_units"]) for r in rows}
+
+
+@pytest.mark.slow
+def test_session_caches_key_on_sf_dir(spark):
+    """Cross-SF cache keying: the battery plan cache (per (name,
+    sf_dir)) and every _persist_scoped intermediate (keyed by sf) must
+    never leak one fixture's data into another's result when a single
+    session alternates scale factors — the exact access pattern the
+    bench/driver session produces. Runs each cache-heavy query at
+    sf0.001 → sf0.01 → sf0.001 and requires the third read to equal
+    the first exactly."""
+    from ebike_spark.plans.registry import REGISTRY, _load_all, _plan_cached
+
+    _load_all()
+    other = "/root/testdata/sf0.01"
+    for name in (
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+        "q32_recursive_reach",
+        "ev_pagerank_states",
+        "text_fuzzy_variants",
+        "ev_active_users_hll",
+    ):
+        fn = _plan_cached(name, REGISTRY[name].fn)
+        first = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        mid = sorted(map(tuple, fn(spark, other).collect()))
+        again = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        assert again == first, name
+        # discriminator (verdict rows are legitimately identical
+        # across fixtures, so only value-shaped output proves the
+        # middle run really read the other fixture)
+        if name == "ev_active_users_hll":
+            assert mid != first, name
