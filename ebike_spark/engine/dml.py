@@ -122,15 +122,33 @@ def _mysql_coerce_numeric(raw_col, target: str):
     dbl_max = F.lit(1.7976931348623157e308)
     if target == "BIGINT":
         exact = _rounding_bigint_cast_col(raw_col)
-        # exact INTEGER prefix FIRST ('1234567890123456789abc' must
-        # not lose precision in a double detour — MySQL parses the
-        # prefix exactly). Gate on integer-only text: the non-ANSI
-        # string→bigint cast truncation-parses '12.9' to 12, which
-        # would shadow the rounding fallback MySQL applies ('12.9abc'
-        # stores 13, not 12). Fractional/scientific/overflow prefixes
-        # fall through to the rounding/saturating double path.
+        # DECIMAL-exact prefix handling FIRST (r10 property finding:
+        # '10000000000000001.xyz' must keep all 17 digits, and
+        # '12.9abc' must round to 13 — MySQL's insert coercion parses
+        # the decimal prefix exactly and rounds HALF_UP on the
+        # fractional part, never through a double). The non-ANSI
+        # string→bigint cast truncation-parses the integer part of
+        # 'd.d' text exactly; HALF_UP == bump by the sign iff the
+        # FIRST fractional digit is ≥ 5, guarded away from the long
+        # bounds (where MySQL clamps anyway). Exponent forms and
+        # integer-part overflow fall through to the
+        # rounding/saturating double path (MySQL converts those via
+        # double too).
+        int_part = prefix.cast("bigint")
+        first_frac = F.regexp_extract(prefix, r"\.([0-9])", 1)
+        neg = F.regexp_extract(prefix, r"^[ \t]*(-)", 1) == "-"
+        wants_bump = (first_frac != "") & (first_frac >= "5")
+        bump = (
+            F.when(
+                wants_bump & neg & (int_part > F.lit(-(2**63))), F.lit(-1)
+            )
+            .when(
+                wants_bump & ~neg & (int_part < F.lit(2**63 - 1)), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+        )
         fallback = F.coalesce(
-            F.when(~prefix.rlike(r"[.eE]"), prefix.cast("bigint")),
+            F.when(~prefix.rlike(r"[eE]"), int_part + bump.cast("bigint")),
             F.round(coerced_dbl, 0).cast("bigint"),
         )
     else:

@@ -506,18 +506,26 @@ def _ref_mysql_coerce_bigint(s: str) -> int:
     import re as _re
     from decimal import ROUND_HALF_UP, Decimal
 
+    # CLEAN numeric strings take the same strict-cast path INSERT
+    # VALUES uses (coalesce(exact, ...) in _mysql_coerce_numeric), so
+    # they carry its documented double-detour semantics — reuse that
+    # reference verbatim. Only strings the strict cast rejects fall to
+    # the closest-value prefix logic below.
+    r = _ref_bigint_cast(s)
+    if r != "ERR":
+        return r
     LONG_MAX, LONG_MIN = 2**63 - 1, -(2**63)
     m = _re.match(_PREFIX_RE, s)
     p = m.group(0).strip() if m else ""
     if not p:
         return 0
-    if not _re.search(r"[.eE]", p):
-        v = int(p)
-        if LONG_MIN <= v <= LONG_MAX:
-            return v  # exact integer prefix, no double detour
-        d = float(p)  # out-of-range integer prefix: saturating detour
-    else:
-        d = float(p)
+    if not _re.search(r"[eE]", p):
+        # decimal prefix (junk tail / integer-part overflow): parsed
+        # EXACTLY, rounded HALF_UP on the fraction, clamped — no
+        # double detour at any digit count
+        v = int(Decimal(p).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+        return max(LONG_MIN, min(LONG_MAX, v))
+    d = float(p)  # exponent forms convert via double, like MySQL
     if d >= 2.0**63:  # +inf included
         return LONG_MAX
     if d <= -(2.0**63):  # -inf included
@@ -557,6 +565,64 @@ def test_load_data_ignore_coercion_matches_reference(spark, vals):
         r["c"]
         for r in df.select(
             _mysql_coerce_numeric(F.col("v"), "BIGINT").alias("c")
+        ).collect()
+    ]
+    assert got == expected, list(zip(vals, got, expected))
+
+
+def _ref_mysql_coerce_double(s: str) -> float:
+    """Python reference of the DOUBLE branch: a cleanly-parsing finite
+    value stores as-is (MySQL can never store Inf/NaN); everything
+    else falls back to the leading-prefix parse with ±DBL_MAX clamps
+    and junk/empty → 0.0. Domain: the LOAD DATA field shapes the
+    strategy below generates (decimal/exponent forms + junk tails) —
+    NOT Java-parseDouble exotica (hex floats, d/f suffixes), which
+    CSV numeric fields never contain."""
+    import math
+    import re as _re
+
+    DBL_MAX = 1.7976931348623157e308
+    try:
+        d = float(s.strip()) if s.strip() else None
+    except ValueError:
+        d = None
+    if d is not None and not math.isnan(d) and abs(d) <= DBL_MAX:
+        return d
+    m = _re.match(_PREFIX_RE, s)
+    p = m.group(0).strip() if m else ""
+    if not p:
+        return 0.0
+    v = float(p)
+    return max(-DBL_MAX, min(DBL_MAX, v))
+
+
+_coerce_dbl_strs = st.one_of(
+    st.from_regex(
+        r"[ \t]{0,2}[+-]?[0-9]{0,18}(\.[0-9]{0,8})?([eE][+-]?[0-9]{0,3})?[a-z]{0,3}",
+        fullmatch=True,
+    ),
+    st.sampled_from(
+        ["1e400", "-1e400", "NaN", "nan", "inf", "junk", "", "3.5abc",
+         " -0.25e2 ", "12.", ".5", "+5e2", "1e-400", "0.0x"]
+    ),
+)
+
+
+@SLOW
+@given(st.lists(_coerce_dbl_strs, min_size=1, max_size=24))
+def test_load_data_ignore_double_coercion_matches_reference(spark, vals):
+    """_mysql_coerce_numeric('DOUBLE') never stores Inf/NaN ('1e400'
+    clamps to ±DBL_MAX, 'NaN'/'inf' coerce like junk to 0.0) and
+    prefix-parses junk tails — property-checked against the
+    independent Python model over LOAD DATA field shapes."""
+    from ebike_spark.engine.dml import _mysql_coerce_numeric
+
+    expected = [_ref_mysql_coerce_double(v) for v in vals]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [
+        r["c"]
+        for r in df.select(
+            _mysql_coerce_numeric(F.col("v"), "DOUBLE").alias("c")
         ).collect()
     ]
     assert got == expected, list(zip(vals, got, expected))
