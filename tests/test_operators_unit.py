@@ -903,6 +903,10 @@ def test_session_caches_key_on_sf_dir(spark):
 
     _load_all()
     other = "/root/testdata/sf0.01"
+    if other.rstrip("/") == SF_DIR.rstrip("/"):
+        # suite running under the EBIKE_TEST_SF_DIR override: pick a
+        # genuinely different fixture or the discriminator is vacuous
+        other = "/root/testdata/sf0.001"
     for name in (
         "ann_ivf_topk",
         "ann_lsh_topk",
