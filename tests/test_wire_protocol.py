@@ -868,6 +868,48 @@ def test_opt_in_wire_auth(spark):
         s.stop()
 
 
+def test_auth_refuses_pre41_client(spark):
+    """With auth enforced, a client that omits CLIENT_SECURE_CONNECTION
+    cannot ship a binary scramble in the legacy NUL-terminated form —
+    the server answers ER 1251 instead of mis-parsing a token that may
+    contain 0x00. Without enforcement the same client connects fine
+    (reference parity)."""
+    import socket as _socket
+
+    def _legacy_connect(port: int):
+        c = MiniClient.__new__(MiniClient)
+        c.sock = _socket.create_connection(("127.0.0.1", port), timeout=30)
+        c.seq = 0
+        c.read_packet()  # greeting
+        caps = 0x00000200 | 0x00080000  # protocol 41 + plugin auth, NO secure
+        resp = (
+            struct.pack("<I", caps)
+            + struct.pack("<I", 1 << 24)
+            + bytes([45])
+            + b"\x00" * 23
+            + b"root\x00"
+            + b"\x00"  # legacy NUL-terminated (empty) auth response
+            + b"mysql_native_password\x00"
+        )
+        c.write_packet(resp)
+        return c, c.read_packet()
+
+    s = EbikeServer(spark, require_password="s3cret").start()
+    try:
+        c, pkt = _legacy_connect(s.port)
+        assert pkt[0] == 0xFF and struct.unpack_from("<H", pkt, 1)[0] == 1251
+        c.sock.close()
+    finally:
+        s.stop()
+    s2 = EbikeServer(spark).start()  # enforcement off: legacy client OK
+    try:
+        c, pkt = _legacy_connect(s2.port)
+        assert pkt[0] == 0x00
+        c.sock.close()
+    finally:
+        s2.stop()
+
+
 def test_stmt_send_long_data_cap_and_unknown_id(server, monkeypatch):
     """Long-data hygiene (review r10): chunks for an UNKNOWN statement
     handle are dropped on arrival (EXECUTE on that handle is 1243
