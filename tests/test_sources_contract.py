@@ -113,6 +113,12 @@ def test_hostile_session_is_normalized(spark, oracle):
             "fn_conditional",
             # hour() + weekday() — the most tz-sensitive surface
             "ev_seasonality_profile",
+            # r10 additions with novel expression shapes: nested-HOF
+            # deletion neighborhoods + over-length substring (ANSI
+            # substring semantics), and integer DIV arithmetic (ANSI
+            # overflow-checked operators)
+            "text_fuzzy_variants",
+            "ev_pagerank_states",
         ):
             spec = REGISTRY[name]
             sdf = spec.fn(spark, SF_DIR)
