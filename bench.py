@@ -6,14 +6,18 @@ compact summary {"metric": "total_query_seconds", "value": N, ...} as
 the LAST line — the driver tail-captures ~2000 bytes of stdout, so the
 final line must stay small (asserted ≤1900 bytes below).
 
-Each query is executed as a full action (count of the result) after a
-warmup pass; timings are wall-clock per query under the registry's
-plan-cached surface (all_queries — r10): the warm pass builds and
-caches the DataFrame, the timed passes measure resident-engine
-execution without re-running plan construction/analysis (or, for
-queries that materialize driver-side state at build, without
-re-building that state). io_*/stream_* are uncached. Set
-EBIKE_BENCH_RUNS=1 for cold timings.
+Each query is executed as a full action (count of the result) under the
+registry's plan-cached surface (all_queries — r10). Per query: one
+ALWAYS-UNTIMED warm invocation (plan compilation, codegen, JIT, and —
+critically — first-touch materialization of any shared _persist_scoped
+frame the query leans on), then EBIKE_BENCH_RUNS timed invocations
+(default 2), reporting the min. The warm pass is unconditional so the
+per-query numbers measure the query, not its position in the window:
+r10's artifact showed 3 rows regress >2x with zero code change purely
+because a WINDOW_PREFIX reorder moved a shared frame's first-touch cost
+onto them (VERDICT-r10 task 1). io_*/stream_* stay uncached (side
+effects must re-run) but still get the untimed warm pass. Set
+EBIKE_BENCH_COLD=1 to skip the warm pass and time truly cold.
 """
 
 from __future__ import annotations
@@ -159,6 +163,7 @@ BENCH_QUERIES = [
     "io_zstd_roundtrip",
     "text_fuzzy_variants",
     "ev_pagerank_states",
+    "ev_sssp_bellman_ford",
 ]
 
 
@@ -184,13 +189,20 @@ def main() -> None:
         canary = dt if canary is None else min(canary, dt)
     canary = round(canary, 3)
 
-    # Per-query: one untimed warm run (plan compilation, code gen, JIT),
-    # then the timed steady-state run — the throughput a resident engine
-    # delivers. Set EBIKE_BENCH_RUNS=1 for cold timings.
-    runs = max(1, int(os.environ.get("EBIKE_BENCH_RUNS", "3")))
+    # Per-query: one UNTIMED warm invocation, then `runs` timed ones
+    # (min). The warm pass is unconditional (unless EBIKE_BENCH_COLD=1)
+    # so per-query rows are order-independent: whichever query first
+    # touches a shared persisted frame pays its materialization in the
+    # warm pass, never in a timed one. Default 2 timed runs — with the
+    # warm pass that is the same 3 invocations/query as the old
+    # (broken) cold-first-min-of-3 loop, so bench wall-clock is flat.
+    runs = max(1, int(os.environ.get("EBIKE_BENCH_RUNS", "2")))
+    cold = os.environ.get("EBIKE_BENCH_COLD", "") == "1"
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry[name]
+        if not cold:
+            fn(spark, sf_dir).count()  # untimed warm pass
         best = None
         for _ in range(runs):
             t0 = time.perf_counter()

@@ -82,7 +82,20 @@ def _persist_scoped(spark: SparkSession, tag: str, df, key: str | None = None) -
       model as sources.registry's plan cache (keyed by path, files
       immutable within a session).
     - no ``key``: the plans are compared via canonicalized sameResult.
+
+    Result-relevant session confs (timezone, ANSI mode) are folded
+    into the key alongside the caller's (review r11): a cached frame
+    captures resolution-time conf state, so a mid-session conf flip
+    must MISS here just like it misses the battery plan cache —
+    otherwise the registry-level conf keying is silently bypassed by
+    every query that leans on a persisted intermediate. The
+    sameResult path needs no folding: analysis embeds conf-dependent
+    state (e.g. timeZoneId) in the plan it compares.
     """
+    from ebike_spark.plans.registry import _session_conf_key
+
+    if key is not None:
+        key = (key, _session_conf_key(spark))
     pool = _persist_pool.setdefault(spark, {})
     entry = pool.get(tag)  # (key, DataFrame)
     if entry is not None:

@@ -162,7 +162,14 @@ def _ivf_index(spark: SparkSession, sf: str):
         # is pinned first (review r10); one partition also makes the
         # k-means|| init reproducible. The sample is small by
         # construction — at production scale it's ~0.1% of the corpus;
-        # a quantizer has no business seeing every row.
+        # a quantizer has no business seeing every row. ADVICE-r10
+        # scale note: coalesce(1) funnels the TRAINING SAMPLE (not the
+        # corpus) through one task, fine while the sample is
+        # driver-sized; at production sample sizes pin determinism by
+        # WRITING the sample once to a stored table at ingest and
+        # training from that (repartitioning freely once membership is
+        # frozen on disk) instead of coalescing the live sample
+        # (mirrored in SCALE.md).
         train = (
             load_table(spark, sf, "embeddings")
             .coalesce(1)

@@ -22,6 +22,48 @@ PR_DAMP_NUM = 85  # damping 0.85 as an exact rational
 PR_DEN = 100
 PR_ITERS = 4
 
+
+def _transition_graph(spark: SparkSession, sf: str):
+    """(edges, nodes) of the weighted event-transition graph, persisted
+    session-scoped and SHARED by every graph query (PageRank, SSSP):
+    one events scan collapses to ≤types² edge rows (u, v, c, outc) and
+    a ≤types node set. The user-keyed window pass is the only
+    corpus-sized work; every iteration downstream touches only the
+    cached frames."""
+    from ebike_spark.operators.dedup import _persist_scoped
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def _edges():
+        seq = ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev")
+        ).where(F.col("prev").isNotNull())
+        e = seq.groupBy(
+            F.col("prev").alias("u"), F.col("event_type").alias("v")
+        ).agg(F.count("*").alias("c"))
+        outs = e.groupBy("u").agg(F.sum("c").alias("outc"))
+        # outs is ≤types rows — broadcast, never shuffle-join.
+        # coalesce(1): the aggregate is ≤types² ROWS by construction —
+        # caching it across 32 shuffle partitions would make every
+        # downstream iteration launch 32 near-empty tasks (measured
+        # r11: ~0.7 s/round for SSSP's per-round actions, dominated by
+        # task scheduling, → ~0.2 s after). The corpus-sized work
+        # (the window pass + aggregation ABOVE this line) keeps full
+        # parallelism; only the bounded result narrows.
+        return e.join(F.broadcast(outs), "u").coalesce(1)
+
+    edges = _persist_scoped(spark, "pagerank_edges", _edges, key=sf)
+    nodes = _persist_scoped(
+        spark,
+        "pagerank_nodes",
+        lambda: ev.select(F.col("event_type").alias("state"))
+        .distinct()
+        .coalesce(1),
+        key=sf,
+    )
+    return edges, nodes
+
 # One iteration, as SQL over the previous iteration's CTE: rank(v) =
 # teleport base + sum over in-edges of floor(85 * r(u) * c(u,v) /
 # (100 * out(u))). Integer floor-division on positive values is
@@ -95,30 +137,22 @@ def ev_pagerank_states(spark: SparkSession, sf: str) -> DataFrame:
     SCALE.md: 85·r·c must fit a BIGINT — at extreme edge weights
     production pre-normalizes c/out(u) into per-edge integer
     probabilities once, keeping the loop arithmetic bounded."""
-    from ebike_spark.operators.dedup import _persist_scoped
-
-    ev = load_table(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-
-    def _edges():
-        seq = ev.select(
-            "event_type", F.lag("event_type").over(w).alias("prev")
-        ).where(F.col("prev").isNotNull())
-        e = seq.groupBy(
-            F.col("prev").alias("u"), F.col("event_type").alias("v")
-        ).agg(F.count("*").alias("c"))
-        outs = e.groupBy("u").agg(F.sum("c").alias("outc"))
-        # outs is ≤types rows — broadcast, never shuffle-join
-        return e.join(F.broadcast(outs), "u")
-
-    edges = _persist_scoped(spark, "pagerank_edges", _edges, key=sf)
-    nodes = _persist_scoped(
-        spark,
-        "pagerank_nodes",
-        lambda: ev.select(F.col("event_type").alias("state")).distinct(),
-        key=sf,
-    )
+    edges, nodes = _transition_graph(spark, sf)
     n = nodes.count()  # bounded by event-type cardinality
+    # ADVICE-r10 guard: 85*r*c uses non-ANSI Spark arithmetic, which
+    # WRAPS silently on BIGINT overflow while the DuckDB oracle's //
+    # raises. Per-node rank never exceeds the total mass PR_UNITS
+    # (floors only lose mass), so the worst product is bounded by
+    # 85 * PR_UNITS * max(c) — assert it fits from the cached edge
+    # stats (a ≤types²-row agg) and fail loudly instead of returning
+    # wrong ranks at extreme edge weights.
+    max_c = edges.agg(F.max("c")).first()[0] or 0
+    if PR_DAMP_NUM * PR_UNITS * max_c >= (1 << 63):
+        raise OverflowError(
+            f"pagerank step would overflow BIGINT: 85*{PR_UNITS}*{max_c}"
+            " >= 2^63; pre-normalize edge weights (SCALE.md) before"
+            " running at this edge cardinality"
+        )
     base = (PR_UNITS * (PR_DEN - PR_DAMP_NUM) // PR_DEN) // n
     r = nodes.select("state", F.lit(PR_UNITS // n).cast("long").alias("r"))
     for _ in range(PR_ITERS):
@@ -140,3 +174,153 @@ def ev_pagerank_states(spark: SparkSession, sf: str) -> DataFrame:
             (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("r"),
         )
     return r.select("state", F.col("r").alias("rank_units"))
+
+
+# --- single-source shortest path (Bellman-Ford), r11 ---------------------
+#
+# Completes the iterative-graph trio (q32 reachability, ev_pagerank_states
+# power iteration) with a genuinely different plan shape: FRONTIER
+# RELAXATION WITH EARLY EXIT instead of a fixed-point of full passes.
+# Weights are exact integers (w = max(1, 1e6 // c): frequent transitions
+# are cheap), so the DuckDB oracle — the same relaxation unrolled as
+# SSSP_ROUNDS chained CTEs — replays the identical arithmetic. Extra
+# rounds after convergence are identity, so the oracle's fixed unroll and
+# the Spark side's early exit meet at the same fixed point as long as
+# SSSP_ROUNDS >= V-1 (positive weights => shortest paths are simple);
+# the builder asserts the node count fits.
+
+SSSP_INF = 1 << 60  # unreachable sentinel; INF + max(w) still fits BIGINT
+SSSP_ROUNDS = 5  # >= V-1 for the ≤6-state fixtures (asserted at build)
+SSSP_WSCALE = 1_000_000  # w = GREATEST(1, WSCALE // c)
+
+_SSSP_STEP = """
+    d{k} AS (
+      SELECT n.state,
+             CAST(LEAST(p.d, COALESCE(MIN(q.d + e.w), p.d)) AS BIGINT) AS d
+      FROM nodes n
+      JOIN d{prev} p ON p.state = n.state
+      LEFT JOIN wedges e ON e.v = n.state
+      LEFT JOIN d{prev} q ON q.state = e.u
+      GROUP BY n.state, p.d)
+"""
+
+
+def _sssp_oracle() -> str:
+    steps = ",".join(
+        _SSSP_STEP.format(k=k, prev=k - 1) for k in range(1, SSSP_ROUNDS + 1)
+    )
+    return f"""
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    edges AS (
+      SELECT prev AS u, event_type AS v, COUNT(*) AS c
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+    wedges AS (
+      SELECT u, v,
+             GREATEST(CAST(1 AS BIGINT), CAST({SSSP_WSCALE} AS BIGINT) // c) AS w
+      FROM edges),
+    nodes AS (SELECT DISTINCT event_type AS state FROM events),
+    src AS (SELECT MIN(state) AS s FROM nodes),
+    d0 AS (
+      SELECT state,
+             CASE WHEN state = (SELECT s FROM src)
+                  THEN CAST(0 AS BIGINT)
+                  ELSE CAST({SSSP_INF} AS BIGINT) END AS d
+      FROM nodes),
+    {steps}
+    SELECT state,
+           CASE WHEN d >= {SSSP_INF} THEN NULL ELSE d END AS dist_cost
+    FROM d{SSSP_ROUNDS}
+    """
+
+
+@register(
+    "ev_sssp_bellman_ford",
+    oracle=_sssp_oracle(),
+    tags=("events", "graph", "sssp", "iterative", "beyond-reference"),
+)
+def ev_sssp_bellman_ford(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-source shortest path over the weighted event-transition
+    graph: source = MIN(event_type), edge cost = max(1, 1e6 // count)
+    (frequent transitions are cheap), Bellman-Ford with FRONTIER
+    relaxation — each round relaxes only the out-edges of nodes whose
+    distance improved last round, and the loop exits as soon as the
+    frontier empties. All arithmetic is integer, so the DuckDB oracle
+    (the same relaxation unrolled as fixed CTE rounds — identity once
+    converged) hash-matches exactly. Reference has no iterative
+    algorithms at all; this extends the q32/ev_pagerank_states family
+    with the early-exit shape.
+
+    Scale shape: the edge list and node set are the SAME session-scoped
+    cached frames PageRank builds (one events scan ever); each round
+    ships the frontier's distance vector INTO the plan as a literal
+    map — the degenerate broadcast for a driver-sized vector, so
+    relaxation is one cached scan + pushed frontier filter + ≤types-row
+    min-aggregate, no join and no broadcast-exchange round-trip
+    (measured r11: 0.57 s/round as a broadcast hash join vs ~0.2 s as
+    a map lookup — the exchange + per-round plan analysis dominated,
+    not the data). The distance vector is node-sized and lives
+    driver-side exactly like kmeans centroids — the bounded-collect
+    regime (≤ event-type cardinality rows per round). At web-scale
+    node counts the literal map generalizes back to a real broadcast
+    (or a co-partitioned join against a bucketed edge table), trading
+    early-exit for an improved-count accumulator."""
+    edges, nodes = _transition_graph(spark, sf)
+    wedges = edges.select(
+        "u",
+        "v",
+        F.expr(
+            f"GREATEST(CAST(1 AS BIGINT), CAST({SSSP_WSCALE} AS BIGINT) DIV c)"
+        ).alias("w"),
+    )
+    states = sorted(r[0] for r in nodes.collect())  # bounded: ≤types rows
+    if len(states) > SSSP_ROUNDS + 1:
+        raise ValueError(
+            f"{len(states)} states need {len(states) - 1} relaxation rounds"
+            f" but SSSP_ROUNDS={SSSP_ROUNDS}; raise it (oracle unrolls the"
+            " same constant)"
+        )
+    src = states[0]
+    dist: dict[str, int] = {s: (0 if s == src else SSSP_INF) for s in states}
+    frontier = {src}
+    for _ in range(SSSP_ROUNDS):
+        if not frontier:
+            break  # converged early — remaining oracle rounds are identity
+        dmap = F.create_map(
+            *[
+                lit
+                for u in sorted(frontier)
+                for lit in (F.lit(u), F.lit(dist[u]).cast("long"))
+            ]
+        )
+        relaxed = (
+            wedges.where(F.col("u").isin(*frontier))
+            .select("v", (dmap[F.col("u")] + F.col("w")).alias("cand"))
+            .groupBy("v")
+            .agg(F.min("cand").alias("cand"))
+            .collect()
+        )
+        frontier = set()
+        for row in relaxed:
+            if row["cand"] < dist[row["v"]]:
+                dist[row["v"]] = row["cand"]
+                frontier.add(row["v"])
+    # emit through the cached node set (not a driver-local frame): the
+    # result stays a distributed projection of the graph index
+    final = F.create_map(
+        *[
+            lit
+            for s in states
+            for lit in (F.lit(s), F.lit(dist[s]).cast("long"))
+        ]
+    )
+    d = final[F.col("state")]
+    return nodes.select(
+        "state",
+        F.when(d >= F.lit(SSSP_INF), F.lit(None)).otherwise(d).alias(
+            "dist_cost"
+        ),
+    )

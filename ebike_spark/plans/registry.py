@@ -97,80 +97,36 @@ def _load_all() -> None:
 # of the order all_queries() emits. Every query is oracled identically
 # regardless of position; the prefix only controls which rows get
 # fresh external evidence this round, and entries past position 50 get
-# none. Round 10 executes the rotation TODO_r10.md planned (and adds a
-# generated per-query staleness table to COVERAGE.md via
-# tools/staleness.py — VERDICT-r9 task 1): the round's two NEW
-# queries lead, then queries MODIFIED this round (the r10 IVF/LSH/
-# verdict-tightening batch — a change without a fresh driver row
-# would leave the old green as stale evidence for new code), then the
-# entire 13-row r5-stale block, then 26 of the 46 remaining r6-stale
-# rows — the q04–q13 TPC-H spine (anchors SURVEY §2.C) and the WHOLE
-# 8-query batch-twin streaming family (the stalest family, anchoring
-# the beyond-reference claims), then the set-op/subquery/window
-# block. The 20-row r6 remainder (q21/q22, fn_* battery, io_*
-# roundtrips, three ev_* rows, embed_kmeans_lloyd) is listed after
-# the cut and leads the round-11 rotation; after r11 every row's
-# latest external check is r7+.
-WINDOW_PREFIX: tuple[str, ...] = (
-    # --- NEW in r10 ---
-    "text_fuzzy_variants",
-    "ev_pagerank_states",
-    # --- modified in r10 (need evidence for the NEW code) ---
-    "dedup_prefix_hash",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "q32_recursive_reach",
-    "embed_kmeans_converged",
-    "embed_pca_audit",
-    "ev_active_users_hll",
-    "q13_approx_distinct",
+# none. The rotation rule is MECHANICAL and ENFORCED (VERDICT-r10
+# task 3, tools/staleness.py validate_window + the unit test that
+# calls it): the window must lead with every never-checked query plus
+# MODIFIED_THIS_ROUND (a change without a fresh driver row would
+# leave the old green as stale evidence for new code), and the fill
+# to 50 may only draw from the OLDEST-checked rows on disk — no row
+# outside the window may be staler than any fill row. Round 11: one
+# new query (ev_sssp_bellman_ford) + two modified (q13b's rank-
+# guarantee promotion, ev_pagerank_states' overflow guard), then the
+# whole 20-row r6 remainder (fn_* battery, io_* roundtrips, q21/q22,
+# embed_kmeans_lloyd, three ev_*), then 27 of the 46 r7 rows — the
+# dedup family first (it anchors the LLM-pipeline claims), then the
+# embeddings/corpus/io r7 block and the oldest ev_* analytics. After
+# the r11 driver run no query's latest external check is older
+# than r7; the 19-row r7 remainder listed after the cut leads r12.
+#
+# Queries whose CODE or ORACLE changed since the last driver run —
+# validate_window requires them at the head of the window.
+MODIFIED_THIS_ROUND: tuple[str, ...] = (
     "q13b_approx_percentile",
-    # --- the full r5-stale block (13) ---
-    "ev_interarrival_histogram",
-    "text_crossdup_mass",
-    "q23_scalar_corr_avg",
-    "q24_multi_exists",
-    "q25_promo_revenue",
-    "q26_top_supplier",
-    "q27_supplier_cnt",
-    "q28_disjunctive_pred",
-    "q29_dormant_customers",
-    "fn_bitwise",
-    "text_length_histogram",
-    "sample_weighted",
-    "dq_expectations",
-    # --- r6-stale: the TPC-H spine ---
-    "q04_left_join_agg",
-    "q05_join_chain",
-    "q06_selective_sum",
-    "q07_count_distinct",
-    "q08a_intersect",
-    "q08b_except",
-    "q08c_union_all",
-    "q08d_intersect_all",
-    "q08e_except_all",
-    "q09_window_rank",
-    "q10_case_scalar_funcs",
-    "q11_cte_having",
-    "q12_cross_theta",
-    "q13_stat_aggs",
-    # --- r6-stale: the batch-twin streaming family, complete ---
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_dedup_exact",
-    "stream_sessionize",
-    "stream_funnel",
-    "stream_static_join",
-    "stream_scd2_closed",
-    "stream_rollup_maintain",
-    # --- r6-stale: set ops / subqueries / window frames ---
-    "q18_semi_anti_join",
-    "q19_subqueries",
-    "q19b_correlated_exists",
-    "q20_window_frames",
-    # --- external budget exhausted at position 50: q21/q22 (displaced
-    # by the two new r10 queries) and the 18-row r6 remainder below
-    # lead the round-11 rotation ---
+    "ev_pagerank_states",
+)
+
+WINDOW_PREFIX: tuple[str, ...] = (
+    # --- NEW in r11 ---
+    "ev_sssp_bellman_ford",
+    # --- modified in r11 (need evidence for the NEW code) ---
+    "q13b_approx_percentile",
+    "ev_pagerank_states",
+    # --- the whole r6-stale remainder (20) ---
     "q21_cube",
     "q22_values_inline",
     "fn_arrays",
@@ -191,6 +147,57 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_attribution_linear",
     "ev_attribution_position",
     "ev_anomaly_mad",
+    # --- r7-stale fill: the dedup family first ---
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_cluster",
+    # --- r7-stale fill: embeddings / text / corpus / io ---
+    "ann_filtered_topk",
+    "embed_drift_by_dim",
+    "embed_norm_histogram",
+    "text_langid",
+    "mm_wav_decode_stats",
+    "corpus_manifest_diff",
+    "corpus_dup_rate_by_source",
+    "text_decontaminate",
+    "corpus_bloom_decontaminate",
+    "corpus_gate_waterfall",
+    "io_schema_evolution",
+    "io_csv_malformed",
+    # --- r7-stale fill: the oldest ev_* analytics ---
+    "ev_cohort_ltv",
+    "ev_markov_sessions",
+    "ev_user_paths_topk",
+    "ev_new_vs_returning",
+    "ev_stickiness_weekly",
+    "ev_forecast_snaive_backtest",
+    "ev_error_budget_burn",
+    "ev_survival_hazard",
+    "ev_ab_test_ztest",
+    # --- external budget exhausted at position 50: the 19-row r7
+    # remainder below leads the round-12 rotation ---
+    "ev_trend_theil_sen",
+    "ev_lifecycle_stages",
+    "stream_new_vs_returning",
+    "stream_cdc_upsert",
+    "stream_error_budget_burn",
+    "io_compact_small_files",
+    "fn_window",
+    "fn_maps",
+    "fn_structs",
+    "fn_datetime_arith",
+    "fn_nullsafe",
+    "fn_regex_extended",
+    "fn_null_ordering",
+    "q30_lateral_topk",
+    "q31_recursive_spine",
+    "q31b_sequence_spine",
+    "text_ttr_profile",
+    "text_doc_keywords",
+    "text_heavy_hitters_cms",
 )
 
 
@@ -223,13 +230,40 @@ _PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 _NO_PLAN_CACHE_PREFIXES = ("io_", "stream_")
 
 
+# Session confs folded into the cache key (ADVICE-r10): cached
+# DataFrames capture resolution-time session state, so a mid-session
+# change to any conf that alters RESULTS would otherwise silently
+# serve frames built under the old value. These two are the ones this
+# repo's surface is sensitive to (timestamp rendering/arithmetic and
+# ANSI cast/overflow semantics — exactly the confs load_table resets);
+# statement-cache keying on (text, relevant session state) is what
+# resident engines do. Temp-view rebinding remains out of scope: the
+# battery queries read fixture paths, never session temp views.
+_PLAN_CACHE_CONFS = ("spark.sql.session.timeZone", "spark.sql.ansi.enabled")
+
+
+def _session_conf_key(spark: SparkSession) -> tuple:
+    """The result-relevant session confs, as a cache-key component —
+    shared by this plan cache and dedup._persist_scoped so no cached
+    layer survives a conf flip the other one misses on."""
+    return tuple(spark.conf.get(c, None) for c in _PLAN_CACHE_CONFS)
+
+
+# Queries that compute EAGERLY at build time (driver-side iteration
+# ending in a local result frame): caching the result frame would make
+# re-invocation a no-op count of local rows — the bench's timed runs
+# must re-run the real work, exactly like the side-effectful io_*
+# rows (review r11).
+_NO_PLAN_CACHE_NAMES = frozenset({"ev_sssp_bellman_ford"})
+
+
 def _plan_cached(name: str, fn: QueryFn) -> QueryFn:
-    if name.startswith(_NO_PLAN_CACHE_PREFIXES):
+    if name.startswith(_NO_PLAN_CACHE_PREFIXES) or name in _NO_PLAN_CACHE_NAMES:
         return fn
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         pool = _PLAN_CACHE.setdefault(spark, {})
-        key = (name, sf_dir)
+        key = (name, sf_dir, _session_conf_key(spark))
         df = pool.get(key)
         if df is None:
             df = fn(spark, sf_dir)

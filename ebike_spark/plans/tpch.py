@@ -425,16 +425,61 @@ def q13_approx(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+Q13B_QUANTILES = (0.5, 0.9, 0.99)
+Q13B_ACCURACY = 10000  # GK sketch: rank error <= n/accuracy per group
+
+
+def _q13b_rank_audit(li: DataFrame, est: DataFrame):
+    """(ranks frame, ok column) for the GK rank-guarantee audit: one
+    more scan of ``li`` joined to the ≤flags-row ``est`` frame
+    (broadcast, columns l_returnflag + ap array), counting
+    strictly-below / at-or-below each picked value per group —
+    map-side partial aggs, one shuffle on the group key, no sort. The
+    ok column asserts each value's true rank interval
+    [lt+1, le] reaches within ceil(n·eps)+1 of the target rank q·n.
+    Factored out so the unit suite can negative-control it with a
+    corrupted estimate (the constant-TRUE trap the verdict recipe
+    warns about)."""
+    aud = li.join(F.broadcast(est.select("l_returnflag", "ap")), "l_returnflag")
+    cnt_aggs = [F.count("*").alias("n")]
+    for i in range(len(Q13B_QUANTILES)):
+        v = F.col("ap")[i]
+        cnt_aggs.append(
+            F.sum((F.col("l_extendedprice") < v).cast("long")).alias(f"lt{i}")
+        )
+        cnt_aggs.append(
+            F.sum((F.col("l_extendedprice") <= v).cast("long")).alias(f"le{i}")
+        )
+    ranks = aud.groupBy("l_returnflag").agg(*cnt_aggs)
+    ok = F.lit(True)
+    for i, q in enumerate(Q13B_QUANTILES):
+        tgt = F.lit(q) * F.col("n")
+        slack = F.ceil(F.col("n") / Q13B_ACCURACY) + F.lit(1)
+        ok = (
+            ok
+            & (F.col(f"lt{i}") + 1 <= tgt + slack)
+            & (F.col(f"le{i}") >= tgt - slack)
+        )
+    return ranks, ok
+
+
 @register(
     "q13b_approx_percentile",
-    # Verdict shape (round 7 — was rows-only; TIGHTENED r10 from ±1%
-    # to ±0.2%, VERDICT-r9 task 4): sketch quantiles are
-    # engine-specific, so the checked output is the exact interpolated
-    # percentiles (quantile_cont parity proven by fn_agg_extras) plus
-    # one boolean per group asserting every approx quantile is within
-    # ±0.2% of its exact twin (accuracy=10000 measured ≤0.102% at
-    # all three fixture SFs — deterministic at fixed data, so the 2×
-    # margin holds while a sketch regression lands far outside).
+    # Verdict shape (round 7 — rows-only; r10 ±0.2% relative band;
+    # PROMOTED r11, VERDICT-r10 task 5): exact value-pinning was probed
+    # and REJECTED — percentile_approx's picked value is NOT
+    # partitioning-stable (measured: repartition(4/16/32/64/97) each
+    # select different elements at every SF), so a pinned literal
+    # would be a flake under the driver's parallelism. What IS
+    # invariant is the Greenwald-Khanna contract itself: the returned
+    # value's rank interval must sit within ceil(n/accuracy)+1 ranks
+    # of the target rank q·n (the +1 absorbs the fractional-target
+    # convention; measured worst case across 5 partitionings × 3 SFs:
+    # 2.0 ranks at sf0.01 where the bound allows 3, 20 at sf0.1 where
+    # it allows 21 — the bound BITES). The checked boolean is now a
+    # per-run PROOF of the sketch's theorem rather than a measured
+    # fuzz band: any estimator regression beyond the documented
+    # guarantee flips it at every SF, known fixture or not.
     # percentiles emit UNROUNDED (float-parity house rule: both
     # engines interpolate a + (b-a)*frac over bit-identical doubles, so
     # the results are identical doubles — a trailing ROUND would
@@ -444,36 +489,37 @@ def q13_approx(spark: SparkSession, sf: str) -> DataFrame:
            CAST(quantile_cont(l_extendedprice, 0.5)  AS DOUBLE) AS p50_exact,
            CAST(quantile_cont(l_extendedprice, 0.9)  AS DOUBLE) AS p90_exact,
            CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE) AS p99_exact,
-           TRUE AS approx_within_0p2pct
+           TRUE AS approx_rank_within_eps
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("aggregate", "approx", "verdict"),
 )
 def q13b_approx_pct(spark: SparkSession, sf: str) -> DataFrame:
     """approx_percentile (DF6 parity: approx_percentile_cont) with a
-    bounds-checked verdict — the mergeable-sketch quantile for
+    rank-guarantee verdict — the mergeable-sketch quantile for
     high-cardinality groups where the exact per-group sort
-    (fn_agg_extras) stops being affordable. The exact branch is the
-    test-scale audit twin."""
-    li = _t(spark, sf, "lineitem")
-    r = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("ap"),
-        F.expr(
-            "percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))"
-        ).alias("ex"),
+    (fn_agg_extras) stops being affordable. The sketch value is an
+    actual element of the group, so its true rank interval
+    [count(<v)+1, count(<=v)] is computable with one re-aggregation
+    against the broadcast 3-row estimate frame; the verdict asserts
+    that interval reaches within ceil(n·eps)+1 of the target rank q·n
+    — the GK guarantee itself, partitioning- and scale-independent.
+    The exact branch is the test-scale audit twin."""
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
+    qarr = ", ".join(f"{q}D" for q in Q13B_QUANTILES)
+    est = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", list(Q13B_QUANTILES), Q13B_ACCURACY
+        ).alias("ap"),
+        F.expr(f"percentile(l_extendedprice, array({qarr}))").alias("ex"),
     )
-    within = F.forall(
-        F.zip_with(
-            "ap", "ex", lambda a, e: F.abs(a - e) <= 0.002 * F.abs(e)
-        ),
-        lambda x: x,
-    )
-    return r.select(
+    ranks, ok = _q13b_rank_audit(li, est)
+    return est.join(ranks, "l_returnflag").select(
         "l_returnflag",
         F.col("ex")[0].alias("p50_exact"),
         F.col("ex")[1].alias("p90_exact"),
         F.col("ex")[2].alias("p99_exact"),
-        within.alias("approx_within_0p2pct"),
+        ok.alias("approx_rank_within_eps"),
     )
 
 

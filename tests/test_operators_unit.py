@@ -863,6 +863,167 @@ def test_cms_never_underestimates(spark):
     )
 
 
+def test_lsh_fixture_tie_gaps_protect_exact_oracle():
+    """ADVICE-r10 guard for ann_lsh_topk's FULL exact oracle: the
+    cross-engine hash compare is only sound while the fixtures keep
+    three margins far above float noise — (1) every (vector, plane)
+    dot is bounded away from 0 (a near-zero sign decides a bucket bit
+    on BOTH engines), (2) bucket-filtered candidates' cosines are
+    pairwise separated (ordering ties would make top-k engine-
+    dependent), (3) no candidate cosine sits at a ROUND(.,4) half
+    boundary. Pure numpy over the raw parquet — if a regenerated
+    corpus violates any margin, THIS fails (and the query should fall
+    back to the verdict shape) instead of the driver compare flaking.
+    Measured r11: min|dot| >= 5.4e-5, min gap >= 4.8e-6, boundary
+    dist >= 1.4e-3 across all three fixtures — thresholds sit orders
+    of magnitude below."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ebike_spark.operators.similarity import (
+        LSH_PROBE_HAMMING,
+        QUERY_VEC_ID,
+        hyperplanes,
+    )
+
+    P = hyperplanes()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        t = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
+        ids = np.array(t["vec_id"])
+        V = np.array(
+            [np.array(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
+        )
+        dots = V @ P.T
+        assert np.abs(dots).min() > 1e-9, sf  # sign margin
+        buckets = (dots > 0).astype(np.int64) @ (1 << np.arange(P.shape[0]))
+        qi = int(np.where(ids == QUERY_VEC_ID)[0][0])
+        ham = np.array(
+            [bin(int(b) ^ int(buckets[qi])).count("1") for b in buckets]
+        )
+        mask = (ham <= LSH_PROBE_HAMMING) & (ids != QUERY_VEC_ID)
+        qv = V[qi]
+        cos = (V[mask] @ qv) / (
+            np.linalg.norm(V[mask], axis=1) * np.linalg.norm(qv)
+        )
+        assert np.diff(np.sort(cos)).min() > 1e-9, sf  # tie gap
+        frac = np.abs((cos * 1e4) - np.floor(cos * 1e4) - 0.5)
+        assert frac.min() > 1e-6, sf  # ROUND(.,4) boundary margin
+
+
+def test_q13b_rank_audit_bites(spark):
+    """q13b's GK rank-guarantee verdict (r11 promotion) must BITE: the
+    real estimate passes at the test fixture, an independent
+    pure-Python rank check agrees, and a corrupted estimate (every
+    picked value replaced by the group MINIMUM — rank 1, far outside
+    the guarantee for q>=0.5) flips every group's boolean FALSE
+    through the same factored audit — the constant-TRUE trap the
+    verdict recipe exists to prevent."""
+    import bisect
+
+    import pyspark.sql.functions as F
+
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+    from ebike_spark.plans.tpch import (
+        Q13B_ACCURACY,
+        Q13B_QUANTILES,
+        _q13b_rank_audit,
+        _t,
+    )
+
+    _load_all()
+    rows = REGISTRY["q13b_approx_percentile"].fn(spark, SF_DIR).collect()
+    assert rows and all(r["approx_rank_within_eps"] for r in rows)
+
+    li = _t(spark, SF_DIR, "lineitem").select("l_returnflag", "l_extendedprice")
+    est = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", list(Q13B_QUANTILES), Q13B_ACCURACY
+        ).alias("ap")
+    )
+    # independent pure-Python recomputation of the rank intervals
+    data: dict[str, list[float]] = {}
+    for r in li.collect():
+        data.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    for v in data.values():
+        v.sort()
+    for r in est.collect():
+        vals = data[r["l_returnflag"]]
+        n = len(vals)
+        slack = -(-n // Q13B_ACCURACY) + 1
+        for q, ap in zip(Q13B_QUANTILES, r["ap"]):
+            lt = bisect.bisect_left(vals, ap)
+            le = bisect.bisect_right(vals, ap)
+            assert lt + 1 <= q * n + slack and le >= q * n - slack, (
+                r["l_returnflag"],
+                q,
+                (lt + 1, le),
+                q * n,
+            )
+    # negative control: group-min estimates must fail the audit
+    bad = li.groupBy("l_returnflag").agg(
+        F.array(
+            *[F.min("l_extendedprice") for _ in Q13B_QUANTILES]
+        ).alias("ap")
+    )
+    ranks, ok = _q13b_rank_audit(li, bad)
+    flags = ranks.select(ok.alias("ok")).collect()
+    assert flags and all(not r["ok"] for r in flags)
+
+
+def test_sssp_matches_independent_dijkstra(spark):
+    """ev_sssp_bellman_ford: the frontier Bellman-Ford's fixed point
+    equals an INDEPENDENT pure-Python Dijkstra over the same weighted
+    transition graph, rebuilt here from the raw events (bounded: the
+    test fixture collects whole). Also: source distance is exactly 0,
+    finite distances positive elsewhere, and the integer trajectory is
+    deterministic across invocations."""
+    import heapq
+    from collections import defaultdict
+
+    from ebike_spark.plans.graph import SSSP_WSCALE
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+    from ebike_spark.sources.registry import load_table
+
+    _load_all()
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    byu = defaultdict(list)
+    for r in rows:
+        byu[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    cnt: dict[tuple[str, str], int] = defaultdict(int)
+    for seq in byu.values():
+        seq.sort()
+        for a, b in zip(seq, seq[1:]):
+            cnt[(a[2], b[2])] += 1
+    adj = defaultdict(list)
+    for (u, v), c in cnt.items():
+        adj[u].append((v, max(1, SSSP_WSCALE // c)))
+    nodes = {r["event_type"] for r in rows}
+    src = min(nodes)
+    dist = {src: 0}
+    pq = [(0, src)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 1 << 62):
+            continue
+        for v, w in adj[u]:
+            nd = d + w
+            if nd < dist.get(v, 1 << 62):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    want = {(s, dist.get(s)) for s in nodes}
+    fn = REGISTRY["ev_sssp_bellman_ford"].fn
+    got = {(r["state"], r["dist_cost"]) for r in fn(spark, SF_DIR).collect()}
+    assert got == want
+    assert (src, 0) in got
+    assert all(d is None or d > 0 for s, d in got if s != src)
+    again = {(r["state"], r["dist_cost"]) for r in fn(spark, SF_DIR).collect()}
+    assert again == got
+
+
 def test_pagerank_states_mass_and_determinism(spark):
     """ev_pagerank_states: integer mass is conserved-or-evaporated
     (never created — floors and dangling exits only LOSE units from

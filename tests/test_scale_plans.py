@@ -1146,3 +1146,50 @@ def test_pagerank_iterations_broadcast_cached_edges(spark):
     # no SortMergeJoin in the iteration chain: the rank vector must
     # never be shuffle-joined against the edge list
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_sssp_shares_graph_cache_and_relaxes_joinless(spark):
+    """ev_sssp_bellman_ford: (1) it relaxes over the SAME session-
+    scoped edge/node frames PageRank builds — _transition_graph is a
+    cache hit on re-invocation (same DataFrame objects), so the graph
+    family scans events once per (session, corpus); (2) the per-round
+    relaxation — frontier distance vector shipped as a literal map,
+    reconstructed here exactly as the operator builds it — is ONE
+    cached scan + filter + aggregate with NO join operator of any
+    kind (the degenerate broadcast: the vector lives in the plan);
+    (3) the returned frame projects the cached node set, not a
+    driver-local relation."""
+    import pyspark.sql.functions as F
+
+    from ebike_spark.plans.graph import SSSP_WSCALE, _transition_graph
+    from ebike_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["ev_sssp_bellman_ford"].fn(spark, SF_DIR)
+    assert "InMemoryTableScan" in _physical(out)  # cached nodes, not local
+    e1, n1 = _transition_graph(spark, SF_DIR)
+    e2, n2 = _transition_graph(spark, SF_DIR)
+    assert e1 is e2 and n1 is n2  # shared persisted frames, cache hit
+    wedges = e1.select(
+        "u",
+        "v",
+        F.expr(
+            f"GREATEST(CAST(1 AS BIGINT), CAST({SSSP_WSCALE} AS BIGINT) DIV c)"
+        ).alias("w"),
+    )
+    dmap = F.create_map(F.lit("click"), F.lit(0).cast("long"))
+    relax = (
+        wedges.where(F.col("u").isin("click"))
+        .select("v", (dmap[F.col("u")] + F.col("w")).alias("cand"))
+        .groupBy("v")
+        .agg(F.min("cand").alias("cand"))
+    )
+    plan = _physical(relax)
+    assert "InMemoryTableScan" in plan, plan
+    # the cached frame's BUILD lineage (which legitimately contains the
+    # edges-construction broadcast join) prints under InMemoryRelation;
+    # the RELAXATION itself — everything above the cache boundary —
+    # must be join-free
+    above_cache = plan.split("InMemoryRelation")[0]
+    assert "Join" not in above_cache, plan
+    assert "CartesianProduct" not in above_cache, plan
+    assert "NestedLoop" not in above_cache, plan
