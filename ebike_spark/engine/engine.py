@@ -68,6 +68,9 @@ class Engine(DdlExecMixin, DmlExecMixin, PreparedMixin):
             # fence can be set (SET rejects it with 1238 below)
             self.sys_vars["secure_file_priv"] = secure_file_priv
         self.user_vars: dict[str, object] = {}
+        # SHOW PROCESSLIST rows, if something owns the connection view
+        # (the wire server wires its registry in; None = bare engine)
+        self.processlist_provider = None
         self.last_insert_id = 0
         self._stmts: dict[int, _Prepared] = {}
         self._next_stmt_id = 1
@@ -676,7 +679,11 @@ class Engine(DdlExecMixin, DmlExecMixin, PreparedMixin):
             db = unquote_ident(m.group(1)) if m.group(1) else self.current_db
             return rows(show.show_table_status(spark, self.catalog, db))
         if up.startswith("PROCESSLIST") or up.startswith("FULL PROCESSLIST"):
-            return rows(show.show_processlist(spark, self.current_db))
+            return rows(
+                show.show_processlist(
+                    spark, self.current_db, self.processlist_provider
+                )
+            )
         if up.startswith("GRANTS"):
             return rows(show.show_grants(spark))
         if up.startswith("PRIVILEGES"):

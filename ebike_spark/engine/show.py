@@ -130,11 +130,29 @@ def show_index(spark: SparkSession, catalog: Catalog, qualified: str) -> DataFra
     )
 
 
-def show_processlist(spark: SparkSession, current_db: str) -> DataFrame:
-    """One row: this session (single-connection engine; the reference's
-    processlist would surface its wire connections)."""
+def show_processlist(
+    spark: SparkSession, current_db: str, provider=None
+) -> DataFrame:
+    """Live wire connections when a ``provider`` is wired in (the
+    server installs one backed by its connection registry, so the Ids
+    shown here are the SAME ids COM_PROCESS_KILL addresses — r11
+    review); a bare Engine with no server shows its single session."""
+    rows = provider() if provider is not None else None
+    if not rows:
+        rows = [
+            (
+                1,
+                "root",
+                "localhost",
+                current_db,
+                "Query",
+                0,
+                "executing",
+                "SHOW PROCESSLIST",
+            )
+        ]
     return spark.createDataFrame(
-        [(1, "root", "localhost", current_db, "Query", 0, "executing", "SHOW PROCESSLIST")],
+        rows,
         "Id long, User string, Host string, db string, Command string, "
         "Time long, State string, Info string",
     )

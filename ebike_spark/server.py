@@ -20,7 +20,12 @@ Scope/divergences (documented, all testable in-container):
   configured password for the seeded mysql.users root row; a mismatch
   is ERR 1045 (28000) and the connection state is untouched.
 - TLS and compression are not negotiated (the capability mask simply
-  omits them). CLIENT_DEPRECATE_EOF IS negotiated: a client that sets
+  omits them — same stance as the reference; rationale in README
+  "Wire protocol scope"). With r11's COM_PROCESS_INFO / COM_DEBUG /
+  COM_PROCESS_KILL (a real KILL: the target's socket shuts down and
+  its serve loop exits) every classic command byte a stock client or
+  mysqladmin sends is dispatched; the capability mask is the only
+  remaining scope line. CLIENT_DEPRECATE_EOF IS negotiated: a client that sets
   it gets modern framing (no EOF after column defs; row streams end
   with the OK-with-0xFE-header terminator), one that doesn't gets
   classic EOF framing — both paths tested. CLIENT_MULTI_STATEMENTS /
@@ -71,6 +76,9 @@ COM_QUERY = 0x03
 COM_FIELD_LIST = 0x04
 COM_PING = 0x0E
 COM_STATISTICS = 0x09
+COM_PROCESS_INFO = 0x0A  # deprecated alias for SHOW PROCESSLIST
+COM_PROCESS_KILL = 0x0C  # deprecated alias for KILL <connection id>
+COM_DEBUG = 0x0D  # stderr debug dump; answered EOF/OK
 COM_CHANGE_USER = 0x11
 COM_STMT_PREPARE = 0x16
 COM_STMT_EXECUTE = 0x17
@@ -188,8 +196,12 @@ class _Conn:
         *,
         stats: dict,
         require_password: str | None = None,
+        conn_id: int = 1,
     ):
         self.sock = sock
+        # wire connection id: sent in the handshake, shown by
+        # COM_PROCESS_INFO, addressable by COM_PROCESS_KILL
+        self.conn_id = conn_id
         # opt-in wire auth (None = accept anything, reference parity)
         self.require_password = require_password
         # server-wide counters for COM_STATISTICS (shared across
@@ -417,7 +429,7 @@ class _Conn:
         payload = (
             b"\x0a"  # protocol version 10
             + b"8.0.26-ebike-spark\x00"
-            + struct.pack("<I", threading.get_ident() & 0xFFFFFFFF)
+            + struct.pack("<I", self.conn_id & 0xFFFFFFFF)
             + nonce[:8]
             + b"\x00"
             + struct.pack("<H", SERVER_CAPS & 0xFFFF)
@@ -655,6 +667,47 @@ class _Conn:
                     # checkouts without re-authenticating
                     self._reset_wire_session()
                     self.send_ok()
+                elif cmd == COM_PROCESS_INFO:
+                    # deprecated alias for SHOW PROCESSLIST (mysql
+                    # client `processlist` command still sends it);
+                    # _com_query counts the question
+                    self._com_query("SHOW PROCESSLIST")
+                elif cmd == COM_DEBUG:
+                    # MySQL dumps debug info to the server's stderr and
+                    # answers EOF (OK under DEPRECATE_EOF). Nothing to
+                    # dump here; the acknowledgement is the contract
+                    # (mysqladmin debug)
+                    if self.deprecate_eof:
+                        self.send_ok()
+                    else:
+                        self.send_eof()
+                elif cmd == COM_PROCESS_KILL:
+                    # deprecated alias for KILL <connection id>: 4-byte
+                    # LE id. Shuts down the target's socket — its serve
+                    # loop exits on the dead read exactly as on client
+                    # disconnect (state cleanup in its own thread).
+                    # Self-kill is legal: OK goes out first, then this
+                    # loop ends. Unknown id -> ERR 1094, as in MySQL.
+                    if len(body) < 4:
+                        self.send_err(
+                            1835, "Malformed communication packet", "HY000"
+                        )
+                        continue
+                    kill_id = struct.unpack_from("<I", body, 0)[0]
+                    with self.stats["lock"]:
+                        target = self.stats.get("conns", {}).get(kill_id)
+                    if target is None:
+                        self.send_err(
+                            1094, f"Unknown thread id: {kill_id}", "HY000"
+                        )
+                        continue
+                    self.send_ok()
+                    if kill_id == self.conn_id:
+                        return
+                    try:
+                        target.sock.shutdown(socket.SHUT_RDWR)
+                    except OSError:
+                        pass  # target raced to disconnect — already dead
                 elif cmd == COM_INIT_DB:
                     self.engine.execute(f"USE {body.decode('utf-8')}")
                     self.send_ok()
@@ -914,12 +967,17 @@ class EbikeServer:
         self.port = self.sock.getsockname()[1]
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._accept_loop, daemon=True)
-        self._live = 0  # connections currently served (COM_STATISTICS Threads)
+        self._conn_seq = 0  # handshake thread ids, monotonic per server
         self.stats = {
             "started": _time.time(),
             "questions": 0,
             "lock": threading.Lock(),
-            "threads": lambda: self._live,
+            # live _Conn objects by connection id — COM_PROCESS_KILL's
+            # target registry AND the processlist view AND the
+            # COM_STATISTICS Threads count (one source of truth,
+            # guarded by the same lock)
+            "conns": {},
+            "threads": lambda: len(self.stats["conns"]),
         }
 
     def _accept_loop(self) -> None:
@@ -936,22 +994,43 @@ class EbikeServer:
             )
             t.start()
 
+    def _processlist_rows(self) -> list[tuple]:
+        """SHOW PROCESSLIST / COM_PROCESS_INFO rows from the live
+        registry — the Ids here are the ones COM_PROCESS_KILL
+        addresses. Command/State are point-in-time approximations
+        (every listed connection is between commands from this
+        thread's viewpoint), matching MySQL's snapshot semantics."""
+        with self.stats["lock"]:
+            conns = sorted(self.stats["conns"].items())
+        return [
+            (cid, "root", "localhost", c.engine.current_db, "Sleep", 0, "", None)
+            for cid, c in conns
+        ]
+
     def _serve_conn(self, conn: socket.socket) -> None:
         with self.stats["lock"]:
-            self._live += 1
+            self._conn_seq += 1
+            conn_id = self._conn_seq
         try:
-            _Conn(
+            handler = _Conn(
                 conn,
                 self.spark,
                 secure_file_priv=self.secure_file_priv,
                 stats=self.stats,
                 require_password=self.require_password,
-            ).serve()
+                conn_id=conn_id,
+            )
+            handler.engine.processlist_provider = self._processlist_rows
+            # register only once the handler exists (greeting — which
+            # publishes the id — goes out inside serve(), after this)
+            with self.stats["lock"]:
+                self.stats["conns"][conn_id] = handler
+            handler.serve()
         except Exception:
             pass
         finally:
             with self.stats["lock"]:
-                self._live -= 1
+                self.stats["conns"].pop(conn_id, None)
             try:
                 conn.close()
             except OSError:

@@ -80,6 +80,8 @@ class MiniClient:
         assert greeting[0] == 0x0A  # protocol version 10
         ver_end = greeting.index(b"\x00", 1)
         self.server_version = greeting[1:ver_end].decode()
+        # connection/thread id — COM_PROCESS_KILL's address
+        self.thread_id = struct.unpack_from("<I", greeting, ver_end + 1)[0]
         # 20-byte nonce: 8 bytes after the 4-byte thread id, then 12
         # more after filler+caps+charset+status+caps_hi+len+reserved
         p = ver_end + 1 + 4
@@ -1049,3 +1051,65 @@ def test_multi_statements_under_deprecate_eof(server):
     assert len(results) == 2
     c.query(f"DROP DATABASE {db}")
     c.close()
+
+
+def test_process_info_debug_and_kill(server):
+    """The last classic command bytes (r11): COM_PROCESS_INFO answers
+    the SHOW PROCESSLIST resultset, COM_DEBUG acknowledges with EOF
+    (OK under DEPRECATE_EOF), and COM_PROCESS_KILL really terminates
+    the addressed connection — unknown id is ERR 1094, cross-kill
+    closes the victim's socket while the killer lives on, and
+    self-kill OKs first then ends the connection (KILL CONNECTION
+    semantics)."""
+    a = MiniClient(server)
+    b = MiniClient(server)
+    assert a.thread_id != b.thread_id  # per-connection handshake ids
+    # COM_PROCESS_INFO: a real resultset shaped like SHOW PROCESSLIST,
+    # and the Ids it advertises ARE the handshake ids KILL addresses
+    # (the mysqladmin processlist -> kill flow)
+    a.send_command(0x0A)
+    result, _ = a._read_one_result()
+    assert result[0] == "rows" and [c[0] for c in result[1]][0] == "Id"
+    listed = {int(r[0]) for r in result[2]}
+    assert {a.thread_id, b.thread_id} <= listed
+    # the text-protocol twin shows the same live view
+    shown = a.query("SHOW PROCESSLIST")
+    assert {int(r[0]) for r in shown[2]} == listed
+    # COM_DEBUG: classic EOF acknowledgement
+    a.send_command(0x0D)
+    assert a.read_packet()[0] == 0xFE
+    # ... and plain OK under DEPRECATE_EOF framing
+    d = MiniClient(server, deprecate_eof=True)
+    d.send_command(0x0D)
+    assert d.read_packet()[0] == 0x00
+    d.close()
+    # unknown thread id
+    a.send_command(0x0C, struct.pack("<I", 0x7FFFFFF0))
+    pkt = a.read_packet()
+    assert pkt[0] == 0xFF and struct.unpack_from("<H", pkt, 1)[0] == 1094
+    # cross-kill: a kills b; b's connection dies, a keeps working.
+    # The killer's OK is sent BEFORE the victim's socket shuts down,
+    # so poll: an in-flight PING may still be answered, but within the
+    # deadline the shutdown must land and reads must start failing.
+    a.send_command(0x0C, struct.pack("<I", b.thread_id))
+    assert a.read_packet()[0] == 0x00
+    import time as _t
+
+    dead = False
+    deadline = _t.time() + 10
+    while _t.time() < deadline:
+        try:
+            b.send_command(0x0E)  # PING on the killed connection
+            assert b.read_packet()[0] == 0x00  # raced ahead of shutdown
+        except (ConnectionError, OSError):
+            dead = True
+            break
+        _t.sleep(0.05)
+    assert dead, "killed connection kept answering PING"
+    assert a.query("SELECT 1 AS one")[2] == [["1"]]
+    # self-kill: OK goes out first, then the connection ends
+    a.send_command(0x0C, struct.pack("<I", a.thread_id))
+    assert a.read_packet()[0] == 0x00
+    with pytest.raises((ConnectionError, OSError)):
+        a.send_command(0x0E)
+        a.read_packet()
