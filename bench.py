@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "text_fuzzy_variants",
     "ev_pagerank_states",
     "ev_sssp_bellman_ford",
+    "text_bpe_learn_merges",
 ]
 
 

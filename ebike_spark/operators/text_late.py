@@ -597,3 +597,152 @@ def text_fuzzy_variants(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.where(dist <= FUZZY_K).select(
         "tok_a", "tok_b", dist.cast("long").alias("dist")
     )
+
+
+# ------------------------------------------------ BPE merge learning (r11)
+#
+# The trainer half of the BPE story (text_bpe_token_count is the cost
+# proxy, text_vocab_encode the bounded-vocab encoder): learn the first
+# BPE_MERGES merge rules from the corpus, exactly — the iterative
+# algorithm at the heart of every subword tokenizer (GPT-2's trainer
+# is this loop). Classic trainer decomposition: ONE corpus scan builds
+# the word-frequency table, then every iteration runs over the
+# VOCABULARY (distinct words), never the corpus. TODO_r11 scoped this
+# "oracle hard — likely rows-only"; it gets a FULL exact oracle: pair
+# counts are integer sums, the argmax tie-breaks deterministically
+# (count DESC, pair ASC — byte order on ASCII is identical in both
+# engines), and the merge application is a plain substring replace
+# with identical left-to-right non-overlapping semantics in Spark and
+# DuckDB (probed: both equal Python str.replace byte-for-byte).
+#
+# One documented convention: merges apply via space-padded replace
+# (' e r ' -> ' er '), whose consumed separator skips every OTHER
+# occurrence inside a same-pair run ('b b b b' -> 'bb b b' in one
+# pass, not 'bb bb'). Deterministic and engine-identical; classic BPE
+# implementations themselves disagree on run handling. The unit suite
+# replays an independent pure-Python trainer with the same convention.
+
+BPE_MERGES = 4
+
+
+def _bpe_pair_count_step(vocab: DataFrame, seq):
+    """ONE merge iteration's pair-count frame over the cached vocab:
+    explode the current adjacent symbol pairs of ``seq`` (a Column) and
+    sum word frequencies per pair — built-in HOFs only, joinless,
+    vocabulary-sized. Shared by the operator loop and the plan-shape
+    test so the asserted plan can't drift from the one that runs."""
+    parts = F.split(seq, " ")
+    pairs = F.transform(
+        F.slice(parts, 1, F.size(parts) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.get(parts, i + 1)),
+    )
+    return (
+        vocab.select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _bpe_oracle(k_merges: int = BPE_MERGES) -> str:
+    steps = []
+    selects = []
+    prev = "v0"
+    for k in range(1, k_merges + 1):
+        steps.append(f"""
+    p{k} AS (SELECT parts[i] || ' ' || parts[i+1] AS pair,
+                    SUM(freq)::BIGINT AS cnt
+             FROM (SELECT freq, string_split(seq, ' ') AS parts FROM {prev}) t,
+                  UNNEST(generate_series(1, len(parts) - 1)) AS u(i)
+             GROUP BY 1),
+    b{k} AS (SELECT pair, cnt FROM p{k} ORDER BY cnt DESC, pair LIMIT 1),
+    v{k} AS (SELECT word, freq,
+                    trim(replace(' ' || seq || ' ',
+                                 ' ' || (SELECT pair FROM b{k}) || ' ',
+                                 ' ' || replace((SELECT pair FROM b{k}), ' ', '') || ' ')) AS seq
+             FROM {prev})""")
+        selects.append(
+            f"SELECT {k} AS step, pair, replace(pair, ' ', '') AS merged,"
+            f" cnt FROM b{k}"
+        )
+        prev = f"v{k}"
+    return f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    v0 AS (SELECT word, COUNT(*)::BIGINT AS freq,
+                  trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+           FROM w WHERE word <> '' GROUP BY word),
+    {','.join(steps)}
+    {' UNION ALL '.join(selects)}
+    """
+
+
+@register(
+    "text_bpe_learn_merges",
+    oracle=_bpe_oracle(),
+    tags=("text", "bpe", "iterative", "beyond-reference", "verdictless-exact"),
+)
+def text_bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Learn the first {BPE_MERGES} BPE merges from the documents
+    corpus: (step, pair, merged, cnt), exactly — see the module
+    comment for the engine-parity argument. The DuckDB oracle unrolls
+    the same iterations as chained CTEs.
+
+    Scale shape: the corpus is scanned ONCE into the word-frequency
+    table (one shuffle on word — the classic BPE-trainer reduction:
+    100 TB of text collapses to a vocabulary-sized table at ingest);
+    each merge iteration is then a vocabulary-sized job — explode the
+    current symbol pairs (built-in HOFs, codegen), one partial-agg
+    shuffle, TakeOrdered(1) for the argmax — plus a driver append of
+    one bounded row. Merge application stacks as nested replace
+    EXPRESSIONS over the cached vocab frame (no intermediate
+    materialization; iteration k re-evaluates k-1 replaces map-side,
+    the standard lazy-lineage trade at tiny k). The merges table is
+    driver-sized by construction (one row per learned rule) — the
+    bounded-collect regime."""
+    docs = load_table(spark, sf, "documents")
+    from ebike_spark.operators.dedup import _persist_scoped
+
+    def _vocab():
+        return (
+            docs.select(F.explode(F.split("text", " ")).alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count("*").cast("long").alias("freq"))
+            # seq = space-separated characters ("key" -> "k e y")
+            .withColumn("seq", F.trim(F.regexp_replace("word", "(.)", "$1 ")))
+            # vocabulary-sized by construction — same bounded-rollup
+            # coalesce as the graph family's edge frames
+            .coalesce(1)
+        )
+
+    vocab = _persist_scoped(spark, "bpe_vocab", _vocab, key=sf)
+    seq = F.col("seq")
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(1, BPE_MERGES + 1):
+        top = (
+            _bpe_pair_count_step(vocab, seq)
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            # degenerate corpus: every word collapsed to one symbol
+            # before BPE_MERGES iterations — fail loudly (the oracle's
+            # scalar subqueries would cascade NULL seqs here, so a
+            # clear error beats a silent cross-engine divergence)
+            raise ValueError(
+                f"corpus exhausted adjacent pairs at merge step {k};"
+                f" lower BPE_MERGES (oracle unrolls the same constant)"
+            )
+        best = top[0]
+        pair, merged = best["pair"], best["pair"].replace(" ", "")
+        merges.append((k, pair, merged, best["cnt"]))
+        seq = F.trim(
+            F.replace(
+                F.concat(F.lit(" "), seq, F.lit(" ")),
+                F.lit(f" {pair} "),
+                F.lit(f" {merged} "),
+            )
+        )
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, cnt long"
+    )

@@ -123,6 +123,7 @@ MODIFIED_THIS_ROUND: tuple[str, ...] = (
 WINDOW_PREFIX: tuple[str, ...] = (
     # --- NEW in r11 ---
     "ev_sssp_bellman_ford",
+    "text_bpe_learn_merges",
     # --- modified in r11 (need evidence for the NEW code) ---
     "q13b_approx_percentile",
     "ev_pagerank_states",
@@ -176,9 +177,10 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_forecast_snaive_backtest",
     "ev_error_budget_burn",
     "ev_survival_hazard",
-    "ev_ab_test_ztest",
-    # --- external budget exhausted at position 50: the 19-row r7
+    # --- external budget exhausted at position 50 (the two NEW r11
+    # queries pushed ev_ab_test_ztest past the cut): the 20-row r7
     # remainder below leads the round-12 rotation ---
+    "ev_ab_test_ztest",
     "ev_trend_theil_sen",
     "ev_lifecycle_stages",
     "stream_new_vs_returning",
@@ -254,7 +256,9 @@ def _session_conf_key(spark: SparkSession) -> tuple:
 # re-invocation a no-op count of local rows — the bench's timed runs
 # must re-run the real work, exactly like the side-effectful io_*
 # rows (review r11).
-_NO_PLAN_CACHE_NAMES = frozenset({"ev_sssp_bellman_ford"})
+_NO_PLAN_CACHE_NAMES = frozenset(
+    {"ev_sssp_bellman_ford", "text_bpe_learn_merges"}
+)
 
 
 def _plan_cached(name: str, fn: QueryFn) -> QueryFn:

@@ -863,6 +863,76 @@ def test_cms_never_underestimates(spark):
     )
 
 
+def test_bpe_learn_merges_matches_independent_trainer(spark):
+    """text_bpe_learn_merges: the learned merge table equals an
+    INDEPENDENT pure-Python BPE trainer over the same corpus with the
+    same documented conventions (word-frequency reduction, count-DESC
+    pair-ASC tie-break, space-padded single-pass replace), and the
+    result is deterministic across invocations."""
+    from collections import Counter
+
+    from ebike_spark.operators.text_late import BPE_MERGES
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+    from ebike_spark.sources.registry import load_table
+
+    _load_all()
+    texts = [
+        r["text"]
+        for r in load_table(spark, SF_DIR, "documents").select("text").collect()
+    ]
+    freq: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                freq[w] += 1
+    vocab = {w: " ".join(w) for w in freq}
+    want = []
+    for k in range(1, BPE_MERGES + 1):
+        pc: Counter = Counter()
+        for w, s in vocab.items():
+            parts = s.split(" ")
+            for a, b in zip(parts, parts[1:]):
+                pc[a + " " + b] += freq[w]
+        pair, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((k, pair, pair.replace(" ", ""), cnt))
+        vocab = {
+            w: (" " + s + " ")
+            .replace(" " + pair + " ", " " + pair.replace(" ", "") + " ")
+            .strip()
+            for w, s in vocab.items()
+        }
+    fn = REGISTRY["text_bpe_learn_merges"].fn
+    got = [
+        (r["step"], r["pair"], r["merged"], r["cnt"])
+        for r in sorted(fn(spark, SF_DIR).collect(), key=lambda r: r["step"])
+    ]
+    assert got == want
+    again = [
+        (r["step"], r["pair"], r["merged"], r["cnt"])
+        for r in sorted(fn(spark, SF_DIR).collect(), key=lambda r: r["step"])
+    ]
+    assert again == got
+
+
+def test_bpe_fixture_words_safe_for_cross_engine_regex():
+    """Fixture guard for text_bpe_learn_merges' exact oracle (the LSH
+    tie-gap discipline): the char-split step uses regex '.' on BOTH
+    engines, and Java regex (Spark) excludes \\r/\\u0085/\\u2028/\\u2029
+    from '.' while RE2 (DuckDB) excludes only \\n — a word containing
+    one of those four would get DIFFERENT seq columns per engine and
+    the oracle row would flake. Pure pyarrow over the raw parquet:
+    fails loudly on a regenerated corpus instead."""
+    import pyarrow.parquet as pq
+
+    bad = {"\r", "\u0085", "\u2028", "\u2029"}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        texts = pq.read_table(
+            f"/root/testdata/{sf}/documents.parquet", columns=["text"]
+        )["text"].to_pylist()
+        hits = {c for t in texts for c in bad if c in t}
+        assert not hits, (sf, hits)
+
+
 def test_lsh_fixture_tie_gaps_protect_exact_oracle():
     """ADVICE-r10 guard for ann_lsh_topk's FULL exact oracle: the
     cross-engine hash compare is only sound while the fixtures keep

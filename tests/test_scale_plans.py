@@ -1148,6 +1148,38 @@ def test_pagerank_iterations_broadcast_cached_edges(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_bpe_iteration_is_vocab_sized_and_cached(spark):
+    """text_bpe_learn_merges: each merge iteration's pair-count job —
+    reconstructed exactly as the operator builds it — reads the
+    PERSISTED word-frequency vocab (the one corpus scan happened at
+    cache build), uses only built-in HOFs (no Python UDF, no join),
+    and the argmax is TakeOrdered(1), not a full sort."""
+    import pyspark.sql.functions as F
+
+    from ebike_spark.operators.dedup import _persist_scoped
+    from ebike_spark.operators.text_late import _bpe_pair_count_step
+    from ebike_spark.plans.registry import REGISTRY
+
+    REGISTRY["text_bpe_learn_merges"].fn(spark, SF_DIR).collect()
+    vocab = _persist_scoped(
+        spark, "bpe_vocab", lambda: (_ for _ in ()).throw(AssertionError(
+            "vocab must be a cache hit after the operator ran"
+        )), key=SF_DIR,
+    )
+    # THE operator's own step builder — the asserted plan cannot drift
+    step = (
+        _bpe_pair_count_step(vocab, F.col("seq"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(1)
+    )
+    plan = _physical(step)
+    assert "InMemoryTableScan" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    above_cache = plan.split("InMemoryRelation")[0]
+    assert "Join" not in above_cache, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
 def test_sssp_shares_graph_cache_and_relaxes_joinless(spark):
     """ev_sssp_bellman_ford: (1) it relaxes over the SAME session-
     scoped edge/node frames PageRank builds — _transition_graph is a
