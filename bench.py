@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "ev_pagerank_states",
     "ev_sssp_bellman_ford",
     "text_bpe_learn_merges",
+    "text_bpe_encode",
 ]
 
 

@@ -698,6 +698,25 @@ def text_bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
     the standard lazy-lineage trade at tiny k). The merges table is
     driver-sized by construction (one row per learned rule) — the
     bounded-collect regime."""
+    merges, _, _ = _bpe_learn(spark, sf)
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, cnt long"
+    )
+
+
+def _bpe_learn(spark: SparkSession, sf: str):
+    """(merges, cached vocab frame, final seq Column) — the shared
+    trainer loop behind text_bpe_learn_merges (returns the merge
+    table) and text_bpe_encode (applies the final seq expression).
+
+    The learned merges are deliberately NOT memoized across calls
+    (review r11, considered and rejected): the iterative trainer loop
+    IS the workload these queries exist to measure — memoizing it
+    would turn both bench rows into counts of precomputed frames,
+    exactly the measures-nothing failure _NO_PLAN_CACHE_NAMES guards
+    against. The expensive part (the corpus scan) IS amortized via
+    the session-scoped vocab cache; re-running the loop costs
+    BPE_MERGES vocabulary-sized jobs per invocation."""
     docs = load_table(spark, sf, "documents")
     from ebike_spark.operators.dedup import _persist_scoped
 
@@ -743,6 +762,74 @@ def text_bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit(f" {merged} "),
             )
         )
-    return spark.createDataFrame(
-        merges, "step int, pair string, merged string, cnt long"
+    return merges, vocab, seq
+
+
+def _bpe_encode_oracle(k_merges: int = BPE_MERGES) -> str:
+    """The trainer CTE chain through v{K}, then re-scan the corpus for
+    per-language word frequencies and join the encoded token widths."""
+    learn = _bpe_oracle(k_merges)
+    # reuse everything up to the final merge-table SELECT block
+    with_block = learn[: learn.rindex("SELECT 1 AS step")].rstrip()
+    assert with_block.endswith(")"), with_block[-40:]
+    return f"""{with_block},
+    wl AS (SELECT lang, word, COUNT(*)::BIGINT AS freq
+           FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+                 FROM documents) t
+           WHERE word <> '' GROUP BY 1, 2),
+    enc AS (SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tok
+            FROM v{k_merges})
+    SELECT lang,
+           CAST(SUM(freq) AS BIGINT) AS total_words,
+           CAST(SUM(freq * n_tok) AS BIGINT) AS total_subword_tokens,
+           ROUND(SUM(freq * n_tok) * 1.0 / SUM(freq), 4) AS avg_tokens_per_word
+    FROM wl JOIN enc USING (word)
+    GROUP BY lang
+    """
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("text", "bpe", "iterative", "beyond-reference"),
+)
+def text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """The trainer→encoder handoff: apply the learned BPE_MERGES merge
+    rules to the corpus and account subword tokens per language
+    EXACTLY — (lang, total_words, total_subword_tokens,
+    avg_tokens_per_word). Where text_bpe_token_count approximates
+    fertility with the GPT-2 pre-tokenizer regex, this measures it
+    under the corpus' own learned merges; the DuckDB oracle replays
+    the whole trainer chain and the encode join.
+
+    Scale shape: encoding never touches documents row-by-row — token
+    widths are computed once per VOCABULARY word (size of the merged
+    symbol seq, a stacked built-in expression over the cached vocab)
+    and broadcast-joined against the per-(lang, word) frequency table
+    (one corpus scan, one shuffle). That is how production tokenizer
+    accounting works at 100 TB: the corpus contributes only word
+    counts; all merge logic runs at vocabulary cardinality."""
+    _, vocab, seq = _bpe_learn(spark, sf)
+    encoded = vocab.select(
+        "word", F.size(F.split(seq, " ")).cast("long").alias("n_tok")
+    )
+    docs = load_table(spark, sf, "documents")
+    wl = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    return (
+        wl.join(F.broadcast(encoded), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").cast("long").alias("total_words"),
+            F.sum(F.col("freq") * F.col("n_tok"))
+            .cast("long")
+            .alias("total_subword_tokens"),
+            F.round(
+                F.sum(F.col("freq") * F.col("n_tok")) / F.sum("freq"), 4
+            ).alias("avg_tokens_per_word"),
+        )
     )

@@ -124,6 +124,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     # --- NEW in r11 ---
     "ev_sssp_bellman_ford",
     "text_bpe_learn_merges",
+    "text_bpe_encode",
     # --- modified in r11 (need evidence for the NEW code) ---
     "q13b_approx_percentile",
     "ev_pagerank_states",
@@ -176,10 +177,10 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_stickiness_weekly",
     "ev_forecast_snaive_backtest",
     "ev_error_budget_burn",
+    # --- external budget exhausted at position 50 (the three NEW r11
+    # queries pushed ev_survival_hazard and ev_ab_test_ztest past the
+    # cut): the 21-row r7 remainder below leads the round-12 rotation ---
     "ev_survival_hazard",
-    # --- external budget exhausted at position 50 (the two NEW r11
-    # queries pushed ev_ab_test_ztest past the cut): the 20-row r7
-    # remainder below leads the round-12 rotation ---
     "ev_ab_test_ztest",
     "ev_trend_theil_sen",
     "ev_lifecycle_stages",
@@ -257,7 +258,7 @@ def _session_conf_key(spark: SparkSession) -> tuple:
 # must re-run the real work, exactly like the side-effectful io_*
 # rows (review r11).
 _NO_PLAN_CACHE_NAMES = frozenset(
-    {"ev_sssp_bellman_ford", "text_bpe_learn_merges"}
+    {"ev_sssp_bellman_ford", "text_bpe_learn_merges", "text_bpe_encode"}
 )
 
 

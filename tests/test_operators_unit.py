@@ -914,6 +914,47 @@ def test_bpe_learn_merges_matches_independent_trainer(spark):
     assert again == got
 
 
+def test_bpe_encode_accounting_consistent(spark):
+    """text_bpe_encode: per-language subword accounting must be
+    internally consistent with the raw corpus — total_words equals the
+    whitespace word count per lang, total_subword_tokens sits between
+    total_words (every word ≥1 token) and the per-lang char count
+    (merges only shrink the char-split), avg = tokens/words exactly,
+    and BPE_MERGES merges strictly reduce tokens below the unmerged
+    char count (the merges must actually bite)."""
+    import pyspark.sql.functions as F
+
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+    from ebike_spark.sources.registry import load_table
+
+    _load_all()
+    rows = {
+        r["lang"]: r
+        for r in REGISTRY["text_bpe_encode"].fn(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    word = F.explode(F.split("text", " ")).alias("word")
+    raw = {
+        r["lang"]: (r["n_words"], r["n_chars"])
+        for r in docs.select("lang", word)
+        .where(F.col("word") != "")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(raw)
+    for lang, r in rows.items():
+        n_words, n_chars = raw[lang]
+        assert r["total_words"] == n_words
+        assert n_words <= r["total_subword_tokens"] < n_chars, (lang, r)
+        assert r["avg_tokens_per_word"] == round(
+            r["total_subword_tokens"] / r["total_words"], 4
+        )
+
+
 def test_bpe_fixture_words_safe_for_cross_engine_regex():
     """Fixture guard for text_bpe_learn_merges' exact oracle (the LSH
     tie-gap discipline): the char-split step uses regex '.' on BOTH

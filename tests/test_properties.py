@@ -626,3 +626,66 @@ def test_load_data_ignore_double_coercion_matches_reference(spark, vals):
         ).collect()
     ]
     assert got == expected, list(zip(vals, got, expected))
+
+
+# ------------------------- BPE cross-engine replace/pair parity (r11)
+
+_bpe_symbols = st.sampled_from(["a", "b", "ab", "ba", "aa"])
+_bpe_seqs = st.lists(
+    st.lists(_bpe_symbols, min_size=1, max_size=6).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SLOW
+@given(_bpe_seqs, _bpe_symbols, _bpe_symbols)
+def test_bpe_replace_and_pairs_match_python_and_duckdb(spark, seqs, pa, pb):
+    """The two primitives text_bpe_learn_merges' EXACT oracle rests on,
+    as a property over adversarial symbol runs ('a a a a', overlapping
+    'a ab a' shapes): (1) the padded single-pass merge replace and
+    (2) adjacent-pair extraction produce byte-identical results in
+    Spark, DuckDB, and pure Python. A divergence in either primitive
+    on ANY input would be a latent oracle flake the fixture corpus
+    merely hasn't hit yet."""
+    import duckdb
+
+    pair, merged = f"{pa} {pb}", f"{pa}{pb}"
+
+    def py_replace(s: str) -> str:
+        return (" " + s + " ").replace(f" {pair} ", f" {merged} ").strip()
+
+    def py_pairs(s: str) -> list[str]:
+        parts = s.split(" ")
+        return [f"{x} {y}" for x, y in zip(parts, parts[1:])]
+
+    df = spark.createDataFrame([(s,) for s in seqs], "seq string")
+    seq = F.col("seq")
+    rep = F.trim(
+        F.replace(
+            F.concat(F.lit(" "), seq, F.lit(" ")),
+            F.lit(f" {pair} "),
+            F.lit(f" {merged} "),
+        )
+    )
+    parts = F.split(seq, " ")
+    pairs = F.transform(
+        F.slice(parts, 1, F.size(parts) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.get(parts, i + 1)),
+    )
+    got = df.select(rep.alias("r"), pairs.alias("p")).collect()
+    con = duckdb.connect()
+    for s, row in zip(seqs, got):
+        assert row["r"] == py_replace(s), (s, pair)
+        assert row["p"] == py_pairs(s), (s,)
+        dr, dp = con.execute(
+            """
+            SELECT trim(replace(' ' || ? || ' ', ?, ?)),
+                   [parts[i] || ' ' || parts[i+1]
+                    FOR i IN generate_series(1, len(parts) - 1)]
+            FROM (SELECT string_split(?, ' ') AS parts)
+            """,
+            [s, f" {pair} ", f" {merged} ", s],
+        ).fetchone()
+        assert dr == py_replace(s), (s, pair)
+        assert dp == py_pairs(s), (s,)

@@ -119,6 +119,14 @@ def test_hostile_session_is_normalized(spark, oracle):
             # overflow-checked operators)
             "text_fuzzy_variants",
             "ev_pagerank_states",
+            # r11 additions: literal-map lookup + GREATEST/DIV under
+            # ANSI (sssp), stacked replace expressions + HOF pair
+            # explode (bpe trainer), long-multiply sums + division +
+            # broadcast join (bpe encoder) — driver-eager iterative
+            # shapes under ANSI/timezone flips
+            "ev_sssp_bellman_ford",
+            "text_bpe_learn_merges",
+            "text_bpe_encode",
         ):
             spec = REGISTRY[name]
             sdf = spec.fn(spark, SF_DIR)
