@@ -3,9 +3,11 @@ plans.registry._load_all so the externally-checked registry prefix is
 unchanged).
 
 BPE-ish token counting: pre-training cost accounting is usually quoted
-in subword tokens, not whitespace words. A real BPE encode needs the
-merges table (see text_vocab_encode for the bounded-vocab variant);
-the standard cheap proxy is the GPT-2 *pre-tokenizer* regex, which
+in subword tokens, not whitespace words. The full trainer→encoder
+story lives below since r11 (text_bpe_learn_merges learns the merge
+table exactly; text_bpe_encode accounts tokens under it;
+text_vocab_encode is the bounded-vocab variant); the cheap proxy
+retained here is the GPT-2 *pre-tokenizer* regex, which
 splits text into the word/number/punctuation chunks BPE would then
 merge within. The upstream pattern uses a negative lookahead, which
 RE2 (the oracle engine's regex dialect) does not support, so this uses
