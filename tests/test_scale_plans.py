@@ -1148,6 +1148,24 @@ def test_pagerank_iterations_broadcast_cached_edges(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_ppjoin_plan_prefix_equijoin_over_cached_index(spark):
+    """dedup_ppjoin: the registered plan reads the PERSISTED PPJoin
+    index (InMemoryTableScan — the documents scan and the df-ranking
+    happened once at index build), candidates come from an
+    EQUI-join (SortMergeJoin/ShuffledHashJoin on the prefix shingle —
+    never CartesianProduct/NestedLoop), and no Window survives on the
+    query path (the old row_number ranking lives inside the index
+    build, not the per-query plan)."""
+    from ebike_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["dedup_ppjoin"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    above_cache = plan.split("InMemoryRelation")[0]
+    assert "Window" not in above_cache, plan
+
+
 def test_bpe_iteration_is_vocab_sized_and_cached(spark):
     """text_bpe_learn_merges: each merge iteration's pair-count job —
     reconstructed exactly as the operator builds it — reads the
