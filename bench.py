@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "text_bpe_learn_merges",
     "text_bpe_encode",
     "dedup_ppjoin",
+    "io_zorder_layout",
 ]
 
 

@@ -103,16 +103,16 @@ def _load_all() -> None:
 # MODIFIED_THIS_ROUND (a change without a fresh driver row would
 # leave the old green as stale evidence for new code), and the fill
 # to 50 may only draw from the OLDEST-checked rows on disk — no row
-# outside the window may be staler than any fill row. Round 11: four
-# new queries (ev_sssp_bellman_ford, the two BPE ops, dedup_ppjoin) +
-# two modified (q13b's rank-guarantee promotion, ev_pagerank_states'
-# overflow guard), then the whole 20-row r6 remainder (fn_* battery,
-# io_* roundtrips, q21/q22, embed_kmeans_lloyd, three ev_*), then 24
-# of the 46 r7 rows — the dedup family first (it anchors the
-# LLM-pipeline claims), then the embeddings/corpus/io r7 block and
-# the oldest ev_* analytics. After the r11 driver run no query's
-# latest external check is older than r7; the 22-row r7 remainder
-# listed after the cut leads r12.
+# outside the window may be staler than any fill row. Round 11: five
+# new queries (ev_sssp_bellman_ford, the two BPE ops, dedup_ppjoin,
+# io_zorder_layout) + two modified (q13b's rank-guarantee promotion,
+# ev_pagerank_states' overflow guard), then the whole 20-row r6
+# remainder (fn_* battery, io_* roundtrips, q21/q22,
+# embed_kmeans_lloyd, three ev_*), then 23 of the 46 r7 rows — the
+# dedup family first (it anchors the LLM-pipeline claims), then the
+# embeddings/corpus/io r7 block and the oldest ev_* analytics. After
+# the r11 driver run no query's latest external check is older than
+# r7; the 23-row r7 remainder listed after the cut leads r12.
 #
 # Queries whose CODE or ORACLE changed since the last driver run —
 # validate_window requires them at the head of the window.
@@ -127,6 +127,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "text_bpe_learn_merges",
     "text_bpe_encode",
     "dedup_ppjoin",
+    "io_zorder_layout",
     # --- modified in r11 (need evidence for the NEW code) ---
     "q13b_approx_percentile",
     "ev_pagerank_states",
@@ -177,10 +178,10 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_user_paths_topk",
     "ev_new_vs_returning",
     "ev_stickiness_weekly",
-    "ev_forecast_snaive_backtest",
-    # --- external budget exhausted at position 50 (the four NEW r11
-    # queries pushed three r7 fill rows past the cut): the 22-row r7
+    # --- external budget exhausted at position 50 (the five NEW r11
+    # queries pushed four r7 fill rows past the cut): the 23-row r7
     # remainder below leads the round-12 rotation ---
+    "ev_forecast_snaive_backtest",
     "ev_error_budget_burn",
     "ev_survival_hazard",
     "ev_ab_test_ztest",

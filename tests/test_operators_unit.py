@@ -914,6 +914,86 @@ def test_bpe_learn_merges_matches_independent_trainer(spark):
     assert again == got
 
 
+def test_zorder_audit_bites_vs_roundrobin(spark):
+    """io_zorder_layout's dims_cluster boolean must BITE: the
+    registered z-clustered write passes (avg per-file span fraction
+    <= 0.75 on BOTH dimensions), while the same data written
+    round-robin (repartition(8), no clustering) measures ~1.0 on both
+    and fails the same bound — the constant-TRUE trap control. Also:
+    every file's z-interval is genuinely disjoint under the clustered
+    write (the theorem the z_ranges_disjoint column compresses)."""
+    import pyspark.sql.functions as F
+
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+    from ebike_spark.sources.io_layout import _scratch_dir
+    from ebike_spark.sources.registry import load_table
+
+    _load_all()
+    row = REGISTRY["io_zorder_layout"].fn(spark, SF_DIR).collect()[0]
+    assert row["z_ranges_disjoint"] and row["dims_cluster"]
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.col("user_id").cast("long").alias("uid"),
+        F.unix_micros("ts").alias("te"),
+    )
+    # genuine PAIRWISE disjointness of the clustered files' z-intervals
+    # (the operator's span-sum inequality is only a necessary
+    # condition): re-run the clustered write and assert the sorted
+    # per-file (z0, z1) intervals never overlap — range partitioning
+    # keeps equal keys in one partition, so strict inequality holds
+    from ebike_spark.sources.io_layout import (
+        ZORDER_BITS,
+        ZORDER_FILES,
+        _z_terms,
+    )
+
+    g = ev.agg(F.min("uid"), F.max("uid"), F.min("te"), F.max("te")).first()
+    umin, uspan = g[0], max(g[1] - g[0], 1)
+    tmin, tspan = g[2], max(g[3] - g[2], 1)
+    top = (1 << ZORDER_BITS) - 1
+    z = F.expr(
+        _z_terms(
+            f"((uid - {umin}) * {top} DIV {uspan})",
+            f"((te - {tmin}) * {top} DIV {tspan})",
+            "spark",
+        )
+    )
+    zpath = _scratch_dir("z_disjoint_probe")
+    ev.select(z.alias("z")).repartitionByRange(ZORDER_FILES, "z").write.parquet(
+        zpath
+    )
+    ivals = sorted(
+        (r["z0"], r["z1"])
+        for r in spark.read.parquet(zpath)
+        .groupBy(F.input_file_name())
+        .agg(F.min("z").alias("z0"), F.max("z").alias("z1"))
+        .collect()
+    )
+    assert all(a1 < b0 for (_, a1), (b0, _) in zip(ivals, ivals[1:])), ivals
+    path = _scratch_dir("rr_control")
+    ev.repartition(8).write.parquet(path)
+    back = spark.read.parquet(path).select(
+        "uid", "te", F.input_file_name().alias("f")
+    )
+    pf = back.groupBy("f").agg(
+        F.min("uid").alias("u0"),
+        F.max("uid").alias("u1"),
+        F.min("te").alias("t0"),
+        F.max("te").alias("t1"),
+    )
+    r = pf.agg(
+        (
+            F.avg(F.col("u1") - F.col("u0"))
+            / (F.max("u1") - F.min("u0"))
+        ).alias("ufrac"),
+        (
+            F.avg(F.col("t1") - F.col("t0"))
+            / (F.max("t1") - F.min("t0"))
+        ).alias("tfrac"),
+    ).collect()[0]
+    assert r["ufrac"] > 0.75 and r["tfrac"] > 0.75, r  # control FAILS bound
+
+
 def test_ppjoin_lossless_and_prunes(spark):
     """dedup_ppjoin's prefix+length filter on a constructed corpus:
     (1) LOSSLESS — the filtered pipeline returns exactly the pairs a
