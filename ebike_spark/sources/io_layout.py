@@ -142,15 +142,21 @@ ZORDER_MOD = 1_000_003
 def _z_terms(u: str, t: str, dialect: str) -> str:
     """The 2*ZORDER_BITS-term bit-interleave SUM for both dialects —
     u at even bit positions, t at odd — generated from ONE loop so the
-    Spark expression and the DuckDB oracle can never drift."""
+    Spark expression and the DuckDB oracle can never drift. Operands
+    are forced to BIGINT inside every term: an INT32 operand overflows
+    DuckDB's << at bit 31 (raises) and silently WRAPS Spark's
+    shiftleft — found by the r11 interleave property on raw integer
+    literals (the registered query's inputs were already BIGINT)."""
+    ub = f"CAST({u} AS BIGINT)"
+    tb = f"CAST({t} AS BIGINT)"
     terms = []
     for i in range(ZORDER_BITS):
         if dialect == "spark":
-            terms.append(f"SHIFTLEFT(SHIFTRIGHT({u}, {i}) & 1, {2 * i})")
-            terms.append(f"SHIFTLEFT(SHIFTRIGHT({t}, {i}) & 1, {2 * i + 1})")
+            terms.append(f"SHIFTLEFT(SHIFTRIGHT({ub}, {i}) & 1, {2 * i})")
+            terms.append(f"SHIFTLEFT(SHIFTRIGHT({tb}, {i}) & 1, {2 * i + 1})")
         else:
-            terms.append(f"((({u} >> {i}) & 1) << {2 * i})")
-            terms.append(f"((({t} >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"((({ub} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({tb} >> {i}) & 1) << {2 * i + 1})")
     return " + ".join(terms)
 
 

@@ -689,3 +689,87 @@ def test_bpe_replace_and_pairs_match_python_and_duckdb(spark, seqs, pa, pb):
         ).fetchone()
         assert dr == py_replace(s), (s, pair)
         assert dp == py_pairs(s), (s,)
+
+
+# ----------------------- PPJoin losslessness on random corpora (r11)
+
+_pp_tokens = st.sampled_from([f"t{i}" for i in range(12)])
+_pp_corpus = st.lists(
+    st.sets(_pp_tokens, min_size=1, max_size=8),
+    min_size=2,
+    max_size=10,
+)
+
+
+@SLOW
+@given(_pp_corpus)
+def test_ppjoin_matches_python_ground_truth(spark, docsets):
+    """dedup_ppjoin's prefix+length filter is LOSSLESS on arbitrary
+    corpora, not just the fixture shapes: the filtered pipeline's pair
+    set equals a pure-Python all-pairs jaccard at the same integer
+    rational threshold — skewed dfs, ties in the (df, token) order,
+    singleton docs, identical docs, all generated freely."""
+    from itertools import combinations
+
+    from ebike_spark.operators.dedup import (
+        PPJOIN_T_DEN,
+        PPJOIN_T_NUM,
+        ppjoin_pairs,
+    )
+
+    rows = [(d, s) for d, toks in enumerate(docsets) for s in toks]
+    sh = spark.createDataFrame(rows, "doc_id long, s string")
+    got = {
+        (r["d1"], r["d2"], r["shared_shingles"])
+        for r in ppjoin_pairs(sh).collect()
+    }
+    want = set()
+    for d1, d2 in combinations(range(len(docsets)), 2):
+        c = len(docsets[d1] & docsets[d2])
+        u = len(docsets[d1]) + len(docsets[d2]) - c
+        if PPJOIN_T_DEN * c >= PPJOIN_T_NUM * u:
+            want.add((d1, d2, c))
+    assert got == want
+
+
+# ------------------- z-order interleave cross-engine parity (r11)
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_zorder_interleave_matches_python_and_duckdb(spark, pairs):
+    """io_zorder_layout's oracle rests on the 32-term bit-interleave
+    evaluating identically in Spark and DuckDB; property it against a
+    pure-Python reference over the full 16-bit × 16-bit domain (the
+    fixture normalization maps into exactly this range)."""
+    import duckdb
+
+    from ebike_spark.sources.io_layout import ZORDER_BITS, _z_terms
+
+    def py_z(u: int, t: int) -> int:
+        z = 0
+        for i in range(ZORDER_BITS):
+            z |= ((u >> i) & 1) << (2 * i)
+            z |= ((t >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "u long, t long")
+    got = [
+        r["z"]
+        for r in df.select(
+            F.expr(_z_terms("u", "t", "spark")).alias("z")
+        ).collect()
+    ]
+    want = [py_z(u, t) for u, t in pairs]
+    assert got == want
+    con = duckdb.connect()
+    for (u, t), w in zip(pairs, want):
+        dz = con.execute(
+            f"SELECT {_z_terms(str(u), str(t), 'duck')}"
+        ).fetchone()[0]
+        assert dz == w, (u, t)
