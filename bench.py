@@ -168,6 +168,11 @@ BENCH_QUERIES = [
     "text_bpe_encode",
     "dedup_ppjoin",
     "io_zorder_layout",
+    # r12: the production-regime embedding dedup (the benched twin of
+    # the oracle-regime dedup_embedding_cosine — VERDICT-r11 task 4)
+    # and the driver-branch-free connected components
+    "dedup_embedding_cosine_prod",
+    "dedup_cluster_distributed",
 ]
 
 
@@ -202,6 +207,11 @@ def main() -> None:
     # (broken) cold-first-min-of-3 loop, so bench wall-clock is flat.
     runs = max(1, int(os.environ.get("EBIKE_BENCH_RUNS", "2")))
     cold = os.environ.get("EBIKE_BENCH_COLD", "") == "1"
+    if cold:
+        # a second invocation is warm by definition — COLD forces a
+        # single timed run so the reported number is truly cold
+        # regardless of EBIKE_BENCH_RUNS (ADVICE-r11)
+        runs = 1
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry[name]

@@ -54,9 +54,17 @@ def main() -> None:
     # audit (sometimes a constant row), so a Spark/DuckDB ratio there
     # compares different computations and would silently inflate the
     # headline the moment a sketch gains a verdict shape.
+    # ORACLE-REGIME queries are also listed outside the ratio
+    # (VERDICT-r11 task 4): their fixture parameters deliberately sit
+    # in an adversarial regime to PROVE recall (dedup_embedding_cosine
+    # at threshold 0.5 drives LSH candidates to ~46% of all-pairs, so
+    # its timed cost is near-quadratic BY DESIGN); the production
+    # twin (dedup_embedding_cosine_prod) carries the benched claim.
+    oracle_regime = {"dedup_embedding_cosine"}
     skip = {n for n in REGISTRY if n.startswith(("stream_", "io_"))}
     rows = []
     verdict_rows = []
+    oracle_regime_rows = []
     for name, spec in sorted(REGISTRY.items()):
         if spec.oracle is None or name in skip:
             continue
@@ -78,9 +86,13 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         t_spark = time.perf_counter() - t0
-        bucket = verdict_rows if "verdict" in spec.tags else rows
+        if "verdict" in spec.tags:
+            bucket, tag = verdict_rows, " (verdict — not in ratio)"
+        elif name in oracle_regime:
+            bucket, tag = oracle_regime_rows, " (oracle-regime — not in ratio)"
+        else:
+            bucket, tag = rows, ""
         bucket.append((name, t_spark, t_duck))
-        tag = " (verdict — not in ratio)" if "verdict" in spec.tags else ""
         print(f"| {name} | {t_spark:.3f} | {t_duck:.3f} | {t_spark / max(t_duck, 1e-9):.1f}×{tag} |", flush=True)
 
     ts = sum(r[1] for r in rows)
@@ -91,6 +103,12 @@ def main() -> None:
         print(
             f"| verdict-shaped ({len(verdict_rows)} queries, Spark pipeline+audit vs audit-only oracle) "
             f"| {vs:.2f} | — | — |"
+        )
+    if oracle_regime_rows:
+        os_ = sum(r[1] for r in oracle_regime_rows)
+        print(
+            f"| oracle-regime ({len(oracle_regime_rows)} queries, adversarial recall-proof fixtures; production twins in ratio) "
+            f"| {os_:.2f} | — | — |"
         )
     # repeat the canary LAST: a ratio is meaningless without it, and
     # tail-captured output (the r9 run lost the header line to a

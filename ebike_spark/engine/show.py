@@ -137,8 +137,8 @@ def show_processlist(
     server installs one backed by its connection registry, so the Ids
     shown here are the SAME ids COM_PROCESS_KILL addresses — r11
     review); a bare Engine with no server shows its single session."""
-    rows = provider() if provider is not None else None
-    if not rows:
+    if provider is None:
+        # no server wired in: a bare Engine IS the single session
         rows = [
             (
                 1,
@@ -151,6 +151,11 @@ def show_processlist(
                 "SHOW PROCESSLIST",
             )
         ]
+    else:
+        # an EMPTY provider result renders an empty processlist — a
+        # fabricated Id=1 here could shadow/collide with the real
+        # connection ids COM_PROCESS_KILL addresses (ADVICE-r11)
+        rows = list(provider())
     return spark.createDataFrame(
         rows,
         "Id long, User string, Host string, db string, Command string, "

@@ -9,6 +9,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ebike_spark.functions.local_frames import local_df
 from ebike_spark.functions.textfns import md5_long, md5_long_sql, tokens
 from ebike_spark.operators.dedup import (
     _JACCARD_PAIRS_SQL,
@@ -129,7 +130,9 @@ def components(edges, max_iter: int = 50):
         pairs = [(r["d1"], r["d2"]) for r in edges.collect()]
         rows = sorted(_driver_union_find(pairs))
         spark = edges.sparkSession
-        return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+        # single-partition local frame: the 32-way Python-RDD default
+        # taxed every downstream action ~0.3 s (local_frames docstring)
+        return local_df(spark, rows, "doc_id long, cluster_id long")
     return connected_components(edges, max_iter)
 
 
@@ -145,6 +148,152 @@ def dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
     """
     edges = minhash_verified_pairs(spark, sf).select("d1", "d2")
     return components(edges)
+
+
+# ------------------------------------- large-star / small-star CC
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One LARGE-STAR round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): over the SYMMETRIC neighborhood of
+    each node u, let m = min(N(u) ∪ {u}); connect every strictly LARGER
+    neighbor directly to m. Shrinks long paths toward local minima;
+    never creates a self-loop (m <= u < v). One groupBy + one
+    broadcast-free equi-join per round — edges only ever shuffle by
+    node id."""
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One SMALL-STAR round: orient every edge high→low, let
+    m = min of u's smaller neighbors, and re-point u and all its
+    smaller neighbors at m. Flattens the low side of the graph; with
+    alternating large-star rounds the edge set converges to star
+    forests rooted at each component's minimum node in O(log²) rounds
+    (the paper's potential argument)."""
+    d = (
+        e.where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    re_pointed = (
+        d.join(m, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    centers = m.select("u", F.col("m").alias("v"))  # u > m always
+    return re_pointed.unionAll(centers).distinct()
+
+
+def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components via alternating large-star/small-star — the
+    100 TB-native iterative shape (VERDICT-r11 task 6): unlike min-label
+    propagation (connected_components above), whose round count is the
+    graph DIAMETER, the star operators provably converge in O(log² n)
+    rounds, and unlike the driver union-find branch in components(),
+    NOTHING here ever collects an edge — the only driver-side value per
+    round is a 2-scalar convergence signature (count + order-insensitive
+    hash sum). Edges shuffle by node id; each round is two groupBy +
+    two equi-joins over the CURRENT edge set, which only shrinks toward
+    one star edge per non-root node.
+
+    Input: DataFrame[d1, d2] candidate pairs. Output: [doc_id,
+    cluster_id] with cluster_id = the component's minimum doc_id —
+    identical semantics (and DuckDB recursive-CTE oracle) to
+    connected_components, reached by a structurally different
+    algorithm, so each is an independent witness for the other."""
+    from ebike_spark.operators.dedup import _persist_scoped
+
+    spark = edges.sparkSession
+
+    def _sig(e: DataFrame):
+        # order-insensitive, overflow-safe (|hash%p| <= 1e9 per row)
+        r = e.agg(
+            F.count("*"),
+            F.sum(F.xxhash64("u", "v") % F.lit(1_000_000_007)),
+        ).first()
+        return (r[0], r[1])
+
+    nodes = _persist_scoped(
+        spark,
+        "ccstar_nodes",
+        edges.selectExpr("d1 AS u")
+        .unionAll(edges.selectExpr("d2 AS u"))
+        .distinct(),
+    )
+    # localCheckpoint per round, NOT persist: each round's plan
+    # references the previous round's ~6× (sym union + three reuses in
+    # small-star), so without lineage truncation the LOGICAL plan grows
+    # exponentially with rounds and the driver's analyzer becomes the
+    # bottleneck by round ~6 (measured: a 41-node path fixture hung the
+    # first persist-only cut). Eager localCheckpoint materializes the
+    # round AND cuts the lineage — the standard iterative-DataFrame
+    # pattern (dml_exec.py uses it for the same reason). At production
+    # scale, swap for reliable checkpoint() on a cluster checkpoint dir
+    # (localCheckpoint storage dies with an executor) and clean rounds
+    # older than the last.
+    e = (
+        edges.selectExpr("d1 AS u", "d2 AS v")
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig = _sig(e)
+    converged = False
+    for _ in range(max_iter):
+        new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _sig(new)
+        e = new
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise AssertionError(
+            f"large-star/small-star did not converge in {max_iter}"
+            " rounds — theoretical bound is O(log^2 n); a fixture this"
+            " deep means the edge input is not what this operator"
+            " assumes (guard mirrors the SSSP round guard)"
+        )
+    # fixpoint = star forests: every non-root points at its component
+    # minimum; roots (never on the child side) label themselves
+    star = _persist_scoped(spark, "ccstar_edges", e)
+    return (
+        nodes.join(star, "u", "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.coalesce("v", "u").alias("cluster_id"),
+        )
+    )
+
+
+@register(
+    "dedup_cluster_distributed",
+    oracle=_CLUSTER_ORACLE,
+    tags=("dedup", "clustering", "iterative", "distributed"),
+)
+def dedup_cluster_distributed(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate clusters with NO driver-side branch at any scale:
+    the same verified minhash-LSH edge set as dedup_cluster, clustered
+    by alternating large-star/small-star rounds
+    (connected_components_star) instead of the size-adaptive
+    components() split — the shape a 1000-executor job runs when the
+    dup graph itself no longer fits a driver union-find. Oracled
+    against the same recursive-CTE ground truth as dedup_cluster, so
+    the two clustering algorithms cross-check each other on every
+    driver run."""
+    edges = minhash_verified_pairs(spark, sf).select("d1", "d2")
+    return connected_components_star(edges)
 
 
 # ------------------------------------------------------- TF-IDF

@@ -35,6 +35,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ebike_spark.functions.local_frames import local_df
 from ebike_spark.plans.registry import register, sf_bound
 from ebike_spark.sources.registry import load_table
 
@@ -145,8 +146,8 @@ def _cluster_stats(
     stats = partials.groupBy("cid").agg(
         F.sum("n").alias("n_members"), F.sum("wss").alias("wss")
     )
-    cent = spark.createDataFrame(
-        [(cid, sum(v)) for cid, v in centroids], "cid int, centroid_l1 long"
+    cent = local_df(
+        spark, [(cid, sum(v)) for cid, v in centroids], "cid int, centroid_l1 long"
     )
     return (
         cent.join(stats, "cid", "left")

@@ -20,6 +20,7 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ebike_spark.functions.local_frames import local_df
 from ebike_spark.functions.textfns import cosine_sim, dot
 from ebike_spark.plans.registry import register, sf_bound
 from ebike_spark.sources.registry import load_table
@@ -275,7 +276,8 @@ def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     hits = exact.join(approx, "vec_id", "inner").count()
     recall = hits / TOP_K
     bound = sf_bound(sf, IVF_RECALL_BOUNDS, IVF_RECALL_FLOOR)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 "ivf",
@@ -694,8 +696,8 @@ def ann_knn_join(spark: SparkSession, sf: str) -> DataFrame:
         _make_knn_pruner(queries, TOP_K + KNN_SLACK),
         "query_id long, vec_id long, v array<double>",
     )
-    qdf = spark.createDataFrame(
-        [(qid, qv) for qid, qv in queries], "query_id long, qv array<double>"
+    qdf = local_df(
+        spark, [(qid, qv) for qid, qv in queries], "query_id long, qv array<double>"
     )
     scored = cand.join(F.broadcast(qdf), "query_id").select(
         "query_id", "vec_id", cosine_sim(F.col("v"), F.col("qv")).alias("_c")

@@ -20,6 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ebike_spark.functions.local_frames import local_df
 from ebike_spark.functions.textfns import tokens
 from ebike_spark.plans.registry import register
 from ebike_spark.sources.registry import load_table
@@ -701,8 +702,8 @@ def text_bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
     driver-sized by construction (one row per learned rule) — the
     bounded-collect regime."""
     merges, _, _ = _bpe_learn(spark, sf)
-    return spark.createDataFrame(
-        merges, "step int, pair string, merged string, cnt long"
+    return local_df(
+        spark, merges, "step int, pair string, merged string, cnt long"
     )
 
 

@@ -103,84 +103,49 @@ def _load_all() -> None:
 # MODIFIED_THIS_ROUND (a change without a fresh driver row would
 # leave the old green as stale evidence for new code), and the fill
 # to 50 may only draw from the OLDEST-checked rows on disk — no row
-# outside the window may be staler than any fill row. Round 11: five
-# new queries (ev_sssp_bellman_ford, the two BPE ops, dedup_ppjoin,
-# io_zorder_layout) + two modified (q13b's rank-guarantee promotion,
-# ev_pagerank_states' overflow guard), then the whole 20-row r6
-# remainder (fn_* battery, io_* roundtrips, q21/q22,
-# embed_kmeans_lloyd, three ev_*), then 23 of the 46 r7 rows — the
-# dedup family first (it anchors the LLM-pipeline claims), then the
-# embeddings/corpus/io r7 block and the oldest ev_* analytics. After
-# the r11 driver run no query's latest external check is older than
-# r7; the 23-row r7 remainder listed after the cut leads r12.
+# outside the window may be staler than any fill row. Round 12: two
+# new queries (dedup_embedding_cosine_prod, dedup_cluster_distributed)
+# + nine modified (the local_df swap and the z-order guard — see
+# MODIFIED_THIS_ROUND below), then the whole 23-row r7 remainder, then
+# 16 of the 47 r8 rows (LLM-pipeline anchors first). After the r12
+# driver run no query's latest external check is older than r8; the
+# 31 remaining r8 rows lead r13's fill.
 #
 # Queries whose CODE or ORACLE changed since the last driver run —
-# validate_window requires them at the head of the window.
+# validate_window requires them at the head of the window. Round 12:
+# the local_df swap (local_frames.py — result/dimension frames moved
+# off the 32-way Python-RDD path) touched the ann_ivf/knn, kmeans,
+# BPE-trainer, cluster, and survivor plans; embedding_candidates grew
+# regime parameters (dedup_embedding_cosine's call is
+# default-identical but the code moved); io_zorder_layout gained the
+# files_written fail-loud guard (ADVICE-r11).
 MODIFIED_THIS_ROUND: tuple[str, ...] = (
-    "q13b_approx_percentile",
-    "ev_pagerank_states",
+    "ann_ivf_topk",
+    "ann_knn_join",
+    "embed_kmeans_lloyd",
+    "embed_kmeans_converged",
+    "text_bpe_learn_merges",
+    "dedup_cluster",
+    "corpus_dedup_survivor",
+    "dedup_embedding_cosine",
+    "io_zorder_layout",
 )
 
 WINDOW_PREFIX: tuple[str, ...] = (
-    # --- NEW in r11 ---
-    "ev_sssp_bellman_ford",
-    "text_bpe_learn_merges",
-    "text_bpe_encode",
-    "dedup_ppjoin",
-    "io_zorder_layout",
-    # --- modified in r11 (need evidence for the NEW code) ---
-    "q13b_approx_percentile",
-    "ev_pagerank_states",
-    # --- the whole r6-stale remainder (20) ---
-    "q21_cube",
-    "q22_values_inline",
-    "fn_arrays",
-    "fn_unpivot",
-    "fn_math",
-    "fn_string",
-    "fn_datetime",
-    "fn_conditional",
-    "fn_regexp_like",
-    "fn_agg_extras",
-    "fn_agg_moments",
-    "q21b_grouping_id",
-    "io_csv_roundtrip",
-    "io_json_roundtrip",
-    "io_orc_roundtrip",
-    "io_text_roundtrip",
+    # --- NEW in r12 ---
+    "dedup_embedding_cosine_prod",
+    "dedup_cluster_distributed",
+    # --- modified in r12 (need evidence for the NEW code) ---
+    "ann_ivf_topk",
+    "ann_knn_join",
     "embed_kmeans_lloyd",
-    "ev_attribution_linear",
-    "ev_attribution_position",
-    "ev_anomaly_mad",
-    # --- r7-stale fill: the dedup family first ---
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
+    "embed_kmeans_converged",
+    "text_bpe_learn_merges",
     "dedup_cluster",
-    # --- r7-stale fill: embeddings / text / corpus / io ---
-    "ann_filtered_topk",
-    "embed_drift_by_dim",
-    "embed_norm_histogram",
-    "text_langid",
-    "mm_wav_decode_stats",
-    "corpus_manifest_diff",
-    "corpus_dup_rate_by_source",
-    "text_decontaminate",
-    "corpus_bloom_decontaminate",
-    "corpus_gate_waterfall",
-    "io_schema_evolution",
-    "io_csv_malformed",
-    # --- r7-stale fill: the oldest ev_* analytics ---
-    "ev_cohort_ltv",
-    "ev_markov_sessions",
-    "ev_user_paths_topk",
-    "ev_new_vs_returning",
-    "ev_stickiness_weekly",
-    # --- external budget exhausted at position 50 (the five NEW r11
-    # queries pushed four r7 fill rows past the cut): the 23-row r7
-    # remainder below leads the round-12 rotation ---
+    "corpus_dedup_survivor",
+    "dedup_embedding_cosine",
+    "io_zorder_layout",
+    # --- the whole 23-row r7 remainder ---
     "ev_forecast_snaive_backtest",
     "ev_error_budget_burn",
     "ev_survival_hazard",
@@ -204,6 +169,27 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "text_ttr_profile",
     "text_doc_keywords",
     "text_heavy_hitters_cms",
+    # --- fill to 50 from the oldest (r8) block: the LLM-pipeline
+    # anchors first (ANN exact twins, PQ/quantize, multimodal, dedup
+    # id-blocking, text quality/tfidf/token stats, pack/sample/json) ---
+    "ann_cosine_topk",
+    "ann_pq_adc_topk",
+    "ann_range_search",
+    "dedup_containment",
+    "dedup_incremental",
+    "embed_pq_encode",
+    "embed_quantize_int8",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_metadata_only",
+    "text_quality",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "corpus_pack_sequences",
+    "sample_deterministic",
+    "json_extract_props",
+    # --- external budget exhausted at position 50: the 31 remaining
+    # r8 rows lead the round-13 fill (after r13's new/modified head) ---
 )
 
 
@@ -261,7 +247,15 @@ def _session_conf_key(spark: SparkSession) -> tuple:
 # must re-run the real work, exactly like the side-effectful io_*
 # rows (review r11).
 _NO_PLAN_CACHE_NAMES = frozenset(
-    {"ev_sssp_bellman_ford", "text_bpe_learn_merges", "text_bpe_encode"}
+    {
+        "ev_sssp_bellman_ford",
+        "text_bpe_learn_merges",
+        "text_bpe_encode",
+        # r12: eager audits/iterations — cached re-invocation would be
+        # a no-op count instead of the real LSH verify / star rounds
+        "dedup_embedding_cosine_prod",
+        "dedup_cluster_distributed",
+    }
 )
 
 

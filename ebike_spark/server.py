@@ -25,7 +25,13 @@ Scope/divergences (documented, all testable in-container):
   COM_PROCESS_KILL (a real KILL: the target's socket shuts down and
   its serve loop exits) every classic command byte a stock client or
   mysqladmin sends is dispatched; the capability mask is the only
-  remaining scope line. CLIENT_DEPRECATE_EOF IS negotiated: a client that sets
+  remaining scope line. KILL termination is LAZY by design
+  (ADVICE-r11): shutting down the victim's socket means a victim
+  blocked mid-statement finishes its in-flight Spark job and dies on
+  its NEXT socket I/O — MySQL's KILL CONNECTION additionally aborts
+  the running statement promptly. Prompt abort would require wiring
+  per-statement Spark job groups + cancelJobGroup into the victim's
+  session; documented divergence until a use case needs it. CLIENT_DEPRECATE_EOF IS negotiated: a client that sets
   it gets modern framing (no EOF after column defs; row streams end
   with the OK-with-0xFE-header terminator), one that doesn't gets
   classic EOF framing — both paths tested. CLIENT_MULTI_STATEMENTS /

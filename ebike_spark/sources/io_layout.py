@@ -30,6 +30,12 @@ from ebike_spark.sources.registry import load_table
 LAYOUT_LANGS = ("en", "fr")  # the read-back probe prunes to these
 
 
+def _nfiles(d: str) -> int:
+    """Count the parquet part files a local write produced (shared by
+    the compaction audit and the z-order bucket guard — review r12)."""
+    return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+
 def _scratch_dir(tag: str) -> str:
     return os.path.join(
         tempfile.gettempdir(), f"ebike_layout_{tag}_{uuid.uuid4().hex[:10]}"
@@ -116,9 +122,6 @@ def io_compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
     spark.read.parquet(small).repartitionByRange(
         COMPACT_AFTER, "ts_us"
     ).write.parquet(packed)
-
-    def _nfiles(d: str) -> int:
-        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
 
     back = spark.read.parquet(packed)
     return back.agg(
@@ -238,6 +241,21 @@ def io_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     ev.select("uid", "te", z.alias("z")).repartitionByRange(
         ZORDER_FILES, "z"
     ).write.parquet(path)
+
+    # The oracle pins files_written to the constant ZORDER_FILES, but
+    # Spark writes NO parquet file for an empty range partition — a
+    # regenerated fixture whose z-distribution leaves a bucket empty
+    # would flake the driver row instead of failing loudly. Guard it
+    # here with an explicit error (ADVICE-r11, same pattern as the
+    # SSSP round guard).
+    n_files = _nfiles(path)
+    if n_files != ZORDER_FILES:
+        raise AssertionError(
+            f"z-order write produced {n_files} parquet files, expected"
+            f" {ZORDER_FILES}: the fixture's z-distribution left a range"
+            " bucket empty — regenerate the fixture or lower"
+            " ZORDER_FILES; the DuckDB oracle pins this constant"
+        )
 
     back = spark.read.parquet(path).select(
         "uid", "te", "z", F.input_file_name().alias("f")

@@ -880,6 +880,18 @@ def test_show_processlist(eng):
     assert rows[0]["db"] == eng.current_db
 
 
+def test_show_processlist_empty_provider_renders_empty(eng):
+    """An EMPTY provider result must render an empty processlist — the
+    synthetic Id=1 fallback is only for the bare-engine (no server)
+    case, because a fabricated Id can shadow real connection ids that
+    COM_PROCESS_KILL addresses (ADVICE-r11)."""
+    eng.processlist_provider = lambda: []
+    try:
+        assert eng.execute("SHOW PROCESSLIST").rows() == []
+    finally:
+        eng.processlist_provider = None
+
+
 def test_insert_set_syntax(eng):
     eng.execute(USER_DDL)
     assert eng.execute("INSERT INTO user SET id = 7, name = 'g', stature = 1.5").affected == 1

@@ -24,6 +24,73 @@ def test_distributed_components_equal_union_find(spark):
     assert dict(local)[21] == 1 and dict(local)[12] == 10
 
 
+def _star_shapes_edges():
+    """Adversarial component shapes for the star operators: a long
+    path (max label-propagation distance), a hub star, a clique, a
+    3-cycle, isolated self-loop nodes, and a seeded random graph."""
+    import random
+
+    rng = random.Random(12)
+    edges = [(i, i + 1) for i in range(100, 140)]          # 41-node path
+    edges += [(200, x) for x in range(201, 220)]           # star
+    edges += [(a, b) for a in range(300, 308) for b in range(a + 1, 308)]
+    edges += [(330, 331), (331, 332), (332, 330)]          # cycle
+    edges += [(350, 350), (351, 351)]                      # self-loops
+    edges += [
+        (rng.randrange(400, 470), rng.randrange(400, 470)) for _ in range(80)
+    ]
+    return edges
+
+
+@pytest.mark.slow
+def test_star_components_equal_union_find(spark):
+    from ebike_spark.operators.corpus import connected_components_star
+
+    edges = _star_shapes_edges()
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    dist = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_star(df).collect()
+    }
+    assert dist == set(_driver_union_find(edges))
+
+
+@pytest.mark.slow
+def test_star_components_never_collect_edges(spark, monkeypatch):
+    """The 100 TB claim of connected_components_star: NO step collects
+    edges — every driver-side fetch during the iterative build is the
+    1-row convergence signature. Wrap the CLASSIC DataFrame.collect —
+    the concrete class a local session hands out, whose first()/take()
+    funnel through it (patching the abstract pyspark.sql.DataFrame is
+    a no-op: the subclass shadows it) — and assert every call inside
+    the operator returned at most one row."""
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    from ebike_spark.operators.corpus import connected_components_star
+
+    orig = _DF.collect
+    sizes: list[int] = []
+
+    def guarded(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(_DF, "collect", guarded)
+    df = spark.createDataFrame(_star_shapes_edges(), "d1 long, d2 long")
+    out = connected_components_star(df)
+    assert sizes, "convergence checks should have fetched scalars"
+    assert max(sizes) <= 1, (
+        f"an iteration collected {max(sizes)} rows — edges reached the"
+        " driver"
+    )
+    monkeypatch.undo()
+    # result is still correct after the guard is lifted
+    assert {(r["doc_id"], r["cluster_id"]) for r in out.collect()} == set(
+        _driver_union_find(_star_shapes_edges())
+    )
+
+
 def test_asof_forward_direction(spark):
     left = spark.createDataFrame([(1, 100, 10), (1, 200, 20)], "g long, t long, lv long")
     right = spark.createDataFrame(
