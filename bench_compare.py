@@ -107,7 +107,7 @@ def main() -> None:
     if oracle_regime_rows:
         os_ = sum(r[1] for r in oracle_regime_rows)
         print(
-            f"| oracle-regime ({len(oracle_regime_rows)} queries, adversarial recall-proof fixtures; production twins in ratio) "
+            f"| oracle-regime ({len(oracle_regime_rows)} queries, adversarial recall-proof fixtures; production twins benched as verdict rows) "
             f"| {os_:.2f} | — | — |"
         )
     # repeat the canary LAST: a ratio is meaningless without it, and

@@ -14,11 +14,15 @@ Python-RDD tax on every timed run (`ann_ivf_topk`'s "unexplained"
 
 ``local_df`` keeps rows ≤ ``_INLINE_MAX`` fully JVM-side: one
 ``Range(0,1) → Project → Inline(array<struct>)`` of literals, cast
-per-field to the declared DDL type so the result schema is identical
-to the ``createDataFrame`` one. Bigger (but still bounded) row lists
-fall back to a SINGLE-partition parallelize — one Python task instead
-of 32. Unbounded data must never come through here; that is what real
-scans and shuffles are for.
+per-field to the declared DDL type — same column NAMES and TYPES as
+``createDataFrame`` (what the oracle compare and every join here
+keys on), though NULLABILITY may differ: a non-null literal column
+comes out non-nullable on the inline path, nullable on the fallback/
+createDataFrame path (review r12 — don't assert strict schema
+equality against a createDataFrame twin). Bigger (but still bounded)
+row lists fall back to a SINGLE-partition parallelize — one Python
+task instead of 32. Unbounded data must never come through here;
+that is what real scans and shuffles are for.
 """
 
 from __future__ import annotations

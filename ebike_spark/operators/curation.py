@@ -507,20 +507,30 @@ def text_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     other document(s), and what fraction of the document that covers.
     A removal pass drops or trims documents above a dup_frac threshold.
 
-    Scale shape: span document-frequency is one distinct + one count
-    aggregation (map-side combined); scoring joins the corpus span
-    stream to the df table on the span value — a linear shuffle join
-    (the df table outgrows broadcast at corpus scale, and that is
-    fine). Nothing pairwise, nothing collected."""
+    Scale shape: occurrences collapse to (doc, span, count) FIRST —
+    one (doc, span)-keyed aggregate with map-side partials — so the
+    span-keyed stage moves distinct-pair rows, not the raw occurrence
+    stream; span document-frequency is then COUNT(*) OVER the span
+    partition on that collapsed frame (its rows are one-per-document
+    by construction), and the per-doc rollup weights each span by its
+    occurrence count. ONE span-keyed shuffle total (r12 rewrite: the
+    former distinct→agg→join-back shape shuffled the full occurrence
+    stream on the span value AND re-executed the n-gram subtree for
+    both branches). Nothing pairwise, nothing collected."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf, "documents")
     ng = _ngrams(docs, SPAN_N)
-    df = ng.select("doc_id", "g").distinct().groupBy("g").agg(F.count("*").alias("df"))
+    occ = ng.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    df = F.count("*").over(Window.partitionBy("g"))
     return (
-        ng.join(df, "g")
+        occ.select("doc_id", "c", df.alias("df"))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_spans"),
-            F.sum((F.col("df") >= SPAN_MIN_DF).cast("long")).alias("n_dup"),
+            F.sum("c").alias("n_spans"),
+            F.sum(
+                F.when(F.col("df") >= SPAN_MIN_DF, F.col("c")).otherwise(0)
+            ).alias("n_dup"),
         )
         .where(F.col("n_dup") > 0)
         .select(

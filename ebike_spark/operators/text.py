@@ -452,17 +452,20 @@ def text_novelty_score(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: grams are built with the posexplode+lead construction
     (the dedup.shingle_set idiom — the transform/sequence/slice HOF
     evaluates interpreted and measured 4.7× slower end-to-end at
-    sf0.1: 7.4s vs 1.5s); first-occurrence is ONE gram-keyed shuffle
-    (MIN(doc_id) partial-aggregates map-side, vocabulary-sized
-    result); the credit join re-shuffles the per-doc gram set on gram
-    (corpus-token-proportional, never all-pairs — the same key
-    discipline as the dedup shingle pipelines); the final per-doc
-    rollup is one doc_id shuffle. No broadcast of anything
-    vocabulary-sized."""
+    sf0.1: 7.4s vs 1.5s); first-occurrence is MIN(doc_id) OVER the
+    gram partition — ONE gram-keyed shuffle total (r12 rewrite: the
+    former agg-on-gram + join-back-on-gram shape re-executed the
+    whole gram-construction subtree for both branches — no exchange
+    reuse across the agg/join shapes — and measured 3.4× slower,
+    1.13 s vs 0.33 s at sf0.1); the final per-doc rollup is one
+    doc_id shuffle. Gram keys only ever shuffle, nothing
+    vocabulary-sized broadcasts."""
+    from pyspark.sql import Window
+
     g = _novelty_gram_set(load_table(spark, sf, "documents"))
-    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    first = F.min("doc_id").over(Window.partitionBy("gram"))
     return (
-        g.join(first, "gram")
+        g.select("doc_id", first.alias("first_doc"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("total_grams"),
@@ -509,27 +512,33 @@ def text_novelty_incremental(spark: SparkSession, sf: str) -> DataFrame:
     arrives as one unit). A pipeline runs this per ingest batch instead
     of recomputing corpus-wide first-occurrence.
 
-    Scale shape: the history side reduces to its DISTINCT gram
-    vocabulary before the join; the left-outer credit join's LEFT side
-    is batch-sized — at 100 TB the batch is a small fraction of the
-    corpus, so the per-batch cost is |batch grams| + one
-    vocabulary-sized shuffle, never corpus x corpus (the
-    dedup_incremental argument). The id cutoff is one scalar aggregate
-    collected to the driver — bounded, not a data collect."""
+    Scale shape: "gram unseen in history" = MIN(doc_id) OVER the gram
+    partition lands at-or-past the cutoff — ONE gram-keyed shuffle of
+    the gram set (r12 rewrite, same reasoning as text_novelty_score:
+    the former distinct-history + left-join shape re-executed the
+    gram-construction subtree for both branches). At 100 TB a real
+    ingest keeps the historical gram vocabulary as a STORED table and
+    left-joins the batch against it (the join shape this replaced is
+    exactly that production plan — the rewrite exploits that here
+    history+batch come from one scan); the id cutoff is one scalar
+    aggregate collected to the driver — bounded, not a data
+    collect."""
     import math
+
+    from pyspark.sql import Window
 
     docs = load_table(spark, sf, "documents")
     mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
     cutoff = int(math.ceil((1.0 - NOVELTY_BATCH_FRACTION) * (mx + 1)))
     g = _novelty_gram_set(docs)
-    hist = g.where(F.col("doc_id") < cutoff).select("gram").distinct()
-    batch = g.where(F.col("doc_id") >= cutoff)
+    first = F.min("doc_id").over(Window.partitionBy("gram"))
     return (
-        batch.join(hist.withColumn("__hit", F.lit(1)), "gram", "left")
+        g.select("doc_id", first.alias("first_doc"))
+        .where(F.col("doc_id") >= cutoff)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("total_grams"),
-            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias(
+            F.sum(F.when(F.col("first_doc") >= cutoff, 1).otherwise(0)).alias(
                 "novel_grams"
             ),
         )
@@ -567,15 +576,19 @@ def text_crossdup_mass(spark: SparkSession, sf: str) -> DataFrame:
     later). Since per-doc grams are distinct, a gram's row count IS its
     document frequency.
 
-    Scale shape: identical key discipline to text_novelty_score — one
-    gram-keyed doc-frequency shuffle (map-side partials,
-    vocabulary-sized result), one credit join on gram
-    (corpus-token-proportional, never all-pairs), one doc_id rollup;
-    no vocabulary-sized broadcast (AQE decides)."""
+    Scale shape: identical key discipline to text_novelty_score —
+    document frequency is COUNT(*) OVER the gram partition (per-doc
+    grams are distinct, so the partition row count IS the df), ONE
+    gram-keyed shuffle total (r12 rewrite: the former agg-on-gram +
+    credit-join shape re-executed the gram-construction subtree for
+    both branches), then one doc_id rollup; no vocabulary-sized
+    broadcast anywhere."""
+    from pyspark.sql import Window
+
     g = _novelty_gram_set(load_table(spark, sf, "documents"))
-    df = g.groupBy("gram").agg(F.count("*").alias("ddf"))
+    ddf = F.count("*").over(Window.partitionBy("gram"))
     return (
-        g.join(df, "gram")
+        g.select("doc_id", ddf.alias("ddf"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("total_grams"),

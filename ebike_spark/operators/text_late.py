@@ -208,10 +208,13 @@ def text_doc_keywords(spark: SparkSession, sf: str) -> DataFrame:
     corpus-level list.
 
     Scale shape: (doc, term) tf aggregate with map-side partials; df
-    is a term-keyed aggregate of THAT frame (vocabulary-sized, the
-    gram discipline — no broadcast); the credit join re-shuffles on
-    term; the rank window partitions per doc (distinct-term-sized
-    partitions). All shuffles corpus-token-proportional or smaller."""
+    is COUNT(*) OVER the term partition of THAT frame (tf's rows are
+    the distinct (doc, term) pairs, so the partition row count IS the
+    document frequency — one term-keyed shuffle instead of the former
+    agg-on-term + join-back pair, which re-executed the tf subtree
+    for both branches; r12 rewrite); the rank window partitions per
+    doc (distinct-term-sized partitions). All shuffles
+    corpus-token-proportional or smaller."""
     d = load_table(spark, sf, "documents")
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("term"))
@@ -219,12 +222,12 @@ def text_doc_keywords(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    wdf = Window.partitionBy("term")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), "term"
     )
     return (
-        tf.join(df, "term")
+        tf.withColumn("df", F.count("*").over(wdf))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= DOC_KEYWORDS_K)
         .select("doc_id", "rnk", "term", "tf", "df")

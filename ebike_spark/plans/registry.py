@@ -105,11 +105,13 @@ def _load_all() -> None:
 # to 50 may only draw from the OLDEST-checked rows on disk — no row
 # outside the window may be staler than any fill row. Round 12: two
 # new queries (dedup_embedding_cosine_prod, dedup_cluster_distributed)
-# + nine modified (the local_df swap and the z-order guard — see
-# MODIFIED_THIS_ROUND below), then the whole 23-row r7 remainder, then
-# 16 of the 47 r8 rows (LLM-pipeline anchors first). After the r12
-# driver run no query's latest external check is older than r8; the
-# 31 remaining r8 rows lead r13's fill.
+# + fourteen modified (the local_df swap, the z-order guard, and the
+# five aggregate-then-window rewrites — see MODIFIED_THIS_ROUND
+# below), then the 22-row r7 remainder (text_doc_keywords moved to
+# the modified head), then 12 of the 47 r8 rows (LLM-pipeline anchors
+# first): 2 + 14 + 22 + 12 = 50. After the r12 driver run no query's
+# latest external check is older than r8; the 35 remaining r8 rows
+# lead r13's fill.
 #
 # Queries whose CODE or ORACLE changed since the last driver run —
 # validate_window requires them at the head of the window. Round 12:
@@ -129,6 +131,13 @@ MODIFIED_THIS_ROUND: tuple[str, ...] = (
     "corpus_dedup_survivor",
     "dedup_embedding_cosine",
     "io_zorder_layout",
+    # the aggregate-then-window rewrites (one key-shuffle instead of
+    # agg+join-back, which re-executed the gram/tf subtree twice):
+    "text_novelty_score",
+    "text_novelty_incremental",
+    "text_crossdup_mass",
+    "text_dup_spans",
+    "text_doc_keywords",
 )
 
 WINDOW_PREFIX: tuple[str, ...] = (
@@ -145,7 +154,12 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "corpus_dedup_survivor",
     "dedup_embedding_cosine",
     "io_zorder_layout",
-    # --- the whole 23-row r7 remainder ---
+    "text_novelty_score",
+    "text_novelty_incremental",
+    "text_crossdup_mass",
+    "text_dup_spans",
+    "text_doc_keywords",
+    # --- the r7 remainder (22 — text_doc_keywords moved to the head) ---
     "ev_forecast_snaive_backtest",
     "ev_error_budget_burn",
     "ev_survival_hazard",
@@ -167,11 +181,10 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "q31_recursive_spine",
     "q31b_sequence_spine",
     "text_ttr_profile",
-    "text_doc_keywords",
     "text_heavy_hitters_cms",
     # --- fill to 50 from the oldest (r8) block: the LLM-pipeline
     # anchors first (ANN exact twins, PQ/quantize, multimodal, dedup
-    # id-blocking, text quality/tfidf/token stats, pack/sample/json) ---
+    # id-blocking, text quality/tfidf) ---
     "ann_cosine_topk",
     "ann_pq_adc_topk",
     "ann_range_search",
@@ -184,11 +197,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "mm_metadata_only",
     "text_quality",
     "text_tfidf_top_terms",
-    "text_token_stats",
-    "corpus_pack_sequences",
-    "sample_deterministic",
-    "json_extract_props",
-    # --- external budget exhausted at position 50: the 31 remaining
+    # --- external budget exhausted at position 50: the 35 remaining
     # r8 rows lead the round-13 fill (after r13's new/modified head) ---
 )
 

@@ -1403,3 +1403,48 @@ def test_session_caches_key_on_sf_dir(spark):
         # middle run really read the other fixture)
         if name == "ev_active_users_hll":
             assert mid != first, name
+
+
+# ------------------------------------------------- local_df primitive
+
+
+def test_local_df_inline_matches_create_dataframe(spark):
+    """The JVM-literal inline path must agree with createDataFrame on
+    column names, types, and values — incl. None and array columns."""
+    from ebike_spark.functions.local_frames import local_df
+
+    rows = [("a", 1, None, [0.5, 1.5]), (None, 2, True, [])]
+    schema = "s string, n long, b boolean, v array<double>"
+    got = local_df(spark, rows, schema)
+    ref = spark.createDataFrame(rows, schema)
+    assert got.columns == ref.columns
+    assert [f.dataType for f in got.schema.fields] == [
+        f.dataType for f in ref.schema.fields
+    ]
+    key = lambda t: repr(t)  # noqa: E731 — None-safe sort key
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, ref.collect()), key=key
+    )
+
+
+def test_local_df_fallback_and_empty(spark):
+    """>_INLINE_MAX rows takes the single-partition parallelize path;
+    empty rows yield an empty frame with the right schema. Both paths
+    return the same values as the inline one would."""
+    from ebike_spark.functions.local_frames import _INLINE_MAX, local_df
+
+    big = [(i, i * 2) for i in range(_INLINE_MAX + 1)]
+    df = local_df(spark, big, "a long, b long")
+    assert df.rdd.getNumPartitions() == 1
+    assert sorted(map(tuple, df.collect())) == big
+    empty = local_df(spark, [], "a long, b long")
+    assert empty.columns == ["a", "b"] and empty.count() == 0
+
+
+def test_local_df_rejects_short_row(spark):
+    """zip() would silently truncate a short row — the helper must
+    fail as loudly as createDataFrame (review r12)."""
+    from ebike_spark.functions.local_frames import local_df
+
+    with pytest.raises(TypeError, match="2 values for 3"):
+        local_df(spark, [(1, 2)], "a long, b long, c long")
