@@ -333,18 +333,22 @@ def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     explode: tf's rows are exactly the distinct (doc, term) pairs, so
     counting them per term IS the document frequency — one explode
     pass instead of two and no count_distinct expansion (17% faster
-    measured, and the saving grows with corpus size)."""
+    measured, and the saving grows with corpus size). r12 rewrite:
+    that count is COUNT(*) OVER the term partition instead of an
+    agg-on-term + join-back, which re-executed the tf subtree for
+    both branches (the text_novelty_score finding — ONE term shuffle
+    now feeds the score)."""
     docs = load_table(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.count()  # single scalar, driver-side (metadata-cheap count)
     score = F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))
     from pyspark.sql import Window
 
+    wdf = Window.partitionBy("term")
     w = Window.partitionBy("doc_id").orderBy(F.desc("_s"), "term")
     return (
-        tf.join(df, "term")
+        tf.withColumn("df", F.count("*").over(wdf))
         .select("doc_id", "term", score.alias("_s"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= TFIDF_TOP_K)

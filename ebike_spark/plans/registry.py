@@ -105,12 +105,12 @@ def _load_all() -> None:
 # to 50 may only draw from the OLDEST-checked rows on disk — no row
 # outside the window may be staler than any fill row. Round 12: two
 # new queries (dedup_embedding_cosine_prod, dedup_cluster_distributed)
-# + fourteen modified (the local_df swap, the z-order guard, and the
-# five aggregate-then-window rewrites — see MODIFIED_THIS_ROUND
+# + fifteen modified (the local_df swap, the z-order guard, and the
+# six aggregate-then-window rewrites — see MODIFIED_THIS_ROUND
 # below), then the 22-row r7 remainder (text_doc_keywords moved to
-# the modified head), then 12 of the 47 r8 rows (LLM-pipeline anchors
-# first): 2 + 14 + 22 + 12 = 50. After the r12 driver run no query's
-# latest external check is older than r8; the 35 remaining r8 rows
+# the modified head), then 11 of the 47 r8 rows (LLM-pipeline anchors
+# first): 2 + 15 + 22 + 11 = 50. After the r12 driver run no query's
+# latest external check is older than r8; the 36 remaining r8 rows
 # lead r13's fill.
 #
 # Queries whose CODE or ORACLE changed since the last driver run —
@@ -138,6 +138,7 @@ MODIFIED_THIS_ROUND: tuple[str, ...] = (
     "text_crossdup_mass",
     "text_dup_spans",
     "text_doc_keywords",
+    "text_tfidf_top_terms",
 )
 
 WINDOW_PREFIX: tuple[str, ...] = (
@@ -159,6 +160,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "text_crossdup_mass",
     "text_dup_spans",
     "text_doc_keywords",
+    "text_tfidf_top_terms",
     # --- the r7 remainder (22 — text_doc_keywords moved to the head) ---
     "ev_forecast_snaive_backtest",
     "ev_error_budget_burn",
@@ -184,7 +186,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "text_heavy_hitters_cms",
     # --- fill to 50 from the oldest (r8) block: the LLM-pipeline
     # anchors first (ANN exact twins, PQ/quantize, multimodal, dedup
-    # id-blocking, text quality/tfidf) ---
+    # id-blocking, text quality) ---
     "ann_cosine_topk",
     "ann_pq_adc_topk",
     "ann_range_search",
@@ -196,8 +198,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "mm_frame_sample",
     "mm_metadata_only",
     "text_quality",
-    "text_tfidf_top_terms",
-    # --- external budget exhausted at position 50: the 35 remaining
+    # --- external budget exhausted at position 50: the 36 remaining
     # r8 rows lead the round-13 fill (after r13's new/modified head) ---
 )
 
