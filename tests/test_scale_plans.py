@@ -1243,3 +1243,59 @@ def test_sssp_shares_graph_cache_and_relaxes_joinless(spark):
     assert "Join" not in above_cache, plan
     assert "CartesianProduct" not in above_cache, plan
     assert "NestedLoop" not in above_cache, plan
+
+
+def test_star_cc_round_is_equi_join_only(spark):
+    """One large-star + small-star round must compile to hash
+    equi-joins on the node id — any NestedLoop/Cartesian would be
+    quadratic in edges at 100 TB. (The full operator is iterative;
+    asserting one round's shape covers every round — the loop applies
+    the same two functions to a lineage-truncated frame.)"""
+    from ebike_spark.operators.corpus import _large_star, _small_star
+
+    e = load_table(spark, SF_DIR, "events").select(
+        F.col("user_id").alias("u"), (F.col("user_id") + 1).alias("v")
+    )
+    plan = _physical(_small_star(_large_star(e)))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_embedding_prod_candidates_equi_join_only(spark):
+    """The production-regime (r=16/L=8) candidate DAG must keep the
+    fixture regime's guarantee: bucket equi-joins on (table, key)
+    only, no block cross-product (SCALE.md dedup_embedding_cosine_prod
+    row)."""
+    from ebike_spark.operators.dedup import (
+        EMBED_PROD_L,
+        EMBED_PROD_R,
+        embedding_candidates,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cand = embedding_candidates(
+        e, r=EMBED_PROD_R, n_tables=EMBED_PROD_L, cache_tag="embed_banded_prod_plan"
+    )
+    plan = _physical(cand)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name,key",
+    [
+        ("text_novelty_score", "gram"),
+        ("text_crossdup_mass", "gram"),
+        ("text_doc_keywords", "term"),
+        ("text_tfidf_top_terms", "term"),
+    ],
+)
+def test_credit_rewrites_single_key_exchange(spark, name, key):
+    """The r12 aggregate-then-window rewrites claim ONE key-partitioned
+    exchange where the agg+join-back shape had two (and re-executed
+    the gram/tf subtree for both). Count the hashpartitioning
+    exchanges on the credit key in the physical plan."""
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    plan = _physical(df)
+    n = plan.count(f"hashpartitioning({key}")
+    assert n == 1, f"{name}: expected 1 {key} exchange, found {n}\n{plan}"
