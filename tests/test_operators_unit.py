@@ -1448,3 +1448,33 @@ def test_local_df_rejects_short_row(spark):
 
     with pytest.raises(TypeError, match="2 values for 3"):
         local_df(spark, [(1, 2)], "a long, b long, c long")
+
+
+@pytest.mark.slow
+def test_star_components_random_graphs_property(spark):
+    """Property: on six seeded random graphs spanning sparse-forest to
+    near-clique density, star-CC labels equal driver union-find.
+    Graphs share ONE operator call (node-id offsets keep them in
+    disjoint components), so the property costs one iterative run, not
+    six. Seeds are fixed; densities bracket the regimes (p≈1/n thin
+    forest, p≈ln n/n connectivity threshold, p≈0.3 quasi-clique)."""
+    import random
+
+    from ebike_spark.operators.corpus import connected_components_star
+
+    edges = []
+    for i, (n, m) in enumerate(
+        [(30, 12), (30, 40), (30, 120), (60, 30), (60, 70), (25, 90)]
+    ):
+        rng = random.Random(100 + i)
+        base = 10_000 * (i + 1)
+        edges += [
+            (base + rng.randrange(n), base + rng.randrange(n))
+            for _ in range(m)
+        ]
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_star(df).collect()
+    }
+    assert got == set(_driver_union_find(edges))
