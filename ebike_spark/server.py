@@ -24,8 +24,15 @@ Scope/divergences (documented, all testable in-container):
   "Wire protocol scope"). With r11's COM_PROCESS_INFO / COM_DEBUG /
   COM_PROCESS_KILL (a real KILL: the target's socket shuts down and
   its serve loop exits) every classic command byte a stock client or
-  mysqladmin sends is dispatched; the capability mask is the only
-  remaining scope line. KILL termination is LAZY by design
+  mysqladmin sends is dispatched — r12 adds the final two:
+  COM_REFRESH (flush-* acknowledged; all flushable surfaces are
+  absent or per-statement invalidated) and COM_SHUTDOWN (requester
+  acknowledged first — EOF classically, OK under DEPRECATE_EOF —
+  then the accept loop stops and every live connection is broken,
+  mysqladmin-shutdown semantics; the shutdown-race registration
+  re-check keeps a connection accepted mid-shutdown from surviving
+  the sweep). The capability mask is
+  the only remaining scope line. KILL termination is LAZY by design
   (ADVICE-r11): shutting down the victim's socket means a victim
   blocked mid-statement finishes its in-flight Spark job and dies on
   its NEXT socket I/O — MySQL's KILL CONNECTION additionally aborts
@@ -80,6 +87,8 @@ COM_QUIT = 0x01
 COM_INIT_DB = 0x02
 COM_QUERY = 0x03
 COM_FIELD_LIST = 0x04
+COM_REFRESH = 0x07  # mysqladmin flush-*; sub-command bitmask
+COM_SHUTDOWN = 0x08  # mysqladmin shutdown
 COM_PING = 0x0E
 COM_STATISTICS = 0x09
 COM_PROCESS_INFO = 0x0A  # deprecated alias for SHOW PROCESSLIST
@@ -687,6 +696,47 @@ class _Conn:
                         self.send_ok()
                     else:
                         self.send_eof()
+                elif cmd == COM_REFRESH:
+                    # mysqladmin flush-{logs,tables,hosts,status,...}:
+                    # 1-byte sub-command bitmask. Every flushable
+                    # surface here is already either absent (no query
+                    # log, no grant tables, no host cache) or
+                    # invalidated per statement (information_schema
+                    # frames are epoch-refreshed on DDL), so the flush
+                    # is complete by construction — the OK is the
+                    # contract.
+                    if len(body) < 1:
+                        self.send_err(
+                            1835, "Malformed communication packet", "HY000"
+                        )
+                        continue
+                    self.send_ok()
+                elif cmd == COM_SHUTDOWN:
+                    # mysqladmin shutdown: optional 1-byte shutdown
+                    # type (ignored — MySQL only honors WAIT_ALL_*
+                    # variants with privileges we don't model). The
+                    # requesting client gets its acknowledgement FIRST
+                    # — EOF classically, OK under DEPRECATE_EOF, same
+                    # split as COM_DEBUG (mysqladmin waits for it,
+                    # then for the connection to die) — then the
+                    # server callback stops the accept loop and shuts
+                    # down every live connection socket — including
+                    # this one — so all serve loops exit on their next
+                    # read, KILL-style. A bare engine-only _Conn (no
+                    # server wired) answers 1105 like any unsupported
+                    # surface.
+                    shutdown = self.stats.get("shutdown")
+                    if shutdown is None:
+                        self.send_err(
+                            1105, "COM_SHUTDOWN: no server to stop", "HY000"
+                        )
+                        continue
+                    if self.deprecate_eof:
+                        self.send_ok()
+                    else:
+                        self.send_eof()
+                    shutdown()
+                    return
                 elif cmd == COM_PROCESS_KILL:
                     # deprecated alias for KILL <connection id>: 4-byte
                     # LE id. Shuts down the target's socket — its serve
@@ -984,7 +1034,20 @@ class EbikeServer:
             # guarded by the same lock)
             "conns": {},
             "threads": lambda: len(self.stats["conns"]),
+            # COM_SHUTDOWN's server hook: stop accepting, then break
+            # every live connection (the requester has its OK by then)
+            "shutdown": self._shutdown_all,
         }
+
+    def _shutdown_all(self) -> None:
+        self.stop()
+        with self.stats["lock"]:
+            conns = list(self.stats["conns"].values())
+        for c in conns:
+            try:
+                c.sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass  # raced to disconnect — already dead
 
     def _accept_loop(self) -> None:
         while not self._stop.is_set():
@@ -1028,8 +1091,17 @@ class EbikeServer:
             )
             handler.engine.processlist_provider = self._processlist_rows
             # register only once the handler exists (greeting — which
-            # publishes the id — goes out inside serve(), after this)
+            # publishes the id — goes out inside serve(), after this).
+            # Registration re-checks the stop flag UNDER THE LOCK:
+            # _shutdown_all sets the flag before snapshotting the
+            # registry, so a connection accepted in the shutdown race
+            # either lands in the snapshot (and is broken) or observes
+            # the flag here and never serves (review r12 — without
+            # this, a connection mid-__init__ during COM_SHUTDOWN
+            # survived the sweep and served forever).
             with self.stats["lock"]:
+                if self._stop.is_set():
+                    return
                 self.stats["conns"][conn_id] = handler
             handler.serve()
         except Exception:

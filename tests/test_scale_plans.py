@@ -658,18 +658,16 @@ def test_touchpoints_single_scan_single_user_shuffle(spark):
     assert "PushedFilters" in plan and "In(event_type" in plan
 
 
-def test_novelty_incremental_history_distincts_before_join(spark):
-    """text_novelty_incremental's credit join consumes the DISTINCT
-    history gram vocabulary, never raw history grams, and carries no
-    forced broadcast (vocabulary-sized right side)."""
+def test_novelty_incremental_single_gram_exchange_no_join(spark):
+    """text_novelty_incremental (r12 rewrite): history membership is
+    MIN(doc_id) OVER the gram partition — the plan has NO join at all
+    and exactly ONE gram exchange (the former distinct-history +
+    left-join shape re-executed the gram subtree for both branches)."""
     df = REGISTRY["text_novelty_incremental"].fn(spark, SF_DIR)
-    analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert "ResolvedHint" not in analyzed
-    opt = _optimized(df)
-    join_pos = opt.index("Join")
-    assert "Aggregate" in opt[join_pos:]  # distinct below the join
     plan = _physical(df)
-    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Join" not in plan, plan
+    n = plan.count("hashpartitioning(gram")
+    assert n == 1, f"expected 1 gram exchange, found {n}\n{plan}"
 
 
 def test_time_decay_one_window_one_scan(spark):

@@ -1113,3 +1113,57 @@ def test_process_info_debug_and_kill(server):
     with pytest.raises((ConnectionError, OSError)):
         a.send_command(0x0E)
         a.read_packet()
+
+
+def test_refresh_and_shutdown(spark):
+    """COM_REFRESH (mysqladmin flush-*) acknowledges with OK (every
+    flushable surface is absent or per-statement invalidated here);
+    COM_SHUTDOWN (mysqladmin shutdown) OKs the requester FIRST, then
+    stops the accept loop and breaks every live connection — its own
+    fresh server instance, since the module fixture must outlive this
+    test."""
+    import socket as _socket
+    import time as _t
+
+    s = EbikeServer(spark).start()
+    try:
+        a = MiniClient(s.port)
+        b = MiniClient(s.port)
+        # REFRESH: 1-byte bitmask operand -> OK; empty operand -> 1835
+        a.send_command(0x07, b"\x44")
+        assert a.read_packet()[0] == 0x00
+        a.send_command(0x07)
+        pkt = a.read_packet()
+        assert pkt[0] == 0xFF and struct.unpack_from("<H", pkt, 1)[0] == 1835
+        # SHUTDOWN: a classic (non-DEPRECATE_EOF) requester gets EOF —
+        # the protocol's documented COM_SHUTDOWN response (OK only
+        # under CLIENT_DEPRECATE_EOF, the COM_DEBUG split)...
+        a.send_command(0x08, b"\x00")
+        assert a.read_packet()[0] == 0xFE
+        # ...every connection dies (incl. the bystander b)...
+        for victim in (a, b):
+            dead = False
+            deadline = _t.time() + 10
+            while _t.time() < deadline:
+                try:
+                    victim.send_command(0x0E)
+                    victim.read_packet()
+                except (ConnectionError, OSError):
+                    dead = True
+                    break
+                _t.sleep(0.05)
+            assert dead, "connection survived COM_SHUTDOWN"
+        # ...and the listener stops accepting within the deadline
+        refused = False
+        deadline = _t.time() + 10
+        while _t.time() < deadline:
+            try:
+                probe = _socket.create_connection(("127.0.0.1", s.port), timeout=0.5)
+                probe.close()
+            except OSError:
+                refused = True
+                break
+            _t.sleep(0.05)
+        assert refused, "listener kept accepting after COM_SHUTDOWN"
+    finally:
+        s.stop()
