@@ -127,6 +127,13 @@ def test_hostile_session_is_normalized(spark, oracle):
             "ev_sssp_bellman_ford",
             "text_bpe_learn_merges",
             "text_bpe_encode",
+            # r12 additions: iterative star rounds over a
+            # lineage-truncated frame (greatest/least + xxhash64
+            # signature under ANSI), and the production-regime LSH
+            # audit (counts + float threshold division) — both eager
+            # driver-coordinated shapes under ANSI/timezone flips
+            "dedup_cluster_distributed",
+            "dedup_embedding_cosine_prod",
         ):
             spec = REGISTRY[name]
             sdf = spec.fn(spark, SF_DIR)
