@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     # and the driver-branch-free connected components
     "dedup_embedding_cosine_prod",
     "dedup_cluster_distributed",
+    "ev_sssp_broadcast",
 ]
 
 

@@ -237,6 +237,38 @@ def _sssp_oracle() -> str:
     """
 
 
+
+def _weighted_edges(edges: DataFrame) -> DataFrame:
+    """(u, v, w) with the SSSP weight w = GREATEST(1, WSCALE DIV c) —
+    ONE definition for both SSSP variants and the plan test (the
+    DuckDB oracle mirrors the same formula in _sssp_oracle)."""
+    return edges.select(
+        "u",
+        "v",
+        F.expr(
+            f"GREATEST(CAST(1 AS BIGINT), CAST({SSSP_WSCALE} AS BIGINT) DIV c)"
+        ).alias("w"),
+    )
+
+
+def _sssp_relax_round(wedges: DataFrame, dist: DataFrame) -> DataFrame:
+    """One broadcast relaxation round: settled distances broadcast-
+    joined to the edge frame, min-combined per target, least()'d into
+    the current vector. Shared by ev_sssp_broadcast and the plan test
+    so the asserted BroadcastHashJoin shape IS the production round."""
+    settled = dist.where(F.col("d") < SSSP_INF)
+    cand = (
+        wedges.join(F.broadcast(settled), wedges["u"] == settled["node"])
+        .select("v", (F.col("d") + F.col("w")).alias("cand"))
+        .groupBy("v")
+        .agg(F.min("cand").alias("cand"))
+    )
+    return dist.join(cand, dist["node"] == cand["v"], "left").select(
+        "node",
+        F.least(F.col("d"), F.coalesce(F.col("cand"), F.col("d"))).alias("d"),
+    )
+
+
 @register(
     "ev_sssp_bellman_ford",
     oracle=_sssp_oracle(),
@@ -269,13 +301,7 @@ def ev_sssp_bellman_ford(spark: SparkSession, sf: str) -> DataFrame:
     (or a co-partitioned join against a bucketed edge table), trading
     early-exit for an improved-count accumulator."""
     edges, nodes = _transition_graph(spark, sf)
-    wedges = edges.select(
-        "u",
-        "v",
-        F.expr(
-            f"GREATEST(CAST(1 AS BIGINT), CAST({SSSP_WSCALE} AS BIGINT) DIV c)"
-        ).alias("w"),
-    )
+    wedges = _weighted_edges(edges)
     states = sorted(r[0] for r in nodes.collect())  # bounded: ≤types rows
     if len(states) > SSSP_ROUNDS + 1:
         raise ValueError(
@@ -320,6 +346,73 @@ def ev_sssp_bellman_ford(spark: SparkSession, sf: str) -> DataFrame:
     d = final[F.col("state")]
     return nodes.select(
         "state",
+        F.when(d >= F.lit(SSSP_INF), F.lit(None)).otherwise(d).alias(
+            "dist_cost"
+        ),
+    )
+
+
+@register(
+    "ev_sssp_broadcast",
+    oracle=_sssp_oracle(),
+    tags=("events", "graph", "sssp", "iterative", "beyond-reference"),
+)
+def ev_sssp_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION twin of ev_sssp_bellman_ford: identical
+    semantics and oracle, but the distance vector NEVER lives on the
+    driver — it is a distributed (node, d) frame, each round relaxes
+    via a real BROADCAST HASH JOIN of the settled distances against
+    the shared cached edge frame, and convergence is a 1-row improved
+    probe. This is the exact build SCALE.md's cutover row prescribes
+    once the frontier outgrows the literal-map plan (~10⁴ nodes): the
+    literal variant demonstrates the low-latency small-graph shape,
+    this one the shape that survives web-scale node counts (swap
+    F.broadcast for a co-partitioned join against a bucketed edge
+    table past broadcast size, and the improved probe for an
+    accumulator).
+
+    Per round: relax ALL settled nodes (classic Bellman-Ford — no
+    frontier, since frontier tracking is driver state by nature),
+    min-combine candidates, least() against the current vector, and
+    localCheckpoint to truncate the iteration lineage (the star-CC
+    lesson: per-round plans otherwise nest and the analyzer becomes
+    the bottleneck). Positive weights bound convergence at V-1 rounds;
+    the build asserts V-1 <= SSSP_ROUNDS from one scalar count (no
+    node collect anywhere), and extra oracle rounds are identity, so
+    the early-exit and the fixed unroll meet at the same fixed
+    point."""
+    edges, nodes = _transition_graph(spark, sf)
+    wedges = _weighted_edges(edges)
+    # ONE driver round-trip for both scalars (review r12)
+    n_nodes, src = nodes.agg(F.count("*"), F.min("state")).first()
+    if n_nodes - 1 > SSSP_ROUNDS:
+        raise ValueError(
+            f"{n_nodes} states need {n_nodes - 1} relaxation rounds but"
+            f" SSSP_ROUNDS={SSSP_ROUNDS}; raise it (oracle unrolls the"
+            " same constant)"
+        )
+    dist = nodes.select(
+        F.col("state").alias("node"),
+        F.when(F.col("state") == F.lit(src), F.lit(0))
+        .otherwise(F.lit(SSSP_INF))
+        .cast("long")
+        .alias("d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(SSSP_ROUNDS):
+        new = _sssp_relax_round(wedges, dist).localCheckpoint(eager=True)
+        improved = (
+            new.alias("n")
+            .join(dist.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.d") < F.col("o.d"))
+            .limit(1)
+            .count()
+        )
+        dist = new
+        if improved == 0:
+            break
+    d = F.col("d")
+    return dist.select(
+        F.col("node").alias("state"),
         F.when(d >= F.lit(SSSP_INF), F.lit(None)).otherwise(d).alias(
             "dist_cost"
         ),

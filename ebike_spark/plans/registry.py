@@ -103,14 +103,15 @@ def _load_all() -> None:
 # MODIFIED_THIS_ROUND (a change without a fresh driver row would
 # leave the old green as stale evidence for new code), and the fill
 # to 50 may only draw from the OLDEST-checked rows on disk — no row
-# outside the window may be staler than any fill row. Round 12: two
-# new queries (dedup_embedding_cosine_prod, dedup_cluster_distributed)
+# outside the window may be staler than any fill row. Round 12: three
+# new queries (dedup_embedding_cosine_prod, dedup_cluster_distributed,
+# ev_sssp_broadcast — the literal-map SSSP's production broadcast twin)
 # + fifteen modified (the local_df swap, the z-order guard, and the
 # six aggregate-then-window rewrites — see MODIFIED_THIS_ROUND
 # below), then the 22-row r7 remainder (text_doc_keywords moved to
 # the modified head), then 11 of the 47 r8 rows (LLM-pipeline anchors
-# first): 2 + 15 + 22 + 11 = 50. After the r12 driver run no query's
-# latest external check is older than r8; the 36 remaining r8 rows
+# first): 3 + 15 + 22 + 10 = 50. After the r12 driver run no query's
+# latest external check is older than r8; the 37 remaining r8 rows
 # lead r13's fill.
 #
 # Queries whose CODE or ORACLE changed since the last driver run —
@@ -145,6 +146,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     # --- NEW in r12 ---
     "dedup_embedding_cosine_prod",
     "dedup_cluster_distributed",
+    "ev_sssp_broadcast",
     # --- modified in r12 (need evidence for the NEW code) ---
     "ann_ivf_topk",
     "ann_knn_join",
@@ -197,8 +199,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "mm_feature_extract",
     "mm_frame_sample",
     "mm_metadata_only",
-    "text_quality",
-    # --- external budget exhausted at position 50: the 36 remaining
+    # --- external budget exhausted at position 50: the 37 remaining
     # r8 rows lead the round-13 fill (after r13's new/modified head) ---
 )
 
@@ -265,6 +266,7 @@ _NO_PLAN_CACHE_NAMES = frozenset(
         # a no-op count instead of the real LSH verify / star rounds
         "dedup_embedding_cosine_prod",
         "dedup_cluster_distributed",
+        "ev_sssp_broadcast",
     }
 )
 

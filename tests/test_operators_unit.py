@@ -1478,3 +1478,40 @@ def test_star_components_random_graphs_property(spark):
         for r in connected_components_star(df).collect()
     }
     assert got == set(_driver_union_find(edges))
+
+
+@pytest.mark.slow
+def test_sssp_broadcast_matches_literal_twin_and_stays_distributed(
+    spark, monkeypatch
+):
+    """The broadcast SSSP twin must produce EXACTLY the literal-map
+    variant's distances (same oracle, independent builds cross-check
+    each other), and — its whole reason to exist — never pull more
+    than one row to the driver during the build (src scalar + improved
+    probes; the literal variant legitimately collects the ≤types node
+    set, the broadcast one must not)."""
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    from ebike_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    lit_rows = {
+        tuple(r)
+        for r in REGISTRY["ev_sssp_bellman_ford"].fn(spark, SF_DIR).collect()
+    }
+
+    orig = _DF.collect
+    sizes: list[int] = []
+
+    def guarded(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(_DF, "collect", guarded)
+    out = REGISTRY["ev_sssp_broadcast"].fn(spark, SF_DIR)
+    assert sizes and max(sizes) <= 1, (
+        f"broadcast SSSP pulled {max(sizes)} rows to the driver"
+    )
+    monkeypatch.undo()
+    assert {tuple(r) for r in out.collect()} == lit_rows

@@ -1297,3 +1297,24 @@ def test_credit_rewrites_single_key_exchange(spark, name, key):
     plan = _physical(df)
     n = plan.count(f"hashpartitioning({key}")
     assert n == 1, f"{name}: expected 1 {key} exchange, found {n}\n{plan}"
+
+
+def test_sssp_broadcast_round_is_broadcast_hash_join(spark):
+    """One relaxation round of ev_sssp_broadcast must compile to a
+    BroadcastHashJoin of the settled distances against the shared
+    cached edge frame — the SCALE.md cutover shape (literal map below
+    ~10⁴ frontier nodes, THIS past it)."""
+    from ebike_spark.plans.graph import (
+        _sssp_relax_round,
+        _transition_graph,
+        _weighted_edges,
+    )
+
+    edges, nodes = _transition_graph(spark, SF_DIR)
+    dist = nodes.select(
+        F.col("state").alias("node"), F.lit(0).cast("long").alias("d")
+    )
+    # the PRODUCTION round builder, not a replica (review r12)
+    plan = _physical(_sssp_relax_round(_weighted_edges(edges), dist))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
