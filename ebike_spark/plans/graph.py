@@ -397,9 +397,12 @@ def ev_sssp_broadcast(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.lit(SSSP_INF))
         .cast("long")
         .alias("d"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(SSSP_ROUNDS):
-        new = _sssp_relax_round(wedges, dist).localCheckpoint(eager=True)
+        # lazy: the improved probe is the round's first action, so it
+        # materializes the checkpoint and answers in one job (the
+        # star-CC fusion — review r12)
+        new = _sssp_relax_round(wedges, dist).localCheckpoint(eager=False)
         improved = (
             new.alias("n")
             .join(dist.alias("o"), F.col("n.node") == F.col("o.node"))
