@@ -27,13 +27,61 @@ that is what real scans and shuffles are for.
 
 from __future__ import annotations
 
+import numbers
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    FloatType,
+    FractionalType,
+    IntegralType,
+    StringType,
+    StructType,
+)
 
 # Above this, one literal-struct per row stops being a reasonable plan
 # (expression-tree size grows linearly and analysis cost with it).
 _INLINE_MAX = 64
+
+
+def _check_scalar(v, dt, where: str) -> None:
+    """Driver-side type check so BOTH paths fail like createDataFrame.
+
+    The inline path builds ``F.lit(v).cast(dt)``, and a non-ANSI cast
+    silently coerces a wrong-typed value to NULL (e.g. a stray string
+    in a long field) where ``createDataFrame`` raises — so without
+    this, the same caller bug surfaces as silent nulls on small row
+    lists and a TypeError above ``_INLINE_MAX`` (ADVICE-r12). None is
+    legal everywhere, matching createDataFrame's nullable rows."""
+    if v is None:
+        return
+    if isinstance(dt, BooleanType):
+        ok = isinstance(v, bool) or type(v).__name__ == "bool_"
+    elif isinstance(dt, IntegralType):
+        # bool is an Integral subclass in Python; reject it like the
+        # createDataFrame verifier does
+        ok = isinstance(v, numbers.Integral) and not isinstance(v, bool)
+    elif isinstance(dt, (DoubleType, FloatType, FractionalType)):
+        ok = isinstance(v, numbers.Real) and not isinstance(v, bool)
+    elif isinstance(dt, StringType):
+        ok = isinstance(v, str)
+    elif isinstance(dt, ArrayType):
+        ok = isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+        if ok:
+            for x in v:
+                _check_scalar(x, dt.elementType, where)
+    else:
+        # dates/timestamps/decimals/structs never come through here
+        # today; let lit()/createDataFrame raise their own error
+        ok = True
+    if not ok:
+        raise TypeError(
+            f"local_df field {where} expects {dt.simpleString()}, got"
+            f" {type(v).__name__}: {v!r}"
+        )
 
 
 def local_df(spark: SparkSession, rows, schema: str | StructType) -> DataFrame:
@@ -59,6 +107,8 @@ def local_df(spark: SparkSession, rows, schema: str | StructType) -> DataFrame:
                 f"local_df row has {len(row)} values for"
                 f" {len(st.fields)} schema fields: {row!r}"
             )
+        for v, f_ in zip(row, st.fields):
+            _check_scalar(v, f_.dataType, f_.name)
     if not rows or len(rows) > _INLINE_MAX:
         if not rows:
             return spark.createDataFrame(rows, st)

@@ -217,12 +217,23 @@ def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame
     spark = edges.sparkSession
 
     def _sig(e: DataFrame):
-        # order-insensitive, overflow-safe (|hash%p| <= 1e9 per row)
+        # Order-insensitive, overflow-safe (|hash%p| <= 1e9 per row).
+        # The stop condition is PROBABILISTIC (ADVICE-r12): two
+        # DIFFERENT successive edge sets terminating iteration requires
+        # both independent hash sums (different seeds) AND the count to
+        # collide — ~p^-2 ≈ 1e-18 per round, ~1e-17 over the O(log² n)
+        # bound; the DuckDB recursive-CTE oracle would still catch the
+        # wrong clusters on every driver run. An exact probe
+        # (exceptAll / anti-join on the previous round) exists at the
+        # cost of shuffling BOTH full edge sets by (u,v) each round
+        # instead of a map-side-partial 3-scalar agg — the wrong trade
+        # at 100 TB for a 1e-18 risk.
         r = e.agg(
             F.count("*"),
             F.sum(F.xxhash64("u", "v") % F.lit(1_000_000_007)),
+            F.sum(F.xxhash64(F.lit(13), "u", "v") % F.lit(998_244_353)),
         ).first()
-        return (r[0], r[1])
+        return (r[0], r[1], r[2])
 
     nodes = _persist_scoped(
         spark,

@@ -109,7 +109,7 @@ def _load_all() -> None:
 # + fifteen modified (the local_df swap, the z-order guard, and the
 # six aggregate-then-window rewrites — see MODIFIED_THIS_ROUND
 # below), then the 22-row r7 remainder (text_doc_keywords moved to
-# the modified head), then 11 of the 47 r8 rows (LLM-pipeline anchors
+# the modified head), then 10 of the 47 r8 rows (LLM-pipeline anchors
 # first): 3 + 15 + 22 + 10 = 50. After the r12 driver run no query's
 # latest external check is older than r8; the 37 remaining r8 rows
 # lead r13's fill.

@@ -1450,6 +1450,30 @@ def test_local_df_rejects_short_row(spark):
         local_df(spark, [(1, 2)], "a long, b long, c long")
 
 
+def test_local_df_rejects_wrong_scalar_types(spark):
+    """The inline path's non-ANSI cast would silently coerce a
+    wrong-typed value to NULL where createDataFrame raises — the
+    driver-side validator must fail loudly on BOTH paths, and keep
+    accepting numpy scalars + None like createDataFrame (ADVICE-r12)."""
+    import numpy as np
+
+    from ebike_spark.functions.local_frames import local_df
+
+    for bad in [("x",), (1.5,), (True,)]:  # string/float/bool in long
+        with pytest.raises(TypeError, match="expects bigint"):
+            local_df(spark, [bad], "a long")
+    with pytest.raises(TypeError, match="expects string"):
+        local_df(spark, [(7,)], "a string")
+    with pytest.raises(TypeError, match="expects double"):
+        local_df(spark, [(["oops"],)], "a array<double>")
+    ok = local_df(
+        spark,
+        [(np.int64(3), np.float64(0.5), None, np.array([1.0, 2.0]))],
+        "a long, b double, c string, v array<double>",
+    )
+    assert ok.collect()[0][:3] == (3, 0.5, None)
+
+
 @pytest.mark.slow
 def test_star_components_random_graphs_property(spark):
     """Property: on six seeded random graphs spanning sparse-forest to
