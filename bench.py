@@ -191,13 +191,16 @@ def main() -> None:
     # measured up to 4x run-to-run drift; the canary lets round-over-
     # round totals be read against host speed instead of forensically
     # reconstructed. Best of 2 after warmup.
-    canary = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        spark.range(200_000_000).selectExpr("sum(id % 97)").collect()
-        dt = time.perf_counter() - t0
-        canary = dt if canary is None else min(canary, dt)
-    canary = round(canary, 3)
+    def _canary() -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.range(200_000_000).selectExpr("sum(id % 97)").collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    canary_start = _canary()
 
     # Per-query: one UNTIMED warm invocation, then `runs` timed ones
     # (min). The warm pass is unconditional (unless EBIKE_BENCH_COLD=1)
@@ -226,6 +229,13 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # Second canary AFTER the query loop: the host swings up to 6×
+    # WITHIN a run (measured r13 — BENCH_NOTES "io_zorder_layout
+    # pinned"), so a start-only canary can't qualify rows timed ~40
+    # min later. canary_seconds stays the headline (min of the two =
+    # quietest observed host speed); start/end expose the window.
+    canary_end = _canary()
+    canary = min(canary_start, canary_end)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
@@ -249,6 +259,8 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "canary_seconds": canary,
+        "canary_start": canary_start,
+        "canary_end": canary_end,
         "sf": sf_val,
     }
     line = json.dumps(summary)

@@ -18,6 +18,7 @@ driver correctness rows.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -37,9 +38,17 @@ def _nfiles(d: str) -> int:
 
 
 def _scratch_dir(tag: str) -> str:
-    return os.path.join(
-        tempfile.gettempdir(), f"ebike_layout_{tag}_{uuid.uuid4().hex[:10]}"
-    )
+    """Fresh scratch dir per invocation; PRIOR invocations' dirs for
+    the same tag are removed first (each eager io_* call fully consumes
+    its own write before returning — nothing re-reads an old dir — and
+    a bench loop otherwise leaves hundreds of orphan dirs per round;
+    544 found in /tmp at r13 start)."""
+    base = tempfile.gettempdir()
+    prefix = f"ebike_layout_{tag}_"
+    for d in os.listdir(base):
+        if d.startswith(prefix):
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    return os.path.join(base, f"{prefix}{uuid.uuid4().hex[:10]}")
 
 
 @register(
