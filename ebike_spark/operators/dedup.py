@@ -1223,16 +1223,48 @@ EMBED_PROD_R, EMBED_PROD_L = 16, 8
 # deterministic per fixture): the pruning claim, bounds-checked.
 EMBED_PROD_CAND_FRAC_BOUNDS = {"sf0.001": 0.01, "sf0.01": 0.01, "sf0.1": 0.01}
 EMBED_PROD_CAND_FRAC_FLOOR = 0.05
+# Planted true pairs (VERDICT-r12 task 2): the synthetic fixtures top
+# out at cos ~0.6, so an unaugmented >=0.9 truth set is EMPTY and the
+# recall half of the audit proved nothing. Every vec_id divisible by
+# EMBED_PROD_PLANT_MOD gets a twin at vec_id + EMBED_PROD_PLANT_OFFSET:
+# even multiples an EXACT copy (identical signs in every table —
+# recall 1 guaranteed whatever the planes), odd multiples a first-
+# coordinate +EMBED_PROD_PLANT_EPS perturbation (unit-norm fixture =>
+# cos >= 1/sqrt(1+eps^2) ~ 0.9998; per-band survive ~0.90, miss-all-8
+# ~1e-8, deterministic under the seeded planes and pinned per fixture).
+# Both arms are pure column expressions, computed IDENTICALLY by the
+# Spark plan and the DuckDB oracle, so the parquet fixture is untouched
+# and n_pairs > 0 (6/6/21 at sf0.001/0.01/0.1) at every SF.
+EMBED_PROD_PLANT_MOD = 97
+EMBED_PROD_PLANT_OFFSET = 1_000_000
+EMBED_PROD_PLANT_EPS = 0.02
+
+# DuckDB twin of the Spark-side augmentation (1-based list indexing).
+_EMBED_PROD_AUG_SQL = f"""
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + {EMBED_PROD_PLANT_OFFSET}, CAST(embedding AS DOUBLE[])
+    FROM embeddings
+    WHERE vec_id % {2 * EMBED_PROD_PLANT_MOD} = 0
+    UNION ALL
+    SELECT vec_id + {EMBED_PROD_PLANT_OFFSET},
+           list_prepend(CAST(embedding[1] AS DOUBLE)
+                        + {EMBED_PROD_PLANT_EPS},
+                        CAST(embedding[2:] AS DOUBLE[]))
+    FROM embeddings
+    WHERE vec_id % {EMBED_PROD_PLANT_MOD} = 0
+      AND vec_id % {2 * EMBED_PROD_PLANT_MOD} <> 0
+"""
 
 
 @register(
     "dedup_embedding_cosine_prod",
     oracle=f"""
+    WITH aug AS ({_EMBED_PROD_AUG_SQL})
     SELECT CAST({EMBED_PROD_THRESHOLD} AS DOUBLE) AS threshold,
-           (SELECT COUNT(*) FROM embeddings a JOIN embeddings b
+           (SELECT COUNT(*) FROM aug a JOIN aug b
               ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[]))
+            WHERE list_cosine_similarity(a.v, b.v)
                   >= {EMBED_PROD_THRESHOLD}) AS n_pairs,
            TRUE AS candidates_pruned
     """,
@@ -1251,12 +1283,12 @@ def dedup_embedding_prod(spark: SparkSession, sf: str) -> DataFrame:
       the LSH path, oracled against the BRUTE-FORCE all-pairs count —
       a mismatch means the candidate stage dropped a true pair, so the
       hash compare doubles as a per-run recall proof (the PPJoin
-      recipe). The synthetic fixtures place true near-dups at
-      cos 0.50-0.60 and background below 0.5, so the >=0.9 truth set
-      is empty at every SF; pairs at cos ~1.0 (exact duplicates) would
-      be caught with near-certainty (per-plane agreement -> 1 as
-      theta -> 0), and the seeded planes make the outcome
-      deterministic per fixture either way.
+      recipe). The fixtures top out at cos ~0.6, so the corpus is
+      AUGMENTED with planted exact + near-exact twins (see
+      EMBED_PROD_PLANT_* — pure column expressions mirrored verbatim
+      in the oracle's aug CTE), making the truth set NON-EMPTY at
+      every SF (6/6/21 pairs) — a candidate stage that dropped any of
+      them now fails the hash compare (VERDICT-r12 task 2).
     - candidates_pruned: measured candidate volume <= 1% of all-pairs
       (vs ~46% in the fixture-recall regime above) — the claim this
       row exists to evidence, as a per-SF bounds-checked boolean
@@ -1268,9 +1300,24 @@ def dedup_embedding_prod(spark: SparkSession, sf: str) -> DataFrame:
     near-dup density, not corpus size squared."""
     from ebike_spark.plans.registry import sf_bound
 
-    e = load_table(spark, sf, "embeddings").select(
+    base = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    planted = base.where(F.col("vec_id") % EMBED_PROD_PLANT_MOD == 0)
+    twin_id = (F.col("vec_id") + EMBED_PROD_PLANT_OFFSET).alias("vec_id")
+    exact = planted.where(
+        F.col("vec_id") % (2 * EMBED_PROD_PLANT_MOD) == 0
+    ).select(twin_id, "v")
+    perturbed = planted.where(
+        F.col("vec_id") % (2 * EMBED_PROD_PLANT_MOD) != 0
+    ).select(
+        twin_id,
+        F.concat(
+            F.array(F.col("v")[0] + F.lit(EMBED_PROD_PLANT_EPS)),
+            F.expr("slice(v, 2, size(v) - 1)"),
+        ).alias("v"),
+    )
+    e = base.unionAll(exact).unionAll(perturbed)
     cand = _persist_scoped(
         spark,
         "embed_cand_prod",
