@@ -174,6 +174,9 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine_prod",
     "dedup_cluster_distributed",
     "ev_sssp_broadcast",
+    # r13: cross-snapshot incremental LSH dedup — timed runs probe the
+    # persisted band index (built once in the warm pass)
+    "dedup_lsh_incremental",
 ]
 
 

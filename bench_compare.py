@@ -83,9 +83,21 @@ def main() -> None:
 
         fn = _plan_cached(name, spec.fn)
         fn(spark, sf_dir).count()  # warm
+        # Count Spark JOBS submitted by the timed pass (VERDICT-r12
+        # task 3): under AQE every materialized query stage (shuffle or
+        # broadcast exchange) plus the final collect is its own job,
+        # so this column decomposes each row's fixed floor into
+        # scheduling rounds. >1 job for one logical result = either an
+        # exchange AQE had to stage or an unfused driver-side action.
+        group = f"bc_{name}"
+        spark.sparkContext.setJobGroup(group, name)
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         t_spark = time.perf_counter() - t0
+        spark.sparkContext._jsc.clearJobGroup()
+        n_jobs = len(
+            spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+        )
         if "verdict" in spec.tags:
             bucket, tag = verdict_rows, " (verdict — not in ratio)"
         elif name in oracle_regime:
@@ -93,7 +105,11 @@ def main() -> None:
         else:
             bucket, tag = rows, ""
         bucket.append((name, t_spark, t_duck))
-        print(f"| {name} | {t_spark:.3f} | {t_duck:.3f} | {t_spark / max(t_duck, 1e-9):.1f}×{tag} |", flush=True)
+        print(
+            f"| {name} | {t_spark:.3f} | {t_duck:.3f} |"
+            f" {t_spark / max(t_duck, 1e-9):.1f}×{tag} | {n_jobs} |",
+            flush=True,
+        )
 
     ts = sum(r[1] for r in rows)
     td = sum(r[2] for r in rows)

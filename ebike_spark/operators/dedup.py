@@ -799,6 +799,128 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_LSH_INCR_SQL = f"""
+WITH {_SHINGLE_CTE},
+{_PAIR_GROUND_TRUTH_CTE},
+  cut AS (SELECT CAST(ceil((1.0 - {INCREMENT_FRACTION}) * (MAX(doc_id) + 1)) AS BIGINT) AS cv
+          FROM documents)
+SELECT d1, d2, ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2, cut
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+  AND d1 < cut.cv AND d2 >= cut.cv
+"""
+
+# (session → {(sf, conf) → (index_dir, cutoff)}): the persisted minhash
+# band index, built ONCE per (session, corpus) — the index lifecycle is
+# off the probe path, like the IVF quantizer.
+_LSH_INDEX_POOL: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _lsh_band_index(spark: SparkSession, sf: str) -> tuple[str, int]:
+    """Build (once per session/corpus/conf) the PERSISTED minhash band
+    index over the base corpus: (doc_id, band, key) rows written as a
+    parquet TABLE and read back for every probe. Returns (index_dir,
+    batch cutoff id). Prior same-prefix dirs (dead sessions) are
+    cleaned; the prefix includes the corpus AND the result-relevant
+    conf hash so a live index under another (sf, conf) is never
+    deleted."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ebike_spark.plans.registry import _session_conf_key
+
+    conf = _session_conf_key(spark)
+    pool = _LSH_INDEX_POOL.setdefault(spark, {})
+    hit = pool.get((sf, conf))
+    if hit is not None:
+        return hit
+    import math
+
+    docs = load_table(spark, sf, "documents")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    cutoff = int(math.ceil((1.0 - INCREMENT_FRACTION) * (mx + 1)))
+    sh = _persist_scoped(spark, "ngram_shingles", lambda: shingle_set(spark, sf), key=sf)
+    corpus_banded = (
+        sh.where(F.col("doc_id") < cutoff)
+        .select("doc_id", (F.abs(F.xxhash64("s")) % (2**31)).alias("x"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("x").alias("xs"))
+        .mapInPandas(make_fused_minhash_bander(), "doc_id long, band int, key string")
+    )
+    sig = hashlib.sha1(repr((sf, conf)).encode()).hexdigest()[:10]
+    prefix = f"ebike_lshidx_{sig}_"
+    base = tempfile.gettempdir()
+    for d in os.listdir(base):
+        if d.startswith(prefix):
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    path = os.path.join(base, f"{prefix}{random.getrandbits(40):010x}")
+    corpus_banded.write.parquet(path)
+    pool[(sf, conf)] = (path, cutoff)
+    return path, cutoff
+
+
+@register(
+    "dedup_lsh_incremental",
+    oracle=_LSH_INCR_SQL,
+    tags=("dedup", "incremental", "minhash", "lsh"),
+)
+def dedup_lsh_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-snapshot incremental LSH dedup (VERDICT-r12 task 7): the
+    base corpus (doc_id < cutoff, bottom {1 - INCREMENT_FRACTION:.0%}
+    of the id space) maintains a PERSISTED minhash band index — a
+    (doc_id, band, key) parquet table built once, off the probe path —
+    and each incoming batch (doc_id >= cutoff) bands ONLY ITS OWN rows
+    and equi-joins them against the index on (band, key), then
+    exact-Jaccard-verifies the candidates. Output: every verified
+    (corpus d1, batch d2) pair at jaccard >= {JACCARD_THRESHOLD},
+    oracled by the SAME exact ground-truth CTE as dedup_minhash_lsh
+    restricted to corpus × batch — a dropped true pair fails the hash
+    compare (recall proof, per-run). In-batch pairs are deliberately
+    out of scope (dedup_incremental covers intra-batch ordering);
+    after the probe, appending the batch's banded rows to the index
+    table is the one-line maintenance step a pipeline runs per
+    snapshot.
+
+    Scale shape: the index is signature-sized (32 small rows/doc, not
+    text-sized) and amortized across every future batch; per-batch
+    cost is banding the BATCH ONLY (one scan + one groupBy of batch
+    shingles) plus an equi-join whose left side is the index read —
+    filter pushdown and bucket pruning apply as with any table. The
+    timed probe never re-bands the corpus; nothing is quadratic in
+    corpus size. Unlike dedup_incremental's shingle-level join
+    (|corpus-shingles| × |batch-shingles|), the probe joins
+    band-keyed signatures, so corpus-side traffic is 32 rows/doc
+    regardless of document length."""
+    path, cutoff = _lsh_band_index(spark, sf)
+    _tune_wide_codegen(spark)
+    sh = _persist_scoped(spark, "ngram_shingles", lambda: shingle_set(spark, sf), key=sf)
+    index = spark.read.parquet(path)
+    batch_banded = (
+        sh.where(F.col("doc_id") >= cutoff)
+        .select("doc_id", (F.abs(F.xxhash64("s")) % (2**31)).alias("x"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("x").alias("xs"))
+        .mapInPandas(make_fused_minhash_bander(), "doc_id long, band int, key string")
+    )
+    cand = (
+        index.alias("i")
+        .join(
+            batch_banded.alias("p"),
+            (F.col("i.band") == F.col("p.band"))
+            & (F.col("i.key") == F.col("p.key")),
+        )
+        .select(F.col("i.doc_id").alias("d1"), F.col("p.doc_id").alias("d2"))
+        .distinct()
+    )
+    return verify_jaccard(sh, cand, JACCARD_THRESHOLD)
+
+
 @register(
     "dedup_containment",
     oracle=_CONTAINMENT_PAIRS_SQL,

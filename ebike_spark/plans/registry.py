@@ -115,92 +115,79 @@ def _load_all() -> None:
 # lead r13's fill.
 #
 # Queries whose CODE or ORACLE changed since the last driver run —
-# validate_window requires them at the head of the window. Round 12:
-# the local_df swap (local_frames.py — result/dimension frames moved
-# off the 32-way Python-RDD path) touched the ann_ivf/knn, kmeans,
-# BPE-trainer, cluster, and survivor plans; embedding_candidates grew
-# regime parameters (dedup_embedding_cosine's call is
-# default-identical but the code moved); io_zorder_layout gained the
-# files_written fail-loud guard (ADVICE-r11).
+# validate_window requires them at the head of the window. Round 13:
+# dedup_embedding_cosine_prod gained the planted exact+perturbed twin
+# augmentation (VERDICT-r12 task 2 — recall truth set now non-empty),
+# dedup_cluster_distributed's convergence signature grew a second
+# independent hash sum (ADVICE-r12), and the three io layout rows share
+# the _scratch_dir helper that now cleans prior same-tag dirs.
 MODIFIED_THIS_ROUND: tuple[str, ...] = (
-    "ann_ivf_topk",
-    "ann_knn_join",
-    "embed_kmeans_lloyd",
-    "embed_kmeans_converged",
-    "text_bpe_learn_merges",
-    "dedup_cluster",
-    "corpus_dedup_survivor",
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_prod",
+    "dedup_cluster_distributed",
     "io_zorder_layout",
-    # the aggregate-then-window rewrites (one key-shuffle instead of
-    # agg+join-back, which re-executed the gram/tf subtree twice):
-    "text_novelty_score",
-    "text_novelty_incremental",
-    "text_crossdup_mass",
-    "text_dup_spans",
-    "text_doc_keywords",
-    "text_tfidf_top_terms",
+    "io_compact_small_files",
+    "io_partitioned_layout",
 )
 
 WINDOW_PREFIX: tuple[str, ...] = (
-    # --- NEW in r12 ---
+    # --- NEW in r13 ---
+    "dedup_lsh_incremental",
+    # --- modified in r13 (need evidence for the NEW code) ---
     "dedup_embedding_cosine_prod",
     "dedup_cluster_distributed",
-    "ev_sssp_broadcast",
-    # --- modified in r12 (need evidence for the NEW code) ---
-    "ann_ivf_topk",
-    "ann_knn_join",
-    "embed_kmeans_lloyd",
-    "embed_kmeans_converged",
-    "text_bpe_learn_merges",
-    "dedup_cluster",
-    "corpus_dedup_survivor",
-    "dedup_embedding_cosine",
     "io_zorder_layout",
-    "text_novelty_score",
-    "text_novelty_incremental",
-    "text_crossdup_mass",
-    "text_dup_spans",
-    "text_doc_keywords",
-    "text_tfidf_top_terms",
-    # --- the r7 remainder (22 — text_doc_keywords moved to the head) ---
-    "ev_forecast_snaive_backtest",
-    "ev_error_budget_burn",
-    "ev_survival_hazard",
-    "ev_ab_test_ztest",
-    "ev_trend_theil_sen",
-    "ev_lifecycle_stages",
-    "stream_new_vs_returning",
-    "stream_cdc_upsert",
-    "stream_error_budget_burn",
     "io_compact_small_files",
-    "fn_window",
-    "fn_maps",
-    "fn_structs",
-    "fn_datetime_arith",
-    "fn_nullsafe",
-    "fn_regex_extended",
-    "fn_null_ordering",
-    "q30_lateral_topk",
-    "q31_recursive_spine",
-    "q31b_sequence_spine",
-    "text_ttr_profile",
-    "text_heavy_hitters_cms",
-    # --- fill to 50 from the oldest (r8) block: the LLM-pipeline
-    # anchors first (ANN exact twins, PQ/quantize, multimodal, dedup
-    # id-blocking, text quality) ---
-    "ann_cosine_topk",
-    "ann_pq_adc_topk",
-    "ann_range_search",
-    "dedup_containment",
-    "dedup_incremental",
-    "embed_pq_encode",
-    "embed_quantize_int8",
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "mm_metadata_only",
-    # --- external budget exhausted at position 50: the 37 remaining
-    # r8 rows lead the round-13 fill (after r13's new/modified head) ---
+    "io_partitioned_layout",
+    # --- the full r8 remainder (34) ---
+    "asof_generic_events_orders",
+    "corpus_domain_cap",
+    "corpus_mix_weights",
+    "corpus_pack_sequences",
+    "corpus_temperature_mix",
+    "embed_cluster_assign",
+    "embed_outliers",
+    "ev_active_users",
+    "ev_anomaly_zscore",
+    "ev_asof_join",
+    "ev_gapfill_interp",
+    "ev_gapfill_locf",
+    "ev_hierarchical_rollup",
+    "ev_path_transitions",
+    "fn_string_mysql",
+    "io_zstd_roundtrip",
+    "json_extract_props",
+    "json_map_explode",
+    "profile_columns",
+    "salted_join_parity",
+    "sample_deterministic",
+    "sample_stratified",
+    "stream_lifecycle_stages",
+    "text_chunk_windows",
+    "text_fingerprint",
+    "text_heuristic_filter",
+    "text_perplexity",
+    "text_quality",
+    "text_quality_percentile",
+    "text_redact_pii",
+    "text_repetition",
+    "text_token_stats",
+    "text_vocab_encode",
+    "text_zipf_fit",
+    # --- fill to 50 from the next-oldest (r9) tier: LLM-pipeline
+    # anchors (semantic dedup, random projection, curriculum/budget)
+    # plus the relational core q01-q03 and the event-analytics
+    # staples --- (1 + 5 + 34 + 10 = 50; the 36 remaining r9 rows
+    # lead the round-14 fill)
+    "embed_semantic_dedup",
+    "embed_random_projection",
+    "corpus_curriculum_stages",
+    "corpus_token_budget_plan",
+    "ev_funnel",
+    "ev_sessionize",
+    "ev_retention",
+    "q01_scan_filter_topk",
+    "q02_group_agg",
+    "q03_join_agg",
 )
 
 

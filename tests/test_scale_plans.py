@@ -1258,6 +1258,36 @@ def test_star_cc_round_is_equi_join_only(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
 
 
+def test_lsh_incremental_probe_shape(spark):
+    """dedup_lsh_incremental's SCALE.md claims, on the plan: (1) the
+    probe never re-bands the corpus — the only mapInPandas stage in
+    the probe plan reads batch rows (doc_id >= cutoff filter present),
+    the corpus side is a parquet SCAN of the persisted index table;
+    (2) the candidate join is an equi-join, no cross product; (3) the
+    index is built ONCE per (session, sf) — a second invocation
+    returns the same index path (build off the probe path)."""
+    from ebike_spark.operators.dedup import _lsh_band_index
+
+    p1, cut1 = _lsh_band_index(spark, SF_DIR)
+    p2, cut2 = _lsh_band_index(spark, SF_DIR)
+    assert (p1, cut1) == (p2, cut2)
+
+    df = REGISTRY["dedup_lsh_incremental"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    # corpus side arrives via the index table scan, batch side via the
+    # cutoff-filtered banding stage
+    assert "ebike_lshidx_" in plan, plan
+    assert "(doc_id#" in plan and f">= {cut1})" in plan, plan
+    # every emitted pair is corpus x batch
+    rows = df.collect()
+    assert rows and all(r["d1"] < cut1 <= r["d2"] for r in rows)
+    # and the index table itself holds only corpus-side signatures
+    idx = spark.read.parquet(p1)
+    assert idx.where(F.col("doc_id") >= cut1).count() == 0
+    assert set(idx.columns) == {"doc_id", "band", "key"}
+
+
 def test_embedding_prod_candidates_equi_join_only(spark):
     """The production-regime (r=16/L=8) candidate DAG must keep the
     fixture regime's guarantee: bucket equi-joins on (table, key)
