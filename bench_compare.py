@@ -113,18 +113,21 @@ def main() -> None:
 
     ts = sum(r[1] for r in rows)
     td = sum(r[2] for r in rows)
-    print(f"| **total ({len(rows)} equivalent-computation queries)** | **{ts:.2f}** | **{td:.2f}** | **{ts / td:.1f}×** |")
+    print(
+        f"| **total ({len(rows)} equivalent-computation queries)** |"
+        f" **{ts:.2f}** | **{td:.2f}** | **{ts / td:.1f}×** | — |"
+    )
     if verdict_rows:
         vs = sum(r[1] for r in verdict_rows)
         print(
             f"| verdict-shaped ({len(verdict_rows)} queries, Spark pipeline+audit vs audit-only oracle) "
-            f"| {vs:.2f} | — | — |"
+            f"| {vs:.2f} | — | — | — |"
         )
     if oracle_regime_rows:
         os_ = sum(r[1] for r in oracle_regime_rows)
         print(
             f"| oracle-regime ({len(oracle_regime_rows)} queries, adversarial recall-proof fixtures; production twins benched as verdict rows) "
-            f"| {os_:.2f} | — | — |"
+            f"| {os_:.2f} | — | — | — |"
         )
     # repeat the canary LAST: a ratio is meaningless without it, and
     # tail-captured output (the r9 run lost the header line to a

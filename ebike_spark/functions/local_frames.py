@@ -34,9 +34,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    DecimalType,
     DoubleType,
     FloatType,
-    FractionalType,
     IntegralType,
     StringType,
     StructType,
@@ -64,8 +64,21 @@ def _check_scalar(v, dt, where: str) -> None:
         # bool is an Integral subclass in Python; reject it like the
         # createDataFrame verifier does
         ok = isinstance(v, numbers.Integral) and not isinstance(v, bool)
-    elif isinstance(dt, (DoubleType, FloatType, FractionalType)):
-        ok = isinstance(v, numbers.Real) and not isinstance(v, bool)
+    elif isinstance(dt, (DoubleType, FloatType)):
+        # strictly float, matching createDataFrame's verifier — an int
+        # here silently casts on the inline path but crashes executor-
+        # side on the parallelize fallback (review r13)
+        ok = isinstance(v, float) or type(v).__name__ in (
+            "float64",
+            "float32",
+            "float16",
+        )
+    elif isinstance(dt, DecimalType):
+        # createDataFrame accepts decimal.Decimal; mirror by passing
+        # through — lit()/createDataFrame raise their own error on a
+        # wrong type (review r13: DecimalType is FractionalType but
+        # Decimal is not numbers.Real, so a Real check rejected it)
+        ok = True
     elif isinstance(dt, StringType):
         ok = isinstance(v, str)
     elif isinstance(dt, ArrayType):

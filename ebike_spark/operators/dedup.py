@@ -824,21 +824,23 @@ def _lsh_band_index(spark: SparkSession, sf: str) -> tuple[str, int]:
     """Build (once per session/corpus/conf) the PERSISTED minhash band
     index over the base corpus: (doc_id, band, key) rows written as a
     parquet TABLE and read back for every probe. Returns (index_dir,
-    batch cutoff id). Prior same-prefix dirs (dead sessions) are
-    cleaned; the prefix includes the corpus AND the result-relevant
-    conf hash so a live index under another (sf, conf) is never
-    deleted."""
+    batch cutoff id). Prior dirs of THIS process (and dead processes'
+    orphans) under the same (corpus, conf) hash are cleaned via the
+    pid-scoped sweep shared with the io layout scratch dirs; a
+    concurrent LIVE process's index — even under the SAME (sf, conf)
+    — is never deleted, and a pool hit re-checks the dir still exists
+    (review r13)."""
     import hashlib
     import os
-    import shutil
     import tempfile
 
     from ebike_spark.plans.registry import _session_conf_key
+    from ebike_spark.sources.io_layout import _sweep_scratch
 
     conf = _session_conf_key(spark)
     pool = _LSH_INDEX_POOL.setdefault(spark, {})
     hit = pool.get((sf, conf))
-    if hit is not None:
+    if hit is not None and os.path.isdir(hit[0]):
         return hit
     import math
 
@@ -856,10 +858,10 @@ def _lsh_band_index(spark: SparkSession, sf: str) -> tuple[str, int]:
     sig = hashlib.sha1(repr((sf, conf)).encode()).hexdigest()[:10]
     prefix = f"ebike_lshidx_{sig}_"
     base = tempfile.gettempdir()
-    for d in os.listdir(base):
-        if d.startswith(prefix):
-            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-    path = os.path.join(base, f"{prefix}{random.getrandbits(40):010x}")
+    _sweep_scratch(base, prefix)
+    path = os.path.join(
+        base, f"{prefix}{os.getpid()}_{random.getrandbits(40):010x}"
+    )
     corpus_banded.write.parquet(path)
     pool[(sf, conf)] = (path, cutoff)
     return path, cutoff

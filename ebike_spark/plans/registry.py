@@ -111,8 +111,9 @@ def _load_all() -> None:
 # below), then the 22-row r7 remainder (text_doc_keywords moved to
 # the modified head), then 10 of the 47 r8 rows (LLM-pipeline anchors
 # first): 3 + 15 + 22 + 10 = 50. After the r12 driver run no query's
-# latest external check is older than r8; the 37 remaining r8 rows
-# lead r13's fill.
+# latest external check is older than r8; the 34 remaining r8 rows
+# lead r13's fill (47 - 10 fill - 3 checked via the r12 modified head:
+# ann_knn_join, text_dup_spans, text_tfidf_top_terms — review r13).
 #
 # Queries whose CODE or ORACLE changed since the last driver run —
 # validate_window requires them at the head of the window. Round 13:

@@ -37,18 +37,38 @@ def _nfiles(d: str) -> int:
     return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
 
 
+def _sweep_scratch(base: str, prefix: str) -> None:
+    """Remove prior scratch dirs named ``{prefix}{pid}_{suffix}`` that
+    belong to THIS process (an earlier invocation, fully consumed) or
+    to a DEAD one (orphan). A live other process's in-flight dir is
+    never touched — an unscoped same-tag sweep raced a concurrent
+    bench/test run between its write and read-back (review r13).
+    Unparsable names are left alone."""
+    me = os.getpid()
+    for d in os.listdir(base):
+        if not d.startswith(prefix):
+            continue
+        pid_part = d[len(prefix) :].split("_", 1)[0]
+        if not pid_part.isdigit():
+            continue
+        pid = int(pid_part)
+        if pid == me or not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+
 def _scratch_dir(tag: str) -> str:
     """Fresh scratch dir per invocation; PRIOR invocations' dirs for
-    the same tag are removed first (each eager io_* call fully consumes
-    its own write before returning — nothing re-reads an old dir — and
-    a bench loop otherwise leaves hundreds of orphan dirs per round;
-    544 found in /tmp at r13 start)."""
+    the same (tag, pid) — plus dead processes' orphans — are removed
+    first (each eager io_* call fully consumes its own write before
+    the next invocation starts, and a bench loop otherwise leaves
+    hundreds of orphan dirs per round; 544 found in /tmp at r13
+    start)."""
     base = tempfile.gettempdir()
     prefix = f"ebike_layout_{tag}_"
-    for d in os.listdir(base):
-        if d.startswith(prefix):
-            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-    return os.path.join(base, f"{prefix}{uuid.uuid4().hex[:10]}")
+    _sweep_scratch(base, prefix)
+    return os.path.join(
+        base, f"{prefix}{os.getpid()}_{uuid.uuid4().hex[:10]}"
+    )
 
 
 @register(

@@ -1466,6 +1466,16 @@ def test_local_df_rejects_wrong_scalar_types(spark):
         local_df(spark, [(7,)], "a string")
     with pytest.raises(TypeError, match="expects double"):
         local_df(spark, [(["oops"],)], "a array<double>")
+    # int-for-double diverged between paths (silent cast inline,
+    # executor-side crash on the fallback) — reject like
+    # createDataFrame's verifier (review r13)
+    with pytest.raises(TypeError, match="expects double"):
+        local_df(spark, [(1,)], "a double")
+    # Decimal is valid for decimal columns on both paths
+    from decimal import Decimal
+
+    dec = local_df(spark, [(Decimal("1.50"),)], "a decimal(10,2)")
+    assert dec.collect()[0][0] == Decimal("1.50")
     ok = local_df(
         spark,
         [(np.int64(3), np.float64(0.5), None, np.array([1.0, 2.0]))],
