@@ -20,8 +20,9 @@ per-partition counts — ONE ROW PER TASK at any data size — prefix-sum
 into rank offsets. NTILE's remainder semantics are reproduced exactly
 from the global rank by closed form (the first ``total % n`` buckets
 hold one extra row), verified against DuckDB's native NTILE by both
-callers' oracles. No driver-side collect anywhere; the totals frame is
-one row and the offsets frame is one row per task, both broadcast.
+callers' oracles. No driver-side collect anywhere; the offsets frame is
+one row per task and carries the grand total alongside each offset
+(one broadcast, not two — r13 job-count audit).
 """
 
 from __future__ import annotations
@@ -73,15 +74,24 @@ def ntile_over_global_order(
         lambda: ranged.withColumn("__lrn", F.row_number().over(local_w)),
         key=cache_key,
     )
+    # ONE broadcast frame carries both the rank offsets and the grand
+    # total (total = full-window sum of the same per-partition counts);
+    # a separate `local.agg(count)` frame cost its own broadcast-build
+    # job per caller for a scalar already derivable here (r13 job-count
+    # audit, VERDICT-r12 task 3).
     off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    tot_w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     offsets = (
         local.groupBy("__pid")
         .agg(F.count("*").alias("__c"))
         .select(
-            "__pid", F.coalesce(F.sum("__c").over(off_w), F.lit(0)).alias("__off")
+            "__pid",
+            F.coalesce(F.sum("__c").over(off_w), F.lit(0)).alias("__off"),
+            F.sum("__c").over(tot_w).alias("__total"),
         )
     )
-    tot = local.agg(F.count("*").alias("__total"))
     # NTILE closed form from the 0-based global rank: the first
     # (total % n) buckets hold q+1 rows, the rest q. q == 0 (fewer
     # rows than buckets) needs no special case: every row satisfies
@@ -93,8 +103,6 @@ def ntile_over_global_order(
     bucket = F.when(rn0 < big, _idiv(rn0, qd + 1) + 1).otherwise(
         r + _idiv(rn0 - big, qd) + 1
     )
-    return (
-        local.join(F.broadcast(offsets), "__pid")
-        .crossJoin(F.broadcast(tot))
-        .select(*df.columns, bucket.cast("long").alias("__bucket"))
+    return local.join(F.broadcast(offsets), "__pid").select(
+        *df.columns, bucket.cast("long").alias("__bucket")
     )

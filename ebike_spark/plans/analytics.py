@@ -507,31 +507,24 @@ def ev_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     and the strict comparison can't diverge on a ulp.
 
     Scale shape: the raw scan reduces ONCE to types × days counts
-    (map-side partials — the only event-volume pass); both median
-    aggregates run over that calendar-bounded frame, and their
-    per-type outputs broadcast back onto it. No window over raw
-    events, no data-sized sort: Spark's exact percentile aggregates
-    types × days rows, which stays tiny at any event volume."""
-    from ebike_spark.operators.dedup import _persist_scoped
-
+    (map-side partials — the only event-volume pass); both medians are
+    PERCENTILE WINDOW functions over that calendar-bounded frame,
+    chained on ONE event_type exchange (the r12 aggregate-then-window
+    recipe — the former agg + broadcast-join-back pair cost two
+    percentile agg stages plus two broadcast-build jobs per run, 8
+    jobs total vs 3 after; r13 job-count audit). No window over raw
+    events, no data-sized sort: the windows run over types × days
+    rows, which stays tiny at any event volume."""
     ev = load_table(spark, sf, "events")
-    # the tiny types×days frame feeds THREE consumers (median, MAD,
-    # output) — persist it so raw events scan exactly once
-    daily = _persist_scoped(
-        spark,
-        "anomaly_mad_daily",
-        lambda: ev.groupBy(
-            "event_type", F.date_trunc("day", F.col("ts")).alias("d")
-        ).agg(F.count("*").alias("n")),
-        key=sf,
-    )
-    med = daily.groupBy("event_type").agg(F.percentile("n", F.lit(0.5)).alias("med"))
-    dev = daily.join(F.broadcast(med), "event_type").withColumn(
-        "ad", F.abs(F.col("n") - F.col("med"))
-    )
-    mad = dev.groupBy("event_type").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    dev = daily.withColumn(
+        "med", F.percentile("n", F.lit(0.5)).over(w)
+    ).withColumn("ad", F.abs(F.col("n") - F.col("med")))
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        dev.withColumn("mad", F.percentile("ad", F.lit(0.5)).over(w))
         .where(F.abs(F.col("n") - F.col("med")) > MAD_K * F.col("mad"))
         .select(
             "event_type",

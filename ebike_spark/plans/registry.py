@@ -128,6 +128,13 @@ MODIFIED_THIS_ROUND: tuple[str, ...] = (
     "io_zorder_layout",
     "io_compact_small_files",
     "io_partitioned_layout",
+    # the r13 job-fusion rewrites (VERDICT-r12 task 3): one broadcast
+    # offsets+total frame in the shared ranking helper, and the
+    # aggregate-then-window forms of the MAD sweep and burn alert
+    "ev_pareto_share",
+    "corpus_curriculum_stages",
+    "ev_anomaly_mad",
+    "ev_error_budget_burn",
 )
 
 WINDOW_PREFIX: tuple[str, ...] = (
@@ -139,6 +146,10 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "io_zorder_layout",
     "io_compact_small_files",
     "io_partitioned_layout",
+    "ev_pareto_share",
+    "corpus_curriculum_stages",
+    "ev_anomaly_mad",
+    "ev_error_budget_burn",
     # --- the full r8 remainder (34) ---
     "asof_generic_events_orders",
     "corpus_domain_cap",
@@ -175,20 +186,15 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "text_vocab_encode",
     "text_zipf_fit",
     # --- fill to 50 from the next-oldest (r9) tier: LLM-pipeline
-    # anchors (semantic dedup, random projection, curriculum/budget)
-    # plus the relational core q01-q03 and the event-analytics
-    # staples --- (1 + 5 + 34 + 10 = 50; the 36 remaining r9 rows
-    # lead the round-14 fill)
+    # anchors (semantic dedup, random projection, token budget) plus
+    # the event-analytics staples --- (1 + 9 + 34 + 6 = 50; the 37
+    # remaining r9 rows lead the round-14 fill)
     "embed_semantic_dedup",
     "embed_random_projection",
-    "corpus_curriculum_stages",
     "corpus_token_budget_plan",
     "ev_funnel",
     "ev_sessionize",
     "ev_retention",
-    "q01_scan_filter_topk",
-    "q02_group_agg",
-    "q03_join_agg",
 )
 
 

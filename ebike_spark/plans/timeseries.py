@@ -1437,25 +1437,27 @@ def ev_error_budget_burn(spark: SparkSession, sf: str) -> DataFrame:
     flip); the emitted rate is one exact-BIGINT division.
 
     Scale shape: one scan collapses to the hour axis (map-side
-    partials); the 6-hour rollup and the join both run on that bounded
-    axis — corpus-days × 24 rows, constant at any event volume."""
+    partials); the 6-hour rollup is a SUM WINDOW partitioned by the
+    six-hour bucket over that bounded axis — corpus-days × 24 rows,
+    constant at any event volume. (The former agg + join-back on
+    hr DIV 6 re-executed the hourly subtree for both join sides and
+    paid 5 jobs per run vs 3 after — the r12 aggregate-then-window
+    recipe, r13 job-count audit.)"""
     ev = load_table(spark, sf, "events")
     h = ev.groupBy(F.expr("unix_micros(ts) DIV 3600000000").alias("hr")).agg(
         F.count(F.when(F.col("event_type") == "error", 1)).alias("err"),
         F.count("*").alias("tot"),
     )
-    s = h.groupBy(F.expr("hr DIV 6").alias("six")).agg(
-        F.sum("err").alias("err6"), F.sum("tot").alias("tot6")
-    )
-    j = h.join(s, F.expr("hr DIV 6") == F.col("six"))
-    return j.select(
+    w6 = Window.partitionBy(F.expr("hr DIV 6"))
+    return h.select(
         "hr",
         F.col("err").alias("err_1h"),
         F.col("tot").alias("tot_1h"),
-        F.col("err6").alias("err_6h"),
-        F.col("tot6").alias("tot_6h"),
+        F.sum("err").over(w6).alias("err_6h"),
+        F.sum("tot").over(w6).alias("tot_6h"),
         (F.col("err") / F.col("tot")).alias("rate_1h"),
-        ((F.col("err") * 2 > F.col("tot")) & (F.col("err6") * 2 > F.col("tot6"))).alias(
-            "page_alert"
-        ),
+        (
+            (F.col("err") * 2 > F.col("tot"))
+            & (F.sum("err").over(w6) * 2 > F.sum("tot").over(w6))
+        ).alias("page_alert"),
     )

@@ -712,16 +712,17 @@ def test_fn_window_single_window_exchange(spark):
 
 
 def test_anomaly_mad_single_event_scan(spark):
-    """ev_anomaly_mad reduces raw events ONCE to the persisted
-    types×days frame; medians and output reuse it (InMemoryTableScan),
-    and the per-type stats come back as broadcasts."""
+    """ev_anomaly_mad reduces raw events ONCE to the types×days frame;
+    both medians are percentile WINDOWS chained on ONE event_type
+    exchange over it (the r13 aggregate-then-window rewrite — the
+    former agg + broadcast-join-back pair paid 8 jobs vs 4 after).
+    No joins, one parquet scan, one event_type exchange."""
     plan = _physical(REGISTRY["ev_anomaly_mad"].fn(spark, SF_DIR))
-    # every consumer (median, MAD, output) reads the cached frame; the
-    # FileScan strings in the plan text are the cache-BUILD plans
-    # rendered inside their InMemoryRelation subtrees, not extra scans
-    assert plan.count("InMemoryTableScan") >= 3
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    # exactly two exchanges: the (event_type, day) grouping shuffle +
+    # the single event_type window shuffle both medians share
+    assert plan.count("hashpartitioning(event_type") == 2
 
 
 def test_ttr_profile_no_vocab_broadcast(spark):
