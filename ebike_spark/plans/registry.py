@@ -135,6 +135,7 @@ MODIFIED_THIS_ROUND: tuple[str, ...] = (
     "corpus_curriculum_stages",
     "ev_anomaly_mad",
     "ev_error_budget_burn",
+    "corpus_token_budget_plan",
 )
 
 WINDOW_PREFIX: tuple[str, ...] = (
@@ -150,6 +151,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "corpus_curriculum_stages",
     "ev_anomaly_mad",
     "ev_error_budget_burn",
+    "corpus_token_budget_plan",
     # --- the full r8 remainder (34) ---
     "asof_generic_events_orders",
     "corpus_domain_cap",
@@ -186,12 +188,11 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "text_vocab_encode",
     "text_zipf_fit",
     # --- fill to 50 from the next-oldest (r9) tier: LLM-pipeline
-    # anchors (semantic dedup, random projection, token budget) plus
-    # the event-analytics staples --- (1 + 9 + 34 + 6 = 50; the 37
+    # anchors (semantic dedup, random projection) plus the
+    # event-analytics staples --- (1 + 10 + 34 + 5 = 50; the 38
     # remaining r9 rows lead the round-14 fill)
     "embed_semantic_dedup",
     "embed_random_projection",
-    "corpus_token_budget_plan",
     "ev_funnel",
     "ev_sessionize",
     "ev_retention",
