@@ -792,17 +792,24 @@ def corpus_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     upweighting rule.
 
     Plan: one stratum-count aggregation (strata rows, map-side
-    partial), a 1-row total aggregate broadcast back onto it (no
-    driver round-trip), pure expressions after that. Nothing scales
-    with corpus size except the first scan."""
+    partial), then both normalizers as FULL-FRAME WINDOW sums over
+    that source-cardinality frame — one single-partition stage on a
+    bounded frame instead of a 1-row aggregate staged back through a
+    broadcast (r13 job-count audit; the 4-decimal ROUND absorbs any
+    summation-order ulp between engines). Nothing scales with corpus
+    size except the first scan."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf, "documents")
     per = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    tot = per.agg(
-        F.sum("n_docs").alias("t"), F.sum(F.pow("n_docs", F.lit(MIX_ALPHA))).alias("pa")
+    wfull = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    share = F.col("n_docs") * 1.0 / F.col("t")
-    temp_share = F.pow("n_docs", F.lit(MIX_ALPHA)) / F.col("pa")
-    return per.crossJoin(F.broadcast(tot)).select(
+    t = F.sum("n_docs").over(wfull)
+    pa = F.sum(F.pow("n_docs", F.lit(MIX_ALPHA))).over(wfull)
+    share = F.col("n_docs") * 1.0 / t
+    temp_share = F.pow("n_docs", F.lit(MIX_ALPHA)) / pa
+    return per.select(
         "source",
         "n_docs",
         F.round(share, 4).alias("share"),

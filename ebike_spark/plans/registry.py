@@ -136,6 +136,9 @@ MODIFIED_THIS_ROUND: tuple[str, ...] = (
     "ev_anomaly_mad",
     "ev_error_budget_burn",
     "corpus_token_budget_plan",
+    # the temperature normalizers became full-frame windows over the
+    # bounded per-source frame
+    "corpus_temperature_mix",
 )
 
 WINDOW_PREFIX: tuple[str, ...] = (
@@ -152,12 +155,13 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_anomaly_mad",
     "ev_error_budget_burn",
     "corpus_token_budget_plan",
-    # --- the full r8 remainder (34) ---
+    "corpus_temperature_mix",
+    # --- the r8 remainder (33 — corpus_temperature_mix moved to the
+    # modified head) ---
     "asof_generic_events_orders",
     "corpus_domain_cap",
     "corpus_mix_weights",
     "corpus_pack_sequences",
-    "corpus_temperature_mix",
     "embed_cluster_assign",
     "embed_outliers",
     "ev_active_users",
@@ -189,7 +193,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "text_zipf_fit",
     # --- fill to 50 from the next-oldest (r9) tier: LLM-pipeline
     # anchors (semantic dedup, random projection) plus the
-    # event-analytics staples --- (1 + 10 + 34 + 5 = 50; the 38
+    # event-analytics staples --- (1 + 11 + 33 + 5 = 50; the 38
     # remaining r9 rows lead the round-14 fill)
     "embed_semantic_dedup",
     "embed_random_projection",
