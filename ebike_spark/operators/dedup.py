@@ -812,24 +812,31 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
   AND d1 < cut.cv AND d2 >= cut.cv
 """
 
-# (session → {(sf, conf) → (index_dir, cutoff)}): the persisted minhash
-# band index, built ONCE per (session, corpus) — the index lifecycle is
-# off the probe path, like the IVF quantizer.
+# (session → {(layer, sf, conf) → (index_dir, cutoff)}): the persisted
+# band/bucket indexes ('text' minhash, 'embed' sign-LSH), each built
+# ONCE per (session, corpus) — the index lifecycle is off the probe
+# path, like the IVF quantizer. Lifecycle in _persisted_band_index.
 _LSH_INDEX_POOL: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
 
 
-def _lsh_band_index(spark: SparkSession, sf: str) -> tuple[str, int]:
-    """Build (once per session/corpus/conf) the PERSISTED minhash band
-    index over the base corpus: (doc_id, band, key) rows written as a
-    parquet TABLE and read back for every probe. Returns (index_dir,
-    batch cutoff id). Prior dirs of THIS process (and dead processes'
-    orphans) under the same (corpus, conf) hash are cleaned via the
-    pid-scoped sweep shared with the io layout scratch dirs; a
-    concurrent LIVE process's index — even under the SAME (sf, conf)
-    — is never deleted, and a pool hit re-checks the dir still exists
-    (review r13)."""
+def _persisted_band_index(
+    spark: SparkSession, pool_key: tuple, dir_tag: str, build
+) -> tuple[str, int]:
+    """ONE implementation of the persisted-index lifecycle shared by
+    the text and embedding incremental-dedup rows (review r13 batch 2
+    — the embed twin had re-implemented this block, and with it the
+    concurrency-safety subtleties): pool lookup under (pool_key,
+    session confs) with an isdir re-check, and on a MISS ONLY,
+    ``build() -> (banded_df, cutoff)`` computes the corpus banding +
+    cutoff scalar, the pid-scoped sweep clears this process's (and
+    dead processes') prior dirs under the same hash — a concurrent
+    LIVE process's index, even under the SAME key, is never deleted —
+    and the banded rows are written as a parquet table. A pool HIT
+    returns the cached (index_dir, cutoff) before doing ANY work, so
+    the probe path never pays a scan or a driver action for the
+    index."""
     import hashlib
     import os
     import tempfile
@@ -837,34 +844,52 @@ def _lsh_band_index(spark: SparkSession, sf: str) -> tuple[str, int]:
     from ebike_spark.plans.registry import _session_conf_key
     from ebike_spark.sources.io_layout import _sweep_scratch
 
-    conf = _session_conf_key(spark)
+    key = (*pool_key, _session_conf_key(spark))
     pool = _LSH_INDEX_POOL.setdefault(spark, {})
-    hit = pool.get((sf, conf))
+    hit = pool.get(key)
     if hit is not None and os.path.isdir(hit[0]):
         return hit
-    import math
-
-    docs = load_table(spark, sf, "documents")
-    mx = docs.agg(F.max("doc_id")).first()[0]
-    cutoff = int(math.ceil((1.0 - INCREMENT_FRACTION) * (mx + 1)))
-    sh = _persist_scoped(spark, "ngram_shingles", lambda: shingle_set(spark, sf), key=sf)
-    corpus_banded = (
-        sh.where(F.col("doc_id") < cutoff)
-        .select("doc_id", (F.abs(F.xxhash64("s")) % (2**31)).alias("x"))
-        .groupBy("doc_id")
-        .agg(F.collect_list("x").alias("xs"))
-        .mapInPandas(make_fused_minhash_bander(), "doc_id long, band int, key string")
-    )
-    sig = hashlib.sha1(repr((sf, conf)).encode()).hexdigest()[:10]
-    prefix = f"ebike_lshidx_{sig}_"
+    banded, cutoff = build()
+    sig = hashlib.sha1(repr(key).encode()).hexdigest()[:10]
+    prefix = f"ebike_{dir_tag}_{sig}_"
     base = tempfile.gettempdir()
     _sweep_scratch(base, prefix)
     path = os.path.join(
         base, f"{prefix}{os.getpid()}_{random.getrandbits(40):010x}"
     )
-    corpus_banded.write.parquet(path)
-    pool[(sf, conf)] = (path, cutoff)
-    return path, cutoff
+    banded.write.parquet(path)
+    pool[key] = (path, cutoff)
+    return pool[key]
+
+
+def _lsh_band_index(spark: SparkSession, sf: str) -> tuple[str, int]:
+    """The PERSISTED minhash band index over the base corpus:
+    (doc_id, band, key) rows written once per (session, corpus, conf)
+    as a parquet TABLE and read back for every probe. Returns
+    (index_dir, batch cutoff id); lifecycle (pooling, pid-scoped
+    sweep, hit fast-path) in _persisted_band_index."""
+
+    def build():
+        import math
+
+        docs = load_table(spark, sf, "documents")
+        mx = docs.agg(F.max("doc_id")).first()[0]
+        cutoff = int(math.ceil((1.0 - INCREMENT_FRACTION) * (mx + 1)))
+        sh = _persist_scoped(
+            spark, "ngram_shingles", lambda: shingle_set(spark, sf), key=sf
+        )
+        banded = (
+            sh.where(F.col("doc_id") < cutoff)
+            .select("doc_id", (F.abs(F.xxhash64("s")) % (2**31)).alias("x"))
+            .groupBy("doc_id")
+            .agg(F.collect_list("x").alias("xs"))
+            .mapInPandas(
+                make_fused_minhash_bander(), "doc_id long, band int, key string"
+            )
+        )
+        return banded, cutoff
+
+    return _persisted_band_index(spark, ("text", sf), "lshidx", build)
 
 
 @register(
@@ -1509,56 +1534,57 @@ def dedup_embedding_incremental(spark: SparkSession, sf: str) -> DataFrame:
     corpus × corpus. Maintenance is appending the batch's banded rows
     after the probe, exactly as dedup_lsh_incremental documents for
     the text layer."""
-    import math
-    import os
-
-    from ebike_spark.plans.registry import _session_conf_key
-
     e = _embed_prod_augmented(spark, sf)
-    mx = load_table(spark, sf, "embeddings").agg(F.max("vec_id")).first()[0]
-    cutoff = int(math.ceil((1.0 - INCREMENT_FRACTION) * (mx + 1)))
 
-    conf = _session_conf_key(spark)
-    pool = _LSH_INDEX_POOL.setdefault(spark, {})
-    key = ("embed", sf, conf)
-    hit = pool.get(key)
-    if hit is None or not os.path.isdir(hit[0]):
-        import hashlib
-        import tempfile
+    def build():
+        import math
 
-        from ebike_spark.sources.io_layout import _sweep_scratch
-
-        sig = hashlib.sha1(repr(key).encode()).hexdigest()[:10]
-        prefix = f"ebike_embidx_{sig}_"
-        base_dir = tempfile.gettempdir()
-        _sweep_scratch(base_dir, prefix)
-        path = os.path.join(
-            base_dir, f"{prefix}{os.getpid()}_{random.getrandbits(40):010x}"
-        )
-        e.where(F.col("vec_id") < cutoff).mapInPandas(
+        mx = load_table(spark, sf, "embeddings").agg(F.max("vec_id")).first()[0]
+        cutoff = int(math.ceil((1.0 - INCREMENT_FRACTION) * (mx + 1)))
+        # the 'every planted twin lands in the batch' construction
+        # (and the documented 5/5/17 truth counts) requires every
+        # twin id to clear the cutoff — fail loudly if a larger
+        # fixture ever breaks that (review r13 batch 2)
+        if EMBED_PROD_PLANT_OFFSET < cutoff:
+            raise AssertionError(
+                f"planted-twin offset {EMBED_PROD_PLANT_OFFSET} <"
+                f" batch cutoff {cutoff}: low-id twins would land in"
+                " the corpus index and the recall-proof construction"
+                " no longer means what its docstring says — raise"
+                " EMBED_PROD_PLANT_OFFSET above the id space"
+            )
+        banded = e.where(F.col("vec_id") < cutoff).mapInPandas(
             make_embed_lsh_bander(r=EMBED_PROD_R, n_tables=EMBED_PROD_L),
             "vec_id long, t int, key int",
-        ).write.parquet(path)
-        pool[key] = (path, cutoff)
-    path, cutoff = pool[key]
+        )
+        return banded, cutoff
 
-    index = spark.read.parquet(path)
-    batch_banded = e.where(F.col("vec_id") >= cutoff).mapInPandas(
-        make_embed_lsh_bander(r=EMBED_PROD_R, n_tables=EMBED_PROD_L),
-        "vec_id long, t int, key int",
-    )
-    cand = (
-        index.alias("i")
-        .join(
-            batch_banded.alias("p"),
-            (F.col("i.t") == F.col("p.t"))
-            & (F.col("i.key") == F.col("p.key")),
+    path, cutoff = _persisted_band_index(spark, ("embed", sf), "embidx", build)
+    def probe() -> DataFrame:
+        index = spark.read.parquet(path)
+        batch_banded = e.where(F.col("vec_id") >= cutoff).mapInPandas(
+            make_embed_lsh_bander(r=EMBED_PROD_R, n_tables=EMBED_PROD_L),
+            "vec_id long, t int, key int",
         )
-        .select(
-            F.col("i.vec_id").alias("v1"), F.col("p.vec_id").alias("v2")
+        return (
+            index.alias("i")
+            .join(
+                batch_banded.alias("p"),
+                (F.col("i.t") == F.col("p.t"))
+                & (F.col("i.key") == F.col("p.key")),
+            )
+            .select(
+                F.col("i.vec_id").alias("v1"), F.col("p.vec_id").alias("v2")
+            )
+            .distinct()
         )
-        .distinct()
-    )
+
+    # persisted like the prod row's candidates: the chunked verify
+    # references the candidate frame from three branches (cogroup left
+    # + both chunk-pair sides), and unpersisted that re-ran the batch
+    # banding + index join 3× per action (review r13 batch 2 — the
+    # MapInPandas-count plan test caught it)
+    cand = _persist_scoped(spark, "embed_cand_incr", probe, key=sf)
     return verify_candidates_blocked(e, cand, EMBED_PROD_THRESHOLD)
 
 

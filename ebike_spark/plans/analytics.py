@@ -512,7 +512,7 @@ def ev_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     chained on ONE event_type exchange (the r12 aggregate-then-window
     recipe — the former agg + broadcast-join-back pair cost two
     percentile agg stages plus two broadcast-build jobs per run, 8
-    jobs total vs 3 after; r13 job-count audit). No window over raw
+    jobs total vs 4 after; r13 job-count audit). No window over raw
     events, no data-sized sort: the windows run over types × days
     rows, which stays tiny at any event volume."""
     ev = load_table(spark, sf, "events")

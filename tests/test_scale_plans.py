@@ -1308,10 +1308,15 @@ def test_embedding_incremental_probe_shape(spark):
     cutoff = int(math.ceil((1.0 - INCREMENT_FRACTION) * (mx + 1)))
     rows = df.collect()
     assert rows and all(r["v1"] < cutoff <= r["v2"] for r in rows)
-    idx_path = [
-        ln for ln in plan.splitlines() if "ebike_embidx_" in ln
-    ]
-    assert idx_path  # corpus side is the index table scan
+    # the batch banding must execute ONCE: the candidate frame is
+    # persisted, so every MapInPandas occurrence in the plan TEXT is
+    # the cache-build plan rendered under an InMemoryTableScan (text
+    # repeats, execution doesn't — r13 batch-2 review caught the
+    # unpersisted form re-running the banding+index join 3× per
+    # action). An uncached banding would break the 1:1 pairing; the
+    # verify stage itself is a cogroup, not MapInPandas.
+    n_band = plan.count("MapInPandas")
+    assert n_band >= 1 and n_band == plan.count("InMemoryTableScan"), plan
 
 
 def test_embedding_prod_candidates_equi_join_only(spark):
