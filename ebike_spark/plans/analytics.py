@@ -755,17 +755,21 @@ def ev_trend_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
         F.percentile("slope", F.lit(0.5)).alias("slope_med"),
         F.count("*").alias("n_pairs"),
     )
-    i = (
+    # n_pairs/slope_med are constant per type after the join, so
+    # FIRST carries them through the intercept aggregate — the former
+    # final `s JOIN i` re-executed the whole pairs-median subtree for
+    # the second reference (8 jobs vs 5 after; r13 job-count audit)
+    return (
         daily.join(s, "event_type")
         .groupBy("event_type")
         .agg(
+            F.first("n_pairs").alias("n_pairs"),
+            F.first("slope_med").alias("slope_med"),
             F.percentile(
                 F.col("n") - F.col("slope_med") * F.col("day"), F.lit(0.5)
-            ).alias("intercept_med")
+            ).alias("intercept_med"),
         )
-    )
-    return s.join(i, "event_type").select(
-        "event_type", "n_pairs", "slope_med", "intercept_med"
+        .select("event_type", "n_pairs", "slope_med", "intercept_med")
     )
 
 

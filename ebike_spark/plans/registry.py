@@ -137,8 +137,11 @@ MODIFIED_THIS_ROUND: tuple[str, ...] = (
     "ev_error_budget_burn",
     "corpus_token_budget_plan",
     # the temperature normalizers became full-frame windows over the
-    # bounded per-source frame
+    # bounded per-source frame; theil-sen carries n_pairs/slope_med
+    # through the intercept aggregate instead of a final join that
+    # re-executed the pairs-median subtree
     "corpus_temperature_mix",
+    "ev_trend_theil_sen",
 )
 
 WINDOW_PREFIX: tuple[str, ...] = (
@@ -157,6 +160,7 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "ev_error_budget_burn",
     "corpus_token_budget_plan",
     "corpus_temperature_mix",
+    "ev_trend_theil_sen",
     # --- the r8 remainder (33 — corpus_temperature_mix moved to the
     # modified head) ---
     "asof_generic_events_orders",
@@ -193,13 +197,12 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "text_vocab_encode",
     "text_zipf_fit",
     # --- fill to 50 from the next-oldest (r9) tier: LLM-pipeline
-    # anchors (semantic dedup, random projection) plus the
-    # event-analytics staples --- (2 + 11 + 33 + 4 = 50; the 39
-    # remaining r9 rows lead the round-14 fill)
+    # anchors (semantic dedup, random projection) plus the funnel
+    # staple --- (2 + 12 + 33 + 3 = 50; the 40 remaining r9 rows
+    # lead the round-14 fill)
     "embed_semantic_dedup",
     "embed_random_projection",
     "ev_funnel",
-    "ev_sessionize",
 )
 
 
