@@ -27,6 +27,29 @@ def _optimized(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def _strip_cached_subtrees(plan: str) -> str:
+    """Drop every InMemoryRelation subtree from a rendered plan so the
+    remainder is the text of operators that actually execute per
+    action. The cache-BUILD lineage prints under InMemoryRelation —
+    and AQE prints it TWICE (Final + Initial plans) once the cache is
+    materialized — so raw substring counts over the full text
+    over-count anything inside a cached build."""
+    out: list[str] = []
+    skip_depth: int | None = None
+    for line in plan.splitlines():
+        body = line.lstrip(" :+-*()0123456789")
+        depth = len(line) - len(body)
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        if body.startswith("InMemoryRelation"):
+            skip_depth = depth
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def test_filter_pushdown_reaches_scan(spark):
     df = REGISTRY["q01_scan_filter_topk"].fn(spark, SF_DIR)
     plan = _physical(df)
@@ -1309,14 +1332,19 @@ def test_embedding_incremental_probe_shape(spark):
     rows = df.collect()
     assert rows and all(r["v1"] < cutoff <= r["v2"] for r in rows)
     # the batch banding must execute ONCE: the candidate frame is
-    # persisted, so every MapInPandas occurrence in the plan TEXT is
-    # the cache-build plan rendered under an InMemoryTableScan (text
-    # repeats, execution doesn't — r13 batch-2 review caught the
-    # unpersisted form re-running the banding+index join 3× per
-    # action). An uncached banding would break the 1:1 pairing; the
-    # verify stage itself is a cogroup, not MapInPandas.
-    n_band = plan.count("MapInPandas")
-    assert n_band >= 1 and n_band == plan.count("InMemoryTableScan"), plan
+    # persisted, so every MapInPandas in the plan TEXT sits inside an
+    # InMemoryRelation subtree (the cache-BUILD lineage render; r13
+    # batch-2 review caught the unpersisted form re-running the
+    # banding+index join 3× per action). Counting occurrences 1:1
+    # against InMemoryTableScan was fragile: once the cache is
+    # materialized, AQE renders the cached build twice (Final +
+    # Initial plans), doubling the MapInPandas text count. Assert the
+    # real invariant instead — zero MapInPandas OUTSIDE cached
+    # subtrees; the verify stage itself is a cogroup, not MapInPandas.
+    live = _strip_cached_subtrees(plan)
+    assert "MapInPandas" not in live, live
+    assert "InMemoryTableScan" in live, plan
+    assert plan.count("MapInPandas") >= 1, plan
 
 
 def test_embedding_prod_candidates_equi_join_only(spark):
