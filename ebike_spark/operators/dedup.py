@@ -536,13 +536,27 @@ def ppjoin_pairs(
         raise ValueError("pass exactly one of sh= or index=")
     idx = index if index is not None else _ppjoin_index(sh, t_num, t_den)
     cand = _ppjoin_candidates(idx, t_num, t_den)
+    # The verify gather joins the full-ARRAY index to the candidate
+    # pairs. Under the session's 64 MB broadcast threshold the planner
+    # broadcast the array-laden index as the BUILD side of both joins —
+    # wrong at 100 TB (the index is corpus-sized; broadcast must be the
+    # small side, guide §3.1) and measurably pathological locally: the
+    # per-execution BroadcastExchange rebuild of array payloads made
+    # ~25% of timed reps run 3-50× slow (25-rep A/B at quiet canary:
+    # broadcast shape min/p50/max 0.56/0.77/37.8 s with 7/25 reps >2 s;
+    # shuffled-hash shape 0.76/0.86/1.58 s with 0/25 — the r12→r13
+    # dedup_ppjoin bench drift 0.455→0.789→0.994 was exactly these
+    # spikes landing in min-of-2). SHUFFLE_HASH streams the tiny
+    # (d1, d2) pairs and builds per-partition hashes of the index —
+    # the index arrays move once, partition-parallel, no driver-side
+    # relation build on the timed path.
     v = (
         cand.join(
             idx.select(
                 F.col("doc_id").alias("d1"),
                 F.col("arr").alias("arr1"),
                 F.col("n").alias("n1"),
-            ),
+            ).hint("shuffle_hash"),
             "d1",
         )
         .join(
@@ -550,7 +564,7 @@ def ppjoin_pairs(
                 F.col("doc_id").alias("d2"),
                 F.col("arr").alias("arr2"),
                 F.col("n").alias("n2"),
-            ),
+            ).hint("shuffle_hash"),
             "d2",
         )
         .select(

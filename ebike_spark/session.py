@@ -52,6 +52,27 @@ def build_conf(builder: SparkSession.Builder, cpus: int | None = None) -> SparkS
         # silently drops them to interpreted mode (~3× slower).
         .config("spark.sql.codegen.maxFields", "400")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Pin and pre-touch the heap (Xms = Xmx, AlwaysPreTouch): on
+        # this microVM host (kernel 6.18.5-fc), pages the JVM gives
+        # back to the guest kernel are reported free to the hypervisor,
+        # and RE-TOUCHING them later costs a hypervisor-mediated fault
+        # ~100× a normal minor fault. Allocation-heavy queries then hit
+        # episodic kernel-side storms — measured 10-40 s reps (305-868 s
+        # of SYSTEM time, ~1M minor faults) on work that takes 0.7 s,
+        # ~25% of reps in bad windows, immune to GC/codegen confs, and
+        # the mechanism behind the r11-r13 "host window" bench swings.
+        # With the heap pinned+pre-touched: 25-rep probes went from
+        # max 35-38 s / 7-18 slow reps to max 1.7-3.2 s / 0-2, system
+        # time flat (OPTIMIZATION_r13.md "dedup_ppjoin"). On real
+        # clusters pre-touch is the standard stable-latency posture
+        # (and a no-op cost at executor startup); the one-time local
+        # cost is ~10 s of startup before any timing begins.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms"
+            + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+            + " -XX:+AlwaysPreTouch",
+        )
         # Managed-table warehouse. The catalog is in-memory (no Hive
         # metastore), so table *metadata* dies with the session while
         # *data* directories persist — engine.catalog cleans stale
