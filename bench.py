@@ -182,6 +182,24 @@ BENCH_QUERIES = [
 ]
 
 
+# Host-speed canary (VERDICT-r6 task 8): a fixed CPU-bound job whose
+# cost is independent of the repo's queries. This microVM host has
+# measured up to 4x run-to-run drift; the canary lets round-over-
+# round totals be read against host speed instead of forensically
+# reconstructed. Best of 2 after warmup. Module-level so per-row
+# instruments (tools/row_probe.py) IMPORT the bench's canary instead
+# of copying it — a drifted copy would invalidate exactly the
+# regression-vs-host-window calls those tools exist to make.
+def host_canary(spark) -> float:
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id % 97)").collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("ebike_spark_bench")
@@ -191,21 +209,7 @@ def main() -> None:
     # Warmup: spin up executors/codegen on a trivial job.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # Host-speed canary (VERDICT-r6 task 8): a fixed CPU-bound job whose
-    # cost is independent of the repo's queries. This microVM host has
-    # measured up to 4x run-to-run drift; the canary lets round-over-
-    # round totals be read against host speed instead of forensically
-    # reconstructed. Best of 2 after warmup.
-    def _canary() -> float:
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            spark.range(200_000_000).selectExpr("sum(id % 97)").collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        return round(best, 3)
-
-    canary_start = _canary()
+    canary_start = host_canary(spark)
 
     # Per-query: one UNTIMED warm invocation, then `runs` timed ones
     # (min). The warm pass is unconditional (unless EBIKE_BENCH_COLD=1)
@@ -239,7 +243,7 @@ def main() -> None:
     # pinned"), so a start-only canary can't qualify rows timed ~40
     # min later. canary_seconds stays the headline (min of the two =
     # quietest observed host speed); start/end expose the window.
-    canary_end = _canary()
+    canary_end = host_canary(spark)
     canary = min(canary_start, canary_end)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

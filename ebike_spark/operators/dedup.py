@@ -505,6 +505,17 @@ def _ppjoin_candidates(
     pref = idx.select("doc_id", "n", F.explode("pref").alias("s"))
     a = pref.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"), "s")
     b = pref.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"), "s")
+    # Deliberately NO join hint here, unlike the verify joins below
+    # (review r13 batch 3 asked; measured answer: forcing SHUFFLE_HASH
+    # on this join is 1.9× SLOWER — min 1.345 vs 0.702 s at quiet
+    # canary — because both sides then pay an exchange of the exploded
+    # prefix). The broadcast the planner picks locally is a SIZE-BASED
+    # choice under the 64 MB threshold, not a hard-coded shape: at
+    # corpus scale the prefix estimate blows the threshold and the
+    # planner falls back to a shuffle join on its own. And unlike the
+    # array-laden verify broadcast, this string-prefix broadcast was
+    # never the storm trigger (the pre-pin 25-rep A/B had it present
+    # in BOTH arms; the spike count followed the verify shape only).
     return (
         a.join(
             b,

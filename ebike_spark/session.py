@@ -30,6 +30,18 @@ def _cpus() -> int:
         return os.cpu_count() or 8
 
 
+# One source of truth for the driver heap so -Xmx (spark.driver.memory,
+# which the client-mode launcher passes RAW into the JVM flag) and the
+# pinned -Xms below can never diverge (a mismatch refuses to start the
+# JVM). A bare number is normalized to MiB up front — the raw launcher
+# pass-through means an unitless value would otherwise reach the JVM as
+# BYTES and kill startup. SPARK_GRAFT_PIN_HEAP=0 disables the eager pin.
+_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+if _DRIVER_MEM.isdigit():
+    _DRIVER_MEM += "m"
+_PIN_HEAP = os.environ.get("SPARK_GRAFT_PIN_HEAP", "1") != "0"
+
+
 def build_conf(builder: SparkSession.Builder, cpus: int | None = None) -> SparkSession.Builder:
     """Apply this engine's configuration to any SparkSession builder."""
     n = cpus or _cpus()
@@ -51,7 +63,7 @@ def build_conf(builder: SparkSession.Builder, cpus: int | None = None) -> SparkS
         # must stay inside whole-stage codegen; the 100-field default
         # silently drops them to interpreted mode (~3× slower).
         .config("spark.sql.codegen.maxFields", "400")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", _DRIVER_MEM)
         # Pin and pre-touch the heap (Xms = Xmx, AlwaysPreTouch): on
         # this microVM host (kernel 6.18.5-fc), pages the JVM gives
         # back to the guest kernel are reported free to the hypervisor,
@@ -63,16 +75,20 @@ def build_conf(builder: SparkSession.Builder, cpus: int | None = None) -> SparkS
         # the mechanism behind the r11-r13 "host window" bench swings.
         # With the heap pinned+pre-touched: 25-rep probes went from
         # max 35-38 s / 7-18 slow reps to max 1.7-3.2 s / 0-2, system
-        # time flat (OPTIMIZATION_r13.md "dedup_ppjoin"). On real
-        # clusters pre-touch is the standard stable-latency posture
-        # (and a no-op cost at executor startup); the one-time local
-        # cost is ~10 s of startup before any timing begins.
+        # time flat (OPTIMIZATION_r13.md "dedup_ppjoin"). In local mode
+        # the executors live inside this JVM, so the driver pin covers
+        # the workers; deployed with separate executors, mirror it by
+        # sizing -Xms to spark.executor.memory in executor options at
+        # deploy time (AlwaysPreTouch alone is set below). The one-time
+        # local cost is ~10 s of startup before any timing begins;
+        # SPARK_GRAFT_PIN_HEAP=0 opts out (e.g. hosts without 24 GB to
+        # commit eagerly — the lazy -Xmx-only heap worked there).
         .config(
             "spark.driver.extraJavaOptions",
-            "-Xms"
-            + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
-            + " -XX:+AlwaysPreTouch",
+            (f"-Xms{_DRIVER_MEM} " if _PIN_HEAP else "")
+            + "-XX:+AlwaysPreTouch",
         )
+        .config("spark.executor.extraJavaOptions", "-XX:+AlwaysPreTouch")
         # Managed-table warehouse. The catalog is in-memory (no Hive
         # metastore), so table *metadata* dies with the session while
         # *data* directories persist — engine.catalog cleans stale

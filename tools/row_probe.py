@@ -28,18 +28,11 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+# The canary is IMPORTED from bench.py (not copied) so this probe's
+# host-speed qualification can never drift from the bench's.
+from bench import host_canary as canary  # noqa: E402
 from ebike_spark.plans.registry import all_queries  # noqa: E402
 from ebike_spark.session import get_spark  # noqa: E402
-
-
-def canary(spark) -> float:
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        spark.range(200_000_000).selectExpr("sum(id % 97)").collect()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return round(best, 3)
 
 
 def main() -> None:
@@ -48,11 +41,18 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--plans", default=None)
     args = ap.parse_args()
+    if args.reps < 1:
+        ap.error("--reps must be >= 1")
+
+    registry = all_queries()
+    unknown = [n for n in args.queries if n not in registry]
+    if unknown:
+        ap.error(f"unknown queries {unknown}; valid names are the keys of "
+                 "ebike_spark.plans.registry.all_queries()")
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("ebike_row_probe")
     spark.sparkContext.setLogLevel("ERROR")
-    registry = all_queries()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     for name in args.queries:
