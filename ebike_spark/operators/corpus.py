@@ -158,13 +158,22 @@ def _large_star(e: DataFrame) -> DataFrame:
     MapReduce and Beyond", SoCC'14): over the SYMMETRIC neighborhood of
     each node u, let m = min(N(u) ∪ {u}); connect every strictly LARGER
     neighbor directly to m. Shrinks long paths toward local minima;
-    never creates a self-loop (m <= u < v). One groupBy + one
-    broadcast-free equi-join per round — edges only ever shuffle by
-    node id."""
+    never creates a self-loop (m <= u < v).
+
+    WINDOW form (r13 optimization): m = min(v) OVER (PARTITION BY u)
+    is attached to every neighbor row in the SAME pass — ONE node-id
+    exchange of the symmetric edge set, where the groupBy+join-back it
+    replaces paid an aggregate exchange PLUS a join-probe exchange and
+    executed the union subtree twice (the credit-rewrite recipe,
+    BENCH_NOTES r12). Set-level output is unchanged: the emitted set
+    {(v, m_u) : v ∈ N(u), v > u} is identical row-for-row before the
+    trailing distinct."""
+    from pyspark.sql import Window
+
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     return (
-        sym.join(m, "u")
+        sym.select("u", "v", m.alias("m"))
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .distinct()
@@ -177,22 +186,36 @@ def _small_star(e: DataFrame) -> DataFrame:
     smaller neighbors at m. Flattens the low side of the graph; with
     alternating large-star rounds the edge set converges to star
     forests rooted at each component's minimum node in O(log²) rounds
-    (the paper's potential argument)."""
-    d = (
-        e.where(F.col("u") != F.col("v"))
+    (the paper's potential argument).
+
+    WINDOW form (r13 optimization, same recipe as _large_star): each
+    oriented row learns m in one node-id exchange and emits exactly
+    one edge — (v, m) for a non-minimal smaller neighbor, (u, m) for
+    the row that attains the minimum (every u has one, so the centers
+    leg needs no separate aggregate+union). Duplicate input rows can
+    only duplicate emissions, never change m — the trailing distinct
+    restores the set, so the pre-orientation dedup the old shape paid
+    a (u,v) exchange for is dropped as well. Net per composed
+    small(large(e)) round (plans/r13/starcc_round_*.txt): 4 shuffle
+    exchanges + 0 broadcasts, vs 7 shuffles + 4 broadcasts with the
+    union subtree executed twice; probe: 24 -> 18 jobs,
+    1.6-1.95 -> 1.44 s at quiet canary."""
+    from pyspark.sql import Window
+
+    d = e.where(F.col("u") != F.col("v")).select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = F.min("v").over(Window.partitionBy("u"))
+    return (
+        d.select("u", "v", m.alias("m"))
         .select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            F.when(F.col("v") == F.col("m"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("u"),
+            F.col("m").alias("v"),
         )
         .distinct()
     )
-    m = d.groupBy("u").agg(F.min("v").alias("m"))
-    re_pointed = (
-        d.join(m, "u")
-        .where(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-    )
-    centers = m.select("u", F.col("m").alias("v"))  # u > m always
-    return re_pointed.unionAll(centers).distinct()
 
 
 def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
@@ -202,10 +225,11 @@ def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame
     graph DIAMETER, the star operators provably converge in O(log² n)
     rounds, and unlike the driver union-find branch in components(),
     NOTHING here ever collects an edge — the only driver-side value per
-    round is a 2-scalar convergence signature (count + order-insensitive
-    hash sum). Edges shuffle by node id; each round is two groupBy +
-    two equi-joins over the CURRENT edge set, which only shrinks toward
-    one star edge per non-root node.
+    round is a 3-scalar convergence signature (count + two
+    order-insensitive hash sums). Edges shuffle by node id; each round
+    is a linear window-min pipeline (4 shuffles, zero joins — see
+    _large_star/_small_star) over the CURRENT edge set, which only
+    shrinks toward one star edge per non-root node.
 
     Input: DataFrame[d1, d2] candidate pairs. Output: [doc_id,
     cluster_id] with cluster_id = the component's minimum doc_id —
@@ -249,7 +273,7 @@ def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame
     # bottleneck by round ~6 (measured: a 41-node path fixture hung the
     # first persist-only cut). LAZY localCheckpoint: the convergence
     # signature is the round's first action, so it materializes the
-    # checkpoint AND computes the 2-scalar signature in ONE job —
+    # checkpoint AND computes the 3-scalar signature in ONE job —
     # eager would spend a separate job per round on materialization
     # alone (measured 1.55 → 1.44 s at sf0.1). Same iterative-
     # DataFrame pattern as dml_exec.py; at production scale, swap for
