@@ -266,12 +266,13 @@ def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame
         .unionAll(edges.selectExpr("d2 AS u"))
         .distinct(),
     )
-    # localCheckpoint per round, NOT persist: each round's plan
-    # references the previous round's ~6× (sym union + three reuses in
-    # small-star), so without lineage truncation the LOGICAL plan grows
-    # exponentially with rounds and the driver's analyzer becomes the
-    # bottleneck by round ~6 (measured: a 41-node path fixture hung the
-    # first persist-only cut). LAZY localCheckpoint: the convergence
+    # localCheckpoint per round, NOT persist: each round's plan still
+    # references the previous round's TWICE (large-star's sym union;
+    # the window form removed the other ~4 reuses the join-back shape
+    # had), so without lineage truncation the LOGICAL plan grows ~2×
+    # per round — exponential in rounds — and the driver's analyzer
+    # becomes the bottleneck (measured on the old shape: a 41-node
+    # path fixture hung the first persist-only cut by round ~6). LAZY localCheckpoint: the convergence
     # signature is the round's first action, so it materializes the
     # checkpoint AND computes the 3-scalar signature in ONE job —
     # eager would spend a separate job per round on materialization

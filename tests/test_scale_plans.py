@@ -1267,19 +1267,26 @@ def test_sssp_shares_graph_cache_and_relaxes_joinless(spark):
     assert "NestedLoop" not in above_cache, plan
 
 
-def test_star_cc_round_is_equi_join_only(spark):
-    """One large-star + small-star round must compile to hash
-    equi-joins on the node id — any NestedLoop/Cartesian would be
-    quadratic in edges at 100 TB. (The full operator is iterative;
-    asserting one round's shape covers every round — the loop applies
-    the same two functions to a lineage-truncated frame.)"""
+def test_star_cc_round_is_join_free(spark):
+    """One large-star + small-star round must compile to the r13
+    window form: a linear pipeline of partition-min windows and
+    distincts with NO join of any kind — the per-node minimum is
+    attached via min() OVER (PARTITION BY u), not a groupBy+join-back
+    (plans/r13/starcc_round_after.txt). A reintroduced join-back (or
+    worse, a NestedLoop/Cartesian, quadratic in edges at 100 TB)
+    breaks the documented 4-shuffle/0-join contract. (The full
+    operator is iterative; asserting one round's shape covers every
+    round — the loop applies the same two functions to a
+    lineage-truncated frame.)"""
     from ebike_spark.operators.corpus import _large_star, _small_star
 
     e = load_table(spark, SF_DIR, "events").select(
         F.col("user_id").alias("u"), (F.col("user_id") + 1).alias("v")
     )
     plan = _physical(_small_star(_large_star(e)))
+    assert "Join" not in plan, plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
 
 
 def test_lsh_incremental_probe_shape(spark):
