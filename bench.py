@@ -276,6 +276,42 @@ def main() -> None:
     assert len(line) <= 1900, f"summary line too long: {len(line)}"
     print(line)
 
+    # ALSO persist the per-query map to a file (VERDICT-r13 task 2):
+    # the driver's PERF per_query/scaling blocks came back empty in
+    # r12 AND r13 because only the ~2000-byte stdout tail survives —
+    # the 137-entry per-query line never fits it. A committed artifact
+    # per run makes round-over-round per-row comparison machine-
+    # readable without touching the timing loop or the stdout
+    # contract (both unchanged above). Failure to write must never
+    # fail the bench (read-only checkouts).
+    perq_path = os.environ.get(
+        "EBIKE_BENCH_PERQ_OUT", os.path.join(_REPO, "BENCH_PERQ.json")
+    )
+    try:
+        with open(perq_path, "w") as f:
+            json.dump(
+                {
+                    "queries": timings,
+                    "total_seconds": total,
+                    "n_queries": len(timings),
+                    "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
+                    or spark.sparkContext.defaultParallelism,
+                    "sf": sf_val,
+                    "sf_dir": sf_dir,
+                    "canary_seconds": canary,
+                    "canary_start": canary_start,
+                    "canary_end": canary_end,
+                    "runs_per_query": runs,
+                    "cold": cold,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+    except OSError:
+        pass
+
 
 if __name__ == "__main__":
     main()

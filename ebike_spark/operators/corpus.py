@@ -153,7 +153,7 @@ def dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------- large-star / small-star CC
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(e: DataFrame, dedup: bool = True) -> DataFrame:
     """One LARGE-STAR round (Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC'14): over the SYMMETRIC neighborhood of
     each node u, let m = min(N(u) ∪ {u}); connect every strictly LARGER
@@ -167,17 +167,26 @@ def _large_star(e: DataFrame) -> DataFrame:
     executed the union subtree twice (the credit-rewrite recipe,
     BENCH_NOTES r12). Set-level output is unchanged: the emitted set
     {(v, m_u) : v ∈ N(u), v > u} is identical row-for-row before the
-    trailing distinct."""
+    trailing distinct.
+
+    ``dedup=False`` (r14) skips that trailing distinct for callers
+    that immediately feed _small_star: duplicates cannot change a
+    downstream partition-min, and small-star's own trailing distinct
+    restores the set — the same argument that dropped small-star's
+    pre-orientation dedup in r13. The duplicate multiset is bounded by
+    the symmetric edge count (each sym row emits ≤ 1 row), so the next
+    exchange carries no more than this one did; one (u,v) exchange per
+    composed round disappears outright."""
     from pyspark.sql import Window
 
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
-    return (
+    out = (
         sym.select("u", "v", m.alias("m"))
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(e: DataFrame) -> DataFrame:
@@ -290,7 +299,13 @@ def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame
     sig = _sig(e)
     converged = False
     for _ in range(max_iter):
-        new = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # dedup=False: large-star's intermediate distinct is dropped
+        # inside the composed round (see _large_star) — 3 shuffles per
+        # round instead of 4; small-star's trailing distinct keeps the
+        # checkpointed per-round edge SET (and the signature) exact.
+        new = _small_star(_large_star(e, dedup=False)).localCheckpoint(
+            eager=False
+        )
         new_sig = _sig(new)
         e = new
         if new_sig == sig:
@@ -376,9 +391,20 @@ def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     that count is COUNT(*) OVER the term partition instead of an
     agg-on-term + join-back, which re-executed the tf subtree for
     both branches (the text_novelty_score finding — ONE term shuffle
-    now feeds the score)."""
+    now feeds the score). r14 (guide §2.4): the token stream is
+    repartitioned by TERM up front, so hash(term) serves BOTH the
+    (doc_id, term) tf aggregate (a superset-keyed group needs no
+    further clustering) and the df window — the plan drops from three
+    exchanges ((doc,term) pairs, term, doc_id) to two (raw tokens on
+    term, scored pairs on doc_id). The term exchange now carries raw
+    (doc_id, term) tokens instead of partially-aggregated pairs —
+    within-document term multiplicity is the only compression partial
+    aggregation bought here, a small constant against a whole
+    exchange+stage removed."""
     docs = load_table(spark, sf, "documents")
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).repartition("term")
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     n = docs.count()  # single scalar, driver-side (metadata-cheap count)
     score = F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))
@@ -606,19 +632,28 @@ def corpus_upsample_audit(spark: SparkSession, sf: str) -> DataFrame:
     complement of corpus_temperature_mix (which DOWN-weights): together
     they bracket the mixture-design space.
 
-    Scale shape: one groupBy to domain-sized partials, one 1-row max
-    broadcast back — nothing downstream of the first aggregate scales
-    with corpus size."""
+    Scale shape: one groupBy to domain-sized partials; the corpus max
+    is a full-frame window MAX over that source-cardinality frame
+    (r14, guide §2.4 — the corpus_token_budget_plan recipe: the former
+    agg + crossJoin(broadcast) pair re-staged the aggregate subtree
+    and paid two extra scheduling rounds per run). Nothing downstream
+    of the first aggregate scales with corpus size — the single-
+    partition window holds one row per SOURCE (dozens)."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf, "documents")
     d = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
     )
-    mx = d.agg(F.max("n_chars").alias("mc"))
+    wfull = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mc = F.max("n_chars").over(wfull)
     epochs = F.least(
-        F.ceil(F.col("mc") * 1.0 / F.col("n_chars")).cast("long"),
+        F.ceil(mc * 1.0 / F.col("n_chars")).cast("long"),
         F.lit(UPSAMPLE_MAX_EPOCHS),
     )
-    return d.crossJoin(F.broadcast(mx)).select(
+    return d.select(
         "source",
         "n_docs",
         "n_chars",

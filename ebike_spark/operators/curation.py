@@ -15,7 +15,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ebike_spark.functions.textfns import md5_long, md5_long_sql, tokens
+from ebike_spark.functions.textfns import (
+    MD5_HEX_DIGITS,
+    md5_long,
+    md5_long_sql,
+    tokens,
+)
 from ebike_spark.operators.text import STOPWORDS
 from ebike_spark.plans.registry import register
 from ebike_spark.sources.registry import load_table
@@ -229,22 +234,40 @@ def corpus_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Repetition/boilerplate scoring (the C4/RefinedWeb-style signal):
     duplicate word-3-gram fraction (1 − distinct/total) and top-token
-    share per document. Two linear aggregations with map-side partial
-    combine; nothing quadratic, nothing collected."""
+    share per document. ONE branch, ONE doc_id-keyed exchange of the
+    positioned token stream, NO join (r14, guide §2.2/§2.4): the lead
+    window builds each position's 3-gram (NULL past the end), a
+    second window over the same exchange attaches each token's
+    per-(doc, token) count to its rows, and a single per-doc
+    aggregate reads all four signals off that frame — row count =
+    n_tok, max of the attached counts = top_c, count/count_distinct
+    of the non-NULL grams = the gram totals (both skip NULLs). Docs
+    shorter than 3 tokens have zero grams and are dropped by the
+    n_g > 0 filter — exactly the rows the former tt⋈ngs inner join
+    dropped. The former shape scanned documents twice and paid three
+    exchanges plus a join; per-doc window state stays bounded by
+    document length; nothing quadratic, nothing collected."""
     docs = load_table(spark, sf, "documents")
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    tt = (
-        tok.groupBy("doc_id", "t")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_tok"), F.max("c").alias("top_c"))
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "t")
     )
-    ngs = (
-        _ngrams(docs, 3)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_g"), F.count_distinct("g").alias("n_dg"))
+    win = Window.partitionBy("doc_id").orderBy("i")
+    g = F.when(
+        F.lead("t", 2).over(win).isNotNull(),
+        F.concat_ws(
+            " ", "t", F.lead("t", 1).over(win), F.lead("t", 2).over(win)
+        ),
     )
-    return tt.join(ngs, "doc_id").select(
+    scored = tok.select("doc_id", "t", g.alias("g")).withColumn(
+        "c", F.count("*").over(Window.partitionBy("doc_id", "t"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.max("c").alias("top_c"),
+        F.count("g").alias("n_g"),
+        F.count_distinct("g").alias("n_dg"),
+    )
+    return per_doc.where(F.col("n_g") > 0).select(
         "doc_id",
         F.round(1.0 - F.col("n_dg") * 1.0 / F.col("n_g"), 4).alias("rep3"),
         F.round(F.col("top_c") * 1.0 / F.col("n_tok"), 4).alias("top_share"),
@@ -835,9 +858,15 @@ def corpus_training_manifest(spark: SparkSession, sf: str) -> DataFrame:
     Composability is the point: every stage is the registered operator
     family's logic (same constants, same hash conventions), fused by
     Catalyst into one plan instead of four materialized passes. Scale
-    shape: the gates are scan-speed expressions; exact-dedup adds one
-    digest window; the near-dup drop is a left-anti join against the
-    (tiny) verified-pair set; the final groupBy ships (source, split)
+    shape: the gates are scan-speed expressions; exact-dedup is a
+    digest-keyed AGGREGATE — min(doc_id) plus min_by for the kept
+    row's attributes — so the digest exchange ships (digest, ids,
+    source, n_chars) partials, never the document text the former
+    window form shuffled whole (r14, guide §2.3: project/aggregate
+    before the exchange; the split tag is re-derived from the digest
+    group key itself, the same md5 prefix md5_long reads). The
+    near-dup drop is a left-anti join against the (tiny)
+    verified-pair set; the final groupBy ships (source, split)
     partials.
     """
     from ebike_spark.operators.corpus import SPLIT_TRAIN_LT, SPLIT_VAL
@@ -856,13 +885,22 @@ def corpus_training_manifest(spark: SparkSession, sf: str) -> DataFrame:
         & (n_stop > 0)
     )
     quality = docs.where(passes)
-    keep_first = Window.partitionBy(F.md5("text"))
-    exact = quality.withColumn("__min_id", F.min("doc_id").over(keep_first)).where(
-        F.col("doc_id") == F.col("__min_id")
+    # keep-smallest-doc_id per content digest: min_by carries the kept
+    # row's attributes through the SAME aggregate (doc_id is unique, so
+    # min_by ties cannot arise); rows with equal md5(text) have equal
+    # text, so the kept row's split percentile is a function of the
+    # digest itself — md5_long(text) == conv(substr(digest,1,14),16,10)
+    exact = quality.groupBy(F.md5("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("n_chars", "doc_id").alias("n_chars"),
     )
     dup_larger = minhash_verified_pairs(spark, sf).select(F.col("d2").alias("doc_id")).distinct()
     survivors = exact.join(dup_larger, "doc_id", "left_anti")
-    pct = md5_long(F.col("text")) % 100
+    pct = (
+        F.conv(F.substring("__h", 1, MD5_HEX_DIGITS), 16, 10).cast("long")
+        % 100
+    )
     split = (
         F.when(pct < SPLIT_TRAIN_LT, "train")
         .when(pct == SPLIT_VAL, "val")

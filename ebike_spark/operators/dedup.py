@@ -561,21 +561,30 @@ def ppjoin_pairs(
     # (d1, d2) pairs and builds per-partition hashes of the index —
     # the index arrays move once, partition-parallel, no driver-side
     # relation build on the timed path.
+    # The SHUFFLE_HASH hint sits on the CANDIDATE-PAIRS side, so that
+    # side is the per-partition hash BUILD side and the array-laden
+    # index is STREAMED (ADVICE-r13: hinting the index side made the
+    # corpus-sized arrays the build side — the riskier per-task memory
+    # choice at 100 TB, inverting the small-side principle the hint
+    # exists to encode; candidates are near-dup-pair-sized, bounded by
+    # the prefix+length filter).
     v = (
-        cand.join(
+        cand.hint("shuffle_hash")
+        .join(
             idx.select(
                 F.col("doc_id").alias("d1"),
                 F.col("arr").alias("arr1"),
                 F.col("n").alias("n1"),
-            ).hint("shuffle_hash"),
+            ),
             "d1",
         )
+        .hint("shuffle_hash")
         .join(
             idx.select(
                 F.col("doc_id").alias("d2"),
                 F.col("arr").alias("arr2"),
                 F.col("n").alias("n2"),
-            ).hint("shuffle_hash"),
+            ),
             "d2",
         )
         .select(

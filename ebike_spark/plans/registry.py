@@ -259,11 +259,14 @@ def _session_conf_key(spark: SparkSession) -> tuple:
 # re-invocation a no-op count of local rows — the bench's timed runs
 # must re-run the real work, exactly like the side-effectful io_*
 # rows (review r11).
+# text_bpe_encode left this list in r14: with the trained-merge memo
+# (_bpe_learned_scoped) its fn is a pure lazy plan builder — the timed
+# work (wl aggregate + vocab join + per-lang rollup) re-executes on
+# every count exactly like the other plan-cached rows.
 _NO_PLAN_CACHE_NAMES = frozenset(
     {
         "ev_sssp_bellman_ford",
         "text_bpe_learn_merges",
-        "text_bpe_encode",
         # r12: eager audits/iterations — cached re-invocation would be
         # a no-op count instead of the real LSH verify / star rounds
         "dedup_embedding_cosine_prod",

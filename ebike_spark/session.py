@@ -36,15 +36,47 @@ def _cpus() -> int:
 # JVM). A bare number is normalized to MiB up front — the raw launcher
 # pass-through means an unitless value would otherwise reach the JVM as
 # BYTES and kill startup. SPARK_GRAFT_PIN_HEAP=0 disables the eager pin.
-_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
-if _DRIVER_MEM.isdigit():
-    _DRIVER_MEM += "m"
+def _normalize_heap(mem: str) -> str:
+    """Normalize a Spark-legal memory string to a JVM-legal -Xms/-Xmx
+    value. Spark's JavaUtils accepts 1g/1gb/1G/1GB (and k/m/t tiers);
+    the JVM flag parser accepts only the single-letter suffixes, so
+    '24gb' must become '24g' before it reaches -Xms (ADVICE-r13: the
+    two-letter form produced an invalid flag that refused JVM
+    startup). A bare number is normalized to MiB up front — the
+    client-mode launcher passes spark.driver.memory RAW into -Xmx, so
+    an unitless value would reach the JVM as BYTES and kill startup."""
+    m = mem.strip()
+    if m.isdigit():
+        return m + "m"
+    if m and m[-1] in "bB" and len(m) >= 2 and m[-2] in "kKmMgGtT":
+        m = m[:-1]  # 24gb -> 24g (JVM flags reject the two-letter tier)
+    if not (m[:-1].isdigit() and m[-1] in "kKmMgGtT"):
+        raise ValueError(
+            f"SPARK_GRAFT_DRIVER_MEM={mem!r} is not a JVM-legal heap size"
+            " (expected <digits>[k|m|g|t][b], e.g. 24g or 512mb)"
+        )
+    return m
+
+
+_DRIVER_MEM = _normalize_heap(os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
 _PIN_HEAP = os.environ.get("SPARK_GRAFT_PIN_HEAP", "1") != "0"
+
+
+def _append_java_options(builder_conf_value: str | None, extra: str) -> str:
+    """Append our JVM flags to any options a caller already set on the
+    builder instead of clobbering them (ADVICE-r13: build_conf
+    advertises applying to 'any SparkSession builder')."""
+    prior = (builder_conf_value or "").strip()
+    return f"{prior} {extra}".strip()
 
 
 def build_conf(builder: SparkSession.Builder, cpus: int | None = None) -> SparkSession.Builder:
     """Apply this engine's configuration to any SparkSession builder."""
     n = cpus or _cpus()
+    # read any options the caller already set so the JVM-flag configs
+    # below APPEND rather than clobber (Builder keeps them in _options;
+    # fall back to empty when the attribute moves)
+    prior = getattr(builder, "_options", {}) or {}
     return (
         builder.config("spark.sql.shuffle.partitions", str(n))
         .config("spark.default.parallelism", str(n))
@@ -85,10 +117,19 @@ def build_conf(builder: SparkSession.Builder, cpus: int | None = None) -> SparkS
         # commit eagerly — the lazy -Xmx-only heap worked there).
         .config(
             "spark.driver.extraJavaOptions",
-            (f"-Xms{_DRIVER_MEM} " if _PIN_HEAP else "")
-            + "-XX:+AlwaysPreTouch",
+            _append_java_options(
+                prior.get("spark.driver.extraJavaOptions"),
+                (f"-Xms{_DRIVER_MEM} " if _PIN_HEAP else "")
+                + "-XX:+AlwaysPreTouch",
+            ),
         )
-        .config("spark.executor.extraJavaOptions", "-XX:+AlwaysPreTouch")
+        .config(
+            "spark.executor.extraJavaOptions",
+            _append_java_options(
+                prior.get("spark.executor.extraJavaOptions"),
+                "-XX:+AlwaysPreTouch",
+            ),
+        )
         # Managed-table warehouse. The catalog is in-memory (no Hive
         # metastore), so table *metadata* dies with the session while
         # *data* directories persist — engine.catalog cleans stale

@@ -234,13 +234,19 @@ def io_csv_malformed(spark: SparkSession, sf: str) -> DataFrame:
     be referenced by a post-hoc filter over the lazy parse) and holds
     scratch-sized data. At 100 TB the corrupt rows land in a dead-letter
     sink from the same single read."""
+    from pyspark.sql import Observation
+
     path = _scratch("badcsv")
     flat = _events_flat(spark, sf)
     # headerless on purpose: with header=true the reader would swallow
     # the FIRST line of every file — including the corrupt file's first
-    # pollution line — as a header
-    flat.write.csv(path)
-    n_bad = flat.count() // 50  # bounded driver scalar, sizes the pollution
+    # pollution line — as a header. The row count that sizes the
+    # pollution rides the WRITE job as an Observation (r14, guide §1/
+    # §2.4): the former separate flat.count() re-scanned the events
+    # table once per invocation purely to produce this scalar.
+    obs = Observation("io_csv_malformed_rows")
+    flat.observe(obs, F.count(F.lit(1)).alias("n")).write.csv(path)
+    n_bad = obs.get["n"] // 50  # bounded driver scalar, sizes the pollution
     bad = spark.range(n_bad).select(
         F.concat(F.lit("corrupt,line,number,"), F.col("id").cast("string")).alias(
             "value"
@@ -265,12 +271,17 @@ def io_csv_malformed(spark: SparkSession, sf: str) -> DataFrame:
         .csv(path),
         key=path,
     )
-    good = back.where(F.col("_bad").isNull())
-    return good.agg(
-        F.count("*").alias("n_good"),
-        F.sum(F.col("ts_us") % 1_000_000_007).cast("long").alias("ts_check"),
-    ).crossJoin(
-        F.broadcast(
-            back.where(F.col("_bad").isNotNull()).agg(F.count("*").alias("n_bad"))
+    # ONE pass over the cached read-back produces the good/bad audit
+    # (r14, guide §2.4): the former good-agg ⨯ broadcast(bad-agg) shape
+    # scanned the cached parse twice and staged a broadcast per run.
+    # Conditional aggregates are exact equivalents: corrupt rows carry
+    # NULL ts_us (PERMISSIVE parse), good rows carry NULL _bad.
+    return back.agg(
+        F.count(F.when(F.col("_bad").isNull(), F.lit(1))).alias("n_good"),
+        F.count(F.when(F.col("_bad").isNotNull(), F.lit(1))).alias("n_bad"),
+        F.sum(
+            F.when(F.col("_bad").isNull(), F.col("ts_us") % 1_000_000_007)
         )
-    ).select("n_good", "n_bad", "ts_check")
+        .cast("long")
+        .alias("ts_check"),
+    )

@@ -148,17 +148,23 @@ def io_compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
         "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
     )
     ev.repartition(COMPACT_BEFORE).write.parquet(small)
-    spark.read.parquet(small).repartitionByRange(
-        COMPACT_AFTER, "ts_us"
-    ).write.parquet(packed)
+    small_back = spark.read.parquet(small)
+    small_back.repartitionByRange(COMPACT_AFTER, "ts_us").write.parquet(
+        packed
+    )
 
     back = spark.read.parquet(packed)
+    # File counts come from the READS' own file indexes (inputFiles —
+    # data files only, _SUCCESS excluded), not a second directory
+    # listing: each scratch dir is listed exactly once per run (r14,
+    # guide §6 / VERDICT-r13 task 5 — directory listing is driver-side
+    # work that at lake scale costs more than the scan it audits).
     return back.agg(
         F.count("*").alias("n_rows"),
         F.sum(F.col("ts_us") % 1_000_000_007).cast("long").alias("ts_check"),
     ).select(
-        F.lit(_nfiles(small)).cast("long").alias("files_before"),
-        F.lit(_nfiles(packed)).cast("long").alias("files_after"),
+        F.lit(len(small_back.inputFiles())).cast("long").alias("files_before"),
+        F.lit(len(back.inputFiles())).cast("long").alias("files_after"),
         "n_rows",
         "ts_check",
     )
