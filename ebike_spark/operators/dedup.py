@@ -561,13 +561,20 @@ def ppjoin_pairs(
     # (d1, d2) pairs and builds per-partition hashes of the index —
     # the index arrays move once, partition-parallel, no driver-side
     # relation build on the timed path.
-    # The SHUFFLE_HASH hint sits on the CANDIDATE-PAIRS side, so that
-    # side is the per-partition hash BUILD side and the array-laden
-    # index is STREAMED (ADVICE-r13: hinting the index side made the
-    # corpus-sized arrays the build side — the riskier per-task memory
-    # choice at 100 TB, inverting the small-side principle the hint
-    # exists to encode; candidates are near-dup-pair-sized, bounded by
-    # the prefix+length filter).
+    # Build-side choice, MEASURED at a 50×-sf0.1 fixture (r14,
+    # tools/ab_scale.py — ADVICE-r13 asked for build-on-pairs on BOTH
+    # joins; half of that advice survives contact with scale):
+    # - join 1 builds on the CANDIDATE PAIRS (hint on cand): the pairs
+    #   are two BIGINTs each at that point — the cheapest possible
+    #   hash relation — and the array-laden index streams past it.
+    # - join 2 builds on the INDEX (hint on idx): after join 1 the
+    #   pairs side CARRIES arr1, and candidates outnumber corpus rows
+    #   (104k pairs vs 500 docs at sf0.1, ~10× at the 50× fixture), so
+    #   building on the joined side holds candidates×arrays per
+    #   partition — measured failure at 50×: "Can't acquire 536870912
+    #   bytes to build hash relation" (ShuffledHashJoin build cannot
+    #   spill). The index side is one array per corpus row, the
+    #   strictly smaller array-payload relation.
     v = (
         cand.hint("shuffle_hash")
         .join(
@@ -578,13 +585,12 @@ def ppjoin_pairs(
             ),
             "d1",
         )
-        .hint("shuffle_hash")
         .join(
             idx.select(
                 F.col("doc_id").alias("d2"),
                 F.col("arr").alias("arr2"),
                 F.col("n").alias("n2"),
-            ),
+            ).hint("shuffle_hash"),
             "d2",
         )
         .select(

@@ -116,93 +116,87 @@ def _load_all() -> None:
 # ann_knn_join, text_dup_spans, text_tfidf_top_terms — review r13).
 #
 # Queries whose CODE or ORACLE changed since the last driver run —
-# validate_window requires them at the head of the window. Round 13:
-# dedup_embedding_cosine_prod gained the planted exact+perturbed twin
-# augmentation (VERDICT-r12 task 2 — recall truth set now non-empty),
-# dedup_cluster_distributed's convergence signature grew a second
-# independent hash sum (ADVICE-r12), and the three io layout rows share
-# the _scratch_dir helper that now cleans prior same-tag dirs.
+# validate_window requires them at the head of the window. Round 14
+# (all Spark-side plan rewrites; no oracle text changed): the batch-1
+# job/exchange fusions (text_repetition single-branch window form,
+# the repartition(term) tf/df shapes, the upsample window max, the
+# training-manifest digest aggregate, the bpe-encode trained-merges
+# memo, the io_csv observe+fused audit, the io_compact shared file
+# listing), the star-CC composed round's dropped intermediate
+# distinct (dedup_cluster_distributed), and the ppjoin verify-join
+# build-side hybrid (ADVICE-r13 item 2, corrected by the 50× A/B).
 MODIFIED_THIS_ROUND: tuple[str, ...] = (
-    "dedup_embedding_cosine_prod",
+    "dedup_ppjoin",
     "dedup_cluster_distributed",
-    "io_zorder_layout",
+    "text_repetition",
+    "text_tfidf_top_terms",
+    "text_doc_keywords",
+    "corpus_upsample_audit",
+    "corpus_training_manifest",
+    "text_bpe_encode",
+    "io_csv_malformed",
     "io_compact_small_files",
-    "io_partitioned_layout",
-    # the r13 job-fusion rewrites (VERDICT-r12 task 3): one broadcast
-    # offsets+total frame in the shared ranking helper, and the
-    # aggregate-then-window forms of the MAD sweep and burn alert
-    "ev_pareto_share",
-    "corpus_curriculum_stages",
-    "ev_anomaly_mad",
-    "ev_error_budget_burn",
-    "corpus_token_budget_plan",
-    # the temperature normalizers became full-frame windows over the
-    # bounded per-source frame; theil-sen carries n_pairs/slope_med
-    # through the intercept aggregate instead of a final join that
-    # re-executed the pairs-median subtree
-    "corpus_temperature_mix",
-    "ev_trend_theil_sen",
 )
 
 WINDOW_PREFIX: tuple[str, ...] = (
-    # --- NEW in r13 ---
-    "dedup_lsh_incremental",
-    "dedup_embedding_incremental",
-    # --- modified in r13 (need evidence for the NEW code) ---
-    "dedup_embedding_cosine_prod",
+    # --- modified in r14 (need evidence for the NEW code; nothing new
+    # was registered this round — optimization rounds add no features)
+    "dedup_ppjoin",
     "dedup_cluster_distributed",
-    "io_zorder_layout",
-    "io_compact_small_files",
-    "io_partitioned_layout",
-    "ev_pareto_share",
-    "corpus_curriculum_stages",
-    "ev_anomaly_mad",
-    "ev_error_budget_burn",
-    "corpus_token_budget_plan",
-    "corpus_temperature_mix",
-    "ev_trend_theil_sen",
-    # --- the r8 remainder (33 — corpus_temperature_mix moved to the
-    # modified head) ---
-    "asof_generic_events_orders",
-    "corpus_domain_cap",
-    "corpus_mix_weights",
-    "corpus_pack_sequences",
-    "embed_cluster_assign",
-    "embed_outliers",
-    "ev_active_users",
-    "ev_anomaly_zscore",
-    "ev_asof_join",
-    "ev_gapfill_interp",
-    "ev_gapfill_locf",
-    "ev_hierarchical_rollup",
-    "ev_path_transitions",
-    "fn_string_mysql",
-    "io_zstd_roundtrip",
-    "json_extract_props",
-    "json_map_explode",
-    "profile_columns",
-    "salted_join_parity",
-    "sample_deterministic",
-    "sample_stratified",
-    "stream_lifecycle_stages",
-    "text_chunk_windows",
-    "text_fingerprint",
-    "text_heuristic_filter",
-    "text_perplexity",
-    "text_quality",
-    "text_quality_percentile",
-    "text_redact_pii",
     "text_repetition",
-    "text_token_stats",
-    "text_vocab_encode",
-    "text_zipf_fit",
-    # --- fill to 50 from the next-oldest (r9) tier: LLM-pipeline
-    # anchors (semantic dedup, random projection) plus the funnel
-    # staple --- (2 + 12 + 33 + 3 = 50; the 40 remaining r9 rows
-    # lead the round-14 fill)
-    "embed_semantic_dedup",
-    "embed_random_projection",
-    "ev_funnel",
+    "text_tfidf_top_terms",
+    "text_doc_keywords",
+    "corpus_upsample_audit",
+    "corpus_training_manifest",
+    "text_bpe_encode",
+    "io_csv_malformed",
+    "io_compact_small_files",
+    # --- fill from the oldest-checked tier: the 37 remaining r9 rows
+    # (10 + 37 + 3 = 50) ---
+    "corpus_shard_manifest",
+    "corpus_split_assign",
+    "ev_attribution_last_touch",
+    "ev_attribution_time_decay",
+    "ev_attribution_touchpoints",
+    "ev_cohort_matrix",
+    "ev_concurrency",
+    "ev_ewma_spike",
+    "ev_funnel_latency",
+    "ev_funnel_sliding",
+    "ev_funnel_windowed",
+    "ev_pivot",
+    "ev_rate_moving",
+    "ev_retention",
+    "ev_rfm_segments",
+    "ev_rollup",
+    "ev_scd2_intervals",
+    "ev_seasonality_profile",
+    "ev_session_stats",
+    "ev_sessionize",
+    "ev_sliding_window",
+    "ev_topk_per_group",
+    "ev_tumbling_window",
+    "ev_value_histogram",
+    "mm_ppm_decode_stats",
+    "q01_scan_filter_topk",
+    "q02_group_agg",
+    "q03_join_agg",
+    "range_join_event_windows",
+    "stream_attribution_last_touch",
+    "stream_gap_alerts",
+    "stream_interval_join",
+    "stream_stateful_running_counts",
+    "text_bigram_pmi",
+    "text_bigram_top",
+    "text_bpe_token_count",
+    "text_char_diversity",
+    # --- plus the alphabetically-first 3 of the next-oldest (r10)
+    # tier (the only builder discretion the rotation rule leaves is
+    # splitting same-round ties; the 21 remaining r10 rows lead the
+    # round-15 fill) ---
+    "ann_lsh_topk",
+    "dedup_prefix_hash",
+    "dq_expectations",
 )
 
 
