@@ -89,19 +89,32 @@ def text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     == 0), reporting the count of distinct overlapping n-grams.
 
     100 TB shape: the eval split is fixed-size by construction, so its
-    distinct n-gram set is BROADCAST — the training corpus streams
-    through a broadcast hash join at scan speed and only (doc_id, hit)
-    rows reach the final aggregation. No shuffle touches full text.
-    """
+    n-gram set is BROADCAST — the training corpus streams through a
+    broadcast SEMI join at scan speed and only (doc_id, hit) rows
+    reach the final aggregation. No shuffle touches full text. r14
+    (guide §2.4): the eval branch now carries ZERO exchanges — its
+    grams are built per-row with the array HOF (interpreted, but over
+    ~1 % of the corpus and off the hot path, where _ngrams' codegen'd
+    lead-window would pay a doc_id exchange just to build grams we
+    immediately strip doc_id from), and the LEFT SEMI join tolerates
+    duplicate build rows, so the former distinct's gram-keyed exchange
+    disappears too. The train side keeps the codegen'd window path;
+    its distinct and the final per-doc count both ride the window's
+    one doc_id exchange."""
+    from ebike_spark.functions.textfns import shingles
+
     docs = load_table(spark, sf, "documents")
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     # split BEFORE n-gram extraction: the eval predicate pushes into the
     # scan, so the (tiny) eval pass shingles ~1% of the corpus instead
     # of filtering after a full-corpus explode
-    eval_g = _ngrams(docs.where(is_eval), DECON_N).select("g").distinct()
+    eval_g = (
+        docs.where(is_eval)
+        .select(F.explode(shingles(tokens(F.col("text")), DECON_N)).alias("g"))
+    )
     train_g = _ngrams(docs.where(~is_eval), DECON_N).select("doc_id", "g").distinct()
     return (
-        train_g.join(F.broadcast(eval_g), "g")
+        train_g.join(F.broadcast(eval_g), "g", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )

@@ -136,6 +136,8 @@ MODIFIED_THIS_ROUND: tuple[str, ...] = (
     "text_bpe_encode",
     "io_csv_malformed",
     "io_compact_small_files",
+    # batch 3: eval branch as exchange-free HOF grams + semi join
+    "text_decontaminate",
 )
 
 WINDOW_PREFIX: tuple[str, ...] = (
@@ -151,8 +153,9 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "text_bpe_encode",
     "io_csv_malformed",
     "io_compact_small_files",
+    "text_decontaminate",
     # --- fill from the oldest-checked tier: the 37 remaining r9 rows
-    # (10 + 37 + 3 = 50) ---
+    # (11 + 37 + 2 = 50) ---
     "corpus_shard_manifest",
     "corpus_split_assign",
     "ev_attribution_last_touch",
@@ -190,13 +193,12 @@ WINDOW_PREFIX: tuple[str, ...] = (
     "text_bigram_top",
     "text_bpe_token_count",
     "text_char_diversity",
-    # --- plus the alphabetically-first 3 of the next-oldest (r10)
+    # --- plus the alphabetically-first 2 of the next-oldest (r10)
     # tier (the only builder discretion the rotation rule leaves is
-    # splitting same-round ties; the 21 remaining r10 rows lead the
+    # splitting same-round ties; the 22 remaining r10 rows lead the
     # round-15 fill) ---
     "ann_lsh_topk",
     "dedup_prefix_hash",
-    "dq_expectations",
 )
 
 
