@@ -288,28 +288,30 @@ def main() -> None:
         "EBIKE_BENCH_PERQ_OUT", os.path.join(_REPO, "BENCH_PERQ.json")
     )
     try:
+        try:
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "") or 0)
+        except ValueError:
+            cpus = 0  # session.py's _cpus() tolerates non-numeric too
+        payload = json.dumps(
+            {
+                "queries": timings,
+                "total_seconds": total,
+                "n_queries": len(timings),
+                "cpus": cpus or spark.sparkContext.defaultParallelism,
+                "sf": sf_val,
+                "sf_dir": sf_dir,
+                "canary_seconds": canary,
+                "canary_start": canary_start,
+                "canary_end": canary_end,
+                "runs_per_query": runs,
+                "cold": cold,
+            },
+            indent=1,
+            sort_keys=True,
+        )
         with open(perq_path, "w") as f:
-            json.dump(
-                {
-                    "queries": timings,
-                    "total_seconds": total,
-                    "n_queries": len(timings),
-                    "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
-                    or spark.sparkContext.defaultParallelism,
-                    "sf": sf_val,
-                    "sf_dir": sf_dir,
-                    "canary_seconds": canary,
-                    "canary_start": canary_start,
-                    "canary_end": canary_end,
-                    "runs_per_query": runs,
-                    "cold": cold,
-                },
-                f,
-                indent=1,
-                sort_keys=True,
-            )
-            f.write("\n")
-    except OSError:
+            f.write(payload + "\n")  # serialized first: no partial file
+    except Exception:
         pass
 
 

@@ -391,20 +391,18 @@ def text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     that count is COUNT(*) OVER the term partition instead of an
     agg-on-term + join-back, which re-executed the tf subtree for
     both branches (the text_novelty_score finding — ONE term shuffle
-    now feeds the score). r14 (guide §2.4): the token stream is
-    repartitioned by TERM up front, so hash(term) serves BOTH the
-    (doc_id, term) tf aggregate (a superset-keyed group needs no
-    further clustering) and the df window — the plan drops from three
-    exchanges ((doc,term) pairs, term, doc_id) to two (raw tokens on
-    term, scored pairs on doc_id). The term exchange now carries raw
-    (doc_id, term) tokens instead of partially-aggregated pairs —
-    within-document term multiplicity is the only compression partial
-    aggregation bought here, a small constant against a whole
-    exchange+stage removed."""
+    now feeds the score). r14 re-examined and KEPT this three-exchange
+    shape: repartitioning the raw token stream by term up front fuses
+    one exchange away locally (measured −0.15 s / −1 job at sf0.1)
+    but ships the UN-aggregated occurrence stream hash-partitioned by
+    term — the hottest token's partition then grows with total corpus
+    token count instead of n_docs, a skew AQE cannot split (skew
+    handling applies to joins only), and map-side partial aggregation
+    is forfeited. Every exchange in the committed shape carries at
+    most one row per (doc, term) — skew-bounded by n_docs — which is
+    the property that matters at 100 TB (review r14)."""
     docs = load_table(spark, sf, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-    ).repartition("term")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     n = docs.count()  # single scalar, driver-side (metadata-cheap count)
     score = F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))

@@ -108,9 +108,17 @@ def text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     # split BEFORE n-gram extraction: the eval predicate pushes into the
     # scan, so the (tiny) eval pass shingles ~1% of the corpus instead
     # of filtering after a full-corpus explode
+    # array_distinct BEFORE the explode: LEFT SEMI only needs key
+    # existence, and within-document repeated grams (the dominant
+    # duplication on boilerplate text) would otherwise multiply the
+    # broadcast payload for zero benefit (review r14)
     eval_g = (
         docs.where(is_eval)
-        .select(F.explode(shingles(tokens(F.col("text")), DECON_N)).alias("g"))
+        .select(
+            F.explode(
+                F.array_distinct(shingles(tokens(F.col("text")), DECON_N))
+            ).alias("g")
+        )
     )
     train_g = _ngrams(docs.where(~is_eval), DECON_N).select("doc_id", "g").distinct()
     return (

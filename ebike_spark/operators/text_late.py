@@ -216,16 +216,17 @@ def text_doc_keywords(spark: SparkSession, sf: str) -> DataFrame:
     agg-on-term + join-back pair, which re-executed the tf subtree
     for both branches; r12 rewrite); the rank window partitions per
     doc (distinct-term-sized partitions). All shuffles
-    corpus-token-proportional or smaller. r14 (guide §2.4, the
-    text_tfidf_top_terms twin): the token stream is repartitioned by
-    TERM up front so hash(term) serves both the tf aggregate (superset
-    group key) and the df window — three exchanges become two (raw
-    tokens on term, ranked pairs on doc_id)."""
+    corpus-token-proportional or smaller. r14 re-examined and KEPT
+    this shape (the text_tfidf_top_terms twin): a raw
+    repartition(term) of the token stream fuses one exchange locally
+    but un-bounds the hottest term's partition (corpus-token-
+    proportional, unsplittable by AQE outside joins) and forfeits
+    map-side partial aggregation — the committed exchanges each carry
+    ≤ 1 row per (doc, term) (review r14)."""
     d = load_table(spark, sf, "documents")
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("term"))
         .where(F.col("term") != "")
-        .repartition("term")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -722,14 +723,16 @@ def _bpe_learn(spark: SparkSession, sf: str):
     trainer loop behind text_bpe_learn_merges (returns the merge
     table) and text_bpe_encode (applies the final seq expression).
 
-    The learned merges are deliberately NOT memoized across calls
-    (review r11, considered and rejected): the iterative trainer loop
-    IS the workload these queries exist to measure — memoizing it
-    would turn both bench rows into counts of precomputed frames,
-    exactly the measures-nothing failure _NO_PLAN_CACHE_NAMES guards
-    against. The expensive part (the corpus scan) IS amortized via
-    the session-scoped vocab cache; re-running the loop costs
-    BPE_MERGES vocabulary-sized jobs per invocation."""
+    This function always runs the trainer loop live — it is the
+    workload text_bpe_learn_merges exists to measure, so THAT row
+    never reads a memo (review r11's rejection, unchanged). The
+    ENCODER row is different: since r14, text_bpe_encode reads the
+    (session, sf, conf)-scoped memo _bpe_learned_scoped — applying an
+    already-trained tokenizer is the encoder's declared contract, and
+    its timed work (wl aggregate + vocab join + rollup) re-executes
+    per invocation. The corpus scan is amortized for both via the
+    session-scoped vocab cache; re-running the loop costs BPE_MERGES
+    vocabulary-sized jobs per invocation."""
     docs = load_table(spark, sf, "documents")
     from ebike_spark.operators.dedup import _persist_scoped
 

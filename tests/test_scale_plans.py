@@ -1283,10 +1283,17 @@ def test_star_cc_round_is_join_free(spark):
     e = load_table(spark, SF_DIR, "events").select(
         F.col("user_id").alias("u"), (F.col("user_id") + 1).alias("v")
     )
-    plan = _physical(_small_star(_large_star(e)))
-    assert "Join" not in plan, plan
-    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
-    assert "Window" in plan, plan
+    # assert BOTH compositions: the default round and the dedup=False
+    # round the production loop actually runs since r14 (the dropped
+    # intermediate distinct must not change the join-free shape)
+    for composed in (
+        _small_star(_large_star(e)),
+        _small_star(_large_star(e, dedup=False)),
+    ):
+        plan = _physical(composed)
+        assert "Join" not in plan, plan
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+        assert "Window" in plan, plan
 
 
 def test_lsh_incremental_probe_shape(spark):
