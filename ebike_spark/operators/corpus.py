@@ -131,8 +131,18 @@ def components(edges, max_iter: int = 50):
         rows = sorted(_driver_union_find(pairs))
         spark = edges.sparkSession
         # single-partition local frame: the 32-way Python-RDD default
-        # taxed every downstream action ~0.3 s (local_frames docstring)
-        return local_df(spark, rows, "doc_id long, cluster_id long")
+        # taxed every downstream action ~0.3 s (local_frames docstring).
+        # BROADCAST hint (r14): the parallelized frame has no stats, so
+        # the planner assumes defaultSizeInBytes=huge and a downstream
+        # join (corpus_dedup_survivor's membership attach) planned as a
+        # full SortMergeJoin — two exchanges + sorts — against a frame
+        # that is ≤ 2×DRIVER_UNION_FIND_MAX_EDGES rows of two BIGINTs
+        # BY CONSTRUCTION of this branch (≈32 MB worst case). The hint
+        # encodes exactly the size knowledge the branch condition just
+        # established; the distributed branch below stays unhinted.
+        return F.broadcast(
+            local_df(spark, rows, "doc_id long, cluster_id long")
+        )
     return connected_components(edges, max_iter)
 
 

@@ -7,6 +7,7 @@ broadcast, and bucketed tables co-locate joins without an exchange.
 
 from __future__ import annotations
 
+import re
 import uuid
 
 import pyspark.sql.functions as F
@@ -1421,3 +1422,17 @@ def test_sssp_broadcast_round_is_broadcast_hash_join(spark):
     plan = _physical(_sssp_relax_round(_weighted_edges(edges), dist))
     assert "BroadcastHashJoin" in plan, plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_survivor_membership_attach_is_broadcast(spark):
+    """corpus_dedup_survivor attaches driver-union-find cluster labels
+    to the corpus-sized document frame. The cluster table is bounded by
+    components()' branch condition (≤ 2×DRIVER_UNION_FIND_MAX_EDGES rows
+    of two BIGINTs), but the parallelized local frame carries no stats —
+    without the r14 broadcast hint the planner sized it at
+    defaultSizeInBytes and staged a full SortMergeJoin (two exchanges +
+    sorts) against the documents side. The hint pins the only shape that
+    is sane at 100 TB: stream the big side, broadcast the bounded one."""
+    plan = _physical(REGISTRY["corpus_dedup_survivor"].fn(spark, SF_DIR))
+    assert re.search(r"BroadcastHashJoin .*LeftOuter, BuildRight", plan), plan
+    assert "SortMergeJoin" not in plan, plan
