@@ -346,13 +346,13 @@ def text_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: one token explode feeding both count tables with
     map-side partials; the two unigram joins are plain equi-joins AQE
     can broadcast while the vocabulary fits and shuffle when it
-    doesn't (the text_perplexity rule); the two scalar totals
-    broadcast. Top-k is TakeOrderedAndProject, never a full sort."""
+    doesn't (the text_perplexity rule); both scalar totals ride one
+    explode-free scan (sums of size(w)) and broadcast as a single
+    1-row frame. Top-k is TakeOrderedAndProject, never a full sort."""
     docs = load_table(spark, sf, "documents")
     w = tokens(F.col("text"))
     tok = docs.select(F.explode(w).alias("w"))
     uni = tok.groupBy("w").agg(F.count("*").alias("c"))
-    n_tok = uni.agg(F.sum("c").cast("long").alias("n_tok"))
     pairs = F.expr(
         "transform(sequence(1, size(w) - 1), "
         "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
@@ -366,15 +366,23 @@ def text_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
     bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab")).where(
         F.col("c_ab") >= PMI_MIN_COUNT
     )
-    n_bg = bg.agg(F.count("*").cast("long").alias("n_bg"))
+    # both corpus totals from ONE explode-free scan (r14): n_tok is the
+    # exploded-token row count = Σ size(w) by construction of explode,
+    # and n_bg is the bigram row count = Σ max(size(w) − 1, 0) — the
+    # transform emits size−1 pairs for size ≥ 2 docs and the filter
+    # drops the rest (null/short docs contribute 0 on both definitions,
+    # size(null) = NULL is ignored by SUM and floored by GREATEST).
+    # Before, each scalar re-ran a full corpus explode + two-stage
+    # aggregate solely to feed a 1-row broadcast.
+    scalars = docs.agg(
+        F.sum(F.size(w)).cast("long").alias("n_tok"),
+        F.sum(F.greatest(F.size(w) - F.lit(1), F.lit(0)))
+        .cast("long")
+        .alias("n_bg"),
+    )
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
-    j = (
-        bc.join(u1, "w1")
-        .join(u2, "w2")
-        .crossJoin(F.broadcast(n_tok))
-        .crossJoin(F.broadcast(n_bg))
-    )
+    j = bc.join(u1, "w1").join(u2, "w2").crossJoin(F.broadcast(scalars))
     pmi = (
         F.log("c_ab")
         + 2 * F.log("n_tok")

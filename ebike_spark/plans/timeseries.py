@@ -937,25 +937,49 @@ def ev_active_users_hll(spark: SparkSession, sf: str) -> DataFrame:
     column stands alone; the verdict column is what makes the sketch
     externally checkable without hashing an engine-specific estimate.
     """
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf, "events")
     day = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
-    daily = day.select(
-        F.lit("day").alias("level"),
-        F.col("d").cast("long").alias("bucket_start"),
-        F.hll_sketch_estimate("sk").alias("n_active_est"),
+    # single-subtree form (r14): the old daily ∪ monthly union planned
+    # the day-sketch aggregate TWICE (Spark does not reuse identical
+    # shuffle stages across union branches — measured, even for
+    # byte-identical children), i.e. two full raw-event scans. Instead
+    # the month union rides a month-partitioned window over the one
+    # day frame (calendar-days-sized, so the extra exchange is ~KBs)
+    # and both levels leave via one explode — hll_union_agg is
+    # order-insensitive (max-register merge), so the window union is
+    # bit-identical to the groupBy union it replaces.
+    wm = Window.partitionBy(F.date_trunc("month", F.col("d")))
+    enr = day.select(
+        "d",
+        F.date_trunc("month", F.col("d")).alias("m"),
+        F.hll_sketch_estimate("sk").alias("day_est"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(wm)).alias(
+            "month_est"
+        ),
+        F.row_number().over(wm.orderBy("d")).alias("rn"),
     )
-    monthly = (
-        day.groupBy(F.date_trunc("month", F.col("d")).alias("m"))
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_active_est"))
-        .select(
-            F.lit("month").alias("level"),
-            F.col("m").cast("long").alias("bucket_start"),
-            "n_active_est",
+    levels = F.explode(
+        F.array(
+            F.struct(
+                F.lit("day").alias("level"),
+                F.col("d").cast("long").alias("bucket_start"),
+                F.col("day_est").alias("n_active_est"),
+            ),
+            F.when(
+                F.col("rn") == 1,
+                F.struct(
+                    F.lit("month").alias("level"),
+                    F.col("m").cast("long").alias("bucket_start"),
+                    F.col("month_est").alias("n_active_est"),
+                ),
+            ),
         )
-    )
-    est = daily.unionByName(monthly)
+    ).alias("p")
+    est = enr.select(levels).where(F.col("p").isNotNull()).select("p.*")
     # the exact audit derives from ONE distinct (user, day) partial —
     # the same persisted frame ev_active_users builds (shared cache
     # tag), so the audit adds no extra raw-events scan: day exact is

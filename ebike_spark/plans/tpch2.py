@@ -92,22 +92,28 @@ def q26_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     scalar max it is compared against.
 
     100 TB plan: one shuffle builds the per-supplier revenue aggregate;
-    the scalar MAX over it is a single-row reduction broadcast back as
-    a literal-like join side, so the comparison costs no second pass
-    over the fact table (the reference's view-based Q15 re-runs the
-    view; here Catalyst reuses the aggregated exchange). Revenue is
-    rounded to 2dp BEFORE the max-compare on both sides, making the
-    tie-set deterministic across engines.
+    the scalar MAX is a full-frame window over that aggregate — the
+    textbook Q15 window form — because expressing it as a separate
+    agg + broadcast join-back re-executes the whole fact-table
+    aggregate (Spark plans identical subtrees twice across join/union
+    branches; measured, no exchange reuse). The window's narrow stage
+    carries only the supplier-cardinality (key, rev) rows — strictly
+    fewer bytes than the second full lineitem pass it replaces.
+    Revenue is rounded to 2dp BEFORE the max-compare on both sides,
+    making the tie-set deterministic across engines.
     """
+    from pyspark.sql import Window
+
     li = _t(spark, sf, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(F.round(F.sum(_rev()), 2).alias("total_rev"))
-    mx = rev.agg(F.max("total_rev").alias("mx"))
+    mx = F.max("total_rev").over(Window.partitionBy())
     sup = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.join(F.broadcast(mx), rev["total_rev"] == mx["mx"])
+        rev.withColumn("mx", mx)
+        .where(F.col("total_rev") == F.col("mx"))
         .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
         .select("s_suppkey", "s_name", "total_rev")
     )

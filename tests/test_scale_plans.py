@@ -626,10 +626,10 @@ def test_bigram_pmi_topk_and_scan_reuse(spark):
     df = REGISTRY["text_bigram_pmi"].fn(spark, SF_DIR)
     plan = _physical(df)
     assert "TakeOrderedAndProject" in plan
-    # the two scalar totals broadcast; vocabulary joins must not be
+    # the fused scalar frame broadcasts; vocabulary joins must not be
     # forced — assert no broadcast HINT in the analyzed plan
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert analyzed.count("ResolvedHint") == 2  # n_tok + n_bg only
+    assert analyzed.count("ResolvedHint") == 1  # the (n_tok, n_bg) frame only
 
 
 def test_ewma_lags_share_one_window(spark):
@@ -868,7 +868,10 @@ def test_survival_hazard_user_partial_agg_and_bounded_window(spark):
     """ev_survival_hazard: one scan, one user-keyed exchange with
     map-side partial aggregation; the reverse-cumulative at-risk
     window runs single-partition ONLY over the bounded lifetime-day
-    axis (corpus-span-sized), mirroring the Pareto decile discipline."""
+    axis (corpus-span-sized), mirroring the Pareto decile discipline.
+    (r14 measured NEGATIVE: folding the horizon scan into a window max
+    over the user frame trades an exchange-free column reduce for a
+    users-sized serial stage — even at 50× scale, slower at sf0.1.)"""
     plan = _physical(REGISTRY["ev_survival_hazard"].fn(spark, SF_DIR))
     assert plan.count("Scan parquet") <= 2  # user agg + 1-row horizon
     assert "partial_min" in plan or "partial_count" in plan or "HashAggregate" in plan
@@ -930,7 +933,8 @@ def test_theil_sen_pairs_on_collapsed_frame(spark):
 def test_lifecycle_stages_two_aggregate_shape(spark):
     """ev_lifecycle_stages: one user-keyed exchange with map-side
     partials, a 1-row broadcast horizon, then a constant-4-row groupBy
-    — no window anywhere."""
+    — no window anywhere. (Same r14 negative as survival_hazard: the
+    window-horizon fold does not win, see that test's docstring.)"""
     plan = _physical(REGISTRY["ev_lifecycle_stages"].fn(spark, SF_DIR))
     assert "Window" not in plan
     user_ex = [
@@ -1436,3 +1440,41 @@ def test_survivor_membership_attach_is_broadcast(spark):
     plan = _physical(REGISTRY["corpus_dedup_survivor"].fn(spark, SF_DIR))
     assert re.search(r"BroadcastHashJoin .*LeftOuter, BuildRight", plan), plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bigram_pmi_scalars_ride_one_scan(spark):
+    """text_bigram_pmi's two corpus totals (n_tok, n_bg) must come from
+    ONE explode-free scan broadcast as a single 1-row frame — not the
+    two full corpus explode+aggregate passes the pre-r14 shape paid per
+    scalar. Shape: 4 parquet scans (bigram counts, 2× unigram join legs,
+    the scalar scan) and ONE cross-join broadcast."""
+    plan = _physical(REGISTRY["text_bigram_pmi"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert plan.count("Scan parquet") == 4, plan
+
+
+def test_hll_levels_ride_one_sketch_subtree(spark):
+    """ev_active_users_hll's day and month levels must derive from ONE
+    day-sketch aggregate over ONE raw-events scan — the month union is
+    a month-partitioned window over the calendar-days-sized day frame
+    and both levels leave via one explode. The pre-r14 daily ∪ monthly
+    union planned the sketch aggregate (and the raw scan) twice: Spark
+    does not reuse identical shuffle stages across union branches."""
+    plan = _strip_cached_subtrees(
+        _physical(REGISTRY["ev_active_users_hll"].fn(spark, SF_DIR))
+    )
+    # one raw scan outside the cached exact-audit subtree
+    assert plan.count("Scan parquet") == 1, plan
+    # one sketch aggregate pair (partial + final), not two
+    assert plan.count("ObjectHashAggregate") == 2, plan
+    assert "Generate" in plan, plan
+
+
+def test_q26_max_is_window_over_one_fact_scan(spark):
+    """q26_top_supplier's scalar MAX must be a full-frame window over
+    the per-supplier revenue aggregate — one lineitem scan. The old
+    agg + broadcast-join-back form re-executed the whole fact aggregate
+    for the scalar (no exchange reuse across join branches)."""
+    plan = _physical(REGISTRY["q26_top_supplier"].fn(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2, plan  # lineitem + supplier
+    assert "Window" in plan, plan
