@@ -440,8 +440,14 @@ def _q13b_rank_audit(li: DataFrame, est: DataFrame):
     Factored out so the unit suite can negative-control it with a
     corrupted estimate (the constant-TRUE trap the verdict recipe
     warns about)."""
-    aud = li.join(F.broadcast(est.select("l_returnflag", "ap")), "l_returnflag")
-    cnt_aggs = [F.count("*").alias("n")]
+    aud = li.join(F.broadcast(est), "l_returnflag")
+    # carry the estimate frame's columns THROUGH the audit aggregate
+    # (constant per group key) so the caller never re-joins est — a
+    # second reference would re-run the whole percentile aggregate
+    # (no exchange reuse across join branches; measured r14)
+    cnt_aggs = [F.count("*").alias("n")] + [
+        F.first(c).alias(c) for c in est.columns if c != "l_returnflag"
+    ]
     for i in range(len(Q13B_QUANTILES)):
         v = F.col("ap")[i]
         cnt_aggs.append(
@@ -514,7 +520,7 @@ def q13b_approx_pct(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(f"percentile(l_extendedprice, array({qarr}))").alias("ex"),
     )
     ranks, ok = _q13b_rank_audit(li, est)
-    return est.join(ranks, "l_returnflag").select(
+    return ranks.select(
         "l_returnflag",
         F.col("ex")[0].alias("p50_exact"),
         F.col("ex")[1].alias("p90_exact"),
@@ -553,6 +559,13 @@ def q23_scalar_corr_avg(spark: SparkSession, sf: str) -> DataFrame:
     without an extra exchange. The exact-match trick: l_quantity is
     integer-valued and doubles sum exactly below 2^53, so AVG and the
     0.5× threshold are bit-identical across engines.
+
+    r14 measured NEGATIVE kept out: the Q17 window form (threshold as
+    AVG OVER (PARTITION BY l_partkey)) removes the duplicate
+    scan+join but shuffles RAW branded rows through a sorted window —
+    forfeiting map-side partial aggregation — and reads 0.96→1.18 s
+    at the 50× fixture (wins only at the sf0.1 scheduling floor).
+    Window-over-aggregate (q26) wins; window-over-raw-rows loses.
     """
     li = _t(spark, sf, "lineitem")
     brand_keys = (

@@ -1478,3 +1478,15 @@ def test_q26_max_is_window_over_one_fact_scan(spark):
     plan = _physical(REGISTRY["q26_top_supplier"].fn(spark, SF_DIR))
     assert plan.count("Scan parquet") == 2, plan  # lineitem + supplier
     assert "Window" in plan, plan
+
+
+def test_q13b_estimate_computed_once(spark):
+    """q13b's percentile/approx_percentile aggregate must appear ONCE:
+    the audit aggregate carries the estimate columns through (FIRST per
+    group key) instead of re-joining the est frame, which re-ran the
+    whole sketch+exact aggregate (no exchange reuse across join
+    branches; measured r14). Two lineitem scans remain by contract:
+    the estimate build and the rank-audit re-scan."""
+    plan = _physical(REGISTRY["q13b_approx_percentile"].fn(spark, SF_DIR))
+    assert plan.count("percentile_approx") <= 2, plan  # partial+final of ONE agg
+    assert plan.count("Scan parquet") == 2, plan
