@@ -370,12 +370,14 @@ def text_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
     # exploded-token row count = Σ size(w) by construction of explode,
     # and n_bg is the bigram row count = Σ max(size(w) − 1, 0) — the
     # transform emits size−1 pairs for size ≥ 2 docs and the filter
-    # drops the rest (null/short docs contribute 0 on both definitions,
-    # size(null) = NULL is ignored by SUM and floored by GREATEST).
-    # Before, each scalar re-ran a full corpus explode + two-stage
-    # aggregate solely to feed a 1-row broadcast.
+    # drops the rest. Both sums floor at 0 via GREATEST because
+    # size(NULL) is -1 under this session's ansi=false (review r14) —
+    # explode of a NULL array contributes 0 rows, so a NULL-text doc
+    # must contribute 0 to both totals, not -1. Before, each scalar
+    # re-ran a full corpus explode + two-stage aggregate solely to
+    # feed a 1-row broadcast.
     scalars = docs.agg(
-        F.sum(F.size(w)).cast("long").alias("n_tok"),
+        F.sum(F.greatest(F.size(w), F.lit(0))).cast("long").alias("n_tok"),
         F.sum(F.greatest(F.size(w) - F.lit(1), F.lit(0)))
         .cast("long")
         .alias("n_bg"),

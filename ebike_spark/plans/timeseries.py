@@ -937,8 +937,6 @@ def ev_active_users_hll(spark: SparkSession, sf: str) -> DataFrame:
     column stands alone; the verdict column is what makes the sketch
     externally checkable without hashing an engine-specific estimate.
     """
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf, "events")
     day = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
         F.hll_sketch_agg("user_id").alias("sk")

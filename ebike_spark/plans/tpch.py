@@ -432,7 +432,9 @@ Q13B_ACCURACY = 10000  # GK sketch: rank error <= n/accuracy per group
 def _q13b_rank_audit(li: DataFrame, est: DataFrame):
     """(ranks frame, ok column) for the GK rank-guarantee audit: one
     more scan of ``li`` joined to the ≤flags-row ``est`` frame
-    (broadcast, columns l_returnflag + ap array), counting
+    (broadcast WHOLE — every non-key est column is carried through the
+    audit aggregate via FIRST, so the caller reads the estimates out
+    of ``ranks`` and never references ``est`` twice), counting
     strictly-below / at-or-below each picked value per group —
     map-side partial aggs, one shuffle on the group key, no sort. The
     ok column asserts each value's true rank interval

@@ -1549,3 +1549,30 @@ def test_sssp_broadcast_matches_literal_twin_and_stays_distributed(
     )
     monkeypatch.undo()
     assert {tuple(r) for r in out.collect()} == lit_rows
+
+
+def test_bigram_pmi_null_text_contributes_zero_to_scalars(spark, monkeypatch):
+    """A NULL-text document must contribute 0 to both fused corpus
+    totals. split(NULL) is NULL and size(NULL) is -1 under this
+    session's ansi=false, so the n_tok sum needs the same GREATEST
+    floor as n_bg — without it a NULL doc SUBTRACTS one token, which
+    the explode-based definition (0 rows from a NULL array) never did.
+    Pinned via the operator's pmi output: pmi encodes n_tok, so an
+    off-by-one shifts every value by 2*log(n_tok/(n_tok-1))."""
+    import math
+
+    import ebike_spark.operators.text as text_mod
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a b a b"), (2, None), (3, "c d")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(text_mod, "load_table", lambda *_: docs)
+    rows = text_mod.text_bigram_pmi(spark, SF_DIR).collect()
+    # only "a b" reaches PMI_MIN_COUNT=5; doc 1 has 10 tokens/9 bigrams,
+    # the NULL doc 0/0, doc 3 adds 2 tokens/1 bigram -> n_tok=12, n_bg=10
+    assert [(r["bigram"], r["c_ab"], r["c_a"], r["c_b"]) for r in rows] == [
+        ("a b", 5, 5, 5)
+    ]
+    expect = math.log(5) + 2 * math.log(12) - math.log(10) - 2 * math.log(5)
+    assert abs(rows[0]["pmi"] - expect) < 1e-9, rows[0]["pmi"]

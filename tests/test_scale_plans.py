@@ -1437,7 +1437,9 @@ def test_survivor_membership_attach_is_broadcast(spark):
     defaultSizeInBytes and staged a full SortMergeJoin (two exchanges +
     sorts) against the documents side. The hint pins the only shape that
     is sane at 100 TB: stream the big side, broadcast the bounded one."""
-    plan = _physical(REGISTRY["corpus_dedup_survivor"].fn(spark, SF_DIR))
+    plan = _strip_cached_subtrees(
+        _physical(REGISTRY["corpus_dedup_survivor"].fn(spark, SF_DIR))
+    )
     assert re.search(r"BroadcastHashJoin .*LeftOuter, BuildRight", plan), plan
     assert "SortMergeJoin" not in plan, plan
 
